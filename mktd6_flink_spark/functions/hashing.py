@@ -1,0 +1,53 @@
+"""Portable deterministic hashing.
+
+Everything here computes IDENTICALLY in Spark (Column expressions — JVM-side,
+whole-stage-codegen friendly) and in ANSI-ish SQL that DuckDB runs, so that
+MinHash / SimHash / fingerprint operators are oracle-checkable bit-for-bit.
+
+The base primitive is md5 (available and identical in both engines); we take
+the first 15 hex chars (60 bits — fits a signed 64-bit int) as a uniform
+integer, then derive families of universal hashes h_j(x) = (a_j*x + b_j) mod p
+with p = 2^31 - 1 (Mersenne prime).  a_j*(x mod p) ≤ (2^31)^2 < 2^63: no
+overflow in 64-bit signed arithmetic in either engine.
+
+Spark's builtin xxhash64/hash are NOT portable to DuckDB — never use them in
+an oracle-checked path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+_KNUTH = 2_654_435_761  # Knuth multiplicative constant
+
+
+def hash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for a family of n universal hashes."""
+    return [
+        (((j * 2 + 1) * _KNUTH) % MERSENNE_P or 1, (j * 40503 + 17) % MERSENNE_P)
+        for j in range(n)
+    ]
+
+
+# -- Spark side --------------------------------------------------------------
+
+def md5_long(col: Column) -> Column:
+    """60-bit non-negative integer from md5 — portable across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def universal_hash(x: Column, a: int, b: int) -> Column:
+    """(a * (x mod p) + b) mod p over a non-negative 60-bit input."""
+    return (F.lit(a) * (x % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+# -- DuckDB / oracle side ----------------------------------------------------
+
+def sql_md5_long(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_universal_hash(expr: str, a: int, b: int) -> str:
+    return f"(({a} * (({expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
