@@ -1,0 +1,362 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup: hash-groupBy on a 128-bit content hash — one shuffle keyed by
+  the hash, perfectly parallel, no skew (hashes are uniform).
+- MinHash+LSH: signatures are computed map-side (no shuffle); candidate
+  generation is a self-equi-join on (band, bucket) — O(candidates), never
+  the O(n²) all-pairs product. Bucket join keys are uniform hashes → no
+  skew. Verification (estimated Jaccard from signature agreement) happens
+  only on candidate pairs.
+- SimHash: map-side signature; near-dup candidates via band equality over
+  bit-slices (Hamming-ball probing), again an equi-join.
+- n-gram Jaccard: exact verification for candidate pairs via an n-gram
+  equi-join + group count — cost O(shared n-grams), bounded by candidates.
+
+Every operator is built on the portable md5-based hash family
+(functions/hashing.py) so each has a DuckDB SQL twin the driver's oracle
+can check bit-for-bit — the sql_* generators below emit that twin from the
+SAME parameters (seeded hash family, shingle size, bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (
+    MERSENNE_P,
+    expand_round6,
+    hash_params,
+    md5_long,
+    round_portable,
+    sql_md5_long,
+    sql_universal_hash,
+    universal_hash,
+)
+from .text import sql_tokens, tokens
+
+SHINGLE_N = 3           # word-shingle width
+NUM_HASHES = 16         # MinHash signature length
+LSH_BANDS = 4           # bands (rows per band = NUM_HASHES // LSH_BANDS)
+SIMHASH_BITS = 32
+
+
+# -- exact dedup --------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(text), keep the smallest id per group.
+    Returns (kept doc_id, content hash, n_dupes)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count(F.lit(1)).cast("int").alias("n_dupes"),
+        )
+    )
+
+
+def sql_exact_dedup(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT md5({text}) AS content_hash,
+           min({id_col}) AS kept_id,
+           CAST(count(*) AS INTEGER) AS n_dupes
+    FROM {table} GROUP BY 1
+    """
+
+
+# -- shingles + MinHash -------------------------------------------------------
+
+def shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles of the canonical token stream.
+    Docs shorter than n words yield an empty array (sequence(1,0) would
+    count DOWN in Spark, hence the explicit guard)."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def sql_shingles(expr: str, n: int = SHINGLE_N) -> str:
+    toks = sql_tokens(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = NUM_HASHES,
+                      n: int = SHINGLE_N) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-values of the universal
+    hash family over the shingle set. Empty docs get p (= +inf sentinel) in
+    every slot. Pure map-side Column expression."""
+    sh = shingles(text, n)
+    base = F.transform(sh, lambda s: md5_long(s))
+
+    def slot(a: int, b: int) -> Column:
+        # closure factory: a default-arg lambda would look like a multi-arg
+        # HOF lambda to PySpark's signature inspection
+        return F.coalesce(
+            F.array_min(F.transform(base, lambda x: universal_hash(x, a, b))),
+            F.lit(MERSENNE_P).cast("long"),
+        )
+
+    return F.array(*[slot(a, b) for a, b in hash_params(num_hashes)])
+
+
+def sql_minhash_base(expr: str, n: int = SHINGLE_N) -> str:
+    """DuckDB expr: list of 60-bit shingle hashes for a text column."""
+    sh = sql_shingles(expr, n)
+    return f"list_transform({sh}, s -> {sql_md5_long('s')})"
+
+
+def sql_minhash_slots(base: str = "_mh",
+                      num_hashes: int = NUM_HASHES) -> str:
+    """DuckDB expr: the signature array given a column holding the base
+    hash list (use inside a CTE to avoid recomputing the shingles per
+    slot)."""
+    slots = ", ".join(
+        f"coalesce(list_min(list_transform({base}, x -> "
+        f"{sql_universal_hash('x', a, b)})), {MERSENNE_P})"
+        for a, b in hash_params(num_hashes)
+    )
+    return f"[{slots}]"
+
+
+def minhash_lsh_pairs(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id",
+                      num_hashes: int = NUM_HASHES,
+                      bands: int = LSH_BANDS,
+                      n: int = SHINGLE_N) -> DataFrame:
+    """MinHash + banded-LSH near-duplicate candidate pairs.
+
+    Plan (scale-first): explode shingles → hash each shingle ONCE →
+    groupBy(doc) with ``num_hashes`` min-aggregates (single pass, map-side
+    combine — the signature costs one md5 per shingle, not one per
+    shingle×slot as a naive array-HOF expression would after Catalyst
+    collapses projections) → per-band bucket key → self-equi-join on
+    (band, bucket) → distinct (a, b) pairs with a < b, plus the
+    signature-estimated Jaccard (fraction of agreeing minhash slots).
+    The join is an equi-join on uniform keys: O(candidates),
+    broadcast-able when one side is small, AQE-skew-safe otherwise.
+    Docs with no shingles (< n words) have no signature and never pair.
+    """
+    rows_per_band = num_hashes // bands
+    params = hash_params(num_hashes)
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text), n)).alias("_s"),
+    ).select("_id", md5_long(F.col("_s")).alias("_h"))
+    sig = shingled.groupBy("_id").agg(*[
+        F.min(universal_hash(F.col("_h"), a, b)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(params)
+    ])
+    banded = sig.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"_m{bi * rows_per_band + ri}")
+                              for ri in range(rows_per_band)],
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("_bb"),
+    ).select(*sig.columns, "_bb.band", "_bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    n_agree = None
+    for j in range(num_hashes):
+        term = F.when(F.col(f"a._m{j}") == F.col(f"b._m{j}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            round_portable(
+                n_agree.cast("double") / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def sql_minhash_lsh_pairs(table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id",
+                          num_hashes: int = NUM_HASHES,
+                          bands: int = LSH_BANDS,
+                          n: int = SHINGLE_N) -> str:
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "{'band': %d, 'bucket': md5(concat_ws(',', %s))}"
+        % (bi, ", ".join(f"_sig[{bi * rows_per_band + ri + 1}]"
+                         for ri in range(rows_per_band)))
+        for bi in range(bands)
+    )
+    return expand_round6(f"""
+    WITH mh AS (SELECT {id_col} AS _id,
+                       {sql_minhash_base(text, n)} AS _mh FROM {table}),
+    sig AS (SELECT _id, {sql_minhash_slots('_mh', num_hashes)} AS _sig
+            FROM mh WHERE len(_mh) > 0),
+    banded AS (
+      SELECT _id, _sig, unnest([{band_structs}]) AS bb FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+             ROUND6(CAST(len(list_filter(
+                 list_transform(generate_series(1, {num_hashes}),
+                                i -> a._sig[i] = b._sig[i]),
+                 e -> e)) AS DOUBLE) / {float(num_hashes)}) AS est_jaccard
+      FROM banded a JOIN banded b
+        ON a.bb.band = b.bb.band AND a.bb.bucket = b.bb.bucket
+       AND a._id < b._id
+    )
+    SELECT id_a, id_b, est_jaccard FROM pairs
+    """)
+
+
+# -- SimHash ------------------------------------------------------------------
+
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: per bit i, sum (+1/-1) over tokens according to
+    bit i of the token's 60-bit md5 integer; bit set iff the sum > 0.
+    Map-side explode + one groupBy on the doc id (combiner-friendly)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text))).alias("_w"),
+    ).withColumn("_h", md5_long(F.col("_w")))
+    bit_sums = words.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ])
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def sql_simhash(table: str = "documents", text: str = "text",
+                id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> str:
+    toks = sql_tokens(text)
+    h = sql_md5_long("_w")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (_h // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS _b{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN _b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+    WITH w AS (
+      SELECT {id_col}, unnest({toks}) AS _w FROM {table}
+    ), h AS (
+      SELECT {id_col}, {h} AS _h FROM w
+    ), s AS (
+      SELECT {id_col}, {bit_sums} FROM h GROUP BY {id_col}
+    )
+    SELECT {id_col}, ({sim}) AS simhash FROM s
+    """
+
+
+# -- exact n-gram Jaccard -----------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
+                        id_col: str = "doc_id", group_col: str | None = None,
+                        n: int = SHINGLE_N,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for pairs sharing at least
+    one n-gram: explode → self-equi-join on the n-gram (+ optional blocking
+    column, e.g. lang) → |∩| per pair → |A∪B| = |A|+|B|−|∩|.
+
+    Cost is O(pairs sharing an n-gram), not O(n²); at 100 TB pair this with
+    minhash_lsh_pairs as the blocking stage and run this only on its
+    candidates.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(group_col).alias("_g")] if group_col else []),
+        F.explode(shingles(F.col(text), n)).alias("_ng"),
+    )
+    counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = base.alias("a"), base.alias("b")
+    join_cond = (F.col("a._ng") == F.col("b._ng")) & (F.col("a._id") < F.col("b._id"))
+    if group_col:
+        join_cond = join_cond & (F.col("a._g") == F.col("b._g"))
+    inter = (
+        a.join(b, join_cond)
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("_id", "id_a")
+                   .withColumnRenamed("_n", "_na"), "id_a")
+        .join(counts.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_n", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_portable(
+                F.col("_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_ngram_jaccard_pairs(table: str = "documents", text: str = "text",
+                            id_col: str = "doc_id",
+                            group_col: str | None = None,
+                            n: int = SHINGLE_N,
+                            threshold: float = 0.5) -> str:
+    sh = sql_shingles(text, n)
+    gsel = f", {group_col} AS _g" if group_col else ""
+    gcond = " AND a._g = b._g" if group_col else ""
+    return expand_round6(f"""
+    WITH base AS (
+      SELECT {id_col} AS _id{gsel}, unnest({sh}) AS _ng FROM {table}
+    ),
+    counts AS (SELECT _id, count(*) AS _n FROM base GROUP BY _id),
+    inter AS (
+      SELECT a._id AS id_a, b._id AS id_b, count(*) AS _common
+      FROM base a JOIN base b ON a._ng = b._ng AND a._id < b._id{gcond}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND6(CAST(_common AS DOUBLE)
+                 / CAST(ca._n + cb._n - _common AS DOUBLE)) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca._id = id_a
+    JOIN counts cb ON cb._id = id_b
+    WHERE ROUND6(CAST(_common AS DOUBLE)
+                / CAST(ca._n + cb._n - _common AS DOUBLE)) >= {threshold}
+    """)

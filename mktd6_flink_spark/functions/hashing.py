@@ -51,3 +51,45 @@ def sql_md5_long(expr: str) -> str:
 
 def sql_universal_hash(expr: str, a: int, b: int) -> str:
     return f"(({a} * (({expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
+
+
+# -- portable rounding --------------------------------------------------------
+# Spark's round() goes through the shortest-decimal representation
+# (BigDecimal.valueOf) with HALF_UP, DuckDB rounds the true binary value:
+# round(1.005, 2) = 1.01 in Spark but 1.0 in DuckDB. floor(x*10^d + 0.5)/10^d
+# is pure IEEE arithmetic and therefore bit-identical in both engines
+# (verified: 1.005, 2.675, -1.0045, ... all agree).
+
+def round_portable(col: Column, digits: int = 6) -> Column:
+    scale = float(10 ** digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_round_portable(expr: str, digits: int = 6) -> str:
+    scale = float(10 ** digits)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def expand_round6(sql: str) -> str:
+    """Expand the authoring macro ``ROUND6(expr)`` into the portable
+    floor-based rounding form (balanced-paren aware)."""
+    out = []
+    i = 0
+    token = "ROUND6("
+    while True:
+        j = sql.find(token, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        depth = 1
+        k = j + len(token)
+        while depth > 0:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        inner = sql[j + len(token):k - 1]
+        out.append(sql_round_portable(inner))
+        i = k

@@ -1,0 +1,248 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, quality scoring, language-ID, document
+fingerprinting.
+
+Every operator is a pure Column-expression pipeline (JVM-side, whole-stage
+codegen, no Python in the hot path) and ships a DuckDB SQL twin so the
+driver's oracle can verify it bit-for-bit. Tokenization is defined ONCE
+(lower → strip non-[a-z0-9 ] → split on spaces → drop empties) and both
+engines implement exactly that definition.
+
+At 100 TB: all of these are embarrassingly parallel map-side operators —
+no shuffle at all — so they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (MERSENNE_P, expand_round6, md5_long, round_portable,
+                      sql_md5_long)
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-portable.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "en", "es", "un", "una"),
+    "fr": ("le", "la", "de", "et", "en", "est", "un", "une"),
+    "de": ("der", "die", "das", "und", "in", "ist", "ein", "eine"),
+    "zh": ("de", "shi", "le", "bu", "wo", "ni", "ta", "men"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"] + ("that", "for", "on", "with", "as")
+
+# BPE-ish token pattern: alpha runs, digit runs, or single non-alnum
+# non-space chars — a cheap proxy for subword tokenizers' pre-tokenization.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+FINGERPRINT_BASE = 31  # polynomial rolling-hash base
+
+
+# -- shared tokenizer ---------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Canonical tokenization: lower → strip non-[a-z0-9 ] → split ' ' →
+    drop empties. Matches ShareHypePiece.java:66-68's clean-and-split and is
+    reproducible in DuckDB (see sql_tokens)."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]+", "")
+    return F.filter(F.split(cleaned, " "), lambda w: w != "")
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB twin of tokens()."""
+    return (
+        f"list_filter(string_split(regexp_replace(lower({expr}), "
+        f"'[^a-z0-9 ]+', '', 'g'), ' '), w -> w <> '')"
+    )
+
+
+# -- token counting -----------------------------------------------------------
+
+def token_stats(df: DataFrame, text: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, BPE-ish token count, char count."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text))).alias("n_tokens"),
+        F.regexp_count(F.col(text), F.lit(BPE_RE)).alias("n_bpe_tokens"),
+        F.length(text).alias("len_chars"),
+    )
+
+
+def sql_token_stats(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col},
+           CAST(len({sql_tokens(text)}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all({text}, '{BPE_RE}')) AS INTEGER)
+               AS n_bpe_tokens,
+           CAST(length({text}) AS INTEGER) AS len_chars
+    FROM {table}
+    """
+
+
+# -- quality scoring ----------------------------------------------------------
+
+def quality_stats(df: DataFrame, text: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score. All ratios are doubles rounded to 6 dp (both engines round the
+    same inputs identically)."""
+    toks = tokens(F.col(text))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(F.col(text), r"[a-zA-Z0-9\s]+", ""))
+    mean_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    punct_ratio = n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        round_portable(mean_wlen).alias("mean_word_len"),
+        round_portable(stop_ratio).alias("stopword_ratio"),
+        round_portable(punct_ratio).alias("punct_ratio"),
+        round_portable(
+            stop_ratio * 0.5 + (F.lit(1.0) - punct_ratio) * 0.3
+            + F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.2
+        ).alias("quality_score"),
+    )
+
+
+def sql_quality_stats(table: str = "documents", text: str = "text",
+                      id_col: str = "doc_id") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = sql_tokens(text)
+    return expand_round6(f"""
+    WITH t AS (
+      SELECT {id_col}, {text} AS _txt, {toks} AS _toks FROM {table}
+    ), s AS (
+      SELECT {id_col}, _txt,
+             len(_toks) AS n_tok,
+             len(list_filter(_toks, w -> w IN ({stop_list}))) AS n_stop,
+             length(regexp_replace(_txt, '[a-zA-Z0-9\\s]+', '', 'g')) AS n_punct,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(_toks, w -> CAST(length(w) AS BIGINT))),
+                 (acc, x) -> acc + x) AS sum_wlen
+      FROM t
+    )
+    SELECT {id_col},
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           ROUND6(CAST(sum_wlen AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE))
+               AS mean_word_len,
+           ROUND6(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE))
+               AS stopword_ratio,
+           ROUND6(CAST(n_punct AS DOUBLE) / CAST(greatest(length(_txt), 1) AS DOUBLE))
+               AS punct_ratio,
+           ROUND6((CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)) * 0.5
+                 + (1.0 - CAST(n_punct AS DOUBLE)
+                        / CAST(greatest(length(_txt), 1) AS DOUBLE)) * 0.3
+                 + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.2)
+               AS quality_score
+    FROM s
+    """)
+
+
+# -- language ID --------------------------------------------------------------
+
+def lang_id(df: DataFrame, text: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits over the
+    token stream; argmax with deterministic tie-break (vote desc, lang asc);
+    'und' when zero votes."""
+    toks = tokens(F.col(text))
+
+    def vote(ws: tuple[str, ...]):
+        # closure factory (a default-arg lambda would be mis-read as a
+        # two-arg HOF lambda by PySpark)
+        return F.size(F.filter(toks, lambda w: w.isin(*ws)))
+
+    votes = [
+        vote(ws).alias(f"_v_{lang}") for lang, ws in LANG_STOPWORDS.items()
+    ]
+    scored = df.select(F.col(id_col), *votes)
+    langs = list(LANG_STOPWORDS)
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                F.col(f"_v_{lang}").alias("v"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in langs
+        ]),
+        # vote desc, lang asc
+        lambda x, y: F.when(x["v"] > y["v"], -1)
+        .when(x["v"] < y["v"], 1)
+        .when(x["lang"] < y["lang"], -1)
+        .when(x["lang"] > y["lang"], 1)
+        .otherwise(0),
+    )
+    best = F.element_at(ranked, 1)
+    return scored.select(
+        F.col(id_col),
+        F.when(best["v"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["v"].alias("votes"),
+    )
+
+
+def sql_lang_id(table: str = "documents", text: str = "text",
+                id_col: str = "doc_id") -> str:
+    toks = sql_tokens(text)
+    vote_cols = ",\n             ".join(
+        f"len(list_filter(_toks, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+        f" AS v_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    structs = ", ".join(
+        "{'v': v_%s, 'lang': '%s'}" % (lang, lang) for lang in LANG_STOPWORDS
+    )
+    return f"""
+    WITH t AS (SELECT {id_col}, {toks} AS _toks FROM {table}),
+    v AS (SELECT {id_col},
+             {vote_cols}
+          FROM t),
+    u AS (SELECT {id_col}, unnest([{structs}]) AS s FROM v),
+    b AS (SELECT {id_col}, s FROM u
+          QUALIFY row_number() OVER (PARTITION BY {id_col}
+                                     ORDER BY s.v DESC, s.lang ASC) = 1)
+    SELECT {id_col},
+           CASE WHEN s.v > 0 THEN s.lang ELSE 'und' END AS pred_lang,
+           CAST(s.v AS INTEGER) AS votes
+    FROM b
+    """
+
+
+# -- document fingerprinting --------------------------------------------------
+
+def fingerprint(df: DataFrame, text: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+    ``acc = (acc * 31 + md5_60bit(word) mod p) mod p`` over the token stream,
+    p = 2^31-1. Word-order-sensitive (unlike bag-of-words hashes) and
+    portable: both engines fold left-to-right over the same tokens, so the
+    result is bit-identical. acc < 2^31, acc*31 < 2^36 — no int64 overflow."""
+    toks = tokens(F.col(text))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * FINGERPRINT_BASE + md5_long(w) % MERSENNE_P)
+        % MERSENNE_P,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def sql_fingerprint(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    toks = sql_tokens(text)
+    h = sql_md5_long("w")
+    return f"""
+    SELECT {id_col},
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({toks}, w -> ({h}) % {MERSENNE_P})),
+             (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {MERSENNE_P}
+           ) AS fingerprint
+    FROM {table}
+    """

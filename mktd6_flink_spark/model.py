@@ -125,25 +125,59 @@ class TopicDef:
     key_schema: StructType
     value_schema: StructType
 
+    @property
+    def scalar_key(self) -> bool:
+        """True for topics whose Kafka key is a bare JSON string (the
+        reference's ``JsonSerde.StringSerde`` — e.g. ``"FOO"`` — not an
+        object). All String-keyed topics in TopicDef.java:42-56 are like
+        this; only the ``Trader{team,name}`` key is a composite object."""
+        return self.key_schema is STRING_KEY
+
     def decode(self, raw: DataFrame) -> DataFrame:
         """Kafka wire frame -> typed columns.
 
         ``raw`` must have binary/str ``key`` and ``value`` columns (the shape
         of ``spark.readStream.format("kafka")``).  Unknown JSON fields are
-        ignored and corrupt payloads decode to null, matching
-        BaseJsonSerde.java:24,36 (FAIL_ON_UNKNOWN_PROPERTIES=false).
+        ignored.
+
+        Divergence note (deliberate): corrupt payloads decode to null via
+        Spark's PERMISSIVE ``from_json``, while the reference serde throws
+        SerializationException on malformed bytes (BaseJsonSerde.java:35-54,
+        null only for empty input). We prefer drop-with-null over job-crash
+        at 100 TB; callers needing the strict behavior can assert
+        ``v IS NOT NULL``.
         """
+        key_str = F.col("key").cast("string")
+        if self.scalar_key:
+            # Bare JSON string key: the wire bytes are `"FOO"` — strip the
+            # quotes by parsing as a JSON string scalar.
+            k = F.from_json(key_str, "string").alias("k")
+            key_cols = [F.col("k").alias("key")]
+        else:
+            k = F.from_json(key_str, self.key_schema).alias("k")
+            key_cols = [F.col("k.*")]
         return raw.select(
-            F.from_json(F.col("key").cast("string"), self.key_schema).alias("k"),
+            k,
             F.from_json(F.col("value").cast("string"), self.value_schema).alias("v"),
-        ).select("k.*", "v.*")
+        ).select(*key_cols, "v.*")
 
     def encode(self, df: DataFrame) -> DataFrame:
-        """Typed columns -> Kafka wire frame (JSON key/value strings)."""
-        kcols = [f.name for f in self.key_schema.fields]
+        """Typed columns -> Kafka wire frame (JSON key/value strings).
+
+        Scalar string keys serialize as a bare JSON string (`"FOO"`), matching
+        JsonSerde.StringSerde; composite keys as a JSON object.
+        """
         vcols = [f.name for f in self.value_schema.fields]
+        if self.scalar_key:
+            key_json = F.to_json(F.struct(F.col("key").alias("k")))
+            # to_json has no scalar form; emit {"k":"FOO"} then strip the
+            # wrapper to get the bare JSON string `"FOO"`.
+            key_json = F.regexp_extract(key_json, r'^\{"k":(.*)\}$', 1)
+        else:
+            kcols = [f.name for f in self.key_schema.fields]
+            key_json = F.to_json(F.struct(*kcols), {"timestampFormat": ISO_FMT})
         return df.select(
-            F.to_json(F.struct(*kcols), {"timestampFormat": ISO_FMT}).alias("key"),
+            key_json.alias("key"),
             F.to_json(F.struct(*vcols), {"timestampFormat": ISO_FMT}).alias("value"),
         )
 

@@ -63,13 +63,19 @@ def product_fold(seq: Column, value_field: str) -> Column:
 # correctness target of the reference.
 # ---------------------------------------------------------------------------
 
-TRADER_FOLD_INIT = F.struct(
-    F.lit(10.0).cast("double").alias("coins"),
-    F.lit(5).cast("int").alias("shares"),
-    F.lit(0).cast("int").alias("bailouts"),
-    F.lit(0).cast("int").alias("fedMonkeys"),
-    F.lit(0).cast("int").alias("inFlightInvestments"),
-)
+def trader_fold_init() -> Column:
+    """Initial TraderState: 10 coins, 5 shares (TraderState.java:76-83).
+
+    Built lazily — ``F.lit`` needs an active SparkSession in classic mode,
+    so this must not run at import time.
+    """
+    return F.struct(
+        F.lit(10.0).cast("double").alias("coins"),
+        F.lit(5).cast("int").alias("shares"),
+        F.lit(0).cast("int").alias("bailouts"),
+        F.lit(0).cast("int").alias("fedMonkeys"),
+        F.lit(0).cast("int").alias("inFlightInvestments"),
+    )
 
 
 def trader_fold_step(acc: Column, upd: Column) -> Column:
@@ -128,7 +134,7 @@ def trader_fold_step(acc: Column, upd: Column) -> Column:
 def trader_state_fold(seq: Column) -> Column:
     """Fold a time-ordered array of updater structs into the final
     TraderState."""
-    return F.aggregate(seq, TRADER_FOLD_INIT, trader_fold_step)
+    return F.aggregate(seq, trader_fold_init(), trader_fold_step)
 
 
 def fold_by_key(

@@ -14,14 +14,14 @@ from pyspark.sql import functions as F
 POS_WORDS = ("smile", "happy", "good", "yes")
 NEG_WORDS = ("frown", "sad", "bad", "no")
 
-# Hype vocabularies (ShareHypePiece.java:23-31).
+# Hype vocabularies — exact lists from ShareHypePiece.java:24-31.
 HYPE_POSITIVE = (
-    "up", "buy", "goup", "happy", "happiness", "joy", "cool", "yes",
-    "good", "great", "awesome", "banzai", "kawai", "sugoi",
+    "yes", "happy", "good", "best", "up", "safe",
+    "buy", "like", "love", "high", "nice", "certain", "sure", "solid",
 )
 HYPE_NEGATIVE = (
-    "down", "sell", "godown", "sad", "sadness", "sorrow", "uncool", "no",
-    "bad", "terrible", "awful", "seppuku", "baka", "hentai",
+    "no", "sad", "bad", "worst", "down", "dangerous", "danger",
+    "sell", "dislike", "hate", "low", "bubble", "burst", "risk",
 )
 
 
@@ -40,9 +40,14 @@ def contains_all(text: Column, *needles: str) -> Column:
 
 def sentiment(text: Column, pos=POS_WORDS, neg=NEG_WORDS) -> Column:
     """P3 — word-boundary regex sentiment classification (Chapter01:149-154,
-    175-182): POS if any positive word matches, else NEG, else NEUTRAL."""
-    pos_re = r"(?i).*\b(" + "|".join(pos) + r")\b.*"
-    neg_re = r"(?i).*\b(" + "|".join(neg) + r")\b.*"
+    175-182): POS if any positive word matches, else NEG, else NEUTRAL.
+
+    Case-SENSITIVE, matching the reference's
+    ``text.matches(".*\\b(smile|happy|good|yes)\\b.*")`` exactly
+    (Chapter01_LinearStatelessAnalysis.java:177-180).
+    """
+    pos_re = r".*\b(" + "|".join(pos) + r")\b.*"
+    neg_re = r".*\b(" + "|".join(neg) + r")\b.*"
     return (
         F.when(text.rlike(pos_re), F.lit("POS"))
         .when(text.rlike(neg_re), F.lit("NEG"))
@@ -69,23 +74,32 @@ def explode_influencing_chars(df: DataFrame, text: str, sent: str) -> DataFrame:
     )
 
 
-# P6 — text -> MarketOrder parse (Chapter02:237-260). Named-group regex
-# `^(?<time>\d+) (?<player>\S+) (?<txn>\S+) (?<type>BUY|SELL) (?<shares>\d+)$`;
-# parse failures become the "invalid" branch (Either semantics).
-ORDER_RE = r"^(\d+) (\S+) (\S+) (BUY|SELL) (\d+)$"
+# P6 — text -> MarketOrder parse. Exact pattern from
+# Chapter02_SplitSelectUnion.java:237:
+#   (?i)^(?<time>[a-z0-9]+) (?<player>[a-z0-9]+) (?<id>[a-z0-9]+)
+#       (?<type>BUY|SELL) (?<shares>[0-9]+)$
+# The reference wraps parsing in try/catch Either semantics
+# (Chapter02:239-260): a row matching the regex can STILL land in the
+# invalid branch when Long.parseLong(time) or Integer.parseInt(shares)
+# throws (e.g. "12a trader id BUY 5" matches `[a-z0-9]+` but is not a
+# number; shares > 2^31-1 overflows). We mirror that with try_cast.
+ORDER_RE = r"(?i)^([a-z0-9]+) ([a-z0-9]+) ([a-z0-9]+) (BUY|SELL) ([0-9]+)$"
 
 
 def parse_market_order(text: Column) -> Column:
     """Returns a struct column, null when the row doesn't parse (the Left /
-    invalid branch of Chapter02's Either)."""
+    invalid branch of Chapter02's Either — regex miss OR numeric-parse
+    failure, matching parseOrder's try/catch at Chapter02:239-260)."""
+    time_ms = F.regexp_extract(text, ORDER_RE, 1).try_cast("long")
+    shares = F.regexp_extract(text, ORDER_RE, 5).try_cast("int")
     return F.when(
-        text.rlike(ORDER_RE),
+        text.rlike(ORDER_RE) & time_ms.isNotNull() & shares.isNotNull(),
         F.struct(
-            F.regexp_extract(text, ORDER_RE, 1).cast("long").alias("time_ms"),
+            time_ms.alias("time_ms"),
             F.regexp_extract(text, ORDER_RE, 2).alias("player"),
             F.regexp_extract(text, ORDER_RE, 3).alias("txnId"),
-            F.regexp_extract(text, ORDER_RE, 4).alias("type"),
-            F.regexp_extract(text, ORDER_RE, 5).cast("int").alias("shares"),
+            F.upper(F.regexp_extract(text, ORDER_RE, 4)).alias("type"),
+            shares.alias("shares"),
         ),
     )
 
@@ -128,14 +142,78 @@ def constant_key(value: str = "FOO") -> Column:
 
 
 def updater_from_market_order(order_type: Column, shares: Column, price: Column):
-    """P12 — MarketOrder -> TraderStateUpdater deltas
-    (TraderStateUpdater.java:141-154; sign logic MarketOrderType.java:14-21):
+    """P12a — MarketOrder -> TraderStateUpdater deltas
+    (TraderStateUpdater.java:141-151; sign logic MarketOrderType.java:14-21):
     BUY: coins -= shares*price, shares += n; SELL: coins += shares*price,
     shares -= n.  Returns (coinsDiff, sharesDiff) columns."""
     sign = F.when(order_type == "BUY", F.lit(1)).otherwise(F.lit(-1))
     coins_diff = -sign.cast("double") * shares.cast("double") * price
     shares_diff = sign * shares
     return coins_diff, shares_diff
+
+
+def updater_struct(txn_id: Column, utype: Column, time: Column,
+                   coins_diff: Column, shares_diff: Column,
+                   add_bailout: Column | None = None,
+                   fed_monkeys: Column | None = None,
+                   invest_diff: Column | None = None) -> Column:
+    """A full TraderStateUpdater struct (TraderStateUpdater.java:28-57)."""
+    return F.struct(
+        txn_id.alias("txnId"),
+        utype.alias("type"),
+        time.alias("time"),
+        coins_diff.cast("double").alias("coinsDiff"),
+        shares_diff.cast("int").alias("sharesDiff"),
+        (F.lit(False) if add_bailout is None else add_bailout).alias("addBailout"),
+        (F.lit(0) if fed_monkeys is None else fed_monkeys).cast("int").alias("fedMonkeys"),
+        (F.lit(0) if invest_diff is None else invest_diff).cast("int").alias("investDiff"),
+    )
+
+
+def updater_from_investment(invested: Column):
+    """P12b — Investment -> deltas (TraderStateUpdater.java:153-162):
+    coinsDiff = -invested, investDiff = +1.
+    Returns (coinsDiff, sharesDiff, fedMonkeys, investDiff) columns."""
+    return (-invested.cast("double"), F.lit(0), F.lit(0), F.lit(1))
+
+
+def updater_from_feed_monkeys(monkeys: Column):
+    """P12c — FeedMonkeys -> deltas (TraderStateUpdater.java:164-172):
+    sharesDiff = -monkeys, fedMonkeys = +monkeys (feeding costs shares).
+    Returns (coinsDiff, sharesDiff, fedMonkeys, investDiff) columns."""
+    return (F.lit(0.0), -monkeys.cast("int"), monkeys.cast("int"), F.lit(0))
+
+
+def project_txn_result(txn_event: Column) -> Column:
+    """P13 — TxnEvent -> nested TxnResult projection
+    (MarketDataflow.java:394-399)."""
+    return txn_event["txnResult"]
+
+
+def txn_result_coins(txn_result: Column) -> Column:
+    """P15 — TxnResult -> state.coins projection
+    (MonkeyStockTrader.java:285-291)."""
+    return txn_result["state"]["coins"]
+
+
+def self_trades(team: Column, name: Column, my_team: str, my_name: str) -> Column:
+    """P16 — keep only records keyed by a literal trader
+    (MonkeyStockChampion.java:136-142)."""
+    return (team == F.lit(my_team)) & (name == F.lit(my_name))
+
+
+def extract_tweet(json_col: Column) -> Column:
+    """P19 — tweet JSON field extraction (Gibber.java:118-145): pull
+    id_str/text, require both present, keep rows matching (?i).*banana.*.
+    Returns a struct(id, text) column, null for non-matching rows."""
+    parsed = F.from_json(json_col, "id_str string, text string")
+    ok = (
+        parsed["id_str"].isNotNull()
+        & parsed["text"].isNotNull()
+        & parsed["text"].rlike("(?i).*banana.*")
+    )
+    return F.when(ok, F.struct(parsed["id_str"].alias("id"),
+                               parsed["text"].alias("text")))
 
 
 def accepted_only(status: Column) -> Column:

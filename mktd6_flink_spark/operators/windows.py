@@ -1,0 +1,118 @@
+"""Keying, windows and aggregations W1–W5 (SURVEY.md §2.5).
+
+All native DataFrame/SQL — these are the most Catalyst-friendly operators in
+the inventory: partial (map-side) aggregation, AQE partition coalescing and
+whole-stage codegen all apply. At 100 TB each of these is one shuffle on its
+grouping key, nothing more.
+
+References:
+- W2 tumbling event-time window + reduce: Chapter03_Windowing.java:125-139
+  (100 ms windows; sum invested, keep FIRST txnId by time).
+- W3 running (per-event cumulative) keyed sum: SharePriceDataflow.java:121-122
+  (`keyBy(0).sum(1)` emits the running total on every element).
+- W5 dashboard aggregations: kibana-dashboard.json (avg coins per 1-minute
+  date_histogram; sum fedMonkeys per team/trader; top-5 traders desc;
+  sum bailouts per team+trader).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_reduce(df: DataFrame, time_col: str, key_cols: list[str],
+                    window_len: str, aggs: list[Column],
+                    watermark: str | None = None) -> DataFrame:
+    """W2 — tumbling event-time window + reduce (Chapter03:125-139).
+
+    Batch: ``groupBy(window(time, len), keys).agg(...)``. For streaming
+    inputs pass ``watermark`` (e.g. "10 milliseconds", T1) — late rows beyond
+    it are dropped, matching Flink's default no-allowed-lateness behavior.
+    Returns window start/end as ``window_start``/``window_end`` columns.
+    """
+    if watermark and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    out = df.groupBy(F.window(time_col, window_len).alias("_w"), *key_cols).agg(*aggs)
+    agg_names = [c for c in out.columns if c != "_w" and c not in key_cols]
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *key_cols,
+        *agg_names,
+    )
+
+
+def window_sum_first(df: DataFrame, time_col: str, key: str, value: str,
+                     first_col: str, window_len: str,
+                     watermark: str | None = None) -> DataFrame:
+    """W2 exactly as kata 03 uses it: per-key tumbling sum of ``value``
+    keeping the txnId of the EARLIEST element in the window
+    (Chapter03:131-139 — the reduce keeps the first-seen txnId; with
+    event-time ordering that is min_by time)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(F.window(time_col, window_len).alias("_w"), key)
+        .agg(
+            F.sum(value).alias(f"sum_{value}"),
+            F.min_by(first_col, time_col).alias(f"first_{first_col}"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col(key),
+            F.col(f"sum_{value}"),
+            F.col(f"first_{first_col}"),
+        )
+    )
+
+
+def running_sum(df: DataFrame, key_cols: list[str], order_cols: list[str],
+                value: str, out: str = "running_sum") -> DataFrame:
+    """W3 — per-key running cumulative sum, emitted on every element
+    (SharePriceDataflow.java:121-122 ``keyBy(0).sum(1)``).
+
+    Batch shape: an analytic window with an unbounded-preceding frame —
+    one shuffle on the key, sequential scan within key, no O(n²).
+    ``order_cols`` must be a deterministic total order (include a tiebreak
+    id column after the timestamp). The per-event streaming twin lives in
+    ``streaming/stateful.py`` with O(1) state.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+# ---------------------------------------------------------------------------
+# W5 — the dashboard aggregations (kibana-dashboard.json). Each mirrors one
+# Kibana visState over the ES-indexed trader-states / share-price docs.
+# ---------------------------------------------------------------------------
+
+def avg_per_minute(df: DataFrame, time_col: str, value: str) -> DataFrame:
+    """W5a — avg(value) per 1-minute date_histogram ("Average Share Price
+    coins per minute" line chart)."""
+    return (
+        df.groupBy(F.date_trunc("minute", F.col(time_col)).alias("minute"))
+        .agg(F.avg(value).alias(f"avg_{value}"))
+    )
+
+
+def sum_by(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """W5b — sum(value) per key(s) ("Monkeys Fed" / "Sum of Bailouts per Team
+    and Trader")."""
+    return df.groupBy(*keys).agg(F.sum(value).alias(f"sum_{value}"))
+
+
+def top_k(df: DataFrame, key: str, value: str, k: int = 5) -> DataFrame:
+    """W5c — top-k keys by sum(value) desc ("terms trader size 5 order
+    desc"). Ties broken by key asc so the result set is deterministic."""
+    return (
+        df.groupBy(key)
+        .agg(F.sum(value).alias(f"sum_{value}"))
+        .orderBy(F.col(f"sum_{value}").desc(), F.col(key).asc())
+        .limit(k)
+    )

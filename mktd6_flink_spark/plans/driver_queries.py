@@ -1,0 +1,1461 @@
+"""The driver-contract query registry: one entry per implemented operator
+from SURVEY.md §2 plus the LLM-pipeline layer, each with a DuckDB oracle
+twin.
+
+The reference's domain streams (market orders, gibbs, trader updates —
+SURVEY.md §1.4) don't exist in the driver's TPC-H-ish testdata, so each
+query derives a domain-shaped stream from the ``events`` table with
+engine-portable expressions (identical derivations in Spark and DuckDB:
+see EV_SQL / events_enriched). The operator under test is then applied
+exactly as the reference defines it.
+
+Portability rules used throughout (verified primitive-by-primitive):
+- rounding: floor(x*1e6+0.5)/1e6 (Spark round() HALF_UPs the shortest
+  decimal repr; DuckDB rounds the binary value — they disagree on 1.005).
+- money/value sums: sum integer cents (floor(x*100+0.5) as long) then /100
+  — exact in any aggregation order, so shuffle order can't break parity.
+- casts: floor()+cast (DuckDB double→int cast ROUNDS, Spark truncates).
+- sequential folds (EMA, products, ledgers): F.aggregate in Spark,
+  list_reduce in DuckDB, same element order (ts, event_id), same literal
+  casts — bit-identical IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dedup as dd
+from ..functions import multimodal as mm
+from ..functions import similarity as sim
+from ..functions import text as tx
+from ..functions.hashing import (
+    MERSENNE_P,
+    expand_round6,
+    hash_params,
+    md5_long,
+    round_portable,
+    sql_md5_long,
+    sql_universal_hash,
+    universal_hash,
+)
+from ..model import TEAMS
+from ..operators import asof, folds, routing, stateless, windows
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = expand_round6(sql)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The caller (the driver) may hand us a session with a non-UTC
+    # timezone; timestamps would then collect shifted vs the DuckDB
+    # oracle's naive values (observed: -5h under TZ=America/New_York).
+    # Every registered query loads through here, so pin UTC once.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # parquet reader rejects; read as raw nanos and truncate to micros
+        # — exactly what DuckDB's TIMESTAMP (µs) read does, so both engines
+        # see identical timestamps (verified to the microsecond).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared event-stream derivation (identical in both engines).
+# ---------------------------------------------------------------------------
+
+# Gibb text synthesized per event_type: exercises the reference's hype
+# vocabulary (ShareHypePiece.java:24-31), mixed case + punctuation for the
+# tokenizer, and '!' chars for the kata-01 influence explode. No quotes.
+PHRASES = {
+    "click": "Buy buy BUY! I like it; sure and solid #mktd6",
+    "view": "up up and AWAY, safe like gold!!",
+    "signup": "danger danger! risk of bubble burst...",
+    "purchase": "no no NO: sell banana low, hate it!!",
+    "error": "zzz gibberish wordz only zzz",
+}
+
+ORDER_TYPE = {"click": "BUY", "view": "SELL", "signup": "INVEST",
+              "purchase": "FEED", "error": "OOPS"}
+
+
+def _sql_case(col: str, mapping: dict[str, str], else_: str = "NULL") -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE {col} {whens} ELSE {else_} END"
+
+
+def _spark_case(col, mapping: dict[str, str]):
+    expr = None
+    for k, v in mapping.items():
+        expr = (F.when(col == k, F.lit(v)) if expr is None
+                else expr.when(col == k, F.lit(v)))
+    return expr
+
+
+TEAM_LIST_SQL = "[" + ", ".join(f"'{t}'" for t in TEAMS) + "]"
+
+# The shared enrichment CTE for oracle SQL.
+EV_SQL = f"""
+ev AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         epoch_ms(ts) AS time_ms,
+         concat('trader', user_id % 20) AS trader,
+         {TEAM_LIST_SQL}[CAST(user_id % 5 AS INTEGER) + 1] AS team,
+         {_sql_case('event_type', ORDER_TYPE)} AS otype,
+         CAST(1 + CAST(floor(value) AS BIGINT) % 5 AS INTEGER) AS shares,
+         CAST(1 + CAST(floor(value) AS BIGINT) % 3 AS INTEGER) AS monkeys,
+         value / 10.0 AS invested,
+         {_sql_case('event_type', PHRASES)} AS gibb_text
+  FROM events
+)
+"""
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        F.unix_millis("ts").alias("time_ms"),
+        F.concat(F.lit("trader"), F.col("user_id") % 20).alias("trader"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in TEAMS]),
+            (F.col("user_id") % 5 + 1).cast("int"),
+        ).alias("team"),
+        _spark_case(F.col("event_type"), ORDER_TYPE).alias("otype"),
+        (1 + F.floor("value").cast("long") % 5).cast("int").alias("shares"),
+        (1 + F.floor("value").cast("long") % 3).cast("int").alias("monkeys"),
+        (F.col("value") / 10.0).alias("invested"),
+        _spark_case(F.col("event_type"), PHRASES).alias("gibb_text"),
+    )
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents — portable, order-independent summation."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+SQL_CENTS = "CAST(floor({x} * 100.0 + 0.5) AS BIGINT)"
+
+
+# ===========================================================================
+# P1–P19: stateless row operators (SURVEY.md §2.3)
+# ===========================================================================
+
+@register("p01_buy_sell", f"""
+WITH {EV_SQL}
+SELECT event_id,
+       CASE WHEN value / 10.0 > 1.0 THEN 'BUY' ELSE 'SELL' END AS decision
+FROM ev
+""")
+def p01_buy_sell(spark, sf_dir):
+    """P1 forecast→BUY/SELL (Chapter00:119-125) over a derived forecast."""
+    ev = events_enriched(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        stateless.buy_sell_decision(F.col("value") / 10.0).alias("decision"),
+    )
+
+
+@register("p02_hashtag_filter", """
+SELECT doc_id FROM documents
+WHERE contains(text, 'spark') AND contains(text, 'join')
+""")
+def p02_hashtag_filter(spark, sf_dir):
+    """P2 conjunctive containment (Chapter01:140-147)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(
+        stateless.contains_all(F.col("text"), "spark", "join")
+    ).select("doc_id")
+
+
+SENT_POS = ("fast", "good")
+SENT_NEG = ("slow", "bad")
+_SENT_SQL = f"""
+CASE WHEN regexp_matches(text, '.*\\b({'|'.join(SENT_POS)})\\b.*') THEN 'POS'
+     WHEN regexp_matches(text, '.*\\b({'|'.join(SENT_NEG)})\\b.*') THEN 'NEG'
+     ELSE 'NEUTRAL' END
+"""
+
+
+@register("p03_sentiment", f"""
+SELECT doc_id, {_SENT_SQL} AS sentiment FROM documents
+""")
+def p03_sentiment(spark, sf_dir):
+    """P3 word-boundary sentiment (Chapter01:175-182), case-sensitive,
+    vocab adapted to the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stateless.sentiment(F.col("text"), SENT_POS, SENT_NEG).alias("sentiment"),
+    )
+
+
+@register("p04_non_neutral", f"""
+SELECT doc_id, sentiment FROM (
+  SELECT doc_id, {_SENT_SQL} AS sentiment FROM documents
+) WHERE sentiment <> 'NEUTRAL'
+""")
+def p04_non_neutral(spark, sf_dir):
+    """P4 drop NEUTRAL (Chapter01:156-161)."""
+    return p03_sentiment(spark, sf_dir).filter(
+        stateless.non_neutral(F.col("sentiment"))
+    )
+
+
+@register("p05_explode_chars", f"""
+WITH s AS (
+  SELECT doc_id, {_SENT_SQL} AS sentiment,
+         length(text) - length(replace(text, 'a', '')) AS n_bang
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN sentiment = 'POS' THEN 'UP' ELSE 'DOWN' END AS influence
+FROM s, (SELECT unnest(generate_series(1, 10000)) AS i) g
+WHERE g.i <= s.n_bang
+""")
+def p05_explode_chars(spark, sf_dir):
+    """P5 one row per marker char, mapped to UP/DOWN by sentiment
+    (Chapter01:163-192; marker '!'→'a' for this corpus)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        stateless.sentiment(F.col("text"), SENT_POS, SENT_NEG).alias("sentiment"),
+        F.col("text"),
+    )
+    out = stateless.explode_influencing_chars(
+        docs.withColumn("text", F.regexp_replace("text", "a", "!")),
+        "text", "sentiment")
+    return out.select("doc_id", "influence")
+
+
+# Chapter02 order-string synthesis: one [a-z0-9]-token line per event; rows
+# with user_id%7=0 get a non-numeric time token (regex-pass, parseLong-fail
+# → invalid branch, Chapter02:239-260), INVEST/FEED/OOPS types fail the
+# regex itself.
+_ORDER_TXT_SQL = """
+concat(CASE WHEN user_id % 7 = 0 THEN concat(time_ms, 'x')
+            ELSE CAST(time_ms AS VARCHAR) END,
+       ' ', trader, ' txn', event_id, ' ', otype, ' ', shares)
+"""
+
+
+def _order_text_spark(ev: DataFrame) -> DataFrame:
+    timetok = F.when(
+        F.col("user_id") % 7 == 0, F.concat(F.col("time_ms"), F.lit("x"))
+    ).otherwise(F.col("time_ms").cast("string"))
+    return ev.withColumn(
+        "order_text",
+        F.concat(timetok, F.lit(" "), F.col("trader"), F.lit(" txn"),
+                 F.col("event_id"), F.lit(" "), F.col("otype"), F.lit(" "),
+                 F.col("shares")),
+    )
+
+
+_ORDER_PAT = r"(?i)^([a-z0-9]+) ([a-z0-9]+) ([a-z0-9]+) (BUY|SELL) ([0-9]+)$"
+
+
+@register("p06_parse_orders", f"""
+WITH {EV_SQL},
+s AS (SELECT event_id, {_ORDER_TXT_SQL} AS txt FROM ev),
+m AS (
+  SELECT event_id, txt,
+         TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 1) AS BIGINT) AS time_ms,
+         regexp_extract(txt, '{_ORDER_PAT}', 2) AS player,
+         regexp_extract(txt, '{_ORDER_PAT}', 3) AS txn_id,
+         upper(regexp_extract(txt, '{_ORDER_PAT}', 4)) AS otype,
+         TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 5) AS INTEGER) AS shares
+  FROM s WHERE regexp_matches(txt, '{_ORDER_PAT}')
+)
+SELECT event_id, time_ms, player, txn_id, otype, shares
+FROM m WHERE time_ms IS NOT NULL AND shares IS NOT NULL
+""")
+def p06_parse_orders(spark, sf_dir):
+    """P6 regex parse → MarketOrder, valid (Right) branch
+    (Chapter02:237-260)."""
+    ev = _order_text_spark(events_enriched(spark, sf_dir))
+    parsed = ev.select(
+        "event_id",
+        stateless.parse_market_order(F.col("order_text")).alias("o"),
+    )
+    return parsed.filter(F.col("o").isNotNull()).select(
+        "event_id",
+        F.col("o.time_ms").alias("time_ms"),
+        F.col("o.player").alias("player"),
+        F.col("o.txnId").alias("txn_id"),
+        F.col("o.type").alias("otype"),
+        F.col("o.shares").alias("shares"),
+    )
+
+
+@register("p06b_invalid_orders", f"""
+WITH {EV_SQL},
+s AS (SELECT event_id, {_ORDER_TXT_SQL} AS txt FROM ev)
+SELECT event_id, txt AS raw FROM s
+WHERE NOT regexp_matches(txt, '{_ORDER_PAT}')
+   OR TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 1) AS BIGINT) IS NULL
+   OR TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 5) AS INTEGER) IS NULL
+""")
+def p06b_invalid_orders(spark, sf_dir):
+    """P6 invalid (Left/Either) branch — regex misses AND numeric-parse
+    failures, exactly Chapter02's try/catch routing."""
+    ev = _order_text_spark(events_enriched(spark, sf_dir))
+    parsed = ev.select(
+        "event_id",
+        F.col("order_text").alias("raw"),
+        stateless.parse_market_order(F.col("order_text")).alias("o"),
+    )
+    return parsed.filter(F.col("o").isNull()).select("event_id", "raw")
+
+
+@register("p07_order_size", f"""
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity <= 30.0
+""")
+def p07_order_size(spark, sf_dir):
+    """P7 size guard (Chapter02:262-270) on lineitem quantities."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        stateless.order_size_guard(F.col("l_quantity"), 30)
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register("p08_contains", """
+SELECT doc_id FROM documents WHERE contains(text, 'stream')
+""")
+def p08_contains(spark, sf_dir):
+    """P8 substring filter (SharePriceDataflow.java:145-150)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").contains("stream")).select("doc_id")
+
+
+_HYPE_POS_SQL = ", ".join(f"'{w}'" for w in stateless.HYPE_POSITIVE)
+_HYPE_NEG_SQL = ", ".join(f"'{w}'" for w in stateless.HYPE_NEGATIVE)
+# ShareHypePiece.java:66-68 cleaning: lowercase, strip [^a-z \n], split \s+.
+_HYPE_WORDS_SQL = """
+list_filter(string_split(regexp_replace(regexp_replace(lower(gibb_text),
+    '[^a-z \n]+', '', 'g'), '\\s+', ' ', 'g'), ' '), w -> w <> '')
+"""
+
+
+@register("p09_hype_words", f"""
+WITH {EV_SQL},
+w AS (SELECT event_id, unnest({_HYPE_WORDS_SQL}) AS word FROM ev)
+SELECT event_id, word,
+       word IN ({_HYPE_POS_SQL}) AS positive
+FROM w WHERE word IN ({_HYPE_POS_SQL}) OR word IN ({_HYPE_NEG_SQL})
+""")
+def p09_hype_words(spark, sf_dir):
+    """P9 gibb → hype pieces with the exact reference vocabulary
+    (SharePriceDataflow.java:152-160, ShareHypePiece.java:24-31,61-84)."""
+    ev = events_enriched(spark, sf_dir)
+    out = stateless.hype_words(ev.select("event_id", F.col("gibb_text").alias("text")))
+    return out.select("event_id", "word", "positive")
+
+
+@register("p10_influence", f"""
+WITH {EV_SQL},
+w AS (SELECT event_id, unnest({_HYPE_WORDS_SQL}) AS word FROM ev)
+SELECT event_id, word,
+       CASE WHEN word IN ({_HYPE_POS_SQL}) THEN 0.01 ELSE -0.01 END AS influence
+FROM w WHERE word IN ({_HYPE_POS_SQL}) OR word IN ({_HYPE_NEG_SQL})
+""")
+def p10_influence(spark, sf_dir):
+    """P10 hype piece → ±1 × 0.01 influence
+    (SharePriceDataflow.java:162-167)."""
+    return p09_hype_words(spark, sf_dir).select(
+        "event_id",
+        "word",
+        stateless.scaled_influence(F.col("positive")).alias("influence"),
+    )
+
+
+@register("p12_updaters", f"""
+WITH {EV_SQL}
+SELECT event_id, trader,
+       CASE otype WHEN 'BUY' THEN 'MARKET' WHEN 'SELL' THEN 'MARKET'
+                  WHEN 'INVEST' THEN 'INVEST' WHEN 'FEED' THEN 'FEED'
+                  ELSE NULL END AS utype,
+       CASE otype WHEN 'BUY' THEN -CAST(shares AS DOUBLE) * 2.0
+                  WHEN 'SELL' THEN CAST(shares AS DOUBLE) * 2.0
+                  WHEN 'INVEST' THEN -invested
+                  ELSE 0.0 END AS coins_diff,
+       CASE otype WHEN 'BUY' THEN shares WHEN 'SELL' THEN -shares
+                  WHEN 'FEED' THEN -monkeys ELSE 0 END AS shares_diff,
+       CASE otype WHEN 'FEED' THEN monkeys ELSE 0 END AS fed_monkeys,
+       CASE otype WHEN 'INVEST' THEN 1 ELSE 0 END AS invest_diff
+FROM ev WHERE otype <> 'OOPS'
+""")
+def p12_updaters(spark, sf_dir):
+    """P12 op → TraderStateUpdater deltas, all three variants
+    (TraderStateUpdater.java:141-172; price fixed at 2.0)."""
+    ev = events_enriched(spark, sf_dir).filter(F.col("otype") != "OOPS")
+    mkt_coins, mkt_shares = stateless.updater_from_market_order(
+        F.col("otype"), F.col("shares"), F.lit(2.0))
+    inv_coins, inv_shares, inv_fed, inv_invest = stateless.updater_from_investment(
+        F.col("invested"))
+    feed_coins, feed_shares, feed_fed, feed_invest = stateless.updater_from_feed_monkeys(
+        F.col("monkeys"))
+    is_mkt = F.col("otype").isin("BUY", "SELL")
+    is_inv = F.col("otype") == "INVEST"
+    is_feed = F.col("otype") == "FEED"
+    return ev.select(
+        "event_id",
+        "trader",
+        F.when(is_mkt, "MARKET").when(is_inv, "INVEST")
+        .when(is_feed, "FEED").alias("utype"),
+        F.when(is_mkt, mkt_coins).when(is_inv, inv_coins)
+        .otherwise(F.lit(0.0)).alias("coins_diff"),
+        F.when(is_mkt, mkt_shares).when(is_feed, feed_shares)
+        .otherwise(F.lit(0)).cast("int").alias("shares_diff"),
+        F.when(is_feed, feed_fed).otherwise(F.lit(0)).cast("int")
+        .alias("fed_monkeys"),
+        F.when(is_inv, inv_invest).otherwise(F.lit(0)).cast("int")
+        .alias("invest_diff"),
+    )
+
+
+@register("p13_p15_projections", f"""
+WITH {EV_SQL}
+SELECT event_id, concat('txn', event_id) AS txn_id,
+       CASE WHEN value < 30.0 THEN 'ACCEPTED'
+            WHEN value < 35.0 THEN 'INSUFFICIENT_COINS'
+            ELSE 'INSUFFICIENT_SHARES' END AS status,
+       value AS coins
+FROM ev
+""")
+def p13_p15_projections(spark, sf_dir):
+    """P13/P15 nested-struct projections (MarketDataflow.java:394-399,
+    MonkeyStockTrader.java:285-291): build TxnEvent-shaped nesting, unwrap
+    with select('s.*') / state.coins paths."""
+    ev = events_enriched(spark, sf_dir)
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
+                F.when(F.col("value") < 30.0, "ACCEPTED")
+                .when(F.col("value") < 35.0, "INSUFFICIENT_COINS")
+                .otherwise("INSUFFICIENT_SHARES").alias("status"),
+                F.struct(F.col("value").alias("coins")).alias("state"),
+            ).alias("txnResult"),
+        ).alias("ev_struct"),
+    )
+    txn = nested.select(
+        "event_id",
+        stateless.project_txn_result(F.col("ev_struct")).alias("txn"),
+    )
+    return txn.select(
+        "event_id",
+        F.col("txn.txnId").alias("txn_id"),
+        F.col("txn.status").alias("status"),
+        stateless.txn_result_coins(F.col("txn")).alias("coins"),
+    )
+
+
+@register("p14_accepted", f"""
+WITH {EV_SQL}
+SELECT event_id FROM ev WHERE
+  CASE WHEN value < 30.0 THEN 'ACCEPTED'
+       WHEN value < 35.0 THEN 'INSUFFICIENT_COINS'
+       ELSE 'INSUFFICIENT_SHARES' END = 'ACCEPTED'
+""")
+def p14_accepted(spark, sf_dir):
+    """P14 status == ACCEPTED filter (MarketDataflow.java:185-188)."""
+    ev = events_enriched(spark, sf_dir)
+    status = (
+        F.when(F.col("value") < 30.0, "ACCEPTED")
+        .when(F.col("value") < 35.0, "INSUFFICIENT_COINS")
+        .otherwise("INSUFFICIENT_SHARES")
+    )
+    return ev.withColumn("status", status).filter(
+        stateless.accepted_only(F.col("status"))
+    ).select("event_id")
+
+
+@register("p16_self_trades", f"""
+WITH {EV_SQL}
+SELECT event_id, team, trader FROM ev
+WHERE team = 'BONOBO' AND trader = 'trader6'
+""")
+def p16_self_trades(spark, sf_dir):
+    """P16 literal-trader filter (MonkeyStockChampion.java:136-142)."""
+    ev = events_enriched(spark, sf_dir)
+    return ev.filter(
+        stateless.self_trades(F.col("team"), F.col("trader"),
+                              "BONOBO", "trader6")
+    ).select("event_id", "team", "trader")
+
+
+@register("p17_positive_balance", f"""
+WITH {EV_SQL}
+SELECT event_id, value - 250.0 AS coins FROM ev WHERE value - 250.0 > 0.0
+""")
+def p17_positive_balance(spark, sf_dir):
+    """P17 coins > 0 guard (MonkeyStockTrader.java:293-298)."""
+    ev = events_enriched(spark, sf_dir).withColumn(
+        "coins", F.col("value") - 250.0)
+    return ev.filter(
+        stateless.positive_balance(F.col("coins"))
+    ).select("event_id", "coins")
+
+
+_TWEET_JSON_SQL = (
+    "CASE WHEN event_type = 'error' "
+    "THEN concat('{\"id_str\":\"', event_id, '\"}') "
+    "ELSE concat('{\"id_str\":\"', event_id, "
+    "'\",\"text\":\"', gibb_text, '\"}') END"
+)
+
+
+@register("p19_tweet_extract", f"""
+WITH {EV_SQL},
+j AS (SELECT event_id, {_TWEET_JSON_SQL} AS tweet FROM ev)
+SELECT event_id,
+       json_extract_string(tweet, '$.id_str') AS tweet_id,
+       json_extract_string(tweet, '$.text') AS text
+FROM j
+WHERE json_extract_string(tweet, '$.id_str') IS NOT NULL
+  AND json_extract_string(tweet, '$.text') IS NOT NULL
+  AND regexp_matches(json_extract_string(tweet, '$.text'), '(?i).*banana.*')
+""")
+def p19_tweet_extract(spark, sf_dir):
+    """P19 tweet JSON extraction + banana filter (Gibber.java:118-145)."""
+    ev = events_enriched(spark, sf_dir)
+    tweet = F.when(
+        F.col("event_type") == "error",
+        F.concat(F.lit('{"id_str":"'), F.col("event_id"), F.lit('"}')),
+    ).otherwise(
+        F.concat(F.lit('{"id_str":"'), F.col("event_id"),
+                 F.lit('","text":"'), F.col("gibb_text"), F.lit('"}'))
+    )
+    parsed = ev.select(
+        "event_id", stateless.extract_tweet(tweet).alias("t"))
+    return parsed.filter(F.col("t").isNotNull()).select(
+        "event_id",
+        F.col("t.id").alias("tweet_id"),
+        F.col("t.text").alias("text"),
+    )
+
+
+# ===========================================================================
+# R1–R3: routing (SURVEY.md §2.4)
+# ===========================================================================
+
+@register("r1_r2_split_union", f"""
+WITH {EV_SQL},
+t AS (SELECT event_id,
+             CASE WHEN otype = 'BUY' THEN 'buy'
+                  WHEN otype = 'SELL' THEN 'sell'
+                  ELSE 'invalid' END AS tag
+      FROM ev)
+SELECT event_id, tag FROM t WHERE tag IN ('buy', 'sell')
+""")
+def r1_r2_split_union(spark, sf_dir):
+    """R1 split/select + R2 union (Chapter02:169-217): tag, consume the
+    buy/sell branches, union them back."""
+    ev = events_enriched(spark, sf_dir)
+    tag = (
+        F.when(F.col("otype") == "BUY", "buy")
+        .when(F.col("otype") == "SELL", "sell")
+        .otherwise("invalid")
+    )
+    branches = routing.split_select(ev, tag, "buy", "sell", "invalid")
+    buys = branches["buy"].select("event_id", F.lit("buy").alias("tag"))
+    sells = branches["sell"].select("event_id", F.lit("sell").alias("tag"))
+    return routing.union_all(buys, sells)
+
+
+@register("r3_tagged_union", f"""
+WITH {EV_SQL}
+SELECT event_id, value, CAST(NULL AS DOUBLE) AS amount, 'L' AS _side
+FROM ev WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, CAST(NULL AS DOUBLE) AS value, value * 2.0 AS amount, 'R'
+FROM ev WHERE event_type = 'purchase'
+""")
+def r3_tagged_union(spark, sf_dir):
+    """R3 connect-style tagged union (SharePriceDataflow.java:125-127):
+    widen two differently-typed streams into one with a _side tag."""
+    ev = events_enriched(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", (F.col("value") * 2.0).alias("amount"))
+    return routing.tagged_union(left, right)
+
+
+# ===========================================================================
+# W2–W5: windows and aggregations (SURVEY.md §2.5)
+# ===========================================================================
+
+@register("w2_tumbling_sum", f"""
+WITH {EV_SQL},
+b AS (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+             trader, ts, event_id,
+             {SQL_CENTS.format(x='value')} AS cents
+      FROM ev),
+g AS (SELECT window_start_ms, trader,
+             CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+      FROM b GROUP BY 1, 2),
+f AS (SELECT window_start_ms, trader, event_id,
+             row_number() OVER (PARTITION BY window_start_ms, trader
+                                ORDER BY ts, event_id) AS rn
+      FROM b)
+SELECT g.window_start_ms, g.trader, g.sum_value, f.event_id AS first_event
+FROM g JOIN f ON f.window_start_ms = g.window_start_ms AND f.trader = g.trader
+WHERE f.rn = 1
+""")
+def w2_tumbling_sum(spark, sf_dir):
+    """W2 tumbling window + reduce (Chapter03:125-139): per-trader hourly
+    sum (exact integer-cents) keeping the FIRST event id by (ts, id)."""
+    ev = events_enriched(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("_w"), "trader")
+        .agg(
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+            .alias("sum_value"),
+            F.min_by("event_id", F.struct("ts", "event_id"))
+            .alias("first_event"),
+        )
+        .select(
+            F.unix_millis(F.col("_w.start")).alias("window_start_ms"),
+            "trader",
+            "sum_value",
+            "first_event",
+        )
+    )
+    return out
+
+
+@register("w3_running_sum", f"""
+WITH {EV_SQL}
+SELECT event_id, event_type,
+       CAST(sum({SQL_CENTS.format(x='value')})
+            OVER (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+       AS running_sum
+FROM ev
+""")
+def w3_running_sum(spark, sf_dir):
+    """W3 per-key running sum emitted per element
+    (SharePriceDataflow.java:121-122), exact integer-cents accumulation."""
+    ev = events_enriched(spark, sf_dir).withColumn("_c", _cents(F.col("value")))
+    out = windows.running_sum(ev, ["event_type"], ["ts", "event_id"], "_c",
+                              out="_rs")
+    return out.select(
+        "event_id", "event_type",
+        (F.col("_rs").cast("double") / 100.0).alias("running_sum"),
+    )
+
+
+@register("w5_avg_per_minute", f"""
+WITH {EV_SQL}
+SELECT epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+       CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+         / CAST(count(*) AS DOUBLE) AS avg_value
+FROM ev GROUP BY 1
+""")
+def w5_avg_per_minute(spark, sf_dir):
+    """W5a dashboard avg-per-1-minute histogram (kibana-dashboard.json),
+    exact-cents numerator."""
+    ev = events_enriched(spark, sf_dir)
+    return (
+        ev.groupBy(F.unix_millis(F.date_trunc("minute", F.col("ts")))
+                   .alias("minute_ms"))
+        .agg(
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0
+             / F.count(F.lit(1)).cast("double")).alias("avg_value")
+        )
+    )
+
+
+@register("w5_sum_per_team", f"""
+WITH {EV_SQL}
+SELECT team, CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+       AS sum_value
+FROM ev GROUP BY team
+""")
+def w5_sum_per_team(spark, sf_dir):
+    """W5b sum per team ("Monkeys Fed" / bailouts pies)."""
+    ev = events_enriched(spark, sf_dir)
+    return ev.groupBy("team").agg(
+        (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+        .alias("sum_value"))
+
+
+@register("w5_top5_traders", f"""
+WITH {EV_SQL},
+s AS (SELECT trader,
+             CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+               AS sum_value
+      FROM ev GROUP BY trader)
+SELECT trader, sum_value FROM s
+ORDER BY sum_value DESC, trader ASC LIMIT 5
+""")
+def w5_top5_traders(spark, sf_dir):
+    """W5c top-5 traders by sum desc ("terms trader size 5 order desc"),
+    deterministic tie-break."""
+    ev = events_enriched(spark, sf_dir).withColumn("_c", _cents(F.col("value")))
+    out = (
+        ev.groupBy("trader")
+        .agg((F.sum("_c").cast("double") / 100.0).alias("sum_value"))
+        .orderBy(F.col("sum_value").desc(), F.col("trader").asc())
+        .limit(5)
+    )
+    return out
+
+
+# ===========================================================================
+# ST1/ST2/ST6/ST7/ST9 + ST4/ST5/ST10 batch twins (SURVEY.md §2.6)
+# ===========================================================================
+
+@register("st1_ema", f"""
+WITH {EV_SQL},
+s AS (SELECT event_type, list(value ORDER BY ts, event_id) AS vs
+      FROM ev GROUP BY event_type)
+SELECT event_type,
+       ROUND6(list_reduce(vs,
+           (acc, x) -> x * CAST(0.1 AS DOUBLE)
+                       + acc * CAST(0.9 AS DOUBLE))) AS ema
+FROM s
+""")
+def st1_ema(spark, sf_dir):
+    """ST1 EMA fold, final value per key (Chapter04:86-113,168-178):
+    ema = first ? x : x*0.1 + ema*0.9, identical fold order both engines."""
+    ev = events_enriched(spark, sf_dir)
+    out = folds.fold_by_key(
+        ev, ["event_type"], ["ts", "event_id"], ["value"],
+        lambda seq: folds.ema_fold(seq, "value", 0.1), "ema")
+    return out.select("event_type", round_portable(F.col("ema")).alias("ema"))
+
+
+@register("st2_product", f"""
+WITH {EV_SQL},
+s AS (SELECT event_type,
+             list(1.0 + value / CAST(10000.0 AS DOUBLE)
+                  ORDER BY ts, event_id) AS vs
+      FROM ev GROUP BY event_type)
+SELECT event_type,
+       ROUND6(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vs),
+           (acc, x) -> acc * x)) AS price_mult
+FROM s
+""")
+def st2_product(spark, sf_dir):
+    """ST2 multiplicative accumulator, final product per key
+    (SharePriceDataflow.java:72-96)."""
+    ev = events_enriched(spark, sf_dir).withColumn(
+        "mult", F.lit(1.0) + F.col("value") / F.lit(10000.0))
+    out = folds.fold_by_key(
+        ev, ["event_type"], ["ts", "event_id"], ["mult"],
+        lambda seq: folds.product_fold(seq, "mult"), "price_mult")
+    return out.select("event_type",
+                      round_portable(F.col("price_mult")).alias("price_mult"))
+
+
+def _updater_stream(spark, sf_dir):
+    """Shared ST6 input: full TraderStateUpdater stream from events
+    (all three P12 variants, price fixed 2.0)."""
+    ev = events_enriched(spark, sf_dir).filter(F.col("otype") != "OOPS")
+    is_mkt = F.col("otype").isin("BUY", "SELL")
+    is_inv = F.col("otype") == "INVEST"
+    is_feed = F.col("otype") == "FEED"
+    mkt_coins, mkt_shares = stateless.updater_from_market_order(
+        F.col("otype"), F.col("shares"), F.lit(2.0))
+    return ev.select(
+        "trader", "ts", "event_id",
+        F.when(is_mkt, "MARKET").when(is_inv, "INVEST")
+        .when(is_feed, "FEED").alias("utype"),
+        F.when(is_mkt, mkt_coins).when(is_inv, -F.col("invested"))
+        .otherwise(F.lit(0.0)).alias("coinsDiff"),
+        F.when(is_mkt, mkt_shares).when(is_feed, -F.col("monkeys"))
+        .otherwise(F.lit(0)).cast("int").alias("sharesDiff"),
+        F.lit(False).alias("addBailout"),
+        F.when(is_feed, F.col("monkeys")).otherwise(F.lit(0)).cast("int")
+        .alias("fedMonkeys"),
+        F.when(is_inv, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        .alias("investDiff"),
+        F.when(is_mkt, F.lit("MARKET")).otherwise(F.col("otype")).alias("type"),
+    )
+
+
+# DuckDB twin of the ST6 fold: state and updaters as DOUBLE[] so
+# list_reduce stays homogeneous. Layout:
+#   state   = [coins, shares, bailouts, fedMonkeys, inFlight]
+#   updater = [coinsDiff, sharesDiff, addBailout, fedMonkeys, investDiff,
+#              isBailoutType]
+_ST6_NC = "(acc[1] + x[1])"
+_ST6_NS = "(acc[2] + x[2])"
+_ST6_NB = "(acc[3] + x[3])"
+_ST6_NF = "(acc[4] + x[4])"
+_ST6_NI = "(acc[5] + x[5])"
+_ST6_APPLY = (f"(x[6] = 0.0 AND {_ST6_NI} <= 0.0 AND {_ST6_NC} <= 3.0 "
+              f"AND {_ST6_NS} <= 0.0 "
+              f"AND {_ST6_NC} + 10.0 >= 0.0 AND {_ST6_NS} + 5.0 >= 0.0)")
+_ST6_BC = f"(CASE WHEN {_ST6_APPLY} THEN {_ST6_NC} + 10.0 ELSE {_ST6_NC} END)"
+_ST6_BS = f"(CASE WHEN {_ST6_APPLY} THEN {_ST6_NS} + 5.0 ELSE {_ST6_NS} END)"
+_ST6_BB = f"(CASE WHEN {_ST6_APPLY} THEN {_ST6_NB} + 1.0 ELSE {_ST6_NB} END)"
+_ST6_OK = f"({_ST6_BC} >= 0.0 AND {_ST6_BS} >= 0.0)"
+_ST6_STEP = f"""[
+  CASE WHEN {_ST6_OK} THEN {_ST6_BC} ELSE acc[1] END,
+  CASE WHEN {_ST6_OK} THEN {_ST6_BS} ELSE acc[2] END,
+  CASE WHEN {_ST6_OK} THEN {_ST6_BB} ELSE acc[3] END,
+  CASE WHEN {_ST6_OK} THEN {_ST6_NF} ELSE acc[4] END,
+  CASE WHEN {_ST6_OK} THEN {_ST6_NI} ELSE acc[5] END
+]"""
+
+_ST6_UPD_SQL = f"""
+upd AS (
+  SELECT trader, ts, event_id,
+         CAST([
+           CASE otype WHEN 'BUY' THEN -CAST(shares AS DOUBLE) * 2.0
+                      WHEN 'SELL' THEN CAST(shares AS DOUBLE) * 2.0
+                      WHEN 'INVEST' THEN -invested ELSE 0.0 END,
+           CASE otype WHEN 'BUY' THEN CAST(shares AS DOUBLE)
+                      WHEN 'SELL' THEN -CAST(shares AS DOUBLE)
+                      WHEN 'FEED' THEN -CAST(monkeys AS DOUBLE)
+                      ELSE 0.0 END,
+           0.0,
+           CASE otype WHEN 'FEED' THEN CAST(monkeys AS DOUBLE) ELSE 0.0 END,
+           CASE otype WHEN 'INVEST' THEN 1.0 ELSE 0.0 END,
+           0.0
+         ] AS DOUBLE[]) AS u
+  FROM ev WHERE otype <> 'OOPS'
+)
+"""
+
+
+@register("st6_trader_ledger", f"""
+WITH {EV_SQL},
+{_ST6_UPD_SQL},
+seqs AS (SELECT trader, list(u ORDER BY ts, event_id) AS us
+         FROM upd GROUP BY trader),
+folded AS (
+  SELECT trader,
+         list_reduce(
+           list_prepend(CAST([10.0, 5.0, 0.0, 0.0, 0.0] AS DOUBLE[]), us),
+           (acc, x) -> {_ST6_STEP}) AS st
+  FROM seqs)
+SELECT trader,
+       ROUND6(st[1]) AS coins,
+       CAST(st[2] AS INTEGER) AS shares,
+       CAST(st[3] AS INTEGER) AS bailouts,
+       CAST(st[4] AS INTEGER) AS fed_monkeys,
+       CAST(st[5] AS INTEGER) AS in_flight
+FROM folded
+""")
+def st6_trader_ledger(spark, sf_dir):
+    """ST6 trader-state settlement fold — the reference's core correctness
+    target (MarketDataflow.java:284-310, TraderStateUpdater.java:115-139,
+    TraderState.java:69-83): deltas, auto-bailout, validation, rejected
+    updates keep prior state."""
+    upd = _updater_stream(spark, sf_dir)
+    out = folds.fold_by_key(
+        upd, ["trader"], ["ts", "event_id"],
+        ["type", "coinsDiff", "sharesDiff", "addBailout", "fedMonkeys",
+         "investDiff"],
+        folds.trader_state_fold, "state")
+    return out.select(
+        "trader",
+        round_portable(F.col("state.coins")).alias("coins"),
+        F.col("state.shares").alias("shares"),
+        F.col("state.bailouts").alias("bailouts"),
+        F.col("state.fedMonkeys").alias("fed_monkeys"),
+        F.col("state.inFlightInvestments").alias("in_flight"),
+    )
+
+
+@register("st7_running_investment", f"""
+WITH {EV_SQL}
+SELECT event_id, trader,
+       CAST(sum({SQL_CENTS.format(x='abs(invested)')})
+            OVER (PARTITION BY trader ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+       AS total_invested
+FROM ev WHERE event_type = 'signup'
+""")
+def st7_running_investment(spark, sf_dir):
+    """ST7 running per-trader investment total (MarketDataflow.java:319-339):
+    total += abs(investedCoins), exact cents."""
+    ev = events_enriched(spark, sf_dir).filter(F.col("event_type") == "signup")
+    ev = ev.withColumn("_c", _cents(F.abs(F.col("invested"))))
+    out = windows.running_sum(ev, ["trader"], ["ts", "event_id"], "_c", "_rs")
+    return out.select(
+        "event_id", "trader",
+        (F.col("_rs").cast("double") / 100.0).alias("total_invested"))
+
+
+@register("st9_txn_sequence", f"""
+WITH {EV_SQL}
+SELECT event_id, trader,
+       CAST(row_number() OVER (PARTITION BY trader ORDER BY ts, event_id)
+            AS INTEGER) AS seq
+FROM ev
+""")
+def st9_txn_sequence(spark, sf_dir):
+    """ST9 per-key monotone txn-id counter
+    (MonkeyStockTrader.java:167-206)."""
+    ev = events_enriched(spark, sf_dir)
+    w = Window.partitionBy("trader").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "trader",
+        F.row_number().over(w).cast("int").alias("seq"))
+
+
+# Prices for the ST5/ST10 as-of queries: one price point per purchase
+# event; ts-deduped so both engines agree on equal-timestamp semantics.
+_PRICES_SQL = """
+prices AS (
+  SELECT ts AS pts, max(value) AS price
+  FROM ev WHERE event_type = 'purchase' GROUP BY ts
+)
+"""
+
+
+def _prices(spark, sf_dir):
+    ev = events_enriched(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").alias("pts"))
+        .agg(F.max("value").alias("price"))
+    )
+
+
+@register("st5_order_buffering", f"""
+WITH {EV_SQL},
+{_PRICES_SQL},
+orders_cte AS (SELECT event_id, ts FROM ev WHERE event_type = 'click'),
+j AS (
+  SELECT o.event_id, o.ts, p.price
+  FROM orders_cte o ASOF LEFT JOIN prices p ON o.ts >= p.pts
+)
+SELECT event_id,
+       coalesce(price,
+                (SELECT price FROM prices ORDER BY pts LIMIT 1))
+         AS settle_price
+FROM j
+""")
+def st5_order_buffering(spark, sf_dir):
+    """ST5 order buffering until price known (MarketDataflow.java:190-268)
+    as a batch as-of join: orders settle at the latest price at-or-before
+    their time; orders before the FIRST price settle at that first price
+    (the flush, lines 243-267)."""
+    ev = events_enriched(spark, sf_dir)
+    orders = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", F.lit(1).alias("_k"))
+    prices = _prices(spark, sf_dir).select(
+        F.col("pts").alias("ts"), "price", F.lit(1).alias("_k"))
+    joined = asof.asof_join(orders, prices, ["_k"], "ts", "ts",
+                            ["price"], fallback="first")
+    return joined.select(
+        "event_id", F.col("asof_price").alias("settle_price"))
+
+
+@register("st10_price_delta", f"""
+WITH {EV_SQL},
+{_PRICES_SQL},
+t AS (SELECT event_id, ts, value FROM ev WHERE event_type = 'click'),
+j AS (
+  SELECT t.event_id, t.value, p.price
+  FROM t ASOF LEFT JOIN prices p ON t.ts >= p.pts
+)
+SELECT event_id, ROUND6(value - price) AS coins_delta
+FROM j WHERE price IS NOT NULL
+""")
+def st10_price_delta(spark, sf_dir):
+    """ST10 latest-price side input → P&L delta
+    (MonkeyStockTrader.java:208-236): traderCoins − storedPrice, null
+    (dropped) before any price arrives."""
+    ev = events_enriched(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value", F.lit(1).alias("_k"))
+    prices = _prices(spark, sf_dir).select(
+        F.col("pts").alias("ts"), "price", F.lit(1).alias("_k"))
+    joined = asof.asof_join(clicks, prices, ["_k"], "ts", "ts", ["price"])
+    return joined.filter(F.col("asof_price").isNotNull()).select(
+        "event_id",
+        round_portable(F.col("value") - F.col("asof_price"))
+        .alias("coins_delta"))
+
+
+@register("st4_ema_combiner", f"""
+WITH {EV_SQL},
+tagged AS (
+  SELECT ts, event_id,
+         CAST([CASE WHEN event_type = 'click' THEN 0.0 ELSE 1.0 END,
+               CASE WHEN event_type = 'click' THEN value / 100.0
+                    ELSE value END] AS DOUBLE[]) AS u
+  FROM ev WHERE event_type IN ('click', 'purchase')
+),
+seqs AS (SELECT list(u ORDER BY ts, event_id) AS us FROM tagged),
+folded AS (
+  SELECT list_reduce(
+    list_prepend(CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]), us),
+    (acc, x) -> CASE WHEN x[1] = 0.0
+      THEN [x[2], acc[2], acc[3], acc[4]]
+      ELSE [acc[1],
+            CASE WHEN acc[4] = 0.0 THEN x[2] + acc[1]
+                 ELSE (x[2] + acc[1]) * CAST(0.1 AS DOUBLE)
+                      + acc[2] * CAST(0.9 AS DOUBLE) END,
+            x[2] + acc[1],
+            1.0]
+      END) AS st
+  FROM seqs)
+SELECT ROUND6(st[3]) AS new_value,
+       ROUND6(st[2] / st[3]) AS forecast_mult
+FROM folded WHERE st[4] = 1.0
+""")
+def st4_ema_combiner(spark, sf_dir):
+    """ST4 EMA + latest-side-value combiner
+    (SharePriceDataflow.java:227-266): stream1 (hype) updates hypePrice
+    state; stream2 (base price) emits newValue = base + hype and
+    forecast = ema/newValue with ema α=0.1 over newValue. Batch twin
+    returns the final emitted values via a tagged-union fold.
+    State vector: [hype, ema, lastNewValue, seenPrice]."""
+    ev = events_enriched(spark, sf_dir)
+    hype = ev.filter(F.col("event_type") == "click").select(
+        "ts", "event_id", F.lit(0.0).alias("side"),
+        (F.col("value") / 100.0).alias("v"))
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "ts", "event_id", F.lit(1.0).alias("side"), F.col("value").alias("v"))
+    tagged = hype.unionByName(base).withColumn("_k", F.lit(1))
+    init = F.struct(
+        F.lit(0.0).alias("hype"), F.lit(0.0).alias("ema"),
+        F.lit(0.0).alias("newv"), F.lit(0.0).alias("seen"))
+
+    def step(acc, x):
+        newv = x["v"] + acc["hype"]
+        ema = F.when(acc["seen"] == 0.0, newv).otherwise(
+            newv * F.lit(0.1) + acc["ema"] * F.lit(0.9))
+        return F.struct(
+            F.when(x["side"] == 0.0, x["v"]).otherwise(acc["hype"])
+            .alias("hype"),
+            F.when(x["side"] == 0.0, acc["ema"]).otherwise(ema).alias("ema"),
+            F.when(x["side"] == 0.0, acc["newv"]).otherwise(newv)
+            .alias("newv"),
+            F.when(x["side"] == 0.0, acc["seen"]).otherwise(F.lit(1.0))
+            .alias("seen"),
+        )
+
+    out = folds.fold_by_key(
+        tagged, ["_k"], ["ts", "event_id"], ["side", "v"],
+        lambda seq: F.aggregate(seq, init, step), "st")
+    return out.filter(F.col("st.seen") == 1.0).select(
+        round_portable(F.col("st.newv")).alias("new_value"),
+        round_portable(F.col("st.ema") / F.col("st.newv"))
+        .alias("forecast_mult"),
+    )
+
+
+# ===========================================================================
+# Composed dataflow (SharePriceDataflow.java:45-135 batch twin) + hashing
+# ===========================================================================
+
+@register("dataflow_hype_influence", f"""
+WITH {EV_SQL},
+g AS (SELECT event_id, ts, {_HYPE_WORDS_SQL} AS ws FROM ev
+      WHERE contains(lower(gibb_text), 'banana')),
+fw AS (SELECT event_id, ts,
+              list_filter(ws, w -> w IN ({_HYPE_POS_SQL})
+                                OR w IN ({_HYPE_NEG_SQL})) AS vw
+       FROM g),
+x AS (SELECT event_id, ts, i AS pos,
+             CASE WHEN vw[CAST(i AS INTEGER)] IN ({_HYPE_POS_SQL})
+                  THEN 1 ELSE -1 END AS infl
+      FROM fw, (SELECT unnest(generate_series(1, 1000)) AS i) s
+      WHERE s.i <= len(vw))
+SELECT event_id, CAST(pos AS INTEGER) AS pos,
+       CAST(sum(infl) OVER (ORDER BY ts, event_id, pos
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+         AS hype_total
+FROM x
+""")
+def dataflow_hype_influence(spark, sf_dir):
+    """SharePriceDataflow branch B composed end-to-end
+    (SharePriceDataflow.java:103-122): banana filter → hype pieces →
+    ±0.01 influence → constant-key running sum. Integer influence summed
+    exactly, scaled once at the end."""
+    ev = events_enriched(spark, sf_dir)
+    gibbs = ev.filter(stateless.banana_filter(F.lower(F.col("gibb_text"))))
+    words = tx.tokens  # noqa: F841  (canonical tokenizer documented above)
+    cleaned = F.regexp_replace(F.lower(F.col("gibb_text")), r"[^a-z \n]+", "")
+    arr = F.split(F.regexp_replace(cleaned, r"\s+", " "), " ")
+    vocab_only = F.filter(
+        arr, lambda w: w.isin(*stateless.HYPE_POSITIVE)
+        | w.isin(*stateless.HYPE_NEGATIVE))
+    pieces = (
+        gibbs.select("event_id", "ts", vocab_only.alias("vw"))
+        .select("event_id", "ts", F.posexplode("vw").alias("pos0", "word"))
+        .select(
+            "event_id", "ts",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.when(F.col("word").isin(*stateless.HYPE_POSITIVE), 1)
+            .otherwise(-1).alias("infl"),
+        )
+    )
+    w = (Window.partitionBy(F.lit(1)).orderBy("ts", "event_id", "pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return pieces.select(
+        "event_id", "pos",
+        (F.sum("infl").over(w).cast("double") / 100.0).alias("hype_total"),
+    )
+
+
+@register("hash_family_check", f"""
+SELECT doc_id,
+       {sql_md5_long('text')} AS h60,
+       {sql_universal_hash(sql_md5_long('text'), *hash_params(4)[3])} AS uh3
+FROM documents
+""")
+def hash_family_check(spark, sf_dir):
+    """The portable hash family itself, oracle-checked bit-for-bit
+    (functions/hashing.py): md5→60-bit int and a universal-hash member."""
+    docs = load(spark, sf_dir, "documents")
+    a, b = hash_params(4)[3]
+    h = md5_long(F.col("text"))
+    return docs.select(
+        "doc_id",
+        h.alias("h60"),
+        universal_hash(h, a, b).alias("uh3"),
+    )
+
+
+# ===========================================================================
+# TPC-H-style batch parity (W5-class SQL surface + bench headliners)
+# ===========================================================================
+
+@register("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                           * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (exact-cents sums so shuffle order can't
+    break parity)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc_price * (1.0 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100.0)
+            .alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0)
+            .alias("sum_base_price"),
+            (F.sum(_cents(disc_price)).cast("double") / 100.0)
+            .alias("sum_disc_price"),
+            (F.sum(_cents(charge)).cast("double") / 100.0).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register("tpch_q3", """
+WITH rev AS (
+  SELECT l.l_orderkey,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS cents
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_orderkey
+)
+SELECT l_orderkey, CAST(cents AS DOUBLE) / 100.0 AS revenue
+FROM rev ORDER BY cents DESC, l_orderkey ASC LIMIT 10
+""")
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: 3-way join, exact-cents revenue,
+    deterministic top-10. Catalyst broadcast-joins the filtered customer
+    dim automatically."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(
+            _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+        ).alias("cents"))
+    )
+    return (
+        rev.orderBy(F.col("cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey",
+                (F.col("cents").cast("double") / 100.0).alias("revenue"))
+    )
+
+
+@register("tpch_q6", """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24.0
+""")
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change: pure scan+filter+agg — the
+    pushdown/codegen benchmark."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg((F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+              .cast("double") / 100.0).alias("revenue"))
+    )
+
+
+@register("tpch_q5ish", """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def tpch_q5ish(spark, sf_dir):
+    """Q5-style multi-dim star join — broadcast the three dimension
+    tables, one shuffle for the final group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))))
+             .cast("double") / 100.0).alias("revenue"))
+    )
+
+
+# ===========================================================================
+# LLM-pipeline layer: dedup / similarity / text / multimodal
+# ===========================================================================
+
+# Near-dup corpus: documents plus mutated copies (doc_id+10000, one word
+# appended) so the dedup operators demonstrably FIND the planted pairs.
+_DOCS2_SQL = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, concat(text, ' qqq') AS text
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
+def _docs2(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = (
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qqq")).alias("text"))
+    )
+    return docs.unionByName(mutated)
+
+
+@register("dedup_exact", f"""
+WITH {_DOCS2_SQL}
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS kept_id,
+       CAST(count(*) AS INTEGER) AS n_dupes
+FROM docs2 GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy."""
+    return dd.exact_dedup(_docs2(spark, sf_dir))
+
+
+def _with_docs2(sql: str) -> str:
+    """Prepend the docs2 CTE to a generated oracle that starts with WITH."""
+    body = sql.strip()
+    assert body.startswith("WITH"), body[:40]
+    return "WITH " + _DOCS2_SQL.strip() + ",\n" + body[len("WITH"):].lstrip()
+
+
+@register("dedup_minhash_lsh", _with_docs2(dd.sql_minhash_lsh_pairs("docs2")))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + banded LSH candidate pairs (O(candidates)
+    equi-join, never all-pairs) with signature-estimated Jaccard."""
+    return dd.minhash_lsh_pairs(_docs2(spark, sf_dir))
+
+
+@register("dedup_simhash", _with_docs2(dd.sql_simhash("docs2")))
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (32-bit, portable md5 bit-votes)."""
+    return dd.simhash(_docs2(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard",
+          _with_docs2(dd.sql_ngram_jaccard_pairs("docs2", threshold=0.5)))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification over pairs sharing an n-gram
+    (blocking-stage composition documented in functions/dedup.py)."""
+    return dd.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.5)
+
+
+_QUERY_IDS = list(range(10))
+_EMB_DIM = 64
+
+
+@register("sim_cosine_topk",
+          sim.sql_cosine_topk("embeddings", _QUERY_IDS, _EMB_DIM, k=5))
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 10 query vectors (broadcast
+    query side; corpus never shuffles)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _QUERY_IDS, k=5)
+
+
+@register("sim_lsh_ann",
+          sim.sql_lsh_ann_topk("embeddings", _QUERY_IDS, _EMB_DIM, k=5))
+def sim_lsh_ann(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-5 — the O(candidates) scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)
+
+
+@register("text_token_stats", tx.sql_token_stats())
+def text_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    return tx.token_stats(load(spark, sf_dir, "documents"))
+
+
+@register("text_quality", tx.sql_quality_stats())
+def text_quality(spark, sf_dir):
+    """Quality features: length/punct/stopword ratios + composite score."""
+    return tx.quality_stats(load(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", tx.sql_lang_id())
+def text_lang_id(spark, sf_dir):
+    """Stopword-vote language ID with deterministic tie-break."""
+    return tx.lang_id(load(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", tx.sql_fingerprint())
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling document fingerprint (portable fold)."""
+    return tx.fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register("mm_media_meta", """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""")
+def mm_media_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata projection
+    (payloads never shuffled — metadata-only select)."""
+    docs = load(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = mm.fake_media_from_documents(
+        docs.withColumn("_kind", kind), kind="image"
+    ).withColumn(
+        "kind",
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio").otherwise("video"))
+    return media.select(
+        "media_id", "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register("mm_resize_plan", """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+         CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height
+  FROM documents
+)
+SELECT media_id,
+       CAST(floor(CAST(width AS DOUBLE)
+            * least(256.0 / greatest(CAST(width AS DOUBLE),
+                                     CAST(height AS DOUBLE)), 1.0) + 0.5)
+            AS INTEGER) AS out_width,
+       CAST(floor(CAST(height AS DOUBLE)
+            * least(256.0 / greatest(CAST(width AS DOUBLE),
+                                     CAST(height AS DOUBLE)), 1.0) + 0.5)
+            AS INTEGER) AS out_height,
+       ROUND6(least(256.0 / greatest(CAST(width AS DOUBLE),
+                                     CAST(height AS DOUBLE)), 1.0)) AS scale
+FROM m
+""")
+def mm_resize_plan(spark, sf_dir):
+    """Resize planning: metadata-only aspect-preserving dims."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.fake_media_from_documents(docs)
+    return mm.resize_meta(media, 256).drop("kind")
+
+
+@register("mm_frame_plan", """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+),
+f AS (SELECT media_id, CAST(floor(CAST(duration_ms AS DOUBLE) / 1000.0)
+                            AS INTEGER) AS n FROM m)
+SELECT media_id, CAST(g.i - 1 AS INTEGER) AS frame_idx,
+       CAST(g.i - 1 AS BIGINT) * 1000 AS sample_at_ms
+FROM f, (SELECT unnest(generate_series(1, 100000)) AS i) g
+WHERE g.i <= f.n
+""")
+def mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled timestamp."""
+    docs = load(spark, sf_dir, "documents")
+    media = mm.fake_media_from_documents(docs).withColumn(
+        "kind",
+        F.when(F.col("media_id") % 3 == 2, "video").otherwise("image"))
+    return mm.frame_sample_plan(media, every_ms=1000)

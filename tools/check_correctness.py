@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry at sf0.01 and compare against
+``oracle_sql()`` via DuckDB — column names, row counts, and the exact
+multiset of values (strictest possible bar: byte-equal after canonical
+normalization; if this passes, any order-insensitive value-hash passes).
+
+Usage: python tools/check_correctness.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(selected: list[str]) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from mktd6_flink_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = selected or list(queries)
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            df = queries[name](spark, SF_DIR)
+            srows = df.collect()
+            scols = df.columns
+            if name not in oracles:
+                print(f"  ~ {name}: rows-only ({len(srows)} rows, no oracle)")
+                continue
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok = True
+            msgs = []
+            if sorted(scols) != sorted(dcols):
+                ok = False
+                msgs.append(f"schema {sorted(scols)} != {sorted(dcols)}")
+            if len(srows) != len(drows):
+                ok = False
+                msgs.append(f"rowcount {len(srows)} != {len(drows)}")
+            if ok:
+                cs, cd = canon(srows, scols), canon(drows, dcols)
+                if cs != cd:
+                    ok = False
+                    diffs = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+                    msgs.append(f"values differ, first diffs: {diffs}")
+            if ok:
+                n_pass += 1
+                print(f"  ✓ {name} ({len(srows)} rows)")
+            else:
+                n_fail += 1
+                print(f"  ✗ {name}: " + "; ".join(msgs))
+        except Exception:
+            n_fail += 1
+            print(f"  ✗ {name}: EXCEPTION")
+            traceback.print_exc(limit=4)
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(names) - n_pass - n_fail} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
