@@ -149,9 +149,12 @@ class TopicDef:
         """
         key_str = F.col("key").cast("string")
         if self.scalar_key:
-            # Bare JSON string key: the wire bytes are `"FOO"` — strip the
-            # quotes by parsing as a JSON string scalar.
-            k = F.from_json(key_str, "string").alias("k")
+            # Bare JSON string key: the wire bytes are `"FOO"`. from_json
+            # only takes struct/array/map schemas, so wrap the scalar in
+            # an object and unwrap — JSON escapes handled correctly.
+            k = F.from_json(
+                F.concat(F.lit('{"k":'), key_str, F.lit("}")), "k string"
+            )["k"].alias("k")
             key_cols = [F.col("k").alias("key")]
         else:
             k = F.from_json(key_str, self.key_schema).alias("k")

@@ -1,0 +1,300 @@
+"""Stateful streaming operators (SURVEY.md §2.6) as
+``applyInPandasWithState`` — per-event emission with O(1) keyed state,
+the true streaming twins of the batch folds in ``operators/folds.py``.
+
+Design: each operator is a pure-Python *step function*
+``(state, row) -> (new_state, emitted_dict | None)`` shared verbatim
+between
+- the STREAMING path: ``groupBy(key).applyInPandasWithState`` (arbitrary
+  stateful op; state is a tuple, one Arrow batch at a time, rows sorted by
+  event time within each batch — cross-batch order is arrival order,
+  exactly like the reference's Kafka-order processing), and
+- the BATCH twin: ``groupBy(key).applyInPandas`` sorting the key's whole
+  history then folding (used by the kata golden tests, which assert exact
+  per-event sequences like Chapter04's EMA floats).
+
+At 100 TB the streaming path keeps O(1) state per key in the state store
+(RocksDB-backed on a real cluster); the batch twin materializes one key's
+history per task — fine for bounded keys, and the reason the constant-key
+operators run the streaming path in production.
+
+References: ST1 Chapter04_WorkingWithState.java:86-113 (EMA, α=0.1,
+golden floats at 146-154); ST2 SharePriceDataflow.java:72-96; ST6
+MarketDataflow.java:284-310 + TraderStateUpdater.java:115-139; ST5
+MarketDataflow.java:190-268; ST7 MarketDataflow.java:319-339; ST8
+MarketDataflow.java:348-392; W3 SharePriceDataflow.java:121-122.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any, TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+EMA_ALPHA = 0.1
+
+# Initial trader state (TraderState.java:76-83).
+INIT_TRADER = (10.0, 5, 0, 0, 0)  # coins, shares, bailouts, fed, inFlight
+
+
+# ---------------------------------------------------------------------------
+# Step functions (pure Python, shared by batch twin and streaming path)
+# ---------------------------------------------------------------------------
+
+def ema_step(alpha: float = EMA_ALPHA):
+    """ST1 — Chapter04:168-178: ema = first ? x : x*α + ema*(1-α)."""
+    def step(state, row):
+        x = float(row["value"])
+        new = x if state is None else x * alpha + state[0] * (1 - alpha)
+        return (new,), {"ema": new}
+    return step
+
+
+def product_step():
+    """ST2 — SharePriceDataflow.java:72-96: acc = (acc or 1) * mult."""
+    def step(state, row):
+        acc = 1.0 if state is None else state[0]
+        new = acc * float(row["mult"])
+        return (new,), {"price_mult": new}
+    return step
+
+
+def running_sum_step():
+    """W3 — keyBy().sum(): emit the running total on every element."""
+    def step(state, row):
+        acc = 0.0 if state is None else state[0]
+        new = acc + float(row["value"])
+        return (new,), {"running_sum": new}
+    return step
+
+
+def trader_ledger_step():
+    """ST6 — TraderStateUpdater.update() (java:115-139) emitting a
+    TxnResult per update: deltas → auto-bailout on the new state →
+    validate → rejected updates keep prior state."""
+    def step(state, row):
+        coins, shares, bailouts, fed, inflight = (
+            INIT_TRADER if state is None else state)
+        nc = coins + float(row["coinsDiff"])
+        ns = shares + int(row["sharesDiff"])
+        nb = bailouts + (1 if bool(row["addBailout"]) else 0)
+        nf = fed + int(row["fedMonkeys"])
+        ni = inflight + int(row["investDiff"])
+        utype = str(row["type"])
+        if utype != "BAILOUT" and ni <= 0 and nc <= 3.0 and ns <= 0:
+            # recursive BAILOUT_UPDATER.update(newState): +10 coins,
+            # +5 shares, bailouts+1, itself validated
+            if nc + 10.0 >= 0 and ns + 5 >= 0:
+                nc, ns, nb = nc + 10.0, ns + 5, nb + 1
+        if nc < 0:
+            status = "INSUFFICIENT_COINS"
+        elif ns < 0:
+            status = "INSUFFICIENT_SHARES"
+        else:
+            status = "ACCEPTED"
+        if status == "ACCEPTED":
+            new = (nc, ns, nb, nf, ni)
+        else:
+            new = (coins, shares, bailouts, fed, inflight)
+        return new, {
+            "txnId": str(row["txnId"]),
+            "type": utype,
+            "status": status,
+            "coins": new[0],
+            "shares": new[1],
+            "bailouts": new[2],
+            "fedMonkeys": new[3],
+            "inFlightInvestments": new[4],
+        }
+    return step
+
+
+def order_buffer_step():
+    """ST5 — MarketDataflow.java:190-268: orders buffer until the first
+    price arrives (then flush in event-time order), afterwards settle
+    immediately at the latest price. Rows are the tagged union
+    (routing.tagged_union) of orders (_side=L: txnId, shares) and prices
+    (_side=R: price). State: (latest_price | None, buffered [(time_ms,
+    txnId, shares), ...])."""
+    def step(state, row):
+        price, buffered = (None, ()) if state is None else state
+        if str(row["_side"]) == "R":
+            price = float(row["price"])
+            out = None
+            if buffered:
+                flushed = sorted(buffered)
+                out = [
+                    {"txnId": t, "shares": s, "settle_price": price}
+                    for (_, t, s) in flushed
+                ]
+                buffered = ()
+            return (price, buffered), out
+        if price is None:
+            buffered = buffered + (
+                (int(row["time_ms"]), str(row["txnId"]), int(row["shares"])),)
+            return (price, buffered), None
+        return (price, buffered), {
+            "txnId": str(row["txnId"]),
+            "shares": int(row["shares"]),
+            "settle_price": price,
+        }
+    return step
+
+
+def ema_combiner_step(alpha: float = EMA_ALPHA):
+    """ST4 — SharePriceDataflow.java:227-266: side L (hype) updates
+    hypePrice state only; side R (base price) emits newValue = base+hype,
+    forecast = ema/newValue with ema over newValue. State: (hype, ema,
+    seen)."""
+    def step(state, row):
+        hype, ema, seen = (0.0, 0.0, False) if state is None else state
+        if str(row["_side"]) == "L":
+            return (float(row["v"]), ema, seen), None
+        newv = float(row["v"]) + hype
+        ema = newv if not seen else newv * alpha + ema * (1 - alpha)
+        return (hype, ema, True), {
+            "new_value": newv,
+            "forecast_mult": ema / newv if newv else float("nan"),
+        }
+    return step
+
+
+def latest_side_value_step():
+    """ST10 — MonkeyStockTrader.java:208-236: side R stores the latest
+    price; side L emits value - storedPrice (dropped before any price)."""
+    def step(state, row):
+        price = None if state is None else state[0]
+        if str(row["_side"]) == "R":
+            return (float(row["v"]),), None
+        if price is None:
+            return (None,), None
+        return (price,), {"coins_delta": float(row["v"]) - price}
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Engines
+# ---------------------------------------------------------------------------
+
+def _fold_pdf(pdf: "pd.DataFrame", step, state, key_dict: dict) -> tuple:
+    """Fold one (time-sorted) pandas frame; returns (rows, final_state)."""
+    rows = []
+    for _, row in pdf.iterrows():
+        state, out = step(state, row)
+        if out is None:
+            continue
+        outs = out if isinstance(out, list) else [out]
+        for o in outs:
+            rows.append({**key_dict, **o})
+    return rows, state
+
+
+def apply_per_event_batch(df: DataFrame, key_cols: list[str],
+                          order_cols: list[str], step_factory: Callable,
+                          out_schema: StructType | str) -> DataFrame:
+    """Batch twin: per-key history sort + per-event fold via
+    ``applyInPandas`` (one shuffle on the key; Arrow both ways)."""
+
+    def fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        key_dict = dict(zip(key_cols, key))
+        rows, _ = _fold_pdf(pdf, step_factory(), None, key_dict)
+        cols = (out_schema.fieldNames()
+                if isinstance(out_schema, StructType) else None)
+        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+            columns=cols or [])
+
+    return df.groupBy(*key_cols).applyInPandas(fn, out_schema)
+
+
+def apply_per_event_stream(df: DataFrame, key_cols: list[str],
+                           order_cols: list[str], step_factory: Callable,
+                           out_schema: StructType | str,
+                           state_schema: StructType | str,
+                           pack, unpack,
+                           timeout: str = "NoTimeout") -> DataFrame:
+    """Streaming path: ``applyInPandasWithState``. ``pack``/``unpack``
+    convert the operator's python state tuple to/from the typed state row
+    (state must be serializable to ``state_schema``). Rows are sorted by
+    ``order_cols`` within each micro-batch; ordering across batches is
+    arrival order (Kafka order in the reference)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           gstate: "GroupState") -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        state = unpack(gstate.get) if gstate.exists else None
+        key_dict = dict(zip(key_cols, key))
+        step = step_factory()
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            rows, state = _fold_pdf(pdf, step, state, key_dict)
+            if rows:
+                yield pd.DataFrame(rows)
+        if state is not None:
+            gstate.update(pack(state))
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        getattr(GroupStateTimeout, timeout))
+
+
+def delayed_return_stream(df: DataFrame, out_schema: str | StructType,
+                          compute_return: Callable[[dict], float],
+                          delay_ms_col: str = "delay_ms") -> DataFrame:
+    """ST8 — delayed investment return with a processing-time timer
+    (MarketDataflow.java:348-392): keyed by txnId; on the investment
+    event, stash (trader, return_amount) in state and register a
+    processing-time timeout; when the timeout fires, emit the RETURN
+    TraderStateUpdater (coinsDiff=return, investDiff=-1).
+
+    ``compute_return`` injects the (seeded in tests, entropic in prod)
+    log-normal return calculation — the reference samples
+    LogNormal(0.035 + e^(−1−total/1000), 0.01) * investedCoins.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: "GroupState") -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            trader, amount = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "txnId": key[0],
+                "trader": trader,
+                "type": "RETURN",
+                "coinsDiff": amount,
+                "investDiff": -1,
+            }])
+            return
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                amount = compute_return(dict(row))
+                state.update((str(row["trader"]), float(amount)))
+                state.setTimeoutDuration(int(row[delay_ms_col]))
+        yield pd.DataFrame(
+            columns=["txnId", "trader", "type", "coinsDiff", "investDiff"])
+
+    return df.groupBy("txnId").applyInPandasWithState(
+        fn, out_schema,
+        "trader string, amount double",
+        "append", GroupStateTimeout.ProcessingTimeTimeout)
+
+
+# Convenience pack/unpack for single-double states (EMA, product, sums).
+def pack1(state: tuple) -> tuple:
+    return (float(state[0]),)
+
+
+def unpack1(row: tuple) -> tuple:
+    return (row[0],)

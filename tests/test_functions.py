@@ -1,0 +1,183 @@
+"""Unit tests for the LLM-pipeline layer: hashing portability (vs
+hashlib), dedup behavior vs a pure-python reference implementation,
+similarity ranking, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mktd6_flink_spark.functions import (dedup, hashing, multimodal,
+                                         similarity, text)
+
+
+def py_md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_md5_long_matches_hashlib(spark):
+    words = ["hello", "spark", "a b c", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.h for r in df.select(
+        "w", hashing.md5_long(F.col("w")).alias("h")).collect()}
+    assert got == {w: py_md5_long(w) for w in words}
+
+
+def test_universal_hash_family_distinct_and_bounded(spark):
+    params = hashing.hash_params(8)
+    assert len(set(params)) == 8
+    x = py_md5_long("doc")
+    for a, b in params:
+        h = (a * (x % hashing.MERSENNE_P) + b) % hashing.MERSENNE_P
+        assert 0 <= h < hashing.MERSENNE_P
+        # no int64 overflow: a*(x mod p) < 2^62
+        assert a * (x % hashing.MERSENNE_P) < 2 ** 62
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base + " extra"
+    other = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}[(1, 2)]
+    assert est > 0.5
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Signature agreement should approximate true shingle Jaccard."""
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"q{i}" for i in range(20))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = df.select(
+        "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+    ).collect()
+    s1, s2 = [dict((r.doc_id, r.sig) for r in sigs)[i] for i in (1, 2)]
+    agree = sum(x == y for x, y in zip(s1, s2)) / len(s1)
+
+    def shingle_set(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sa, sb = shingle_set(a), shingle_set(b)
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(agree - true_j) < 0.35  # 16 hashes -> coarse but unbiased
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    near = base.replace("w50", "x50")
+    other = " ".join(f"z{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    ham_near = bin(got[1] ^ got[2]).count("1")
+    ham_far = bin(got[1] ^ got[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "a b c d e"     # 3-grams: abc bcd cde
+    b = "a b c d x"     # 3-grams: abc bcd cdx
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(out) == 1
+    assert out[0].jaccard == 0.5  # |∩|=2, |∪|=4
+
+
+def test_cosine_topk_ranking(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0]),   # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, [0], k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_ann_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(df, [0, 1], k=5).collect()}
+    ann = similarity.lsh_ann_topk(df, [0, 1], dim=16, k=5).collect()
+    # ANN returns only same-bucket candidates; every ANN hit must be a
+    # real vector pair with correctly computed cosine (spot check rank 1
+    # is the best in-bucket cosine)
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert all(rs[i].cosine >= rs[i + 1].cosine
+                   for i in range(len(rs) - 1))
+
+
+def test_text_tokenizer_and_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World! 123 foo-bar")], "doc_id long, text string")
+    stats = text.token_stats(df).collect()[0]
+    # tokens: hello world 123 foobar  (punct stripped, '-' removed)
+    assert stats.n_tokens == 4
+    # BPE-ish: Hello , World ! 123 foo - bar  => 8
+    assert stats.n_bpe_tokens == 8
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a hat"),
+         (2, "el gato es un animal y la casa es grande"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert got[1] != got[2]
+    # portable reference computation
+    p, B = hashing.MERSENNE_P, text.FINGERPRINT_BASE
+    acc = 0
+    for w in ["alpha", "beta", "gamma"]:
+        acc = (acc * B + py_md5_long(w) % p) % p
+    assert got[1] == acc
+
+
+def test_multimodal_decode_stub(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string")
+    media = multimodal.fake_media_from_documents(docs)
+    decoded = multimodal.decode_media(media, fake=True).collect()[0]
+    assert decoded.width == len("hello world") % 640 + 16
+    assert len(decoded.features) == multimodal.N_FEATURES
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError)
+
+
+def test_round_portable_spark_matches_python(spark):
+    vals = [1.005, 2.675, 0.5, -1.0045, 0.1234565]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.r for r in df.select(
+        hashing.round_portable(F.col("v")).alias("r")).collect()]
+    exp = [math.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+    assert got == exp

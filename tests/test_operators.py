@@ -1,0 +1,139 @@
+"""Unit tests: operator semantics against hand-computed reference
+behavior (citations inline), serde round-trips, as-of join edges,
+routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mktd6_flink_spark import model
+from mktd6_flink_spark.operators import asof, folds, routing, stateless
+
+
+def test_order_regex_either_semantics(spark):
+    """Chapter02:237-260: regex-pass-parse-fail rows route invalid; '_'
+    not in [a-z0-9]; lowercase types parse (?i) and normalize upper."""
+    cases = [
+        ("1 trader id BUY 5", True),
+        ("12a trader id BUY 5", False),      # parseLong("12a") throws
+        ("1 trader_x id BUY 5", False),      # '_' not [a-z0-9]
+        ("2 p2 t2 sell 8", True),            # (?i)
+        ("3 p3 t3 BUY 99999999999", False),  # Integer.parseInt overflow
+        ("4 p4 t4 FEED 5", False),           # type not BUY|SELL
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    out = df.select(
+        "text", stateless.parse_market_order(F.col("text")).alias("o"))
+    got = {r.text: r.o is not None for r in out.collect()}
+    assert got == dict(cases)
+    sell = out.filter(F.col("text") == "2 p2 t2 sell 8").collect()[0]
+    assert sell.o.type == "SELL"
+
+
+def test_hype_vocabulary_matches_reference(spark):
+    """ShareHypePiece.java:24-31 word lists, 61-84 tokenization: mixed
+    case + punctuation stripped, only vocab words kept."""
+    df = spark.createDataFrame(
+        [("g1", "I LOVE bananas! buy buy... but risky&dangerous, no?")],
+        "id string, text string")
+    out = stateless.hype_words(df)
+    got = [(r.word, r.positive) for r in out.collect()]
+    # 'LOVE'->love +, 'buy' x2 +, 'riskydangerous' (joined by & strip) is
+    # NOT a vocab word, 'no' -
+    assert got == [("love", True), ("buy", True), ("buy", True),
+                   ("no", False)]
+
+
+def test_trader_fold_bailout_golden(spark):
+    """TraderStateUpdater.java:115-139 + TraderState.java:69-83:
+    hand-computed ledger incl. auto-bailout and both rejection paths."""
+    upds = [
+        ("t1", 1, "a", "MARKET", -8.0, 1, False, 0, 0),   # (2, 6)
+        ("t1", 2, "b", "MARKET", 0.0, -6, False, 0, 0),   # (2, 0) <=3 coins,
+        # 0 shares -> bailout -> (12, 5, bailouts=1)
+        ("t1", 3, "c", "MARKET", -13.0, 0, False, 0, 0),  # coins -1 -> reject
+    ]
+    schema = ("trader string, seq long, txnId string, type string, "
+              "coinsDiff double, sharesDiff int, addBailout boolean, "
+              "fedMonkeys int, investDiff int")
+    df = spark.createDataFrame(upds, schema)
+    out = folds.fold_by_key(
+        df, ["trader"], ["seq"],
+        ["txnId", "type", "coinsDiff", "sharesDiff", "addBailout",
+         "fedMonkeys", "investDiff"],
+        folds.trader_state_fold, "state").collect()[0]
+    s = out.state
+    assert (s.coins, s.shares, s.bailouts) == (12.0, 5, 1)
+
+
+def test_asof_join_fallback_first(spark):
+    """ST5 flush semantics: left rows before the first right row get the
+    FIRST right value; <= inclusivity at equal timestamps."""
+    left = spark.createDataFrame(
+        [("k", 1, "early"), ("k", 5, "exact"), ("k", 7, "late")],
+        "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("k", 5, 50.0), ("k", 6, 60.0)], "k string, t long, price double")
+    out = asof.asof_join(left, right, ["k"], "t", "t", ["price"],
+                         fallback="first")
+    got = {r.tag: r.asof_price for r in out.collect()}
+    assert got == {"early": 50.0, "exact": 50.0, "late": 60.0}
+    # standard null fallback
+    out2 = asof.asof_join(left, right, ["k"], "t", "t", ["price"])
+    got2 = {r.tag: r.asof_price for r in out2.collect()}
+    assert got2 == {"early": None, "exact": 50.0, "late": 60.0}
+
+
+def test_tagged_union_widens_schemas(spark):
+    left = spark.createDataFrame([(1, "x")], "id int, a string")
+    right = spark.createDataFrame([(2, 3.5)], "id int, b double")
+    out = routing.tagged_union(left, right)
+    assert set(out.columns) == {"id", "a", "b", "_side"}
+    rows = {r._side: r for r in out.collect()}
+    assert rows["L"].a == "x" and rows["L"].b is None
+    assert rows["R"].b == 3.5 and rows["R"].a is None
+
+
+def test_split_select_partitions_exactly(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    tag = F.when(F.col("v") % 2 == 0, "even").otherwise("odd")
+    branches = routing.split_select(df, tag, "even", "odd")
+    assert branches["even"].count() == 5
+    assert branches["odd"].count() == 5
+    assert "_tag" not in branches["even"].columns
+
+
+def test_topic_serde_round_trip(spark):
+    """BaseJsonSerde round trip through the wire format, composite
+    Trader key (TopicDef.java:20-23)."""
+    t = model.TOPICS["market-orders"]
+    df = spark.createDataFrame(
+        [("BONOBO", "alice", None, "txn1", "BUY", 5)],
+        "team string, name string, time timestamp, txnId string, "
+        "type string, shares int")
+    wire = t.encode(df)
+    back = t.decode(wire).collect()[0]
+    assert (back.team, back.name, back.txnId, back.type, back.shares) == (
+        "BONOBO", "alice", "txn1", "BUY", 5)
+
+
+def test_scalar_string_key_wire_format(spark):
+    """String-keyed topics use a BARE JSON string key ("FOO"), not an
+    object (JsonSerde.StringSerde — ADVICE round 1)."""
+    t = model.TOPICS["share-price"]
+    df = spark.createDataFrame(
+        [("FOO", None, 2.5, 1.01)],
+        "key string, time timestamp, coins double, forecastMult double")
+    wire = df.transform(t.encode).collect()[0]
+    assert wire.key == '"FOO"'  # bare JSON string, reference wire format
+    back = t.decode(spark.createDataFrame([wire], ["key", "value"])).collect()[0]
+    assert back.key == "FOO" and back.coins == 2.5
+
+
+def test_corrupt_payload_decodes_null(spark):
+    """Documented divergence: corrupt JSON -> null row (reference serde
+    throws; we drop — model.py decode docstring)."""
+    t = model.TOPICS["share-price"]
+    raw = spark.createDataFrame([('"FOO"', "{not-json")], ["key", "value"])
+    row = t.decode(raw).collect()[0]
+    assert row.coins is None and row.forecastMult is None

@@ -1,0 +1,251 @@
+"""Structured Streaming tests: the applyInPandasWithState operators run
+as REAL streaming queries (file source → stateful op → memory sink,
+availableNow trigger) — the embedded-Kafka replacement harness from
+SURVEY.md §5 — plus stream/batch twin equivalence and the ST8
+processing-time timer.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mktd6_flink_spark.operators import folds, routing
+from mktd6_flink_spark.streaming import sources, stateful
+
+from tests.test_katas import CH04_GOLDEN
+
+
+def _run_stream(spark, tmp_path, rows, schema, build, name):
+    """file-source → build(stream) → memory sink, availableNow."""
+    in_dir = str(tmp_path / f"{name}_in")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    sources.write_stream_input(spark, in_dir, rows, schema)
+    stream = sources.file_stream_source(spark, in_dir, schema)
+    out = build(stream)
+    q = sources.memory_sink(out, name, ckpt).start()
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_st1_ema_streaming_golden(spark, tmp_path):
+    """The kata-04 golden sequence through the REAL streaming path
+    (single micro-batch = single ordered fold, like the reference's
+    single-partition Kafka order)."""
+    rows = [("EMA", i + 1, float(p))
+            for i, p in enumerate([1, 2, 3, 4, 3, 2, 1])]
+    schema = "key string, seq long, value double"
+
+    def build(stream):
+        return stateful.apply_per_event_stream(
+            stream, ["key"], ["seq"], stateful.ema_step,
+            "key string, ema double", "ema double",
+            stateful.pack1, stateful.unpack1)
+
+    got = [r.ema for r in
+           _run_stream(spark, tmp_path, rows, schema, build,
+                       "ema_stream").orderBy("ema").collect()]
+    assert sorted(got) == sorted(CH04_GOLDEN)
+
+
+def test_st1_state_survives_micro_batches(spark, tmp_path):
+    """EMA state carries across micro-batches: feed 4 prices, then 3 more
+    in a second availableNow run over the same checkpoint."""
+    schema = "key string, seq long, value double"
+    in_dir = str(tmp_path / "ema2_in")
+    ckpt = str(tmp_path / "ema2_ckpt")
+    prices = [1, 2, 3, 4, 3, 2, 1]
+
+    out_dir = str(tmp_path / "ema2_out")
+
+    def run(n):
+        # memory sink can't recover from a checkpoint; foreachBatch can,
+        # and restart-from-checkpoint is exactly what this test exercises
+        stream = sources.file_stream_source(spark, in_dir, schema)
+        out = stateful.apply_per_event_stream(
+            stream, ["key"], ["seq"], stateful.ema_step,
+            "key string, ema double", "ema double",
+            stateful.pack1, stateful.unpack1)
+        run_dir = f"{out_dir}/{n}"
+        q = (out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(run_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return [r.ema for r in spark.read.parquet(run_dir).collect()]
+
+    sources.write_stream_input(
+        spark, in_dir,
+        [("EMA", i + 1, float(p)) for i, p in enumerate(prices[:4])], schema)
+    first = run(1)
+    assert sorted(first) == sorted(CH04_GOLDEN[:4])
+
+    sources.write_stream_input(
+        spark, in_dir,
+        [("EMA", i + 5, float(p)) for i, p in enumerate(prices[4:])], schema)
+    second = run(2)
+    # the second run emits ONLY the new events, continuing from state 1.561
+    assert sorted(second) == sorted(CH04_GOLDEN[4:])
+
+
+def test_st6_stream_matches_batch_fold(spark, tmp_path):
+    """The streaming ledger's final per-trader state equals the batch
+    fold's (folds.trader_state_fold) on the same updater history — and
+    its per-event statuses match reference semantics."""
+    upds = [
+        # (trader, seq, txnId, type, coinsDiff, sharesDiff, addBailout,
+        #  fedMonkeys, investDiff)
+        ("t1", 1, "a", "MARKET", -5.0, 2, False, 0, 0),    # ok: 5, 7
+        ("t1", 2, "b", "MARKET", -20.0, 3, False, 0, 0),   # rejected coins
+        ("t1", 3, "c", "FEED", 0.0, -8, False, 8, 0),      # rejected shares
+        ("t1", 4, "d", "MARKET", -4.0, -7, False, 0, 0),   # 1, 0 -> bailout
+        ("t2", 1, "e", "INVEST", -2.0, 0, False, 0, 1),    # ok: 8, inflight 1
+    ]
+    schema = ("trader string, seq long, txnId string, type string, "
+              "coinsDiff double, sharesDiff int, addBailout boolean, "
+              "fedMonkeys int, investDiff int")
+
+    def build(stream):
+        return stateful.apply_per_event_stream(
+            stream, ["trader"], ["seq"], stateful.trader_ledger_step,
+            "trader string, txnId string, type string, status string, "
+            "coins double, shares int, bailouts int, fedMonkeys int, "
+            "inFlightInvestments int",
+            "coins double, shares int, bailouts int, fedMonkeys int, "
+            "inFlightInvestments int",
+            lambda s: (float(s[0]), int(s[1]), int(s[2]), int(s[3]),
+                       int(s[4])),
+            lambda r: tuple(r))
+
+    out = _run_stream(spark, tmp_path, upds, schema, build, "ledger")
+    rows = {(r.trader, r.txnId): r for r in out.collect()}
+    assert rows[("t1", "a")].status == "ACCEPTED"
+    assert rows[("t1", "b")].status == "INSUFFICIENT_COINS"
+    assert rows[("t1", "c")].status == "INSUFFICIENT_SHARES"
+    # d: 5-4=1 coins, 7-7=0 shares -> needs bailout -> 11 coins, 5 shares
+    d = rows[("t1", "d")]
+    assert (d.status, d.coins, d.shares, d.bailouts) == ("ACCEPTED", 11.0, 5, 1)
+
+    # batch twin agreement on final state
+    df = spark.createDataFrame(upds, schema)
+    batch = folds.fold_by_key(
+        df, ["trader"], ["seq"],
+        ["txnId", "type", "coinsDiff", "sharesDiff", "addBailout",
+         "fedMonkeys", "investDiff"],
+        folds.trader_state_fold, "state")
+    final_stream = {}
+    for r in out.collect():
+        final_stream[r.trader] = (r.coins, r.shares, r.bailouts,
+                                  r.fedMonkeys, r.inFlightInvestments)
+    for r in batch.collect():
+        s = r.state
+        assert final_stream[r.trader] == (
+            s.coins, s.shares, s.bailouts, s.fedMonkeys,
+            s.inFlightInvestments)
+
+
+def test_st5_order_buffering(spark, tmp_path):
+    """MarketDataflow.java:190-268 semantics: orders before any price are
+    buffered and flushed in event-time order at the first price; later
+    orders settle immediately at the latest price."""
+    rows = [
+        # key, seq, _side, time_ms, txnId, shares, price
+        ("FOO", 1, "L", 100, "o1", 5, None),     # buffered
+        ("FOO", 2, "L", 50, "o2", 3, None),      # buffered (earlier time!)
+        ("FOO", 3, "R", 150, None, None, 2.0),   # flush o2 then o1 @ 2.0
+        ("FOO", 4, "L", 200, "o3", 7, None),     # immediate @ 2.0
+        ("FOO", 5, "R", 250, None, None, 3.0),   # price update
+        ("FOO", 6, "L", 300, "o4", 1, None),     # immediate @ 3.0
+    ]
+    schema = ("key string, seq long, _side string, time_ms long, "
+              "txnId string, shares int, price double")
+
+    def build(stream):
+        return stateful.apply_per_event_stream(
+            stream, ["key"], ["seq"], stateful.order_buffer_step,
+            "key string, txnId string, shares int, settle_price double",
+            "price double, buffered string",
+            lambda s: (
+                -1.0 if s[0] is None else float(s[0]),
+                ";".join(f"{t},{x},{sh}" for (t, x, sh) in s[1]),
+            ),
+            lambda r: (
+                None if r[0] == -1.0 else r[0],
+                tuple(
+                    (int(p.split(",")[0]), p.split(",")[1],
+                     int(p.split(",")[2]))
+                    for p in r[1].split(";") if p
+                ),
+            ))
+
+    out = _run_stream(spark, tmp_path, rows, schema, build, "st5")
+    got = [(r.txnId, r.settle_price) for r in out.collect()]
+    assert got == [("o2", 2.0), ("o1", 2.0), ("o3", 2.0), ("o4", 3.0)]
+
+
+def test_st8_delayed_return_timer(spark, tmp_path):
+    """MarketDataflow.java:348-392: the RETURN updater fires via a
+    processing-time timer after the configured delay (timer fires on a
+    subsequent micro-batch — the documented heartbeat mitigation)."""
+    schema = ("txnId string, trader string, invested double, "
+              "delay_ms long")
+    in_dir = str(tmp_path / "st8_in")
+    ckpt = str(tmp_path / "st8_ckpt")
+    sources.write_stream_input(
+        spark, in_dir, [("txn1", "t1", 4.0, 300)], schema)
+    stream = sources.file_stream_source(spark, in_dir, schema)
+    out = stateful.delayed_return_stream(
+        stream,
+        "txnId string, trader string, type string, coinsDiff double, "
+        "investDiff int",
+        compute_return=lambda row: row["invested"] * 1.5)
+    q = (out.writeStream.format("memory").queryName("st8")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            # heartbeat: new files force micro-batches so the timeout is
+            # evaluated (Spark fires ProcessingTimeTimeout on batch runs)
+            sources.write_stream_input(
+                spark, in_dir, [("hb", "hb", 0.0, 600000)], schema)
+            rows = spark.sql(
+                "SELECT * FROM st8 WHERE type = 'RETURN' "
+                "AND txnId = 'txn1'").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert rows, "RETURN updater never fired"
+    assert rows[0].coinsDiff == 6.0 and rows[0].investDiff == -1
+
+
+def test_s2_log_normal_source_plan(spark):
+    """S2 builds a valid streaming plan (rate source → exp(randn·σ+μ))."""
+    df = sources.log_normal_mult_source(spark, seed=42)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["time", "mult"]
+
+
+def test_k2_dashboard_sink(spark, tmp_path):
+    """K2: trader-state docs land in the dashboard store with exactly the
+    Dashboard.java:92-99 projection."""
+    schema = ("team string, trader string, time timestamp, coins double, "
+              "shares int, bailouts int, fedMonkeys int, extra string")
+    rows = [("BONOBO", "t1", None, 10.0, 5, 0, 0, "drop-me")]
+    in_dir = str(tmp_path / "dash_in")
+    out_dir = str(tmp_path / "dash_out")
+    ckpt = str(tmp_path / "dash_ckpt")
+    sources.write_stream_input(spark, in_dir, rows, schema)
+    stream = sources.file_stream_source(spark, in_dir, schema)
+    q = (sources.dashboard_sink(stream, out_dir, ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    docs = spark.read.parquet(out_dir)
+    assert docs.columns == ["team", "trader", "time", "coins", "shares",
+                            "bailouts", "fedMonkeys"]
+    assert docs.count() == 1
