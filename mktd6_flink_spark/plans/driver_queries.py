@@ -1459,3 +1459,156 @@ def mm_frame_plan(spark, sf_dir):
         "kind",
         F.when(F.col("media_id") % 3 == 2, "video").otherwise("image"))
     return mm.frame_sample_plan(media, every_ms=1000)
+
+
+# ===========================================================================
+# ST3 bubble-burst + W4 coGroup batch twins
+# ===========================================================================
+
+# BurstStep.java:9-29 damping chain, STEP1..STEP10.
+_BURST_MULTS = {1: 0.95, 2: 0.9, 3: 0.8, 4: 0.7, 5: 0.7,
+                6: 0.8, 7: 0.9, 8: 0.95, 9: 1.2, 10: 1.1}
+
+_ST3_MULT_SQL = ("CASE CAST(acc[3] AS INTEGER) "
+                 + " ".join(f"WHEN {k} THEN {v}"
+                            for k, v in _BURST_MULTS.items())
+                 + " ELSE 1.0 END")
+
+# state [running, prev_diff, step]; element [infl, rand]
+_ST3_RUN = "(acc[1] + x[1])"
+_ST3_D0 = f"({_ST3_RUN} - acc[2])"
+_ST3_D1 = (f"(CASE WHEN acc[3] > 0.0 THEN {_ST3_D0} * ({_ST3_MULT_SQL}) "
+           f"ELSE {_ST3_D0} END)")
+_ST3_STEP2 = (
+    "(CASE WHEN acc[3] > 0.0 THEN "
+    "   (CASE WHEN acc[3] < 10.0 THEN acc[3] + 1.0 ELSE 0.0 END) "
+    f"  WHEN x[2] < {_ST3_D0} * 0.01 THEN 1.0 ELSE 0.0 END)")
+_ST3_FOLD = f"[{_ST3_RUN}, {_ST3_D1}, {_ST3_STEP2}]"
+
+# deterministic uniform in [0,1): md5-based, portable
+_ST3_RAND_SQL = ("(CAST(concat('0x', substr(md5(concat('burst|', event_type, "
+                 "'|', event_id)), 1, 15)) AS BIGINT) % 1048576) / 1048576.0")
+
+
+@register("st3_bubble_burst", f"""
+WITH {EV_SQL},
+e AS (
+  SELECT event_type, ts, event_id,
+         CAST([CASE WHEN value < 25.0 THEN 0.01 ELSE -0.01 END,
+               {_ST3_RAND_SQL}] AS DOUBLE[]) AS u
+  FROM ev
+),
+seqs AS (SELECT event_type, list(u ORDER BY ts, event_id) AS us
+         FROM e GROUP BY event_type),
+folded AS (
+  SELECT event_type,
+         list_reduce(list_prepend(CAST([0.0, 0.0, 0.0] AS DOUBLE[]), us),
+                     (acc, x) -> {_ST3_FOLD}) AS st
+  FROM seqs)
+SELECT event_type,
+       ROUND6(st[1]) AS hype_total,
+       ROUND6(st[2]) AS diff,
+       CAST(st[3] AS INTEGER) AS burst_step
+FROM folded
+""")
+def st3_bubble_burst(spark, sf_dir):
+    """ST3 bubble-burst state machine (SharePriceDataflow.java:169-225,
+    BurstStep.java:9-29) as a batch fold with DETERMINISTIC md5-based
+    burst randomness (java:216's random.nextDouble() injected as data so
+    the oracle can replay it). Exact semantics incl. the java:221 quirk
+    where the persistent 'bursts' value is the previous diff. Returns
+    the final (running hype, diff, step) per key; per-event emission
+    lives in streaming/stateful.bubble_burst_step."""
+    ev = events_enriched(spark, sf_dir)
+    rand = (
+        md5_long(F.concat(F.lit("burst|"), F.col("event_type"),
+                          F.lit("|"), F.col("event_id"))) % 1048576
+    ).cast("double") / 1048576.0
+    infl = F.when(F.col("value") < 25.0, 0.01).otherwise(-0.01)
+    src = ev.select("event_type", "ts", "event_id",
+                    infl.alias("infl"), rand.alias("rand"))
+
+    def init():
+        return F.struct(
+            F.lit(0.0).alias("running"),
+            F.lit(0.0).alias("prev_diff"),
+            F.lit(0).cast("int").alias("step"),
+        )
+
+    def mult_for(step_col):
+        expr = None
+        for k, v in _BURST_MULTS.items():
+            expr = (F.when(step_col == k, F.lit(v)) if expr is None
+                    else expr.when(step_col == k, F.lit(v)))
+        return expr.otherwise(F.lit(1.0))
+
+    def fold_step(acc, x):
+        running = acc["running"] + x["infl"]
+        d0 = running - acc["prev_diff"]
+        in_burst = acc["step"] > 0
+        d1 = F.when(in_burst, d0 * mult_for(acc["step"])).otherwise(d0)
+        step2 = (
+            F.when(in_burst,
+                   F.when(acc["step"] < 10, acc["step"] + 1).otherwise(0))
+            .when(x["rand"] < d0 * F.lit(0.01), 1)
+            .otherwise(0)
+        )
+        return F.struct(
+            running.alias("running"),
+            d1.alias("prev_diff"),
+            step2.cast("int").alias("step"),
+        )
+
+    out = folds.fold_by_key(
+        src, ["event_type"], ["ts", "event_id"], ["infl", "rand"],
+        lambda seq: F.aggregate(seq, init(), fold_step), "st")
+    return out.select(
+        "event_type",
+        round_portable(F.col("st.running")).alias("hype_total"),
+        round_portable(F.col("st.prev_diff")).alias("diff"),
+        F.col("st.step").alias("burst_step"),
+    )
+
+
+@register("w4_cogroup_latest", f"""
+WITH {EV_SQL},
+c AS (SELECT trader, value FROM (
+        SELECT trader, value, row_number() OVER (
+          PARTITION BY trader ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE event_type = 'click') WHERE rn = 1),
+v AS (SELECT trader, value FROM (
+        SELECT trader, value, row_number() OVER (
+          PARTITION BY trader ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE event_type = 'view') WHERE rn = 1)
+SELECT coalesce(c.trader, v.trader) AS trader,
+       c.value AS last_txn_coins,
+       v.value AS last_price,
+       CASE WHEN c.value IS NULL OR v.value IS NULL THEN 'HOLD'
+            WHEN c.value > v.value THEN 'BUY' ELSE 'SELL' END AS decision
+FROM c FULL OUTER JOIN v ON c.trader = v.trader
+""")
+def w4_cogroup_latest(spark, sf_dir):
+    """W4 global-window coGroup batch twin
+    (MonkeyStockChampion.java:143-232): pair each trader's latest
+    TxnResult-side value with the latest price-side value (full outer —
+    coGroup sees one-sided groups too) and emit a per-trader decision.
+    The per-element-trigger streaming form is the ST4/ST10 tagged-union
+    pattern in streaming/stateful.py."""
+    ev = events_enriched(spark, sf_dir)
+    latest = lambda et: (
+        ev.filter(F.col("event_type") == et)
+        .groupBy("trader")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    c = latest("click").withColumnRenamed("value", "last_txn_coins")
+    v = latest("view").withColumnRenamed("value", "last_price")
+    joined = c.join(v, "trader", "full_outer")
+    return joined.select(
+        "trader",
+        "last_txn_coins",
+        "last_price",
+        F.when(F.col("last_txn_coins").isNull()
+               | F.col("last_price").isNull(), "HOLD")
+        .when(F.col("last_txn_coins") > F.col("last_price"), "BUY")
+        .otherwise("SELL").alias("decision"),
+    )

@@ -298,3 +298,33 @@ def pack1(state: tuple) -> tuple:
 
 def unpack1(row: tuple) -> tuple:
     return (row[0],)
+
+
+BURST_MULTS = {1: 0.95, 2: 0.9, 3: 0.8, 4: 0.7, 5: 0.7,
+               6: 0.8, 7: 0.9, 8: 0.95, 9: 1.2, 10: 1.1}
+
+
+def bubble_burst_step():
+    """ST3 — hype bubble-burst state machine
+    (SharePriceDataflow.java:169-225, BurstStep.java:9-29), exact
+    semantics including the quirk that priceState is finally overwritten
+    with ``diff`` (java:221) so the persistent "bursts" value is simply
+    the previous diff.
+
+    Rows carry a precomputed ``rand`` column in [0,1) — the burst-entry
+    randomness (java:216 ``random.nextDouble() < diff * 0.01``) is
+    injected as data so tests and the DuckDB oracle can pin it
+    deterministically (portable md5-based uniforms) while production
+    feeds real entropy. State: (prev_diff, step_idx 0=not-bursting).
+    """
+    def step(state, row):
+        prev_diff, step_idx = (0.0, 0) if state is None else state
+        value = float(row["value"])
+        diff = value - prev_diff
+        if step_idx > 0:
+            diff = diff * BURST_MULTS[step_idx]
+            step_idx = step_idx + 1 if step_idx < 10 else 0
+        elif float(row["rand"]) < diff * 0.01:
+            step_idx = 1
+        return (diff, step_idx), {"diff": diff, "burst_step": step_idx}
+    return step

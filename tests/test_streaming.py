@@ -249,3 +249,46 @@ def test_k2_dashboard_sink(spark, tmp_path):
     assert docs.columns == ["team", "trader", "time", "coins", "shares",
                             "bailouts", "fedMonkeys"]
     assert docs.count() == 1
+
+
+def test_t1_watermark_drops_late_rows(spark, tmp_path):
+    """T1-T5 (TimestampExtractor.java:8-18): bounded out-of-orderness
+    watermark; rows later than watermark past the window end are DROPPED
+    (Flink default no-allowed-lateness = Spark withWatermark append
+    semantics)."""
+    from mktd6_flink_spark.operators import windows
+
+    schema = "player string, invested double, ms long"
+    in_dir = str(tmp_path / "wm_in")
+    ckpt = str(tmp_path / "wm_ckpt")
+    base = 1700000000000
+
+    out_dir = str(tmp_path / "wm_out")
+
+    def run(n, rows):
+        sources.write_stream_input(spark, in_dir, rows, schema)
+        stream = sources.file_stream_source(spark, in_dir, schema).select(
+            "player", "invested", F.timestamp_millis(F.col("ms")).alias("time"))
+        out = windows.window_sum_first(
+            stream, "time", "player", "invested", "player",
+            "100 milliseconds", watermark="10 milliseconds")
+        q = (out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    # batch 1: window [0,100) data + a row far ahead that advances the
+    # watermark past the first window's end
+    run(1, [("p1", 1.0, base + 10), ("p1", 2.0, base + 20),
+            ("p2", 5.0, base + 10_000)])
+    # batch 2: a LATE row for the long-closed first window -> dropped
+    run(2, [("p1", 100.0, base + 30)])
+    # batch 3: advance watermark far enough to close p2's window and flush
+    final = run(3, [("p3", 7.0, base + 100_000)])
+    sums = {r.player: r.sum_invested for r in final}
+    # p1's window closed with 3.0 (late 100.0 dropped); p2 flushed with 5.0
+    assert sums.get("p1") == 3.0
+    assert sums.get("p2") == 5.0
