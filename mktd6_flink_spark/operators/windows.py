@@ -116,3 +116,56 @@ def top_k(df: DataFrame, key: str, value: str, k: int = 5) -> DataFrame:
         .orderBy(F.col(f"sum_{value}").desc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def running_sum_scalable(df: DataFrame, key_cols: list[str],
+                         order_cols: list[str], value: str,
+                         out: str = "running_sum",
+                         partitions: int | None = None) -> DataFrame:
+    """W3 at 100 TB — the scalable prefix sum. A plain analytic window
+    with few (or constant, P11 "FOO") keys funnels the whole stream into
+    one partition; this classic two-phase plan doesn't:
+
+    1. range-partition by (keys, order) — global order across partition
+       ids, parallel within;
+    2. per-partition local cumsum (parallel analytic window over
+       (keys, _pid));
+    3. block totals = last local cumsum per (keys, _pid) — a tiny
+       table (#partitions rows) whose per-key cumulative offsets cost
+       one trivially small window;
+    4. broadcast the offsets back and add.
+
+    The only sequential step is over #partitions rows, not #rows.
+    Exact for integer/cents accumulators (addition is associative);
+    for floats the addition order differs from the sequential fold by
+    design — callers needing bit-stable float order keep the
+    single-partition form and its scale limits.
+    """
+    n = partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    order_exprs = [F.col(c) for c in key_cols + order_cols]
+    parts = df.repartitionByRange(n, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id())
+    wloc = (
+        Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.withColumn("_local", F.sum(value).over(wloc))
+    # block total = the LAST local cumsum of the block (works for
+    # negative values, unlike max); single lineage so the sampled range
+    # boundaries can't diverge between subplans
+    totals = local.groupBy(*key_cols, "_pid").agg(
+        F.max_by("_local", F.struct(*[F.col(c) for c in order_cols]))
+        .alias("_tot"))
+    woff = (
+        Window.partitionBy(*key_cols).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *key_cols, "_pid",
+        F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"))
+    return (
+        local.join(F.broadcast(offsets), key_cols + ["_pid"])
+        .withColumn(out, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )

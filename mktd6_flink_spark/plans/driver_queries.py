@@ -652,8 +652,11 @@ def w3_running_sum(spark, sf_dir):
     """W3 per-key running sum emitted per element
     (SharePriceDataflow.java:121-122), exact integer-cents accumulation."""
     ev = events_enriched(spark, sf_dir).withColumn("_c", _cents(F.col("value")))
-    out = windows.running_sum(ev, ["event_type"], ["ts", "event_id"], "_c",
-                              out="_rs")
+    # 5 distinct keys would bottleneck a plain analytic window at scale;
+    # the two-phase prefix sum parallelizes within each key (exact:
+    # integer cents, associative)
+    out = windows.running_sum_scalable(
+        ev, ["event_type"], ["ts", "event_id"], "_c", out="_rs")
     return out.select(
         "event_id", "event_type",
         (F.col("_rs").cast("double") / 100.0).alias("running_sum"),
@@ -1104,11 +1107,13 @@ def dataflow_hype_influence(spark, sf_dir):
             .otherwise(-1).alias("infl"),
         )
     )
-    w = (Window.partitionBy(F.lit(1)).orderBy("ts", "event_id", "pos")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return pieces.select(
+    # constant-key running sum = the P11 single-partition hotspot; use
+    # the scalable two-phase prefix sum (exact: +/-1 integers)
+    out = windows.running_sum_scalable(
+        pieces, [], ["ts", "event_id", "pos"], "infl", out="_rs")
+    return out.select(
         "event_id", "pos",
-        (F.sum("infl").over(w).cast("double") / 100.0).alias("hype_total"),
+        (F.col("_rs").cast("double") / 100.0).alias("hype_total"),
     )
 
 

@@ -137,3 +137,21 @@ def test_corrupt_payload_decodes_null(spark):
     raw = spark.createDataFrame([('"FOO"', "{not-json")], ["key", "value"])
     row = t.decode(raw).collect()[0]
     assert row.coins is None and row.forecastMult is None
+
+
+def test_running_sum_scalable_matches_sequential(spark):
+    """The two-phase prefix sum equals the single-partition window on
+    integer accumulators, including negative values and multiple keys."""
+    import random
+
+    from mktd6_flink_spark.operators import windows
+
+    rng = random.Random(13)
+    rows = [(f"k{i % 3}", i, rng.randint(-50, 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, seq int, v long")
+    simple = windows.running_sum(df, ["k"], ["seq"], "v", "rs")
+    scalable = windows.running_sum_scalable(df, ["k"], ["seq"], "v", "rs",
+                                            partitions=16)
+    a = {(r.k, r.seq): r.rs for r in simple.collect()}
+    b = {(r.k, r.seq): r.rs for r in scalable.collect()}
+    assert a == b
