@@ -224,3 +224,12 @@ def accepted_only(status: Column) -> Column:
 def positive_balance(coins: Column) -> Column:
     """P17 — coins > 0 guard (MonkeyStockTrader.java:293-298)."""
     return coins > 0
+
+
+def log_passthrough(df: DataFrame, name: str = "p18") -> DataFrame:
+    """P18 — logging pass-through (Gibber.java:91-96,
+    MonkeyStockChampion.java:109-115). Per-row side-effect logging is an
+    anti-pattern on a distributed engine; the idiomatic Spark equivalent
+    is an observable metric on the pass-through: row counts surface in
+    QueryProgress / listener events without touching the data path."""
+    return df.observe(name, F.count(F.lit(1)).alias("rows"))

@@ -1617,3 +1617,65 @@ def w4_cogroup_latest(spark, sf_dir):
         .when(F.col("last_txn_coins") > F.col("last_price"), "BUY")
         .otherwise("SELL").alias("decision"),
     )
+
+
+# ===========================================================================
+# Per-event stateful emission in the graded gate + extra dashboard agg
+# ===========================================================================
+
+@register("st1_ema_per_event", f"""
+WITH {EV_SQL},
+s AS (SELECT event_type,
+             list(value ORDER BY ts, event_id) AS vs,
+             list(event_id ORDER BY ts, event_id) AS ids
+      FROM ev GROUP BY event_type),
+x AS (SELECT event_type,
+             unnest(ids) AS event_id,
+             unnest(list_transform(generate_series(1, len(vs)),
+                 i -> list_reduce(list_slice(vs, 1, i),
+                      (acc, v) -> v * CAST(0.1 AS DOUBLE)
+                                  + acc * CAST(0.9 AS DOUBLE)))) AS ema
+      FROM s)
+SELECT event_type, event_id, ROUND6(ema) AS ema FROM x
+""")
+def st1_ema_per_event(spark, sf_dir):
+    """ST1 with PER-EVENT emission (the reference's actual behavior —
+    Chapter04:91-99 collects each update) via the Arrow applyInPandas
+    batch twin; the oracle replays every prefix fold. This puts the
+    pandas per-event engine itself under the correctness gate."""
+    from ..streaming import stateful
+
+    ev = events_enriched(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value")
+    out = stateful.apply_per_event_batch(
+        ev.withColumn("_ems", F.col("event_id")),
+        ["event_type"], ["ts", "event_id"],
+        lambda: (lambda state, row: (
+            ((float(row["value"]) if state is None
+              else float(row["value"]) * 0.1 + state[0] * 0.9),),
+            {"event_id": int(row["event_id"]),
+             "ema": (float(row["value"]) if state is None
+                     else float(row["value"]) * 0.1 + state[0] * 0.9)},
+        )),
+        "event_type string, event_id long, ema double")
+    return out.select("event_type", "event_id",
+                      round_portable(F.col("ema")).alias("ema"))
+
+
+@register("w5_sum_team_trader", f"""
+WITH {EV_SQL}
+SELECT team, trader,
+       CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+         AS sum_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM ev GROUP BY team, trader
+""")
+def w5_sum_team_trader(spark, sf_dir):
+    """W5 'Sum of Bailouts per Team and Trader' pie — two-level grouping
+    (kibana-dashboard.json)."""
+    ev = events_enriched(spark, sf_dir)
+    return ev.groupBy("team", "trader").agg(
+        (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+        .alias("sum_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

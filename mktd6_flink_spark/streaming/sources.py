@@ -133,3 +133,21 @@ def dashboard_sink(df: DataFrame, out_dir: str, checkpoint: str):
         .writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def tweet_stream_to_gibbs(raw_tweets: DataFrame,
+                          json_col: str = "value") -> DataFrame:
+    """S3 — the Twitter firehose ingest (Gibber.java:86-174): parse raw
+    tweet JSON, require id_str/text, keep (?i)banana tweets, emit Gibb
+    rows. The network client itself is out of scope (no twitter lib /
+    credentials here; in the reference it's hosebird + trackTerms) —
+    feed this from any stream of raw tweet JSON (Kafka, file, socket).
+    """
+    from ..operators.stateless import extract_tweet
+
+    parsed = raw_tweets.select(
+        extract_tweet(F.col(json_col)).alias("t"),
+        F.current_timestamp().alias("time"),
+    )
+    return parsed.filter(F.col("t").isNotNull()).select(
+        F.col("t.id").alias("id"), "time", F.col("t.text").alias("text"))

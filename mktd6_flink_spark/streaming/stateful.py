@@ -328,3 +328,12 @@ def bubble_burst_step():
             step_idx = 1
         return (diff, step_idx), {"diff": diff, "burst_step": step_idx}
     return step
+
+
+def sequence_counter_step():
+    """ST9 — per-key monotone txn-id counter
+    (MonkeyStockTrader.java:167-206): state = int, emit seq per event."""
+    def step(state, row):
+        n = (0 if state is None else int(state[0])) + 1
+        return (n,), {"seq": n}
+    return step
