@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .hashing import (
     MERSENNE_P,
@@ -95,6 +96,33 @@ def sql_shingles(expr: str, n: int = SHINGLE_N) -> str:
     )
 
 
+def shingles_exploded(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id", n: int = SHINGLE_N,
+                      distinct: bool = False) -> DataFrame:
+    """(id, shingle) rows via posexplode + lead window — 8x faster than
+    the array-expression form at sf0.1 (Catalyst re-evaluates the
+    tokenizer inside HOF lambdas; the window plan tokenizes once and
+    shuffles by doc, which is one well-distributed exchange). Set
+    ``distinct`` for set semantics (needed by Jaccard counts; MinHash is
+    idempotent to duplicates and skips it)."""
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    grams = (
+        df.select(F.col(id_col), F.posexplode(tokens(F.col(text)))
+                  .alias("_pos", "_w"))
+        .select(
+            id_col, "_pos", "_w",
+            *[F.lead("_w", i).over(w).alias(f"_w{i}") for i in range(1, n)],
+        )
+        .filter(F.col(f"_w{n - 1}").isNotNull())
+        .select(
+            id_col,
+            F.concat_ws(" ", "_w", *[f"_w{i}" for i in range(1, n)])
+            .alias("shingle"),
+        )
+    )
+    return grams.dropDuplicates([id_col, "shingle"]) if distinct else grams
+
+
 def minhash_signature(text: Column, num_hashes: int = NUM_HASHES,
                       n: int = SHINGLE_N) -> Column:
     """MinHash signature: array of ``num_hashes`` min-values of the universal
@@ -153,10 +181,9 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
     """
     rows_per_band = num_hashes // bands
     params = hash_params(num_hashes)
-    shingled = df.select(
+    shingled = shingles_exploded(df, text, id_col, n).select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text), n)).alias("_s"),
-    ).select("_id", md5_long(F.col("_s")).alias("_h"))
+        md5_long(F.col("shingle")).alias("_h"))
     sig = shingled.groupBy("_id").agg(*[
         F.min(universal_hash(F.col("_h"), a, b)).alias(f"_m{j}")
         for j, (a, b) in enumerate(params)
@@ -301,10 +328,13 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
     minhash_lsh_pairs as the blocking stage and run this only on its
     candidates.
     """
-    base = df.select(
+    grams = shingles_exploded(df, text, id_col, n, distinct=True)
+    if group_col:
+        grams = grams.join(df.select(id_col, group_col), id_col)
+    base = grams.select(
         F.col(id_col).alias("_id"),
         *([F.col(group_col).alias("_g")] if group_col else []),
-        F.explode(shingles(F.col(text), n)).alias("_ng"),
+        F.col("shingle").alias("_ng"),
     )
     counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = base.alias("a"), base.alias("b")
@@ -360,3 +390,78 @@ def sql_ngram_jaccard_pairs(table: str = "documents", text: str = "text",
     WHERE ROUND6(CAST(_common AS DOUBLE)
                 / CAST(ca._n + cb._n - _common AS DOUBLE)) >= {threshold}
     """)
+
+
+# -- near-dup clustering (connected components) ------------------------------
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "doc_id",
+                         max_iter: int = 20) -> DataFrame:
+    """Union near-dup pairs into clusters: each node's label converges to
+    the MIN id in its connected component via iterative label
+    propagation (alternating small-star-ish min-joins). Iterations are
+    O(component diameter) — bounded by ``max_iter`` with an early stop
+    when a sweep changes nothing, so the driver loop runs a handful of
+    distributed joins, never a per-row loop.
+
+    Returns (id, component). The canonical dedup policy "keep the
+    smallest id per cluster" is then ``component == id``.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min,
+                        labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")))
+                .alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("component"))
+
+
+def sql_connected_components(nodes_sql: str, edges_sql: str,
+                             id_col: str = "doc_id") -> str:
+    """DuckDB twin via recursive transitive closure (fine at oracle
+    scale; the Spark path above is the one that scales)."""
+    return f"""
+    WITH RECURSIVE
+    nodes AS ({nodes_sql}),
+    edges AS ({edges_sql}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+      UNION SELECT {id_col}, {id_col} FROM nodes
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON e.src = r.dst
+    )
+    SELECT src AS {id_col}, min(dst) AS component
+    FROM reach GROUP BY src
+    """

@@ -215,3 +215,125 @@ def sql_lsh_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
           FROM scored)
     WHERE rank <= {k}
     """)
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+IVF_CENTROID_MOD = 50   # deterministic "training": vec_id % MOD == 0
+IVF_NPROBE = 2
+
+
+def ivf_assign(embeddings: DataFrame, dim: int,
+               centroid_mod: int = IVF_CENTROID_MOD,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: centroids are a deterministic sample of
+    the corpus (vec_id % mod == 0 — a stand-in for k-means that both
+    engines and every executor can reproduce without shared state); each
+    vector joins its best centroid by cosine (tie → lowest centroid id).
+    The assignment is a broadcast cross join against the small centroid
+    set — map-side, no corpus shuffle: the inverted lists ARE the
+    partition layout at scale."""
+    cents = F.broadcast(
+        embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    scored = embeddings.crossJoin(cents).select(
+        id_col, vec_col, "centroid_id",
+        round_portable(cosine(F.col(vec_col), F.col("_cvec")))
+        .alias("_ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
+                 k: int = 5, nprobe: int = IVF_NPROBE,
+                 centroid_mod: int = IVF_CENTROID_MOD,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroids and
+    ranks only those inverted lists by exact cosine — candidates are
+    O(n * nprobe / n_centroids) instead of O(n)."""
+    assigned = ivf_assign(embeddings, dim, centroid_mod, id_col, vec_col)
+    cents = F.broadcast(
+        embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    probe_scored = q.crossJoin(cents).select(
+        "query_id", "_qv", "centroid_id",
+        round_portable(cosine(F.col("_qv"), F.col("_cvec"))).alias("_pcos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_pcos").desc(), F.col("centroid_id").asc())
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+    cands = probes.join(assigned, "centroid_id").filter(
+        F.col("query_id") != F.col(id_col))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        round_portable(cosine(F.col("_qv"), F.col(vec_col))).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sql_ivf_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
+                     nprobe: int = IVF_NPROBE,
+                     centroid_mod: int = IVF_CENTROID_MOD,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    acos = sql_cosine("v._v", "c._cvec", dim)
+    pcos = sql_cosine("q._qv", "c._cvec", dim)
+    fcos = sql_cosine("q._qv", "a._v", dim)
+    return expand_round6(f"""
+    WITH cents AS (SELECT {id_col} AS centroid_id, {vec_col} AS _cvec
+                   FROM {table} WHERE {id_col} % {centroid_mod} = 0),
+    v AS (SELECT {id_col} AS vid, {vec_col} AS _v FROM {table}),
+    assigned AS (
+      SELECT vid, _v, centroid_id FROM (
+        SELECT v.vid, v._v, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vid
+                 ORDER BY ROUND6({acos}) DESC, c.centroid_id ASC) AS rn
+        FROM v CROSS JOIN cents c) WHERE rn = 1),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv FROM {table}
+          WHERE {id_col} IN ({ids})),
+    probes AS (
+      SELECT query_id, _qv, centroid_id FROM (
+        SELECT q.query_id, q._qv, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND6({pcos}) DESC, c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN cents c) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT DISTINCT q.query_id, a.vid AS neighbor_id,
+             ROUND6({fcos}) AS cosine
+      FROM probes q JOIN assigned a ON a.centroid_id = q.centroid_id
+      WHERE q.query_id <> a.vid)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """)

@@ -1679,3 +1679,29 @@ def w5_sum_team_trader(spark, sf_dir):
         .alias("sum_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register("dedup_clusters", dd.sql_connected_components(
+    "SELECT doc_id FROM documents UNION ALL "
+    "SELECT doc_id + 10000 FROM documents WHERE doc_id < 50",
+    _with_docs2(dd.sql_minhash_lsh_pairs("docs2"))
+    .replace("SELECT id_a, id_b, est_jaccard FROM pairs",
+             "SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5")))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH candidate pairs (est_jaccard >= 0.5) →
+    connected components → per-doc cluster label (min id). The planted
+    mutated docs collapse onto their originals. Iterative min-label
+    propagation in Spark; recursive-CTE transitive closure in the
+    oracle."""
+    docs = _docs2(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return dd.connected_components(docs.select("doc_id"), pairs)
+
+
+@register("sim_ivf_ann",
+          sim.sql_ivf_ann_topk("embeddings", _QUERY_IDS, _EMB_DIM, k=5))
+def sim_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer + inverted lists + 2-probe
+    search — the clustered counterpart to sign-LSH bucketing."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)

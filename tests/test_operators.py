@@ -155,3 +155,62 @@ def test_running_sum_scalable_matches_sequential(spark):
     a = {(r.k, r.seq): r.rs for r in simple.collect()}
     b = {(r.k, r.seq): r.rs for r in scalable.collect()}
     assert a == b
+
+
+def test_trader_fold_randomized_differential(spark):
+    """Two independent ST6 implementations — the JVM Column fold
+    (folds.trader_state_fold) and the pure-Python step
+    (streaming/stateful.trader_ledger_step) — must agree on 200 random
+    updater sequences (deltas spanning accepts, both rejection paths,
+    bailout triggers, INVEST/FEED mixes)."""
+    import random
+
+    from mktd6_flink_spark.streaming import stateful
+
+    rng = random.Random(42)
+    rows = []
+    for k in range(200):
+        for i in range(rng.randint(1, 12)):
+            utype = rng.choice(["MARKET", "MARKET", "INVEST", "FEED"])
+            if utype == "MARKET":
+                sh = rng.randint(-6, 6)
+                rows.append((f"k{k}", i, f"t{i}", utype,
+                             round(-sh * 2.0, 2), sh, False, 0, 0))
+            elif utype == "INVEST":
+                inv = round(rng.uniform(0.5, 12.0), 2)
+                rows.append((f"k{k}", i, f"t{i}", utype, -inv, 0, False, 0, 1))
+            else:
+                m = rng.randint(1, 4)
+                rows.append((f"k{k}", i, f"t{i}", utype, 0.0, -m, False, m, 0))
+    schema = ("trader string, seq long, txnId string, type string, "
+              "coinsDiff double, sharesDiff int, addBailout boolean, "
+              "fedMonkeys int, investDiff int")
+    df = spark.createDataFrame(rows, schema)
+
+    from mktd6_flink_spark.operators import folds
+
+    jvm = {
+        r.trader: (r.state.coins, r.state.shares, r.state.bailouts,
+                   r.state.fedMonkeys, r.state.inFlightInvestments)
+        for r in folds.fold_by_key(
+            df, ["trader"], ["seq"],
+            ["txnId", "type", "coinsDiff", "sharesDiff", "addBailout",
+             "fedMonkeys", "investDiff"],
+            folds.trader_state_fold, "state").collect()
+    }
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    step = stateful.trader_ledger_step()
+    for k, seq in by_key.items():
+        state = None
+        for (_, _, txn, utype, cd, sd, ab, fm, iv) in sorted(
+                seq, key=lambda x: x[1]):
+            state, _ = step(state, {
+                "txnId": txn, "type": utype, "coinsDiff": cd,
+                "sharesDiff": sd, "addBailout": ab, "fedMonkeys": fm,
+                "investDiff": iv})
+        py = (state[0], state[1], state[2], state[3], state[4])
+        assert abs(jvm[k][0] - py[0]) < 1e-9 and jvm[k][1:] == py[1:], (
+            k, jvm[k], py)
