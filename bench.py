@@ -33,9 +33,12 @@ HEADLINE = [
     "dataflow_hype_influence",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "sim_cosine_topk",
+    "sim_ivf_ann",
     "text_quality",
     "text_fingerprint",
+    "pipeline_curation",
 ]
 
 

@@ -413,6 +413,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             edges.select(F.col("id_b").alias("src"),
                          F.col("id_a").alias("dst")))
         .distinct()
+        # materialize once: the edge lineage (often an LSH candidate
+        # pipeline) must not be recomputed on every propagation sweep
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("label"))
@@ -431,13 +434,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 .alias("label"),
             )
         )
+        # checkpoint FIRST, then early-stop-check the materialized result
+        # (counting before checkpointing would compute the sweep twice)
+        prev = labels
+        labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            labels.alias("n")
+            .join(prev.alias("o"), F.col("n.id") == F.col("o.id"))
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1).count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col),

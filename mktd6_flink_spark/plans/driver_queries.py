@@ -1705,3 +1705,87 @@ def sim_ivf_ann(spark, sf_dir):
     search — the clustered counterpart to sign-LSH bucketing."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)
+
+
+# ===========================================================================
+# Composed curation pipeline + embedding-cosine near-dup
+# ===========================================================================
+
+_CURATION_CLUSTERS_SQL = dd.sql_connected_components(
+    "SELECT doc_id FROM docs2",
+    _with_docs2(dd.sql_minhash_lsh_pairs("docs2"))
+    .replace("SELECT id_a, id_b, est_jaccard FROM pairs",
+             "SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5")
+).strip().removeprefix("WITH RECURSIVE")
+
+
+@register("pipeline_curation", expand_round6(f"""
+WITH RECURSIVE {_DOCS2_SQL},
+quality AS ({tx.sql_quality_stats('docs2')}),
+langs AS ({tx.sql_lang_id('docs2')}),
+comp AS ({'WITH RECURSIVE' + _CURATION_CLUSTERS_SQL}),
+kept AS (SELECT doc_id FROM comp WHERE component = doc_id)
+SELECT d.doc_id, l.pred_lang,
+       q.quality_score, q.n_tokens
+FROM docs2 d
+JOIN kept k ON k.doc_id = d.doc_id
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN langs l ON l.doc_id = d.doc_id
+WHERE q.quality_score >= 0.3 AND q.n_tokens >= 50
+"""))
+def pipeline_curation(spark, sf_dir):
+    """The training-data curation pipeline composed end-to-end: NEAR-dup
+    cluster keep-list ∩ quality gate ∩ language ID — the canonical shape
+    of a 100 TB pretraining filter (each stage is an independent
+    map-side computation; the only shuffles are the dedup groupBy and
+    the final broadcast-able keep-list joins)."""
+    docs = _docs2(spark, sf_dir)
+    quality = tx.quality_stats(docs)
+    langs = tx.lang_id(docs)
+    # near-dup keep-list: LSH pairs -> connected components -> keep the
+    # min-id representative of every cluster (subsumes exact dedup)
+    pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = dd.connected_components(docs.select("doc_id"), pairs)
+    kept = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
+    return (
+        docs.join(kept, "doc_id")
+        .join(quality, "doc_id")
+        .join(langs, "doc_id")
+        .filter((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 50))
+        .select("doc_id", "pred_lang", "quality_score", "n_tokens")
+    )
+
+
+@register("dedup_embedding_cosine", expand_round6(f"""
+WITH s AS (SELECT vec_id, embedding,
+                  {sim.sql_lsh_signature('embedding', _EMB_DIM)} AS _b
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND6({sim.sql_cosine('a.embedding', 'b.embedding', _EMB_DIM)})
+           AS cosine
+  FROM s a JOIN s b ON a._b = b._b AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+"""))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
+    (never all-pairs) then exact cosine >= threshold within buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    with_sig = emb.select(
+        "vec_id", "embedding",
+        sim.lsh_signature(F.col("embedding"), _EMB_DIM).alias("_b"))
+    a, b = with_sig.alias("a"), with_sig.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._b") == F.col("b._b"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            round_portable(
+                sim.cosine(F.col("a.embedding"), F.col("b.embedding")))
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    return pairs

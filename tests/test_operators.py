@@ -214,3 +214,58 @@ def test_trader_fold_randomized_differential(spark):
         py = (state[0], state[1], state[2], state[3], state[4])
         assert abs(jvm[k][0] - py[0]) < 1e-9 and jvm[k][1:] == py[1:], (
             k, jvm[k], py)
+
+
+def test_parse_market_order_hypothesis(spark):
+    """Property test: the Spark parser's Either routing must agree with
+    an independent Python transliteration of the reference's
+    parseOrder try/catch (Chapter02:237-260) on arbitrary inputs —
+    batched through one DataFrame so hypothesis drives variety, Spark
+    evaluates once."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    pat = re.compile(
+        r"(?i)^([a-z0-9]+) ([a-z0-9]+) ([a-z0-9]+) (BUY|SELL) ([0-9]+)$")
+
+    def py_reference(text: str):
+        m = pat.match(text)
+        if not m:
+            return None
+        try:
+            t = int(m.group(1))       # Long.parseLong
+            if not (-2**63 <= t < 2**63):
+                return None
+            sh = int(m.group(5))      # Integer.parseInt
+            if not (-2**31 <= sh < 2**31):
+                return None
+        except ValueError:
+            return None
+        return (t, m.group(2), m.group(3), m.group(4).upper(), sh)
+
+    token = st.text(alphabet="abcxyz0189", min_size=0, max_size=12)
+    line = st.one_of(
+        st.tuples(token, token, token,
+                  st.sampled_from(["BUY", "SELL", "buy", "HOLD", ""]),
+                  token).map(lambda t: " ".join(t)),
+        st.text(alphabet="abc019 _-!", min_size=0, max_size=30),
+    )
+
+    collected = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(line)
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    texts = sorted(set(collected))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        "text", stateless.parse_market_order(F.col("text")).alias("o"))
+    for r in out.collect():
+        exp = py_reference(r.text)
+        got = (None if r.o is None else
+               (r.o.time_ms, r.o.player, r.o.txnId, r.o.type, r.o.shares))
+        assert got == exp, (r.text, got, exp)
