@@ -39,6 +39,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "pipeline_curation",
+    "streaming_st1_ema",
+    "tpch_q18ish",
 ]
 
 

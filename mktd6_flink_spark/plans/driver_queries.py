@@ -1789,3 +1789,113 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cosine") >= 0.3)
     )
     return pairs
+
+
+# ===========================================================================
+# The STREAMING engine under the oracle gate + extra TPC-H shapes
+# ===========================================================================
+
+@register("streaming_st1_ema", ORACLES["st1_ema_per_event"])
+def streaming_st1_ema(spark, sf_dir):
+    """ST1 per-event EMA through the REAL Structured Streaming path
+    (readStream over the events parquet → applyInPandasWithState →
+    availableNow → memory sink), hash-checked against the SAME prefix-
+    fold oracle as the batch twin — the streaming engine's own output
+    is what the driver verifies here. Single micro-batch ⇒ one ordered
+    fold per key, matching the reference's Kafka-order semantics."""
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source needs a directory: stream the sf dir with a
+    # glob pinned to the events table
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", F.expr("timestamp_micros(ts div 1000)")
+                .alias("ts"), "event_id", "value")
+    )
+    out = stateful.apply_per_event_stream(
+        raw, ["event_type"], ["ts", "event_id"],
+        lambda: (lambda state, row: (
+            ((float(row["value"]) if state is None
+              else float(row["value"]) * 0.1 + state[0] * 0.9),),
+            {"event_id": int(row["event_id"]),
+             "ema": (float(row["value"]) if state is None
+                     else float(row["value"]) * 0.1 + state[0] * 0.9)},
+        )),
+        "event_type string, event_id long, ema double",
+        "ema double", stateful.pack1, stateful.unpack1)
+    name = f"st1_stream_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="st1_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type", "event_id", round_portable(F.col("ema")).alias("ema"))
+
+
+@register("tpch_q4ish", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+def tpch_q4ish(spark, sf_dir):
+    """TPC-H Q4 order-priority checking: LEFT SEMI join (EXISTS) —
+    the probe side streams, the build side dedupes on the fly."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi")
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@register("tpch_q18ish", """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100.0 AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 30000
+)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def tpch_q18ish(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: aggregate + HAVING pushupstream
+    of a join chain (the having filter shrinks the join input first)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("_qc"))
+        .filter(F.col("_qc") > 30000)
+        .select("l_orderkey",
+                (F.col("_qc").cast("double") / 100.0).alias("total_qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
