@@ -292,3 +292,33 @@ def test_t1_watermark_drops_late_rows(spark, tmp_path):
     # p1's window closed with 3.0 (late 100.0 dropped); p2 flushed with 5.0
     assert sums.get("p1") == 3.0
     assert sums.get("p2") == 5.0
+
+
+def test_st3_burst_sequence_exact(spark, tmp_path):
+    """ST3 damping chain (BurstStep.java:9-29) hand-computed: with rand
+    pinned to always trigger, the first positive diff enters STEP1 and
+    subsequent diffs are damped by 0.95, 0.9, ... while the step
+    advances; persistent 'bursts' is the previous diff
+    (SharePriceDataflow.java:221 quirk)."""
+    rows = [("k", i + 1, v, 0.0) for i, v in enumerate(
+        [1.0, 2.0, 3.0, 4.0])]  # running totals as input values
+    schema = "key string, seq long, value double, rand double"
+
+    def build(stream):
+        return stateful.apply_per_event_stream(
+            stream, ["key"], ["seq"], stateful.bubble_burst_step,
+            "key string, diff double, burst_step int",
+            "prev double, step int",
+            lambda s: (float(s[0]), int(s[1])),
+            lambda r: (r[0], r[1]))
+
+    out = _run_stream(spark, tmp_path, rows, schema, build, "st3")
+    got = [(round(r.diff, 10), r.burst_step)
+           for r in out.orderBy("diff").collect()]
+    # e1: diff=1-0=1, rand 0 < 0.01 -> enter STEP1 (diff unchanged)
+    # e2: diff=(2-1)*0.95=0.95, step->2
+    # e3: diff=(3-0.95)*0.9=1.845, step->3
+    # e4: diff=(4-1.845)*0.8=1.724, step->4
+    expected = sorted([(1.0, 1), (0.95, 2), (1.845, 3),
+                       (round((4 - 1.845) * 0.8, 10), 4)])
+    assert sorted(got) == expected
