@@ -246,3 +246,132 @@ def sql_fingerprint(table: str = "documents", text: str = "text",
            ) AS fingerprint
     FROM {table}
     """
+
+
+# -- scrubbing / chunking / splitting ----------------------------------------
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"[0-9]{6,}"
+
+
+def scrub(df: DataFrame, text: str = "text",
+          id_col: str = "doc_id") -> DataFrame:
+    """PII/noise scrubbing: URLs → <URL>, emails → <EMAIL>, long digit
+    runs (phone/account numbers) → <NUM>. Map-side, order of passes
+    fixed (URL first so emails inside URLs don't double-redact)."""
+    t = F.col(text)
+    t = F.regexp_replace(t, URL_RE, "<URL>")
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, LONG_DIGITS_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        t.alias("scrubbed"),
+        F.md5(t).alias("scrubbed_hash"),
+    )
+
+
+def sql_scrub(table: str = "documents", text: str = "text",
+              id_col: str = "doc_id") -> str:
+    return f"""
+    WITH s AS (
+      SELECT {id_col},
+             regexp_replace(regexp_replace(regexp_replace({text},
+                 '{URL_RE}', '<URL>', 'g'),
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{LONG_DIGITS_RE}', '<NUM>', 'g') AS scrubbed
+      FROM {table})
+    SELECT {id_col}, scrubbed, md5(scrubbed) AS scrubbed_hash FROM s
+    """
+
+
+def chunk(df: DataFrame, chunk_tokens: int = 64, overlap: int = 8,
+          text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap (the
+    standard pretraining window): stride = chunk - overlap; one row per
+    chunk with its index and token span. Map-side explode — no
+    shuffle."""
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride)
+        .cast("int") + 1
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), n.alias("_n"),
+                  n_chunks.alias("_nc"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col, "_t", "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+            .alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("tok_start"),
+            F.least(F.col("chunk_idx") * stride + chunk_tokens,
+                    F.col("_n")).alias("tok_end"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1,
+                        chunk_tokens),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def sql_chunk(table: str = "documents", chunk_tokens: int = 64,
+              overlap: int = 8, text: str = "text",
+              id_col: str = "doc_id") -> str:
+    stride = chunk_tokens - overlap
+    toks = sql_tokens(text)
+    return f"""
+    WITH t AS (SELECT {id_col}, {toks} AS _t FROM {table}),
+    s AS (SELECT {id_col}, _t, len(_t) AS _n,
+                 CASE WHEN len(_t) <= {chunk_tokens} THEN 1
+                      ELSE CAST(ceil(CAST(len(_t) - {chunk_tokens} AS DOUBLE)
+                                     / {stride}) AS INTEGER) + 1 END AS _nc
+          FROM t WHERE len(_t) > 0),
+    x AS (SELECT {id_col}, _t, _n, CAST(g.i AS INTEGER) AS chunk_idx
+          FROM s, (SELECT unnest(generate_series(0, 100000)) AS i) g
+          WHERE g.i < s._nc)
+    SELECT {id_col}, chunk_idx,
+           CAST(chunk_idx * {stride} AS BIGINT) AS tok_start,
+           CAST(least(chunk_idx * {stride} + {chunk_tokens}, _n) AS BIGINT)
+             AS tok_end,
+           array_to_string(list_slice(_t, chunk_idx * {stride} + 1,
+               chunk_idx * {stride} + {chunk_tokens}), ' ') AS chunk_text
+    FROM x
+    """
+
+
+def train_val_split(df: DataFrame, val_pct: int = 5, seed: str = "split1",
+                    text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic, engine-portable train/val assignment: hash the
+    content (not the id, so re-sharded corpora split identically) into
+    100 buckets; bucket < val_pct → validation. No RNG, no state, any
+    executor count."""
+    bucket = (md5_long(F.concat(F.lit(seed), F.lit("|"), F.col(text)))
+              % 100).cast("int")
+    return df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, "val").otherwise("train").alias("split"),
+    )
+
+
+def sql_train_val_split(table: str = "documents", val_pct: int = 5,
+                        seed: str = "split1", text: str = "text",
+                        id_col: str = "doc_id") -> str:
+    h = sql_md5_long(f"concat('{seed}', '|', {text})")
+    return f"""
+    SELECT {id_col},
+           CAST(({h}) % 100 AS INTEGER) AS bucket,
+           CASE WHEN ({h}) % 100 < {val_pct} THEN 'val' ELSE 'train' END
+             AS split
+    FROM {table}
+    """

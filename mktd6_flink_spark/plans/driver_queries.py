@@ -1899,3 +1899,22 @@ def tpch_q18ish(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
+
+
+@register("text_scrub", tx.sql_scrub())
+def text_scrub(spark, sf_dir):
+    """PII/URL/number scrubbing with content-hash receipt."""
+    return tx.scrub(load(spark, sf_dir, "documents"))
+
+
+@register("text_chunking", tx.sql_chunk())
+def text_chunking(spark, sf_dir):
+    """Fixed-size overlapping token chunking (64-token windows, stride
+    56) — the pretraining window splitter."""
+    return tx.chunk(load(spark, sf_dir, "documents"))
+
+
+@register("pipeline_train_val_split", tx.sql_train_val_split())
+def pipeline_train_val_split(spark, sf_dir):
+    """Deterministic content-hash train/val split (re-shard stable)."""
+    return tx.train_val_split(load(spark, sf_dir, "documents"))
