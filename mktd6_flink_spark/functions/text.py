@@ -312,9 +312,9 @@ def chunk(df: DataFrame, chunk_tokens: int = 64, overlap: int = 8,
         .select(
             id_col,
             "chunk_idx",
-            (F.col("chunk_idx") * stride).alias("tok_start"),
+            (F.col("chunk_idx") * stride).cast("long").alias("tok_start"),
             F.least(F.col("chunk_idx") * stride + chunk_tokens,
-                    F.col("_n")).alias("tok_end"),
+                    F.col("_n")).cast("long").alias("tok_end"),
             F.concat_ws(
                 " ",
                 F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1,

@@ -369,7 +369,8 @@ def p09_hype_words(spark, sf_dir):
 WITH {EV_SQL},
 w AS (SELECT event_id, unnest({_HYPE_WORDS_SQL}) AS word FROM ev)
 SELECT event_id, word,
-       CASE WHEN word IN ({_HYPE_POS_SQL}) THEN 0.01 ELSE -0.01 END AS influence
+       CAST(CASE WHEN word IN ({_HYPE_POS_SQL}) THEN 0.01 ELSE -0.01 END
+            AS DOUBLE) AS influence
 FROM w WHERE word IN ({_HYPE_POS_SQL}) OR word IN ({_HYPE_NEG_SQL})
 """)
 def p10_influence(spark, sf_dir):

@@ -71,14 +71,26 @@ def main(selected: list[str]) -> int:
             if name not in oracles:
                 print(f"  ~ {name}: rows-only ({len(srows)} rows, no oracle)")
                 continue
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            drows = rel.fetchall()
             ok = True
             msgs = []
             if sorted(scols) != sorted(dcols):
                 ok = False
                 msgs.append(f"schema {sorted(scols)} != {sorted(dcols)}")
+            # type audit: the driver may compare types, not just names
+            duck_of = {"bigint": "BIGINT", "int": "INTEGER",
+                       "double": "DOUBLE", "string": "VARCHAR",
+                       "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+                       "float": "FLOAT"}
+            for cname, stype in df.dtypes:
+                expect = duck_of.get(stype)
+                got = dtypes.get(cname)
+                if expect and got != expect:
+                    ok = False
+                    msgs.append(f"type {cname}: spark {stype} vs duck {got}")
             if len(srows) != len(drows):
                 ok = False
                 msgs.append(f"rowcount {len(srows)} != {len(drows)}")
