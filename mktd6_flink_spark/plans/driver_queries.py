@@ -1919,3 +1919,94 @@ def text_chunking(spark, sf_dir):
 def pipeline_train_val_split(spark, sf_dir):
     """Deterministic content-hash train/val split (re-shard stable)."""
     return tx.train_val_split(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# ST6 per-event ledger under the oracle — every TxnResult verified
+# ===========================================================================
+
+def _st6_subst(expr: str) -> str:
+    """Rewrite the ST6 fold-step expressions from (acc, x) lambda vars to
+    prefix-indexed forms: acc -> state before event i, x -> updater i."""
+    return expr.replace("acc[", "_prev[").replace("x[", "_u[")
+
+
+_ST6_STATUS = f"""
+CASE WHEN {_st6_subst(_ST6_BC)} < 0.0 THEN 'INSUFFICIENT_COINS'
+     WHEN {_st6_subst(_ST6_BS)} < 0.0 THEN 'INSUFFICIENT_SHARES'
+     ELSE 'ACCEPTED' END
+"""
+
+
+@register("st6_per_event_ledger", f"""
+WITH {EV_SQL},
+{_ST6_UPD_SQL},
+seqs AS (
+  SELECT upd.trader,
+         list(u ORDER BY upd.ts, upd.event_id) AS us,
+         list(concat('txn', upd.event_id)
+              ORDER BY upd.ts, upd.event_id) AS txns,
+         list(CASE e.otype WHEN 'INVEST' THEN 'INVEST'
+                           WHEN 'FEED' THEN 'FEED'
+                           ELSE 'MARKET' END
+              ORDER BY upd.ts, upd.event_id) AS utypes
+  FROM upd JOIN ev e ON e.event_id = upd.event_id
+  GROUP BY upd.trader),
+pref AS (
+  SELECT trader, us, txns, utypes,
+         list_transform(generate_series(0, len(us)),
+           k -> list_reduce(
+                  list_prepend(CAST([10.0, 5.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+                               list_slice(us, 1, k)),
+                  (acc, x) -> {_ST6_STEP})) AS states
+  FROM seqs),
+x AS (
+  SELECT trader, g.i AS i,
+         states[CAST(g.i AS INTEGER)] AS _prev,
+         states[CAST(g.i AS INTEGER) + 1] AS _st,
+         us[CAST(g.i AS INTEGER)] AS _u,
+         txns[CAST(g.i AS INTEGER)] AS txn_id,
+         utypes[CAST(g.i AS INTEGER)] AS utype
+  FROM pref, (SELECT unnest(generate_series(1, 100000)) AS i) g
+  WHERE g.i <= len(us))
+SELECT trader, txn_id, utype,
+       {_ST6_STATUS} AS status,
+       ROUND6(_st[1]) AS coins,
+       CAST(_st[2] AS INTEGER) AS shares,
+       CAST(_st[3] AS INTEGER) AS bailouts,
+       CAST(_st[4] AS INTEGER) AS fed_monkeys,
+       CAST(_st[5] AS INTEGER) AS in_flight
+FROM x
+""")
+def st6_per_event_ledger(spark, sf_dir):
+    """ST6 with PER-EVENT TxnResult emission under the oracle — the
+    reference's core behavior (MarketDataflow.java:284-310 emits a
+    TxnResult per update, status + kept state). Spark runs the Arrow
+    per-event engine with the shared ledger step; the oracle replays
+    every prefix of the fold and recomputes each event's
+    bailout/validation decision. The strongest correctness evidence in
+    the registry: every intermediate settlement decision is
+    hash-checked, not just final states."""
+    from ..streaming import stateful
+
+    upd = _updater_stream(spark, sf_dir).select(
+        "trader", "ts", "event_id",
+        F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
+        "type", "coinsDiff", "sharesDiff", "addBailout", "fedMonkeys",
+        "investDiff")
+    out = stateful.apply_per_event_batch(
+        upd, ["trader"], ["ts", "event_id"], stateful.trader_ledger_step,
+        "trader string, txnId string, type string, status string, "
+        "coins double, shares int, bailouts int, fedMonkeys int, "
+        "inFlightInvestments int")
+    return out.select(
+        "trader",
+        F.col("txnId").alias("txn_id"),
+        F.col("type").alias("utype"),
+        "status",
+        round_portable(F.col("coins")).alias("coins"),
+        F.col("shares").cast("int").alias("shares"),
+        F.col("bailouts").cast("int").alias("bailouts"),
+        F.col("fedMonkeys").cast("int").alias("fed_monkeys"),
+        F.col("inFlightInvestments").cast("int").alias("in_flight"),
+    )

@@ -48,9 +48,17 @@ def main(selected: list[str]) -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from mktd6_flink_spark.session import get_spark
 
-    spark = get_spark("check-correctness")
+    if os.environ.get("PLAIN_SESSION"):
+        # driver dress rehearsal: a bare session, none of our tuned confs
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("check-correctness-plain").getOrCreate())
+    else:
+        from mktd6_flink_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
