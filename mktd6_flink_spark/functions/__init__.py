@@ -1,3 +1,6 @@
-"""Scalar / table function layer: portable hashing, dedup, similarity search,
-text analysis, multimodal column plumbing — the large-scale training-data
-pipeline surface that complements the reference's operator inventory."""
+"""LLM-pipeline function layer: portable hashing, dedup, similarity
+search, text analysis, multimodal plumbing."""
+
+from . import dedup, hashing, multimodal, similarity, text
+
+__all__ = ["dedup", "hashing", "multimodal", "similarity", "text"]

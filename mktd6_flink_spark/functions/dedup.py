@@ -14,6 +14,12 @@ Design for 100 TB:
 - n-gram Jaccard: exact verification for candidate pairs via an n-gram
   equi-join + group count — cost O(shared n-grams), bounded by candidates.
 
+Techniques from the public literature: MinHash + banded LSH (Broder,
+"On the resemblance and containment of documents", 1997; banding per
+Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3), SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002).
+
 Every operator is built on the portable md5-based hash family
 (functions/hashing.py) so each has a DuckDB SQL twin the driver's oracle
 can check bit-for-bit — the sql_* generators below emit that twin from the

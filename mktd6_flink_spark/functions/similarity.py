@@ -2,6 +2,10 @@
 cosine top-k as the exact baseline, and an LSH-bucketed (random-hyperplane
 / sign-LSH) variant as the 100 TB scale path.
 
+Sign-LSH per Charikar (STOC 2002); IVF per Jegou/Douze/Schmid,
+"Product quantization for nearest neighbor search" (TPAMI 2011) —
+coarse quantizer + inverted lists (without the PQ compression stage).
+
 Scale design:
 - Brute force is O(|Q| x |N|) — correct baseline, fine when the query set
   is small and the corpus side fits a broadcast; the plan below broadcasts

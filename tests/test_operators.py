@@ -302,3 +302,16 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_serde_ignores_unknown_fields(spark):
+    """FAIL_ON_UNKNOWN_PROPERTIES=false (BaseJsonSerde.java:24): wire
+    payloads with extra fields decode cleanly, extras dropped."""
+    t = model.TOPICS["share-price"]
+    raw = spark.createDataFrame(
+        [('"FOO"',
+          '{"time":null,"coins":2.5,"forecastMult":1.01,'
+          '"surprise":"ignored","nested":{"a":1}}')],
+        ["key", "value"])
+    row = t.decode(raw).collect()[0]
+    assert (row.key, row.coins, row.forecastMult) == ("FOO", 2.5, 1.01)
