@@ -286,13 +286,17 @@ def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "_qv", "centroid_id")
     )
-    cands = probes.join(assigned, "centroid_id").filter(
+    # Broadcast the probe list (|Q| x nprobe rows) so the corpus-sized
+    # inverted lists are never shuffled — the scan stays map-side.  No
+    # dedup needed: each vector lives in exactly ONE inverted list, so a
+    # (query, neighbor) pair can appear at most once.
+    cands = F.broadcast(probes).join(assigned, "centroid_id").filter(
         F.col("query_id") != F.col(id_col))
     scored = cands.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         round_portable(cosine(F.col("_qv"), F.col(vec_col))).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -331,7 +335,7 @@ def sql_ivf_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
                  ORDER BY ROUND6({pcos}) DESC, c.centroid_id ASC) AS rn
         FROM q CROSS JOIN cents c) WHERE rn <= {nprobe}),
     scored AS (
-      SELECT DISTINCT q.query_id, a.vid AS neighbor_id,
+      SELECT q.query_id, a.vid AS neighbor_id,
              ROUND6({fcos}) AS cosine
       FROM probes q JOIN assigned a ON a.centroid_id = q.centroid_id
       WHERE q.query_id <> a.vid)

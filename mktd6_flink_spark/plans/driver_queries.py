@@ -2010,3 +2010,39 @@ def st6_per_event_ledger(spark, sf_dir):
         F.col("fedMonkeys").cast("int").alias("fed_monkeys"),
         F.col("inFlightInvestments").cast("int").alias("in_flight"),
     )
+
+
+# ===========================================================================
+# As-of join (operators/asof.py) under the oracle via DuckDB's native ASOF
+# ===========================================================================
+
+@register("asof_join_price", f"""
+WITH {EV_SQL},
+l AS (SELECT trader, time_ms, event_id, otype, shares
+      FROM ev WHERE otype IN ('BUY', 'SELL')),
+r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
+      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms)
+SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
+       r.price AS asof_price
+FROM l ASOF LEFT JOIN r ON l.trader = r.trader AND l.time_ms >= r.time_ms
+""")
+def asof_join_price(spark, sf_dir):
+    """As-of join (operators/asof.py): each BUY/SELL order is enriched
+    with the most recent price at-or-before its timestamp, per trader —
+    the batch analog of ST5's settle-at-latest-price
+    (MarketDataflow.java:236-238), checked against DuckDB's native ASOF
+    LEFT JOIN. The union+last_value plan costs one shuffle + one sort
+    (same shape as a sort-merge join) and never builds a per-key
+    cartesian product, so it scales to corpus-sized streams."""
+    ev = events_enriched(spark, sf_dir)
+    left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
+        "trader", "time_ms", "event_id", "otype", "shares")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("trader", "time_ms")
+        .agg(F.max_by("value", "event_id").alias("price"))
+    )
+    return asof.asof_join(
+        left, right, on=["trader"], left_time="time_ms",
+        right_time="time_ms", value_cols=["price"], fallback="null",
+    )
