@@ -27,6 +27,7 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q5ish",
     "st6_trader_ledger",
+    "asof_join_price",
     "st1_ema",
     "w2_tumbling_sum",
     "w3_running_sum",

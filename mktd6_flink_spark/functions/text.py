@@ -88,17 +88,43 @@ def quality_stats(df: DataFrame, text: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score. All ratios are doubles rounded to 6 dp (both engines round the
-    same inputs identically)."""
-    toks = tokens(F.col(text))
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS)))
-    n_punct = F.length(F.regexp_replace(F.col(text), r"[a-zA-Z0-9\s]+", ""))
-    mean_wlen = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    ).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
-    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
-    punct_ratio = n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
-    return df.select(
+    same inputs identically).
+
+    Perf note: HOF lambdas block Catalyst's common-subexpression
+    elimination, so naive per-stat expressions re-run the tokenizer
+    regex per stat. One F.aggregate pass folds (count, stopword hits,
+    word-length sum) into a struct accumulator — the tokenizer runs
+    ONCE per row, and CollapseProject keeps the two projections apart
+    because the aggregate is non-cheap (measured ~2.5x at sf0.1)."""
+    zero = F.struct(
+        F.lit(0).alias("n"),
+        F.lit(0).alias("stop"),
+        F.lit(0).cast("long").alias("wlen"),
+    )
+    acc = F.aggregate(
+        tokens(F.col(text)), zero,
+        lambda a, w: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["stop"] + F.when(w.isin(*EN_STOPWORDS), 1).otherwise(0))
+            .alias("stop"),
+            (a["wlen"] + F.length(w)).alias("wlen"),
+        ),
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.length(F.col(text)).alias("_len"),
+        F.length(F.regexp_replace(F.col(text), r"[a-zA-Z0-9\s]+", ""))
+        .alias("_np"),
+        acc.alias("_a"),
+    )
+    n_tok = F.col("_a.n")
+    mean_wlen = (F.col("_a.wlen").cast("double")
+                 / F.greatest(n_tok, F.lit(1)).cast("double"))
+    stop_ratio = (F.col("_a.stop").cast("double")
+                  / F.greatest(n_tok, F.lit(1)).cast("double"))
+    punct_ratio = (F.col("_np").cast("double")
+                   / F.greatest(F.col("_len"), F.lit(1)).cast("double"))
+    return staged.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         round_portable(mean_wlen).alias("mean_word_len"),
@@ -152,18 +178,24 @@ def lang_id(df: DataFrame, text: str = "text",
     """Stopword-vote language ID: count per-language stopword hits over the
     token stream; argmax with deterministic tie-break (vote desc, lang asc);
     'und' when zero votes."""
-    toks = tokens(F.col(text))
-
-    def vote(ws: tuple[str, ...]):
-        # closure factory (a default-arg lambda would be mis-read as a
-        # two-arg HOF lambda by PySpark)
-        return F.size(F.filter(toks, lambda w: w.isin(*ws)))
-
-    votes = [
-        vote(ws).alias(f"_v_{lang}") for lang, ws in LANG_STOPWORDS.items()
-    ]
-    scored = df.select(F.col(id_col), *votes)
+    # One aggregate pass counts every language's stopword hits in a
+    # struct accumulator — the tokenizer runs once per row instead of
+    # once per language (HOF lambdas defeat subexpression elimination).
     langs = list(LANG_STOPWORDS)
+    zero = F.struct(*[F.lit(0).alias(f"v_{lang}") for lang in langs])
+    acc = F.aggregate(
+        tokens(F.col(text)), zero,
+        lambda a, w: F.struct(*[
+            (a[f"v_{lang}"]
+             + F.when(w.isin(*LANG_STOPWORDS[lang]), 1).otherwise(0))
+            .alias(f"v_{lang}")
+            for lang in langs
+        ]),
+    )
+    scored = df.select(F.col(id_col), acc.alias("_a")).select(
+        F.col(id_col),
+        *[F.col(f"_a.v_{lang}").alias(f"_v_{lang}") for lang in langs],
+    )
     ranked = F.array_sort(
         F.array(*[
             F.struct(

@@ -181,3 +181,46 @@ def test_round_portable_spark_matches_python(spark):
         hashing.round_portable(F.col("v")).alias("r")).collect()]
     exp = [math.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
     assert got == exp
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation must agree with a Python union-find on 30
+    random graphs (batched into one disjoint node space so Spark runs
+    once): every node's component is the MIN id reachable from it."""
+    import random
+
+    from mktd6_flink_spark.functions import dedup as dd
+
+    rng = random.Random(11)
+    nodes, edges = [], []
+    base = 0
+    for g in range(30):
+        n = rng.randint(1, 12)
+        ids = list(range(base, base + n))
+        nodes.extend(ids)
+        for _ in range(rng.randint(0, n * 2)):
+            a, b = rng.sample(ids, 2) if n > 1 else (ids[0], ids[0])
+            edges.append((min(a, b), max(a, b)))
+        base += n
+
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i in nodes}
+
+    ndf = spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long")
+    got = {r.doc_id: r.component
+           for r in dd.connected_components(ndf, edf).collect()}
+    assert got == exp, {i: (got[i], exp[i]) for i in nodes
+                        if got[i] != exp[i]}

@@ -315,3 +315,54 @@ def test_serde_ignores_unknown_fields(spark):
         ["key", "value"])
     row = t.decode(raw).collect()[0]
     assert (row.key, row.coins, row.forecastMult) == ("FOO", 2.5, 1.01)
+
+
+def test_asof_join_randomized_differential(spark):
+    """asof_join must agree with a per-row Python brute force (latest
+    right value at-or-before each left time, per key) on 60 random
+    key-sets in both fallback modes. Right (key, time) pairs are unique
+    (the operator contract: dedupe ties upstream, as asof_join_price
+    does with max_by)."""
+    import random
+
+    from mktd6_flink_spark.operators import asof
+
+    rng = random.Random(7)
+    lrows, rrows, rseen = [], [], set()
+    for k in range(60):
+        key = f"k{k}"
+        for _ in range(rng.randint(1, 8)):
+            lrows.append((key, rng.randint(0, 30), len(lrows)))
+        for _ in range(rng.randint(0, 5)):
+            t = rng.randint(0, 30)
+            if (key, t) not in rseen:
+                rseen.add((key, t))
+                rrows.append((key, t, round(rng.uniform(0, 9), 2)))
+    left = spark.createDataFrame(lrows, "k string, t long, lid long")
+    right = spark.createDataFrame(rrows, "k string, t long, price double")
+
+    def brute(fallback):
+        by_key: dict = {}
+        for (key, t, v) in rrows:
+            by_key.setdefault(key, []).append((t, v))
+        out = {}
+        for (key, lt, lid) in lrows:
+            cand = [(t, v) for t, v in by_key.get(key, []) if t <= lt]
+            if cand:
+                out[lid] = max(cand)[1]
+            elif fallback == "first" and by_key.get(key):
+                out[lid] = min(by_key[key])[1]
+            else:
+                out[lid] = None
+        return out
+
+    for fb in ("null", "first"):
+        got = {
+            r.lid: r.asof_price
+            for r in asof.asof_join(
+                left, right, on=["k"], left_time="t", right_time="t",
+                value_cols=["price"], fallback=fb).collect()
+        }
+        exp = brute(fb)
+        assert got == exp, (fb, {i: (got[i], exp[i]) for i in got
+                                 if got[i] != exp[i]})
