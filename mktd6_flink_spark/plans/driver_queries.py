@@ -126,8 +126,9 @@ ev AS (
 """
 
 
-def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+def enrich_events(ev: DataFrame) -> DataFrame:
+    """The shared enrichment projection — pure expressions, so it works
+    identically on a batch read and a readStream source."""
     return ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props",
         F.unix_millis("ts").alias("time_ms"),
@@ -142,6 +143,10 @@ def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / 10.0).alias("invested"),
         _spark_case(F.col("event_type"), PHRASES).alias("gibb_text"),
     )
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_events(load(spark, sf_dir, "events"))
 
 
 def _cents(col) -> F.Column:
@@ -768,10 +773,11 @@ def st2_product(spark, sf_dir):
                       round_portable(F.col("price_mult")).alias("price_mult"))
 
 
-def _updater_stream(spark, sf_dir):
-    """Shared ST6 input: full TraderStateUpdater stream from events
-    (all three P12 variants, price fixed 2.0)."""
-    ev = events_enriched(spark, sf_dir).filter(F.col("otype") != "OOPS")
+def _updaters_from(ev: DataFrame) -> DataFrame:
+    """Full TraderStateUpdater stream from an enriched events frame
+    (all three P12 variants, price fixed 2.0). Pure expressions —
+    batch- and stream-compatible."""
+    ev = ev.filter(F.col("otype") != "OOPS")
     is_mkt = F.col("otype").isin("BUY", "SELL")
     is_inv = F.col("otype") == "INVEST"
     is_feed = F.col("otype") == "FEED"
@@ -792,6 +798,10 @@ def _updater_stream(spark, sf_dir):
         .alias("investDiff"),
         F.when(is_mkt, F.lit("MARKET")).otherwise(F.col("otype")).alias("type"),
     )
+
+
+def _updater_stream(spark, sf_dir):
+    return _updaters_from(events_enriched(spark, sf_dir))
 
 
 # DuckDB twin of the ST6 fold: state and updaters as DOUBLE[] so
@@ -2045,4 +2055,64 @@ def asof_join_price(spark, sf_dir):
     return asof.asof_join(
         left, right, on=["trader"], left_time="time_ms",
         right_time="time_ms", value_cols=["price"], fallback="null",
+    )
+
+
+@register("streaming_st6_ledger", ORACLES["st6_per_event_ledger"])
+def streaming_st6_ledger(spark, sf_dir):
+    """The ST6 settlement ledger through the REAL Structured Streaming
+    path (readStream → enrichment → updater projection →
+    applyInPandasWithState → availableNow → memory sink), hash-checked
+    against the SAME prefix-replay oracle as the batch twin
+    (st6_per_event_ledger). Together with streaming_st1_ema this puts
+    both per-event engines — EMA and the validated trader ledger
+    (MarketDataflow.java:284-310) — under the driver's gate via the
+    streaming runtime itself, not a batch stand-in."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    upd = _updaters_from(enrich_events(raw)).select(
+        "trader", "ts", "event_id",
+        F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
+        "type", "coinsDiff", "sharesDiff", "addBailout", "fedMonkeys",
+        "investDiff")
+    out = stateful.apply_per_event_stream(
+        upd, ["trader"], ["ts", "event_id"], stateful.trader_ledger_step,
+        "trader string, txnId string, type string, status string, "
+        "coins double, shares int, bailouts int, fedMonkeys int, "
+        "inFlightInvestments int",
+        "coins double, shares int, bailouts int, fedMonkeys int, "
+        "inFlightInvestments int",
+        lambda s: (float(s[0]), int(s[1]), int(s[2]), int(s[3]), int(s[4])),
+        lambda r: tuple(r))
+    name = f"st6_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="st6_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "trader",
+        F.col("txnId").alias("txn_id"),
+        F.col("type").alias("utype"),
+        "status",
+        round_portable(F.col("coins")).alias("coins"),
+        F.col("shares").cast("int").alias("shares"),
+        F.col("bailouts").cast("int").alias("bailouts"),
+        F.col("fedMonkeys").cast("int").alias("fed_monkeys"),
+        F.col("inFlightInvestments").cast("int").alias("in_flight"),
     )
