@@ -2116,3 +2116,51 @@ def streaming_st6_ledger(spark, sf_dir):
         F.col("fedMonkeys").cast("int").alias("fed_monkeys"),
         F.col("inFlightInvestments").cast("int").alias("in_flight"),
     )
+
+
+@register("streaming_w2_window", ORACLES["w2_tumbling_sum"])
+def streaming_w2_window(spark, sf_dir):
+    """W2 tumbling event-time windows through the REAL streaming
+    runtime: readStream → withWatermark (T1's 10 ms out-of-orderness
+    bound, TimestampExtractor.java:8-18) → window aggregate → memory
+    sink (complete mode), hash-checked against the SAME oracle as the
+    batch twin w2_tumbling_sum — event-time windowing itself is now
+    under the driver's gate, not just its batch stand-in."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    agg = (
+        enrich_events(raw)
+        .withWatermark("ts", "10 milliseconds")
+        .groupBy(F.window("ts", "1 hour").alias("_w"), "trader")
+        .agg(
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+            .alias("sum_value"),
+            F.min_by("event_id", F.struct("ts", "event_id"))
+            .alias("first_event"),
+        )
+        .select(
+            F.unix_millis(F.col("_w.start")).alias("window_start_ms"),
+            "trader", "sum_value", "first_event",
+        )
+    )
+    name = f"w2_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="w2_stream_ckpt_")
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
