@@ -2164,3 +2164,47 @@ def streaming_w2_window(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register("st8_return_amounts", expand_round6(f"""
+WITH {EV_SQL},
+inv AS (
+  SELECT trader, ts, event_id, invested,
+         CAST(sum({SQL_CENTS.format(x='abs(invested)')})
+              OVER (PARTITION BY trader ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS total
+  FROM ev WHERE otype = 'INVEST')
+SELECT trader, event_id,
+       CAST(floor(total) AS BIGINT) AS delay_ms,
+       ROUND6(exp((0.035 + exp(-1.0 - total / 1000.0))
+                  + 0.01 * (2.0 * (CAST({sql_md5_long(
+                      "concat('ret', event_id)")} % 1000000 AS DOUBLE)
+                      / 1000000.0) - 1.0)) * invested) AS return_coins
+FROM inv
+"""))
+def st8_return_amounts(spark, sf_dir):
+    """ST8's deterministic core under the oracle: per INVEST event, the
+    delayed-return amount LogNormal(0.035 + e^(-1-total/1000), 0.01)
+    .sample() * investedCoins and the timer delay = total ms
+    (MarketDataflow.java:348-392), with the unit normal Z replaced by
+    an injected hash-derived deterministic value (DIVERGENCES.md #3 —
+    production wires real entropy; tests and the oracle replay this
+    exact value). The timer MECHANICS (ProcessingTimeTimeout firing)
+    are exercised in tests/test_streaming.py::test_st8_delayed_return_
+    timer; this entry pins the arithmetic both engines must agree on."""
+    ev = events_enriched(spark, sf_dir).filter(F.col("otype") == "INVEST")
+    w = (Window.partitionBy("trader").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    inv = ev.select(
+        "trader", "event_id", "invested",
+        (F.sum(_cents(F.abs(F.col("invested")))).over(w).cast("double")
+         / 100.0).alias("total"))
+    mu = F.lit(0.035) + F.exp(F.lit(-1.0) - F.col("total") / 1000.0)
+    z = (2.0 * (md5_long(F.concat(F.lit("ret"), F.col("event_id")))
+                % 1000000).cast("double") / 1000000.0 - 1.0)
+    return inv.select(
+        "trader", "event_id",
+        F.floor("total").cast("long").alias("delay_ms"),
+        round_portable(F.exp(mu + 0.01 * z) * F.col("invested"))
+        .alias("return_coins"),
+    )
