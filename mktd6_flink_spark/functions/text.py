@@ -407,3 +407,70 @@ def sql_train_val_split(table: str = "documents", val_pct: int = 5,
              AS split
     FROM {table}
     """
+
+
+# -- repetition signals (Gopher-style quality filters) ------------------------
+
+def repetition_stats(df: DataFrame, text: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition quality signals per Rae et al., "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher" (2021),
+    §A1.1: fraction of 2-grams taken by the single most frequent
+    2-gram, and fraction of 3-grams occurring more than once. Docs with
+    < 3 tokens (no 3-gram) are excluded — same rule in the SQL twin.
+
+    Scale shape: one explode + two doc-keyed partial aggregations —
+    combiner-friendly, uniform keys, no skew."""
+    from .dedup import shingles_exploded
+
+    def frac(n: int, agg_top: bool) -> DataFrame:
+        grams = shingles_exploded(df, text, id_col, n)
+        counts = grams.groupBy(id_col, "shingle").agg(
+            F.count(F.lit(1)).alias("_c"))
+        if agg_top:
+            return counts.groupBy(id_col).agg(
+                (F.max("_c").cast("double")
+                 / F.sum("_c").cast("double")).alias("_f"))
+        return counts.groupBy(id_col).agg(
+            (F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0))
+             .cast("double") / F.sum("_c").cast("double")).alias("_f"))
+
+    two = frac(2, True).withColumnRenamed("_f", "top_2gram_frac")
+    three = frac(3, False).withColumnRenamed("_f", "dup_3gram_frac")
+    return two.join(three, id_col).select(
+        F.col(id_col),
+        round_portable(F.col("top_2gram_frac")).alias("top_2gram_frac"),
+        round_portable(F.col("dup_3gram_frac")).alias("dup_3gram_frac"),
+    )
+
+
+def sql_repetition_stats(table: str = "documents", text: str = "text",
+                         id_col: str = "doc_id") -> str:
+    def all_grams(n: int) -> str:
+        # NON-distinct n-gram stream (dedup's sql_shingles list_distincts
+        # for set semantics; repetition needs every occurrence)
+        toks = sql_tokens(text)
+        return (
+            f"list_transform("
+            f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        )
+
+    def frac(n: int, agg_top: bool) -> str:
+        num = ("CAST(max(_c) AS DOUBLE)" if agg_top else
+               "CAST(sum(CASE WHEN _c >= 2 THEN _c ELSE 0 END) AS DOUBLE)")
+        return f"""
+        (SELECT {id_col}, {num} / CAST(sum(_c) AS DOUBLE) AS _f
+         FROM (SELECT {id_col}, _ng, count(*) AS _c
+               FROM (SELECT {id_col}, unnest({all_grams(n)}) AS _ng
+                     FROM {table})
+               GROUP BY {id_col}, _ng)
+         GROUP BY {id_col})
+        """
+
+    return expand_round6(f"""
+    SELECT a.{id_col},
+           ROUND6(a._f) AS top_2gram_frac,
+           ROUND6(b._f) AS dup_3gram_frac
+    FROM {frac(2, True)} a JOIN {frac(3, False)} b USING ({id_col})
+    """)

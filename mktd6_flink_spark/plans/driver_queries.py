@@ -2208,3 +2208,13 @@ def st8_return_amounts(spark, sf_dir):
         round_portable(F.exp(mu + 0.01 * z) * F.col("invested"))
         .alias("return_coins"),
     )
+
+
+@register("text_repetition",
+          tx.sql_repetition_stats("documents"))
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    §A1.1): top-2-gram fraction + duplicate-3-gram fraction — the
+    standard repetition filters a pretraining curation pipeline runs
+    alongside quality_stats."""
+    return tx.repetition_stats(load(spark, sf_dir, "documents"))

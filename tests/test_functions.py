@@ -224,3 +224,16 @@ def test_connected_components_matches_union_find(spark):
            for r in dd.connected_components(ndf, edf).collect()}
     assert got == exp, {i: (got[i], exp[i]) for i in nodes
                         if got[i] != exp[i]}
+
+
+def test_repetition_stats_golden(spark):
+    """'a b a b a b c': 2-grams ab,ba,ab,ba,ab,bc -> top frac 3/6;
+    3-grams aba,bab,aba,bab,abc -> dup frac 4/5."""
+    from mktd6_flink_spark.functions import text as tx
+
+    df = spark.createDataFrame([(1, "a b a b a b c"), (2, "x y")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    assert rows[1].top_2gram_frac == 0.5
+    assert rows[1].dup_3gram_frac == 0.8
+    assert 2 not in rows  # < 3 tokens: no 3-gram, excluded
