@@ -2218,3 +2218,30 @@ def text_repetition(spark, sf_dir):
     standard repetition filters a pretraining curation pipeline runs
     alongside quality_stats."""
     return tx.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@register("sim_ivf_recall", f"""
+WITH bf AS ({sim.sql_cosine_topk('embeddings', _QUERY_IDS, _EMB_DIM, k=5)}),
+ivf AS ({sim.sql_ivf_ann_topk('embeddings', _QUERY_IDS, _EMB_DIM, k=5)})
+SELECT bf.query_id,
+       CAST(count(ivf.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM bf LEFT JOIN ivf
+  ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""")
+def sim_ivf_recall(spark, sf_dir):
+    """ANN quality measurement: recall@5 of the IVF index against the
+    exact brute-force top-5, per query — the metric a pipeline tunes
+    nprobe/n_centroids against ('measure, don't guess'). Both engines
+    compute both rankings and intersect them."""
+    emb = load(spark, sf_dir, "embeddings")
+    bf = sim.cosine_topk(emb, _QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id")
+    ivf = sim.ivf_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5).select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
+    return (
+        bf.join(ivf, (F.col("_q") == F.col("query_id"))
+                & (F.col("_n") == F.col("neighbor_id")), "left")
+        .groupBy("query_id")
+        .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
+    )
