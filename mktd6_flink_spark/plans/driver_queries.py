@@ -2240,7 +2240,7 @@ def sim_ivf_recall(spark, sf_dir):
     ivf = sim.ivf_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5).select(
         F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
     return (
-        bf.join(ivf, (F.col("_q") == F.col("query_id"))
+        bf.join(F.broadcast(ivf), (F.col("_q") == F.col("query_id"))
                 & (F.col("_n") == F.col("neighbor_id")), "left")
         .groupBy("query_id")
         .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
