@@ -2245,3 +2245,52 @@ def sim_ivf_recall(spark, sf_dir):
         .groupBy("query_id")
         .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
     )
+
+
+@register("streaming_w3_running_sum", ORACLES["w3_running_sum"])
+def streaming_w3_running_sum(spark, sf_dir):
+    """W3 per-key running sum (SharePriceDataflow.java:121-122) through
+    the REAL streaming runtime — readStream → applyInPandasWithState
+    with an exact integer-cents accumulator (the same portability rule
+    as every money sum here: float accumulation would tie parity to
+    arrival order; cents make it exact) — hash-checked against the
+    batch twin's oracle. Fourth streaming-engine entry in the gate
+    (ST1, ST6, W2, W3)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    ev = enrich_events(raw).select(
+        "event_type", "ts", "event_id", _cents(F.col("value")).alias("_c"))
+    out = stateful.apply_per_event_stream(
+        ev, ["event_type"], ["ts", "event_id"],
+        lambda: (lambda state, row: (
+            ((0 if state is None else state[0]) + int(row["_c"]),),
+            {"event_id": int(row["event_id"]),
+             "running_sum":
+                 ((0 if state is None else state[0]) + int(row["_c"]))
+                 / 100.0},
+        )),
+        "event_type string, event_id long, running_sum double",
+        "total long",
+        lambda s: (int(s[0]),), lambda r: (int(r[0]),))
+    name = f"w3_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="w3_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select("event_id", "event_type", "running_sum")
