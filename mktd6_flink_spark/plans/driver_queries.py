@@ -2294,3 +2294,24 @@ def streaming_w3_running_sum(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name).select("event_id", "event_type", "running_sum")
+
+
+@register("w5_distinct_users_per_team", f"""
+WITH {EV_SQL}
+SELECT team, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ev GROUP BY team
+""")
+def w5_distinct_users_per_team(spark, sf_dir):
+    """W5 dashboard distinct-visitor count per team, written as the
+    explicit two-stage expansion — dedupe on the uniform (team, user)
+    composite, then count per team — so the heavy shuffle is keyed by
+    the high-cardinality pair, never by the 5 skewed team values
+    (count(DISTINCT) on a low-cardinality key is the classic skew trap
+    at 100 TB; this is its salt-free fix because the dedupe key is
+    already uniform)."""
+    ev = events_enriched(spark, sf_dir)
+    return (
+        ev.select("team", "user_id").distinct()
+        .groupBy("team")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
