@@ -2315,3 +2315,53 @@ def w5_distinct_users_per_team(spark, sf_dir):
         .groupBy("team")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register("w6_session_window", f"""
+WITH {EV_SQL},
+x AS (
+  SELECT trader, event_id, value, epoch_us(ts) AS t_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY trader
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM ev),
+y AS (
+  SELECT trader, t_us, value,
+         sum(CASE WHEN prev_us IS NULL
+                       OR t_us - prev_us > 300000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY trader ORDER BY t_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x)
+SELECT min(t_us) AS session_start_us,
+       max(t_us) + 300000000 AS session_end_us,
+       trader,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+         AS sum_value
+FROM y GROUP BY trader, sess
+""")
+def w6_session_window(spark, sf_dir):
+    """Session windows (5-minute inactivity gap) per trader — a window
+    type beyond the reference's tumbling set that event analytics
+    needs; native F.session_window in Spark, gaps-and-islands (lag →
+    island id → group) in the oracle. All arithmetic in MICROSECONDS:
+    the events table has sub-millisecond timestamps, and a millisecond
+    truncation makes the two engines disagree on gap boundaries within
+    1 ms of the threshold. An event EXACTLY gap after the previous
+    EXTENDS the session (Spark merges on diff <= gap — end-inclusive,
+    found empirically); one microsecond over starts a new one — pinned
+    by test_session_window_gap_boundary."""
+    ev = events_enriched(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("_w"),
+                   "trader")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            "trader", "n_events", "sum_value",
+        )
+    )

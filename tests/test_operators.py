@@ -366,3 +366,30 @@ def test_asof_join_randomized_differential(spark):
         exp = brute(fb)
         assert got == exp, (fb, {i: (got[i], exp[i]) for i in got
                                  if got[i] != exp[i]})
+
+
+def test_session_window_gap_boundary(spark):
+    """Pin F.session_window's gap boundary at microsecond precision: an
+    event EXACTLY gap after the previous EXTENDS the session (Spark
+    merges on diff <= gap — the session end is inclusive); one
+    microsecond over starts a new one. The DuckDB oracle twin
+    (w6_session_window) encodes the same > rule."""
+    from pyspark.sql import functions as F
+
+    gap_us = 300_000_000
+    ts = [0,
+          gap_us,                       # exactly gap -> extends session 1
+          gap_us + gap_us + 1,          # gap + 1us -> NEW session
+          gap_us + gap_us + 1 + gap_us]  # extends session 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "id long, t_us long"
+    ).select("id", F.timestamp_micros(F.col("t_us")).alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "5 minutes").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.unix_micros(F.min("ts")).alias("first_us"))
+        .orderBy("first_us")
+        .collect()
+    )
+    assert [(r.n, r.first_us) for r in out] == [
+        (2, 0), (2, 2 * gap_us + 1)]
