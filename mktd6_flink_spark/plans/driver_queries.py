@@ -2365,3 +2365,40 @@ def w6_session_window(spark, sf_dir):
             "trader", "n_events", "sum_value",
         )
     )
+
+
+@register("w7_sliding_window", f"""
+WITH {EV_SQL},
+x AS (
+  SELECT team, value, epoch_us(ts) AS t_us,
+         unnest(generate_series(0, 1)) AS k
+  FROM ev)
+SELECT (t_us // 3600000000) * 3600000000 - k * 3600000000
+         AS window_start_us,
+       team,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+         AS sum_value
+FROM x GROUP BY 1, 2
+""")
+def w7_sliding_window(spark, sf_dir):
+    """Hopping (sliding) windows — 2-hour windows every hour, per team:
+    the other window type the reference's tumbling-only set lacks.
+    Spark's F.window(size, slide) assigns each event to size/slide
+    windows; the oracle replays the same assignment by exploding the
+    k = 0..1 window starts aligned to the epoch (identical alignment
+    rule to Spark's), in microseconds for the same reason as
+    w6_session_window."""
+    ev = events_enriched(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("_w"), "team")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+            "team", "n_events", "sum_value",
+        )
+    )
