@@ -2402,3 +2402,24 @@ def w7_sliding_window(spark, sf_dir):
             "team", "n_events", "sum_value",
         )
     )
+
+
+@register("w5_median_value_per_team", f"""
+WITH {EV_SQL}
+SELECT team, ROUND6(quantile_cont(value, 0.5)) AS median_value,
+       ROUND6(quantile_cont(value, 0.95)) AS p95_value
+FROM ev GROUP BY team
+""")
+def w5_median_value_per_team(spark, sf_dir):
+    """W5 exact median / p95 per team (linear-interpolation quantiles —
+    Spark percentile == DuckDB quantile_cont). Exact percentiles
+    materialize each group's values; at 100 TB swap in
+    approx_percentile (t-digest, mergeable map-side) and keep this as
+    the small-group/audit path."""
+    ev = events_enriched(spark, sf_dir)
+    return ev.groupBy("team").agg(
+        round_portable(F.percentile("value", F.lit(0.5)))
+        .alias("median_value"),
+        round_portable(F.percentile("value", F.lit(0.95)))
+        .alias("p95_value"),
+    )
