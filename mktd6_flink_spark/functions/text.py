@@ -474,3 +474,73 @@ def sql_repetition_stats(table: str = "documents", text: str = "text",
            ROUND6(b._f) AS dup_3gram_frac
     FROM {frac(2, True)} a JOIN {frac(3, False)} b USING ({id_col})
     """)
+
+
+# -- deterministic stratified sampling (mixture weights) ----------------------
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      seed: str = "mix1", text: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixture step of a
+    pretraining pipeline (sample stratum s at rate rates[s]): keep a doc
+    iff hash(seed|content) mod 1e6 < rate*1e6. Content-keyed like
+    train_val_split, so re-sharded corpora sample identically; map-side,
+    no shuffle, any executor count. Strata without a configured rate are
+    dropped (rate 0)."""
+    h = md5_long(F.concat(F.lit(seed), F.lit("|"), F.col(text))) % 1000000
+    rate = None
+    for s, r in rates.items():
+        cond = F.col(strata_col) == s
+        rate = (F.when(cond, int(r * 1000000)) if rate is None
+                else rate.when(cond, int(r * 1000000)))
+    rate = rate.otherwise(0)
+    return (
+        df.withColumn("_h", h)
+        .filter(F.col("_h") < rate)
+        .select(F.col(id_col), F.col(strata_col).alias("stratum"),
+                F.col("_h").alias("sample_key"))
+    )
+
+
+def sql_stratified_sample(table: str, strata_col: str,
+                          rates: dict[str, float], seed: str = "mix1",
+                          text: str = "text",
+                          id_col: str = "doc_id") -> str:
+    h = sql_md5_long(f"concat('{seed}', '|', {text})")
+    whens = " ".join(f"WHEN '{s}' THEN {int(r * 1000000)}"
+                     for s, r in rates.items())
+    return f"""
+    SELECT {id_col}, {strata_col} AS stratum,
+           ({h}) % 1000000 AS sample_key
+    FROM {table}
+    WHERE ({h}) % 1000000 < CASE {strata_col} {whens} ELSE 0 END
+    """
+
+
+# -- corpus vocabulary --------------------------------------------------------
+
+def vocab_topk(df: DataFrame, k: int = 100, text: str = "text") -> DataFrame:
+    """Corpus-wide top-k token frequency table (vocabulary building):
+    explode → count per token (map-side combine on uniform token keys)
+    → global top-k via TakeOrdered (no full sort at scale). Ties break
+    on the token string so the set is deterministic."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+        .select("token", "n")
+    )
+
+
+def sql_vocab_topk(table: str, k: int = 100, text: str = "text") -> str:
+    toks = sql_tokens(text)
+    return f"""
+    SELECT token, n FROM (
+      SELECT _w AS token, count(*) AS n
+      FROM (SELECT unnest({toks}) AS _w FROM {table})
+      GROUP BY 1)
+    ORDER BY n DESC, token ASC LIMIT {k}
+    """

@@ -2423,3 +2423,31 @@ def w5_median_value_per_team(spark, sf_dir):
         round_portable(F.percentile("value", F.lit(0.95)))
         .alias("p95_value"),
     )
+
+
+_MIX_RATES = {"en": 0.8, "es": 0.5, "und": 0.1}
+
+
+@register("pipeline_stratified_sample", f"""
+WITH langs AS ({tx.sql_lang_id('documents')}),
+docs_l AS (SELECT d.doc_id, d.text, l.pred_lang
+           FROM documents d JOIN langs l ON l.doc_id = d.doc_id)
+{tx.sql_stratified_sample('docs_l', 'pred_lang', _MIX_RATES)}
+""")
+def pipeline_stratified_sample(spark, sf_dir):
+    """Domain-mixture sampling: language-ID each doc, then sample each
+    stratum at its mixture rate (en 0.8 / es 0.5 / und 0.1) with a
+    content-keyed deterministic hash — the DoReMi/Pile-style mixture
+    step, re-shard-stable and oracle-checked."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    langs = tx.lang_id(docs).select("doc_id", "pred_lang")
+    docs_l = docs.join(langs, "doc_id")
+    return tx.stratified_sample(docs_l, "pred_lang", _MIX_RATES)
+
+
+@register("text_vocab_top100", tx.sql_vocab_topk("documents", k=100))
+def text_vocab_top100(spark, sf_dir):
+    """Corpus top-100 token frequency table (vocabulary building):
+    map-side-combined counts + TakeOrdered top-k, deterministic
+    tie-break on the token."""
+    return tx.vocab_topk(load(spark, sf_dir, "documents"), k=100)
