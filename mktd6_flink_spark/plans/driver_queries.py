@@ -2451,3 +2451,83 @@ def text_vocab_top100(spark, sf_dir):
     map-side-combined counts + TakeOrdered top-k, deterministic
     tie-break on the token."""
     return tx.vocab_topk(load(spark, sf_dir, "documents"), k=100)
+
+
+@register("text_lang_confusion", f"""
+WITH langs AS ({tx.sql_lang_id('documents')})
+SELECT d.lang AS true_lang, l.pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN langs l ON l.doc_id = d.doc_id
+GROUP BY 1, 2
+""")
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation against the corpus's ground-truth lang
+    column: the (true, predicted) confusion table — the evaluation every
+    classifier in a curation pipeline ships with."""
+    docs = load(spark, sf_dir, "documents")
+    langs = tx.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(langs, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("sim_knn_label_accuracy", f"""
+WITH bf AS ({sim.sql_cosine_topk('embeddings', _QUERY_IDS, _EMB_DIM, k=5)})
+SELECT bf.query_id,
+       CAST(sum(CASE WHEN nb.label = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+         / 5.0 AS label_agreement
+FROM bf
+JOIN embeddings q ON q.vec_id = bf.query_id
+JOIN embeddings nb ON nb.vec_id = bf.neighbor_id
+GROUP BY bf.query_id
+""")
+def sim_knn_label_accuracy(spark, sf_dir):
+    """kNN evaluation against the embeddings' ground-truth label: the
+    fraction of each query's exact top-5 neighbors sharing its label —
+    the standard retrieval-quality probe for an embedding space."""
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    bf = sim.cosine_topk(emb, _QUERY_IDS, k=5)
+    return (
+        bf.join(F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
+                            .withColumnRenamed("label", "_ql")), "query_id")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+              .withColumnRenamed("label", "_nl"), "neighbor_id")
+        .groupBy("query_id")
+        .agg((F.sum(F.when(F.col("_nl") == F.col("_ql"), 1).otherwise(0))
+              .cast("double") / 5.0).alias("label_agreement"))
+    )
+
+
+@register("pipeline_source_report", expand_round6(f"""
+WITH q AS ({tx.sql_quality_stats('documents')})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(floor(q.quality_score * 1000000 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 / count(*) AS mean_quality,
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+GROUP BY 1
+"""))
+def pipeline_source_report(spark, sf_dir):
+    """Per-source curation report (docs, mean quality, token budget) —
+    the dataset card a pretraining pipeline emits per provenance
+    bucket. Mean quality sums integer-micro units so aggregation order
+    can't break cross-engine parity."""
+    docs = load(spark, sf_dir, "documents")
+    q = tx.quality_stats(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.floor(F.col("quality_score") * 1000000 + 0.5)
+                   .cast("long")).cast("double") / 1000000.0
+             / F.count(F.lit(1))).alias("mean_quality"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
