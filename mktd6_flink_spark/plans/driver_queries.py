@@ -2531,3 +2531,39 @@ def pipeline_source_report(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register("pipeline_contamination", f"""
+WITH pairs AS ({dd.sql_minhash_lsh_pairs('documents')})
+SELECT least(a.source, b.source) AS source_x,
+       greatest(a.source, b.source) AS source_y,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+WHERE p.est_jaccard >= 0.5 AND a.source <> b.source
+GROUP BY 1, 2
+""")
+def pipeline_contamination(spark, sf_dir):
+    """Cross-source contamination analysis: near-duplicate pairs
+    (est_jaccard >= 0.5) whose two docs come from DIFFERENT provenance
+    buckets, counted per source pair — the train/test-leakage audit an
+    LLM pipeline runs before holding out an eval source. The source
+    lookups broadcast (provenance tables are tiny next to the pair
+    stream at scale)."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = dd.minhash_lsh_pairs(docs.select("doc_id", "text")).filter(
+        F.col("est_jaccard") >= 0.5)
+    j = (
+        pairs
+        .join(F.broadcast(src.withColumnRenamed("doc_id", "id_a")
+                          .withColumnRenamed("source", "_sa")), "id_a")
+        .join(F.broadcast(src.withColumnRenamed("doc_id", "id_b")
+                          .withColumnRenamed("source", "_sb")), "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return j.groupBy(
+        F.least("_sa", "_sb").alias("source_x"),
+        F.greatest("_sa", "_sb").alias("source_y"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
