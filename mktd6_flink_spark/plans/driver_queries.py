@@ -2567,3 +2567,65 @@ def pipeline_contamination(spark, sf_dir):
         F.least("_sa", "_sb").alias("source_x"),
         F.greatest("_sa", "_sb").alias("source_y"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register("streaming_st2_product", f"""
+WITH {EV_SQL},
+s AS (SELECT event_type,
+             list(1.0 + value / CAST(10000.0 AS DOUBLE)
+                  ORDER BY ts, event_id) AS vs,
+             list(event_id ORDER BY ts, event_id) AS ids
+      FROM ev GROUP BY event_type),
+x AS (SELECT event_type,
+             unnest(ids) AS event_id,
+             unnest(list_transform(generate_series(1, len(vs)),
+                 i -> list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                               list_slice(vs, 1, i)),
+                                  (acc, v) -> acc * v))) AS pm
+      FROM s)
+SELECT event_type, event_id, ROUND6(pm) AS price_mult FROM x
+""")
+def streaming_st2_product(spark, sf_dir):
+    """ST2 per-event multiplicative accumulator
+    (SharePriceDataflow.java:72-96) through the live streaming runtime;
+    the oracle replays every prefix of the same left-to-right product.
+    Fifth streaming-engine gate entry (ST1, ST2, ST6, W2, W3)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    ev = enrich_events(raw).select(
+        "event_type", "ts", "event_id",
+        (F.lit(1.0) + F.col("value") / F.lit(10000.0)).alias("mult"))
+    out = stateful.apply_per_event_stream(
+        ev, ["event_type"], ["ts", "event_id"],
+        lambda: (lambda state, row: (
+            ((1.0 if state is None else state[0]) * float(row["mult"]),),
+            {"event_id": int(row["event_id"]),
+             "price_mult":
+                 (1.0 if state is None else state[0]) * float(row["mult"])},
+        )),
+        "event_type string, event_id long, price_mult double",
+        "acc double", stateful.pack1, stateful.unpack1)
+    name = f"st2_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="st2_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type", "event_id",
+        round_portable(F.col("price_mult")).alias("price_mult"))
