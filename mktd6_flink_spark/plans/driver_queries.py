@@ -2629,3 +2629,56 @@ def streaming_st2_product(spark, sf_dir):
     return spark.table(name).select(
         "event_type", "event_id",
         round_portable(F.col("price_mult")).alias("price_mult"))
+
+
+_MANIFEST_COMP_SQL = dd.sql_connected_components(
+    "SELECT doc_id FROM documents",
+    dd.sql_minhash_lsh_pairs("documents")
+    .replace("SELECT id_a, id_b, est_jaccard FROM pairs",
+             "SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5"))
+
+
+@register("pipeline_dataset_manifest", expand_round6(f"""
+WITH RECURSIVE
+comp AS ({_MANIFEST_COMP_SQL}),
+kept AS (SELECT doc_id FROM comp WHERE component = doc_id),
+q AS ({tx.sql_quality_stats('documents')}),
+sp AS ({tx.sql_train_val_split('documents')}),
+ch AS (SELECT doc_id, count(*) AS n_chunks
+       FROM ({tx.sql_chunk('documents')}) GROUP BY doc_id)
+SELECT sp.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ch.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+FROM kept k
+JOIN q ON q.doc_id = k.doc_id
+JOIN sp ON sp.doc_id = k.doc_id
+JOIN ch ON ch.doc_id = k.doc_id
+WHERE q.quality_score >= 0.3 AND q.n_tokens >= 50
+GROUP BY 1
+"""))
+def pipeline_dataset_manifest(spark, sf_dir):
+    """The full dataset build in one plan: near-dup keep-list ∩ quality
+    gate, content-hash train/val assignment, overlap-chunk counts —
+    aggregated into the per-split manifest (docs / chunks / token
+    budget) a pretraining run consumes. Every stage is a previously
+    gated operator; this entry proves the COMPOSITION keeps
+    cross-engine parity end-to-end."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    comp = dd.connected_components(docs.select("doc_id"), pairs)
+    kept = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
+    q = tx.quality_stats(docs)
+    sp = tx.train_val_split(docs)
+    ch = tx.chunk(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        kept.join(q, "doc_id").join(sp, "doc_id").join(ch, "doc_id")
+        .filter((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 50))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
