@@ -2682,3 +2682,53 @@ def pipeline_dataset_manifest(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register("events_funnel", f"""
+WITH {EV_SQL},
+s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_c
+      FROM ev e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t_s
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_p
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_c
+      GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS step, 'signup' AS name,
+         CAST((SELECT count(*) FROM s) AS BIGINT) AS n_users
+  UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+  UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the events stream: users who
+    signed up, then clicked strictly after, then purchased strictly
+    after that — one row per funnel step. Each stage is a conditional
+    min-aggregate plus an equi-join on user_id (uniform key, partial
+    aggs map-side); microsecond ordering for the same reason as the
+    window queries."""
+    ev = events_enriched(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+
+    def stage(prev, etype):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("t_us").alias("_t"))
+        return (
+            e.join(prev.withColumnRenamed("_t", "_pt"), "user_id")
+            .filter(F.col("t_us") > F.col("_pt"))
+            .groupBy("user_id").agg(F.min("t_us").alias("_t"))
+        )
+
+    s = stage(None, "signup")
+    c = stage(s, "click")
+    p = stage(c, "purchase")
+    rows = [(1, "signup", s), (2, "click", c), (3, "purchase", p)]
+    out = None
+    for step, nm, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(nm).alias("name"), "n_users")
+        out = one if out is None else out.unionByName(one)
+    return out
