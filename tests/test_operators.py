@@ -393,3 +393,34 @@ def test_session_window_gap_boundary(spark):
     )
     assert [(r.n, r.first_us) for r in out] == [
         (2, 0), (2, 2 * gap_us + 1)]
+
+
+def test_events_funnel_ordering_golden(spark, tmp_path):
+    """Funnel counts only strictly-ordered progressions: a purchase
+    BEFORE the user's first post-signup click must not count."""
+    import pandas as pd
+
+    rows = [
+        # user 1: signup(1) -> click(2) -> purchase(3): full funnel
+        (1, 1, 1_000_000, "signup"), (2, 1, 2_000_000, "click"),
+        (3, 1, 3_000_000, "purchase"),
+        # user 2: purchase(1) before signup(2) -> click(3): no purchase
+        (4, 2, 1_000_000, "purchase"), (5, 2, 2_000_000, "signup"),
+        (6, 2, 3_000_000, "click"),
+        # user 3: click only: not in funnel at all
+        (7, 3, 1_000_000, "click"),
+    ]
+    pdf = pd.DataFrame(
+        [(eid, pd.Timestamp(us, unit="us"), uid, et, 1.0, "{}")
+         for (eid, uid, us, et) in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path, index=False)
+
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    out = {r.name: r.n_users
+           for r in dq.QUERIES["events_funnel"](spark, str(tmp_path))
+           .collect()}
+    assert out == {"signup": 2, "click": 2, "purchase": 1}
