@@ -2732,3 +2732,41 @@ def events_funnel(spark, sf_dir):
             F.lit(step).alias("step"), F.lit(nm).alias("name"), "n_users")
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register("events_retention_cohorts", f"""
+WITH {EV_SQL},
+w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM ev),
+c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, week FROM w)
+SELECT c.cohort_week, a.week,
+       CAST(a.week - c.cohort_week AS INTEGER) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c ON c.user_id = a.user_id
+GROUP BY 1, 2, 3
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in each week they were active — the standard cohort
+    triangle. Weeks are INTEGER epoch-week numbers (epoch_ms div
+    604800000) so both engines bucket identically with no
+    date-truncation/timezone edge; the distinct on (user, week) is a
+    uniform-key shuffle and the cohort lookup is a user-keyed
+    equi-join."""
+    ev = events_enriched(spark, sf_dir)
+    w = ev.select("user_id",
+                  F.floor(F.col("time_ms") / F.lit(604800000))
+                  .cast("long").alias("week"))
+    c = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    a = w.distinct()
+    return (
+        a.join(c, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "cohort_week", "week",
+            (F.col("week") - F.col("cohort_week")).cast("int")
+            .alias("weeks_since"),
+            "n_users",
+        )
+    )
