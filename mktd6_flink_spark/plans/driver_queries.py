@@ -2770,3 +2770,29 @@ def events_retention_cohorts(spark, sf_dir):
             "n_users",
         )
     )
+
+
+@register("sim_label_centroids", f"""
+SELECT label, CAST(g.i AS INTEGER) AS dim,
+       CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / count(*) AS centroid
+FROM embeddings, (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) g
+GROUP BY 1, 2
+""")
+def sim_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class prototypes — the mean
+    vector IVF/k-means training and nearest-class-mean classification
+    start from). Per-dimension sums are integer micro-units so
+    aggregation order can't break cross-engine parity (the repo's
+    cents rule applied to vectors); posexplode → (label, dim) groupBy
+    is a uniform-key shuffle with map-side partial aggregation."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("_d0", "_v"))
+        .groupBy("label", (F.col("_d0") + 1).cast("int").alias("dim"))
+        .agg(
+            (F.sum(F.floor(F.col("_v").cast("double") * 1000000.0 + 0.5)
+                   .cast("long")).cast("double")
+             / 1000000.0 / F.count(F.lit(1))).alias("centroid"))
+    )
