@@ -2796,3 +2796,53 @@ def sim_label_centroids(spark, sf_dir):
                    .cast("long")).cast("double")
              / 1000000.0 / F.count(F.lit(1))).alias("centroid"))
     )
+
+
+@register("sim_ncm_accuracy", expand_round6(f"""
+WITH cent_rows AS ({ORACLES['sim_label_centroids']}),
+cents AS (SELECT label AS c_label,
+                 list(centroid ORDER BY dim) AS cvec
+          FROM cent_rows GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         ROUND6({sim.sql_cosine('e.embedding', 'c.cvec', _EMB_DIM)})
+           AS cos
+  FROM embeddings e CROSS JOIN cents c),
+best AS (
+  SELECT vec_id, label, c_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, c_label ASC) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS accuracy
+FROM best GROUP BY label
+"""))
+def sim_ncm_accuracy(spark, sf_dir):
+    """Nearest-class-mean classification accuracy per label: every
+    vector is assigned the centroid (sim_label_centroids) with highest
+    cosine (tie → lowest label) and scored against its true label —
+    the standard linear-probe-lite evaluation of an embedding space.
+    The 10 centroids broadcast; the corpus never shuffles until the
+    tiny per-label aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = QUERIES["sim_label_centroids"](spark, sf_dir)
+    cents = F.broadcast(
+        cent_rows.groupBy(F.col("label").alias("c_label")).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cvec")))
+    scored = emb.crossJoin(cents).select(
+        "vec_id", "label", "c_label",
+        round_portable(sim.cosine(F.col("embedding"), F.col("cvec")))
+        .alias("cos"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("c_label").asc())
+    best = (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return best.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
+         .cast("double") / F.count(F.lit(1))).alias("accuracy"))
