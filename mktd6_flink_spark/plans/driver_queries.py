@@ -2846,3 +2846,42 @@ def sim_ncm_accuracy(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         (F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
          .cast("double") / F.count(F.lit(1))).alias("accuracy"))
+
+
+@register("events_daily_ohlc", f"""
+WITH {EV_SQL}
+SELECT trader,
+       epoch_ms(ts) // 86400000 AS day,
+       min_by(value, printf('%013d%010d', epoch_ms(ts), event_id))
+         AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max_by(value, printf('%013d%010d', epoch_ms(ts), event_id))
+         AS close,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM ev GROUP BY 1, 2
+""")
+def events_daily_ohlc(spark, sf_dir):
+    """Per-trader daily OHLC bars — the canonical market-data rollup
+    for the reference's share-price domain: open/close via
+    min_by/max_by on the (time, event_id) total order (deterministic
+    under ties), integer epoch-day bucketing (no date/timezone edge),
+    one uniform-key groupBy with map-side partials."""
+    ev = events_enriched(spark, sf_dir)
+    # zero-padded string composite: lexicographic == numeric order for
+    # non-negative (time_ms, event_id); DuckDB's min_by/max_by accept
+    # only scalar ordering keys, so both engines use the same encoding
+    ok = F.format_string("%013d%010d", F.col("time_ms"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "trader",
+            F.floor(F.col("time_ms") / F.lit(86400000)).cast("long")
+            .alias("day"))
+        .agg(
+            F.min_by("value", ok).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ok).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
