@@ -109,7 +109,7 @@ def decode_media(media: DataFrame, fake: bool = False,
                     "environment; pass fake=True for the deterministic stub"
                 )
             out_rows = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 payload: bytes = bytes(row["payload"])
                 n = len(payload)
                 # Deterministic fake decode: dims from byte stats, features

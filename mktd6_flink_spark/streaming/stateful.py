@@ -182,15 +182,25 @@ def latest_side_value_step():
 # ---------------------------------------------------------------------------
 
 def _fold_pdf(pdf: "pd.DataFrame", step, state, key_dict: dict) -> tuple:
-    """Fold one (time-sorted) pandas frame; returns (rows, final_state)."""
+    """Fold one (time-sorted) pandas frame; returns (rows, final_state).
+
+    Iterates as plain Python lists (``Series.to_list`` + ``zip``) rather
+    than ``iterrows`` — ~10× less per-row overhead and native Python
+    scalars (no numpy boxing in the step's float()/int() casts) while
+    keeping the exact sequential fold semantics the golden float tests
+    pin down.
+    """
     rows = []
-    for _, row in pdf.iterrows():
-        state, out = step(state, row)
+    append = rows.append
+    cols = list(pdf.columns)
+    columns = [pdf[c].to_list() for c in cols]
+    for vals in zip(*columns):
+        state, out = step(state, dict(zip(cols, vals)))
         if out is None:
             continue
         outs = out if isinstance(out, list) else [out]
         for o in outs:
-            rows.append({**key_dict, **o})
+            append({**key_dict, **o})
     return rows, state
 
 
@@ -278,8 +288,8 @@ def delayed_return_stream(df: DataFrame, out_schema: str | StructType,
             }])
             return
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                amount = compute_return(dict(row))
+            for row in pdf.to_dict("records"):
+                amount = compute_return(row)
                 state.update((str(row["trader"]), float(amount)))
                 state.setTimeoutDuration(int(row[delay_ms_col]))
         yield pd.DataFrame(
