@@ -85,6 +85,8 @@ def expand_round6(sql: str) -> str:
         depth = 1
         k = j + len(token)
         while depth > 0:
+            if k >= len(sql):
+                raise ValueError("unbalanced ROUND6(...) in SQL")
             if sql[k] == "(":
                 depth += 1
             elif sql[k] == ")":

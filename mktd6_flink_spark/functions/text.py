@@ -369,7 +369,8 @@ def sql_chunk(table: str = "documents", chunk_tokens: int = 64,
                                      / {stride}) AS INTEGER) + 1 END AS _nc
           FROM t WHERE len(_t) > 0),
     x AS (SELECT {id_col}, _t, _n, CAST(g.i AS INTEGER) AS chunk_idx
-          FROM s, (SELECT unnest(generate_series(0, 100000)) AS i) g
+          FROM s, (SELECT unnest(generate_series(
+                     0, (SELECT coalesce(max(_nc), 1) FROM s))) AS i) g
           WHERE g.i < s._nc)
     SELECT {id_col}, chunk_idx,
            CAST(chunk_idx * {stride} AS BIGINT) AS tok_start,

@@ -36,6 +36,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     right row with the FIRST right value (ST5 flush semantics,
     MarketDataflow.java:243-267).
     """
+    collide = set(value_cols) & set(left.columns)
+    if collide:
+        raise ValueError(
+            "asof_join value_cols collide with left columns "
+            f"{sorted(collide)}; alias the right value columns first")
     lcols = left.columns
     l = left.select(
         *on,

@@ -89,16 +89,24 @@ ORDER_RE = r"(?i)^([a-z0-9]+) ([a-z0-9]+) ([a-z0-9]+) (BUY|SELL) ([0-9]+)$"
 def parse_market_order(text: Column) -> Column:
     """Returns a struct column, null when the row doesn't parse (the Left /
     invalid branch of Chapter02's Either — regex miss OR numeric-parse
-    failure, matching parseOrder's try/catch at Chapter02:239-260)."""
+    failure, matching parseOrder's try/catch at Chapter02:239-260).
+
+    The (?i) regex matches lowercase order types, but the reference then
+    calls the case-sensitive ``MarketOrderType.valueOf(type)``
+    (Chapter02:241) which throws inside the try/catch for anything but
+    exactly 'BUY'/'SELL' — so mixed-case types route to the invalid
+    branch, reproduced here by the case-sensitive ``isin`` guard."""
     time_ms = F.regexp_extract(text, ORDER_RE, 1).try_cast("long")
     shares = F.regexp_extract(text, ORDER_RE, 5).try_cast("int")
+    otype = F.regexp_extract(text, ORDER_RE, 4)
     return F.when(
-        text.rlike(ORDER_RE) & time_ms.isNotNull() & shares.isNotNull(),
+        text.rlike(ORDER_RE) & time_ms.isNotNull() & shares.isNotNull()
+        & otype.isin("BUY", "SELL"),
         F.struct(
             time_ms.alias("time_ms"),
             F.regexp_extract(text, ORDER_RE, 2).alias("player"),
             F.regexp_extract(text, ORDER_RE, 3).alias("txnId"),
-            F.upper(F.regexp_extract(text, ORDER_RE, 4)).alias("type"),
+            otype.alias("type"),
             shares.alias("shares"),
         ),
     )

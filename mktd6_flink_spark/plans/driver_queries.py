@@ -249,12 +249,15 @@ def p05_explode_chars(spark, sf_dir):
 
 # Chapter02 order-string synthesis: one [a-z0-9]-token line per event; rows
 # with user_id%7=0 get a non-numeric time token (regex-pass, parseLong-fail
-# → invalid branch, Chapter02:239-260), INVEST/FEED/OOPS types fail the
-# regex itself.
+# → invalid branch, Chapter02:239-260), rows with user_id%11=0 get a
+# lowercase type (regex-pass, case-sensitive valueOf-fail → invalid
+# branch, Chapter02:241), INVEST/FEED/OOPS types fail the regex itself.
 _ORDER_TXT_SQL = """
 concat(CASE WHEN user_id % 7 = 0 THEN concat(time_ms, 'x')
             ELSE CAST(time_ms AS VARCHAR) END,
-       ' ', trader, ' txn', event_id, ' ', otype, ' ', shares)
+       ' ', trader, ' txn', event_id, ' ',
+       CASE WHEN user_id % 11 = 0 THEN lower(otype) ELSE otype END,
+       ' ', shares)
 """
 
 
@@ -262,10 +265,13 @@ def _order_text_spark(ev: DataFrame) -> DataFrame:
     timetok = F.when(
         F.col("user_id") % 7 == 0, F.concat(F.col("time_ms"), F.lit("x"))
     ).otherwise(F.col("time_ms").cast("string"))
+    typetok = F.when(
+        F.col("user_id") % 11 == 0, F.lower(F.col("otype"))
+    ).otherwise(F.col("otype"))
     return ev.withColumn(
         "order_text",
         F.concat(timetok, F.lit(" "), F.col("trader"), F.lit(" txn"),
-                 F.col("event_id"), F.lit(" "), F.col("otype"), F.lit(" "),
+                 F.col("event_id"), F.lit(" "), typetok, F.lit(" "),
                  F.col("shares")),
     )
 
@@ -281,12 +287,13 @@ m AS (
          TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 1) AS BIGINT) AS time_ms,
          regexp_extract(txt, '{_ORDER_PAT}', 2) AS player,
          regexp_extract(txt, '{_ORDER_PAT}', 3) AS txn_id,
-         upper(regexp_extract(txt, '{_ORDER_PAT}', 4)) AS otype,
+         regexp_extract(txt, '{_ORDER_PAT}', 4) AS otype,
          TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 5) AS INTEGER) AS shares
   FROM s WHERE regexp_matches(txt, '{_ORDER_PAT}')
 )
 SELECT event_id, time_ms, player, txn_id, otype, shares
 FROM m WHERE time_ms IS NOT NULL AND shares IS NOT NULL
+  AND otype IN ('BUY', 'SELL')
 """)
 def p06_parse_orders(spark, sf_dir):
     """P6 regex parse → MarketOrder, valid (Right) branch
@@ -313,10 +320,12 @@ SELECT event_id, txt AS raw FROM s
 WHERE NOT regexp_matches(txt, '{_ORDER_PAT}')
    OR TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 1) AS BIGINT) IS NULL
    OR TRY_CAST(regexp_extract(txt, '{_ORDER_PAT}', 5) AS INTEGER) IS NULL
+   OR regexp_extract(txt, '{_ORDER_PAT}', 4) NOT IN ('BUY', 'SELL')
 """)
 def p06b_invalid_orders(spark, sf_dir):
     """P6 invalid (Left/Either) branch — regex misses AND numeric-parse
-    failures, exactly Chapter02's try/catch routing."""
+    failures AND case-sensitive MarketOrderType.valueOf throws
+    (Chapter02:241), exactly Chapter02's try/catch routing."""
     ev = _order_text_spark(events_enriched(spark, sf_dir))
     parsed = ev.select(
         "event_id",

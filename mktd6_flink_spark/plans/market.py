@@ -19,6 +19,7 @@ ST8 writer on its next trigger.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,12 +133,12 @@ def stage1_updaters(orders: DataFrame, prices: DataFrame,
         "key string, seq long, trader string, txnId string, "
         "otype string, shares int, settle_price double",
         "price double, buffered string",
+        # Buffered orders round-trip as JSON so txnId/trader/otype values
+        # containing any delimiter character survive the state store.
         lambda s: (-1.0 if s[0] is None else float(s[0]),
-                   ";".join("|".join(map(str, it)) for it in s[1])),
+                   json.dumps(list(s[1]))),
         lambda r: (None if r[0] == -1.0 else r[0],
-                   tuple((int(p[0]), int(p[1]), p[2], int(p[3]), p[4], p[5])
-                         for p in (q.split("|")
-                                   for q in r[1].split(";") if q))))
+                   tuple(tuple(it) for it in json.loads(r[1]))))
 
     mkt_coins, mkt_shares = stateless.updater_from_market_order(
         F.col("otype"), F.col("shares"), F.col("settle_price"))

@@ -12,12 +12,15 @@ from mktd6_flink_spark.operators import asof, folds, routing, stateless
 
 def test_order_regex_either_semantics(spark):
     """Chapter02:237-260: regex-pass-parse-fail rows route invalid; '_'
-    not in [a-z0-9]; lowercase types parse (?i) and normalize upper."""
+    not in [a-z0-9]; lowercase types pass the (?i) regex but the
+    case-sensitive MarketOrderType.valueOf (Chapter02:241) throws, so
+    they land in the invalid branch."""
     cases = [
         ("1 trader id BUY 5", True),
         ("12a trader id BUY 5", False),      # parseLong("12a") throws
         ("1 trader_x id BUY 5", False),      # '_' not [a-z0-9]
-        ("2 p2 t2 sell 8", True),            # (?i)
+        ("2 p2 t2 sell 8", False),           # valueOf("sell") throws
+        ("2 p2 t2 SELL 8", True),
         ("3 p3 t3 BUY 99999999999", False),  # Integer.parseInt overflow
         ("4 p4 t4 FEED 5", False),           # type not BUY|SELL
     ]
@@ -26,7 +29,7 @@ def test_order_regex_either_semantics(spark):
         "text", stateless.parse_market_order(F.col("text")).alias("o"))
     got = {r.text: r.o is not None for r in out.collect()}
     assert got == dict(cases)
-    sell = out.filter(F.col("text") == "2 p2 t2 sell 8").collect()[0]
+    sell = out.filter(F.col("text") == "2 p2 t2 SELL 8").collect()[0]
     assert sell.o.type == "SELL"
 
 
@@ -242,7 +245,9 @@ def test_parse_market_order_hypothesis(spark):
                 return None
         except ValueError:
             return None
-        return (t, m.group(2), m.group(3), m.group(4).upper(), sh)
+        if m.group(4) not in ("BUY", "SELL"):
+            return None                # case-sensitive valueOf throws
+        return (t, m.group(2), m.group(3), m.group(4), sh)
 
     token = st.text(alphabet="abcxyz0189", min_size=0, max_size=12)
     line = st.one_of(
