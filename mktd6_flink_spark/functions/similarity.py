@@ -223,56 +223,70 @@ def sql_lsh_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
 
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
-IVF_CENTROID_MOD = 50   # deterministic "training": vec_id % MOD == 0
+IVF_N_CENTROIDS = 32    # CONSTANT centroid count — does not grow with corpus
 IVF_NPROBE = 2
 
 
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = IVF_N_CENTROIDS,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic first-K "training" sample (vec_id < K) — a stand-in
+    for sampled k-means that both engines and every executor reproduce
+    without shared state. K is a CONSTANT, so the centroid set stays
+    broadcast-sized no matter how large the corpus grows (the round-2
+    vec_id % 50 == 0 scheme made centroid count — and the assignment
+    cross join — grow linearly with n)."""
+    return embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_cvec"),
+    )
+
+
 def ivf_assign(embeddings: DataFrame, dim: int,
-               centroid_mod: int = IVF_CENTROID_MOD,
+               n_centroids: int = IVF_N_CENTROIDS,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantization: centroids are a deterministic sample of
-    the corpus (vec_id % mod == 0 — a stand-in for k-means that both
-    engines and every executor can reproduce without shared state); each
-    vector joins its best centroid by cosine (tie → lowest centroid id).
-    The assignment is a broadcast cross join against the small centroid
-    set — map-side, no corpus shuffle: the inverted lists ARE the
-    partition layout at scale."""
+    """IVF coarse quantization: each vector joins its best centroid by
+    cosine (tie → lowest centroid id). The scoring is a broadcast cross
+    join against the constant-size centroid set (map-side, no corpus
+    shuffle); the best-centroid pick is ``groupBy(vec).agg(max_by)`` so
+    the aggregate gets map-side partial combining — the shuffle carries
+    ONE row per vector, not the n×K scored product a row_number window
+    would sort."""
     cents = F.broadcast(
-        embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("_cvec"),
-        )
-    )
+        ivf_centroids(embeddings, n_centroids, id_col, vec_col))
     scored = embeddings.crossJoin(cents).select(
         id_col, vec_col, "centroid_id",
         round_portable(cosine(F.col(vec_col), F.col("_cvec")))
         .alias("_ccos"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_ccos").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    # max of struct(_ccos, -centroid_id) == highest cosine, then lowest
+    # centroid id — Spark struct comparison is lexicographic.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("centroid_id"), F.col(vec_col).alias("_v")),
+            F.struct(F.col("_ccos").alias("_c"),
+                     (-F.col("centroid_id")).alias("_nid")),
+        ).alias("_best")
+    )
+    return best.select(
+        id_col,
+        F.col("_best._v").alias(vec_col),
+        F.col("_best.centroid_id").alias("centroid_id"),
     )
 
 
 def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
                  k: int = 5, nprobe: int = IVF_NPROBE,
-                 centroid_mod: int = IVF_CENTROID_MOD,
+                 n_centroids: int = IVF_N_CENTROIDS,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest centroids and
     ranks only those inverted lists by exact cosine — candidates are
     O(n * nprobe / n_centroids) instead of O(n)."""
-    assigned = ivf_assign(embeddings, dim, centroid_mod, id_col, vec_col)
+    assigned = ivf_assign(embeddings, dim, n_centroids, id_col, vec_col)
     cents = F.broadcast(
-        embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("_cvec"),
-        )
-    )
+        ivf_centroids(embeddings, n_centroids, id_col, vec_col))
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     probe_scored = q.crossJoin(cents).select(
@@ -309,7 +323,7 @@ def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
 
 def sql_ivf_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
                      nprobe: int = IVF_NPROBE,
-                     centroid_mod: int = IVF_CENTROID_MOD,
+                     n_centroids: int = IVF_N_CENTROIDS,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> str:
     ids = ", ".join(str(i) for i in query_ids)
@@ -318,7 +332,7 @@ def sql_ivf_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
     fcos = sql_cosine("q._qv", "a._v", dim)
     return expand_round6(f"""
     WITH cents AS (SELECT {id_col} AS centroid_id, {vec_col} AS _cvec
-                   FROM {table} WHERE {id_col} % {centroid_mod} = 0),
+                   FROM {table} WHERE {id_col} < {n_centroids}),
     v AS (SELECT {id_col} AS vid, {vec_col} AS _v FROM {table}),
     assigned AS (
       SELECT vid, _v, centroid_id FROM (

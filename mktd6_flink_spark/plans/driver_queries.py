@@ -2847,10 +2847,18 @@ def sim_ncm_accuracy(spark, sf_dir):
         "vec_id", "label", "c_label",
         round_portable(sim.cosine(F.col("embedding"), F.col("cvec")))
         .alias("cos"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("c_label").asc())
-    best = (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1))
+    # min of struct(-cos, c_label) == highest cosine, then lowest label —
+    # min_by gets map-side partial aggregation, so the shuffle carries one
+    # row per vector instead of sorting the corpus×centroids product the
+    # old row_number window did.
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(F.col("label"), F.col("c_label")),
+            F.struct((-F.col("cos")).alias("_nc"),
+                     F.col("c_label").alias("_l")),
+        ).alias("_b")
+    ).select("vec_id", F.col("_b.label").alias("label"),
+             F.col("_b.c_label").alias("c_label"))
     return best.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum(F.when(F.col("c_label") == F.col("label"), 1).otherwise(0))
