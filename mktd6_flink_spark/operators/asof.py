@@ -28,13 +28,33 @@ from pyspark.sql.window import Window
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_time: str, right_time: str,
-              value_cols: list[str], fallback: str = "null") -> DataFrame:
+              value_cols: list[str], fallback: str = "null",
+              scalable: bool = False,
+              partitions: int | None = None) -> DataFrame:
     """LEFT ASOF join: left rows enriched with the latest ``value_cols`` from
     ``right`` at or before the left row's time, per ``on`` key.
 
     ``fallback="first"`` additionally back-fills rows that precede the first
     right row with the FIRST right value (ST5 flush semantics,
     MarketDataflow.java:243-267).
+
+    ``scalable=True`` selects the two-phase range-partition plan for
+    low-cardinality (or constant, the reference's "FOO" hotspot) keys:
+    the plain analytic window funnels each key through ONE partition, so
+    a constant key serializes the whole stream. The scalable plan
+    (same shape as windows.running_sum_scalable):
+
+    1. range-partition the tagged union by (key, time) — globally
+       ordered across partition ids, parallel within;
+    2. per-partition local last-value fill (window over (key, _pid));
+    3. per-block last/first right values — a tiny table (#partitions
+       rows) whose per-key carry-in offsets cost one trivially small
+       window;
+    4. broadcast the carry-ins back and coalesce.
+
+    Unlike a prefix SUM there is no float reassociation — the fill picks
+    values, it doesn't combine them — so both plans return bit-identical
+    results; ``scalable`` is purely a physical-plan choice.
     """
     collide = set(value_cols) & set(left.columns)
     if collide:
@@ -60,32 +80,97 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     )
     u = l.unionByName(r)
 
-    # Right rows sort before left rows at equal timestamps so a price at
-    # t settles an order at t (<= semantics).
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    enriched = u
-    for c in value_cols:
-        enriched = enriched.withColumn(
-            f"_asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
-    if fallback == "first":
-        wf = (
-            Window.partitionBy(*on)
+    if scalable:
+        n = partitions or max(
+            left.sparkSession.sparkContext.defaultParallelism * 2, 8)
+        parts = u.repartitionByRange(
+            n, *on, F.col("_t"), F.col("_is_left")
+        ).withColumn("_pid", F.spark_partition_id())
+        # Right rows sort before left rows at equal timestamps so a price
+        # at t settles an order at t (<= semantics) — same order as the
+        # plain plan, but local to each range block.
+        wloc = (
+            Window.partitionBy(*on, "_pid")
             .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        enriched = parts
         for c in value_cols:
             enriched = enriched.withColumn(
-                f"_asof_{c}",
-                F.coalesce(
-                    F.col(f"_asof_{c}"),
-                    F.first(f"_r_{c}", ignorenulls=True).over(wf),
-                ),
+                f"_asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(wloc)
             )
+        # Tiny per-(key, block) summary: last/first right value per block
+        # (one row per block after map-side partial aggregation).
+        spine = parts.select(*on, "_pid").distinct()
+        blocks = spine
+        for c in value_cols:
+            bc = (
+                parts.filter(F.col(f"_r_{c}").isNotNull())
+                .groupBy(*on, "_pid")
+                .agg(
+                    F.max_by(f"_r_{c}", F.struct("_t", "_is_left"))
+                    .alias(f"_bl_{c}"),
+                    F.min_by(f"_r_{c}", F.struct("_t", "_is_left"))
+                    .alias(f"_bf_{c}"),
+                )
+            )
+            blocks = blocks.join(bc, [*on, "_pid"], "left")
+        woff = (
+            Window.partitionBy(*on).orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wall = (
+            Window.partitionBy(*on).orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+        )
+        carry_cols = []
+        for c in value_cols:
+            blocks = blocks.withColumn(
+                f"_carry_{c}",
+                F.last(f"_bl_{c}", ignorenulls=True).over(woff))
+            carry_cols.append(f"_carry_{c}")
+            if fallback == "first":
+                blocks = blocks.withColumn(
+                    f"_gfirst_{c}",
+                    F.first(f"_bf_{c}", ignorenulls=True).over(wall))
+                carry_cols.append(f"_gfirst_{c}")
+        carry = F.broadcast(blocks.select(*on, "_pid", *carry_cols))
+        enriched = enriched.join(carry, [*on, "_pid"])
+        for c in value_cols:
+            filled = F.coalesce(F.col(f"_asof_{c}"), F.col(f"_carry_{c}"))
+            if fallback == "first":
+                filled = F.coalesce(filled, F.col(f"_gfirst_{c}"))
+            enriched = enriched.withColumn(f"_asof_{c}", filled)
+        enriched = enriched.drop("_pid", *carry_cols)
+    else:
+        # Right rows sort before left rows at equal timestamps so a price
+        # at t settles an order at t (<= semantics).
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        enriched = u
+        for c in value_cols:
+            enriched = enriched.withColumn(
+                f"_asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+            )
+        if fallback == "first":
+            wf = (
+                Window.partitionBy(*on)
+                .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+            )
+            for c in value_cols:
+                enriched = enriched.withColumn(
+                    f"_asof_{c}",
+                    F.coalesce(
+                        F.col(f"_asof_{c}"),
+                        F.first(f"_r_{c}", ignorenulls=True).over(wf),
+                    ),
+                )
 
     keep = [c for c in lcols if c not in on and c != left_time]
     return (

@@ -980,7 +980,7 @@ def st5_order_buffering(spark, sf_dir):
     prices = _prices(spark, sf_dir).select(
         F.col("pts").alias("ts"), "price", F.lit(1).alias("_k"))
     joined = asof.asof_join(orders, prices, ["_k"], "ts", "ts",
-                            ["price"], fallback="first")
+                            ["price"], fallback="first", scalable=True)
     return joined.select(
         "event_id", F.col("asof_price").alias("settle_price"))
 
@@ -1005,7 +1005,8 @@ def st10_price_delta(spark, sf_dir):
         "event_id", "ts", "value", F.lit(1).alias("_k"))
     prices = _prices(spark, sf_dir).select(
         F.col("pts").alias("ts"), "price", F.lit(1).alias("_k"))
-    joined = asof.asof_join(clicks, prices, ["_k"], "ts", "ts", ["price"])
+    joined = asof.asof_join(clicks, prices, ["_k"], "ts", "ts", ["price"],
+                            scalable=True)
     return joined.filter(F.col("asof_price").isNotNull()).select(
         "event_id",
         round_portable(F.col("value") - F.col("asof_price"))

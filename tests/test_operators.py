@@ -362,15 +362,46 @@ def test_asof_join_randomized_differential(spark):
         return out
 
     for fb in ("null", "first"):
-        got = {
+        for scalable in (False, True):
+            got = {
+                r.lid: r.asof_price
+                for r in asof.asof_join(
+                    left, right, on=["k"], left_time="t", right_time="t",
+                    value_cols=["price"], fallback=fb,
+                    scalable=scalable).collect()
+            }
+            exp = brute(fb)
+            assert got == exp, (fb, scalable,
+                                {i: (got[i], exp[i]) for i in got
+                                 if got[i] != exp[i]})
+
+
+def test_asof_join_scalable_constant_key(spark):
+    """The scalable two-phase plan must be bit-identical to the plain
+    window plan on a CONSTANT key (the reference's "FOO" hotspot) with
+    many more rows than range partitions, in both fallback modes."""
+    import random
+
+    from mktd6_flink_spark.operators import asof
+
+    rng = random.Random(13)
+    lrows = [("FOO", rng.randint(0, 5000), i) for i in range(800)]
+    rrows = [("FOO", t, round(rng.uniform(1, 9), 3))
+             for t in rng.sample(range(40, 5000), 60)]
+    left = spark.createDataFrame(lrows, "k string, t long, lid long")
+    right = spark.createDataFrame(rrows, "k string, t long, price double")
+    for fb in ("null", "first"):
+        plain = {
             r.lid: r.asof_price
             for r in asof.asof_join(
-                left, right, on=["k"], left_time="t", right_time="t",
-                value_cols=["price"], fallback=fb).collect()
-        }
-        exp = brute(fb)
-        assert got == exp, (fb, {i: (got[i], exp[i]) for i in got
-                                 if got[i] != exp[i]})
+                left, right, ["k"], "t", "t", ["price"],
+                fallback=fb).collect()}
+        twophase = {
+            r.lid: r.asof_price
+            for r in asof.asof_join(
+                left, right, ["k"], "t", "t", ["price"],
+                fallback=fb, scalable=True, partitions=16).collect()}
+        assert plain == twophase
 
 
 def test_session_window_gap_boundary(spark):
