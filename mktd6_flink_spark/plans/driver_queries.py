@@ -2903,3 +2903,159 @@ def events_daily_ohlc(spark, sf_dir):
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+# ===========================================================================
+# Round 3: timer mechanics and per-element coGroup through the LIVE runtime
+# ===========================================================================
+
+@register("streaming_st8_timer", f"""
+WITH base AS ({ORACLES['st8_return_amounts']})
+SELECT concat('txn', event_id) AS txn_id, trader,
+       'RETURN' AS utype, return_coins AS coins_diff,
+       CAST(-1 AS INTEGER) AS invest_diff
+FROM base
+""")
+def streaming_st8_timer(spark, sf_dir):
+    """ST8's ProcessingTimeTimeout path through the LIVE streaming
+    runtime (MarketDataflow.java:348-392): the oracle-checked batch
+    arithmetic (st8_return_amounts) precomputes each INVEST event's
+    return amount and timer delay into a file topic; the streaming
+    query keys by txnId, stashes (trader, amount) in state, registers
+    a processing-time timeout of delay_ms, and emits the RETURN
+    TraderStateUpdater only when the timeout FIRES — across later
+    micro-batches (no-data micro-batches keep the timer wheel turning,
+    the mitigation for DIVERGENCES.md #4). The gate hashes the emitted
+    RETURN updaters, so a timer that never fires or fires twice fails
+    the row count, and a state round-trip bug fails the hash."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stage 1 (batch, oracle-checked elsewhere): amounts + delays.
+    base = QUERIES["st8_return_amounts"](spark, sf_dir).select(
+        F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
+        "trader",
+        F.col("return_coins").alias("amount"),
+        # clamp the wall-clock delay to [1ms, 500ms] so the gate run
+        # stays fast and setTimeoutDuration gets a positive value; the
+        # emitted VALUES (what the oracle checks) don't depend on it
+        F.greatest(F.least(F.col("delay_ms"), F.lit(500)), F.lit(1))
+        .cast("int").alias("delay_ms"),
+    )
+    expected = base.count()
+    topic = tempfile.mkdtemp(prefix="st8_topic_")
+    base.write.mode("overwrite").parquet(topic)
+
+    src = spark.readStream.schema(
+        "txnId string, trader string, amount double, delay_ms int"
+    ).parquet(topic)
+    out = stateful.delayed_return_stream(
+        src,
+        "txnId string, trader string, type string, coinsDiff double, "
+        "investDiff int",
+        lambda row: row["amount"],
+    )
+    name = f"st8_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="st8_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="200 milliseconds").start())
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if spark.table(name).count() >= expected:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).select(
+        F.col("txnId").alias("txn_id"), "trader",
+        F.col("type").alias("utype"),
+        F.col("coinsDiff").alias("coins_diff"),
+        F.col("investDiff").alias("invest_diff"))
+
+
+@register("streaming_w4_cogroup", ORACLES["w4_cogroup_latest"])
+def streaming_w4_cogroup(spark, sf_dir):
+    """W4 per-element-trigger coGroup through the LIVE streaming
+    runtime (MonkeyStockChampion.java:143-232): tagged union of the
+    TxnResult side (click) and price side (view) keyed by trader,
+    applyInPandasWithState holding (last_txn_coins, last_price), a
+    decision emitted on EVERY element — the reference's custom
+    CountTrigger-on-each-element global window. The gate checks the
+    LAST emission per trader against the SAME oracle as the batch twin
+    w4_cogroup_latest, so the streaming fold must converge to exactly
+    the batch coGroup state."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    ev = enrich_events(raw).filter(
+        F.col("event_type").isin("click", "view")).select(
+        "trader", "time_ms", "event_id",
+        F.when(F.col("event_type") == "click", "L").otherwise("R")
+        .alias("_side"),
+        F.col("value").alias("v"))
+
+    def cogroup_step():
+        def step(state, row):
+            c, v = (None, None) if state is None else state
+            if str(row["_side"]) == "L":
+                c = float(row["v"])
+            else:
+                v = float(row["v"])
+            decision = ("HOLD" if c is None or v is None
+                        else "BUY" if c > v else "SELL")
+            return (c, v), {
+                "time_ms": int(row["time_ms"]),
+                "event_id": int(row["event_id"]),
+                "last_txn_coins": c, "last_price": v,
+                "decision": decision,
+            }
+        return step
+
+    out = stateful.apply_per_event_stream(
+        ev, ["trader"], ["time_ms", "event_id"], cogroup_step,
+        "trader string, time_ms long, event_id long, "
+        "last_txn_coins double, last_price double, decision string",
+        "c double, v double",
+        # nullable sides pack as NaN-free sentinels via -inf (values are
+        # real share prices/coins, never -inf)
+        lambda s: (float("-inf") if s[0] is None else s[0],
+                   float("-inf") if s[1] is None else s[1]),
+        lambda r: (None if r[0] == float("-inf") else r[0],
+                   None if r[1] == float("-inf") else r[1]))
+    name = f"w4_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="w4_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    # last emission per trader == the batch coGroup's final state
+    emitted = spark.table(name)
+    return emitted.groupBy("trader").agg(
+        F.max_by(
+            F.struct("last_txn_coins", "last_price", "decision"),
+            F.struct("time_ms", "event_id")).alias("_f")
+    ).select(
+        "trader",
+        F.col("_f.last_txn_coins").alias("last_txn_coins"),
+        F.col("_f.last_price").alias("last_price"),
+        F.col("_f.decision").alias("decision"))

@@ -291,7 +291,10 @@ def delayed_return_stream(df: DataFrame, out_schema: str | StructType,
             for row in pdf.to_dict("records"):
                 amount = compute_return(row)
                 state.update((str(row["trader"]), float(amount)))
-                state.setTimeoutDuration(int(row[delay_ms_col]))
+                # Spark requires a strictly positive duration; the
+                # reference's registerProcessingTimeTimer allows 0 —
+                # clamp to the 1 ms minimum granularity.
+                state.setTimeoutDuration(max(int(row[delay_ms_col]), 1))
         yield pd.DataFrame(
             columns=["txnId", "trader", "type", "coinsDiff", "investDiff"])
 
