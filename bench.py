@@ -42,6 +42,10 @@ HEADLINE = [
     "pipeline_curation",
     "streaming_st1_ema",
     "tpch_q18ish",
+    # per-event engine regression sentinels: the applyInPandas batch fold
+    # and its live applyInPandasWithState twin over the same ledger
+    "st6_per_event_ledger",
+    "streaming_st6_ledger",
 ]
 
 

@@ -231,6 +231,64 @@ def test_s2_log_normal_source_plan(spark):
     assert [f.name for f in df.schema.fields] == ["time", "mult"]
 
 
+def test_s1_k1_kafka_plan_shape(spark):
+    """S1/K1 plan-shape verification (no broker OR connector jar in this
+    container — 'plan-verified, not executed'):
+
+    1. the JSON codecs round-trip on Kafka's EXACT wire schema (binary
+       key/value + topic/partition/offset/timestamp metadata columns,
+       the shape format('kafka').load() produces), composite AND
+       scalar-string keys;
+    2. kafka_source/kafka_sink drive the configured format all the way
+       into Spark's datasource resolution — the only failure is the
+       environment's missing kafka connector package, proving the
+       format/options plumbing is correct up to that boundary."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    from mktd6_flink_spark.model import TOPICS
+
+    # 1a. composite Trader key round-trip on the wire schema
+    topic = TOPICS["market-orders"]
+    typed = spark.createDataFrame(
+        [("BONOBO", "t1", None, "tx1", "BUY", 3)],
+        "team string, name string, time timestamp, txnId string, "
+        "type string, shares int")
+    wire = topic.encode(typed).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("market-orders").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    back = topic.decode(wire).collect()[0]
+    assert (back.team, back.name, back.txnId, back.type, back.shares) == (
+        "BONOBO", "t1", "tx1", "BUY", 3)
+
+    # 1b. scalar JSON-string key ("FOO") round-trip
+    sp = TOPICS["share-price-outside-evolution-meter"]
+    typed2 = spark.createDataFrame(
+        [("FOO", None, 1.01)], "key string, time timestamp, mult double")
+    wire2 = sp.encode(typed2).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"))
+    back2 = sp.decode(wire2).collect()[0]
+    assert (back2.key, back2.mult) == ("FOO", 1.01)
+
+    # 2a. source: format "kafka" + options reach datasource resolution
+    with pytest.raises(AnalysisException, match="kafka"):
+        sources.kafka_source(spark, topic, "localhost:9092")
+
+    # 2b. sink: the writer builds; start() hits the same resolution wall
+    stream = sources.log_normal_mult_source(spark, seed=1).select(
+        F.lit("FOO").alias("key"), "time", "mult")
+    writer = sources.kafka_sink(stream, sp, "localhost:9092",
+                                "/tmp/nonexistent-ckpt-kafka")
+    with pytest.raises(Exception, match="(?i)kafka"):
+        writer.start()
+
+
 def test_k2_dashboard_sink(spark, tmp_path):
     """K2: trader-state docs land in the dashboard store with exactly the
     Dashboard.java:92-99 projection."""
