@@ -751,7 +751,12 @@ FROM s
 """)
 def st1_ema(spark, sf_dir):
     """ST1 EMA fold, final value per key (Chapter04:86-113,168-178):
-    ema = first ? x : x*0.1 + ema*0.9, identical fold order both engines."""
+    ema = first ? x : x*0.1 + ema*0.9, identical fold order both engines.
+
+    Oracle-twin shape: collects each key's history into one array
+    (5 keys here). Production-shaped jobs route through the O(1)-state
+    streaming path instead (`streaming_st1_ema`) — see folds.py scale
+    note."""
     ev = events_enriched(spark, sf_dir)
     out = folds.fold_by_key(
         ev, ["event_type"], ["ts", "event_id"], ["value"],
@@ -1046,7 +1051,13 @@ def st4_ema_combiner(spark, sf_dir):
     state; stream2 (base price) emits newValue = base + hype and
     forecast = ema/newValue with ema α=0.1 over newValue. Batch twin
     returns the final emitted values via a tagged-union fold.
-    State vector: [hype, ema, lastNewValue, seenPrice]."""
+    State vector: [hype, ema, lastNewValue, seenPrice].
+
+    Oracle-twin ONLY: this form folds the whole tagged stream into one
+    collect_list array on a single task (the reference's constant-key
+    hotspot, faithfully). Nothing production-shaped routes through it —
+    the streaming form of the same combiner is the ST4/ST10 tagged-union
+    pattern in streaming/stateful.py with O(1) state."""
     ev = events_enriched(spark, sf_dir)
     hype = ev.filter(F.col("event_type") == "click").select(
         "ts", "event_id", F.lit(0.0).alias("side"),
