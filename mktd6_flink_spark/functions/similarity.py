@@ -221,6 +221,116 @@ def sql_lsh_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
     """)
 
 
+# -- k-means training (Lloyd) -------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance via dot products (one pass per term,
+    same associativity as the DuckDB twin)."""
+    return dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+
+
+def sql_l2sq(a: str, b: str, dim: int) -> str:
+    return (f"(({sql_dot(a, a, dim)}) - 2.0 * ({sql_dot(a, b, dim)}) "
+            f"+ ({sql_dot(b, b, dim)}))")
+
+
+def kmeans_centroids(embeddings: DataFrame, dim: int, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Sampled Lloyd k-means — the REAL IVF coarse-quantizer trainer
+    (Jegou 2011 §III trains the coarse quantizer with k-means; the
+    first-K sample in ``ivf_centroids`` is the cheap stand-in).
+
+    Deterministic and oracle-checkable by construction:
+    - init = the first-K vectors (id < k), centroid_id = vec id;
+    - assignment = argmin of ROUND6(squared L2) (tie → lowest id),
+      computed as a broadcast cross join against the constant-size
+      centroid set then ``groupBy(vec).agg(min_by)`` — map-side
+      partials, ONE row per vector shuffled;
+    - update = per-(centroid, dim) mean with integer-micros sums, so
+      aggregation order cannot change the result (the repo's cents
+      rule applied to vectors).
+
+    Each iteration is one broadcast join + two uniform-key shuffles
+    (n·dim rows then k·dim rows) — no iteration-to-iteration driver
+    state beyond the tiny centroid table, so the loop count is the only
+    sequential dimension. Empty clusters drop out (both engines).
+    Returns (centroid_id, dim, centroid) rows.
+    """
+    cents = embeddings.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("centroid_id"),
+        F.col(vec_col).alias("_cvec"))
+    for _ in range(iters):
+        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+            id_col, vec_col, "centroid_id",
+            round_portable(l2sq(F.col(vec_col), F.col("_cvec")))
+            .alias("_d"))
+        best = scored.groupBy(id_col).agg(
+            F.min_by(
+                F.struct(F.col("centroid_id"), F.col(vec_col).alias("_v")),
+                F.struct(F.col("_d"), F.col("centroid_id").alias("_c")),
+            ).alias("_b")
+        ).select(F.col("_b.centroid_id").alias("centroid_id"),
+                 F.col("_b._v").alias(vec_col))
+        means = (
+            best.select("centroid_id",
+                        F.posexplode(vec_col).alias("_d0", "_v"))
+            .groupBy("centroid_id",
+                     (F.col("_d0") + 1).cast("int").alias("dim"))
+            .agg((F.sum(F.floor(F.col("_v").cast("double") * 1000000.0
+                                + 0.5).cast("long")).cast("double")
+                  / 1000000.0 / F.count(F.lit(1))).alias("val"))
+        )
+        cents = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("_cvec"))
+    return cents.select(
+        "centroid_id",
+        F.posexplode("_cvec").alias("_d0", "centroid"),
+    ).select("centroid_id", (F.col("_d0") + 1).cast("int").alias("dim"),
+             "centroid")
+
+
+def sql_kmeans_centroids(table: str, dim: int, k: int = KMEANS_K,
+                         iters: int = KMEANS_ITERS, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``kmeans_centroids``: the same fixed-iteration
+    Lloyd loop unrolled into chained CTEs."""
+    micros = ("CAST(sum(CAST(floor(CAST({v}[g.i] AS DOUBLE) * 1000000.0 "
+              "+ 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)")
+    parts = [
+        f"c0 AS (SELECT CAST({id_col} AS INTEGER) AS centroid_id, "
+        f"{vec_col} AS cvec FROM {table} WHERE {id_col} < {k})"
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        d = sql_l2sq("e." + vec_col, "c.cvec", dim)
+        parts.append(f"""a{it} AS (
+  SELECT {id_col}, {vec_col}, centroid_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+           row_number() OVER (PARTITION BY e.{id_col}
+             ORDER BY ROUND6({d}) ASC, c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        parts.append(
+            f"m{it} AS (SELECT centroid_id, CAST(g.i AS INTEGER) AS dim, "
+            f"{micros.format(v=vec_col)} AS val FROM a{it}, "
+            f"(SELECT unnest(generate_series(1, {dim})) AS i) g "
+            f"GROUP BY 1, 2)")
+        parts.append(
+            f"c{it} AS (SELECT centroid_id, list(val ORDER BY dim) AS cvec "
+            f"FROM m{it} GROUP BY 1)")
+    body = ",\n".join(parts)
+    return expand_round6(
+        f"WITH {body}\n"
+        f"SELECT centroid_id, dim, val AS centroid FROM m{iters}")
+
+
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
 IVF_N_CENTROIDS = 32    # CONSTANT centroid count — does not grow with corpus
@@ -230,12 +340,13 @@ IVF_NPROBE = 2
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = IVF_N_CENTROIDS,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """Deterministic first-K "training" sample (vec_id < K) — a stand-in
-    for sampled k-means that both engines and every executor reproduce
-    without shared state. K is a CONSTANT, so the centroid set stays
-    broadcast-sized no matter how large the corpus grows (the round-2
-    vec_id % 50 == 0 scheme made centroid count — and the assignment
-    cross join — grow linearly with n)."""
+    """Deterministic first-K "training" sample (vec_id < K) — the cheap
+    trainer both engines and every executor reproduce without shared
+    state; ``kmeans_centroids`` is the REAL (Lloyd) trainer with the
+    same determinism guarantees. K is a CONSTANT either way, so the
+    centroid set stays broadcast-sized no matter how large the corpus
+    grows (the round-2 vec_id % 50 == 0 scheme made centroid count —
+    and the assignment cross join — grow linearly with n)."""
     return embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("_cvec"),

@@ -3072,6 +3072,20 @@ def streaming_w4_cogroup(spark, sf_dir):
         F.col("_f.decision").alias("decision"))
 
 
+@register("sim_kmeans_centroids",
+          sim.sql_kmeans_centroids("embeddings", _EMB_DIM))
+def sim_kmeans_centroids(spark, sf_dir):
+    """Sampled Lloyd k-means over the embedding corpus — the real IVF
+    coarse-quantizer trainer (Jegou 2011 §III), 2 fixed iterations,
+    K=8, deterministic end to end: first-K init, ROUND6(L2²) argmin
+    assignment via broadcast + min_by (one row per vector shuffled,
+    map-side partials), integer-micros exact means. The DuckDB twin
+    unrolls the same loop into chained CTEs, so every iteration's
+    arithmetic is pinned cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.kmeans_centroids(emb, _EMB_DIM)
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================
