@@ -545,3 +545,78 @@ def sql_vocab_topk(table: str, k: int = 100, text: str = "text") -> str:
       GROUP BY 1)
     ORDER BY n DESC, token ASC LIMIT {k}
     """
+
+
+# -- BM25 keyword search ------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 top-k keyword search (Robertson/Walker '94) — the
+    lexical retrieval twin of the embedding ANN operators, over the
+    shared canonical tokenizer.
+
+    Scale shape: term frequencies filter to the query's terms BEFORE
+    any shuffle (the per-doc tf table is |query| rows per matching doc,
+    not |vocab|); document frequencies and corpus stats are tiny
+    aggregates broadcast back; per-term contributions sum as integer
+    micros so addition order can't break cross-engine parity; top-k is
+    a TakeOrdered, never a full sort.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens(F.col(text))).alias("term"))
+    dl = docs.select(F.col(id_col),
+                     F.size(tokens(F.col(text))).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+    tf = (toks.filter(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (tf.join(F.broadcast(dfx), "term")
+         .join(dl, id_col)
+         .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    contrib = (idf * (F.col("tf") * (BM25_K1 + 1.0))
+               / (F.col("tf") + BM25_K1
+                  * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)))
+    scored = j.groupBy(id_col).agg(
+        (F.sum(F.floor(contrib * 1000000.0 + 0.5).cast("long"))
+         .cast("double") / 1000000.0).alias("score"))
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def sql_bm25_topk(table: str, query_terms: list[str], k: int = 10,
+                  text: str = "text", id_col: str = "doc_id") -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    toks = sql_tokens(text)
+    contrib = (
+        f"(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+        f" * (t.tf * ({BM25_K1} + 1.0))"
+        f" / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl"
+        f" / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))"
+    )
+    return f"""
+    WITH tok AS (SELECT {id_col}, unnest({toks}) AS term FROM {table}),
+    dl AS (SELECT {id_col}, len({toks}) AS dl FROM {table}),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+    tf AS (SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ({terms}) GROUP BY 1, 2),
+    dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.{id_col},
+             CAST(sum(CAST(floor({contrib} * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS score
+      FROM tf t
+      JOIN dfx d ON d.term = t.term
+      JOIN dl l ON l.{id_col} = t.{id_col}
+      CROSS JOIN stats s
+      GROUP BY 1)
+    SELECT {id_col}, score FROM scored
+    ORDER BY score DESC, {id_col} ASC LIMIT {k}
+    """

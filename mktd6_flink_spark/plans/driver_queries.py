@@ -3072,6 +3072,51 @@ def streaming_w4_cogroup(spark, sf_dir):
         F.col("_f.decision").alias("decision"))
 
 
+@register("join_salted_skew", f"""
+WITH {EV_SQL},
+dim AS (SELECT trader,
+               CAST(sum({SQL_CENTS.format(x='value')}) AS DOUBLE) / 100.0
+                 AS trader_total
+        FROM ev WHERE event_type = 'purchase' GROUP BY trader)
+SELECT e.event_id, e.trader, e.value, d.trader_total
+FROM ev e JOIN dim d ON d.trader = e.trader
+""")
+def join_salted_skew(spark, sf_dir):
+    """Salted skew join (operators/skew.py): the events fact stream
+    joins a per-trader dimension on a 20-key (hot, skewed at scale)
+    trader key, salted by a hash of event_id so each hot key spreads
+    across 8 reducers instead of one. The oracle is the PLAIN join —
+    salting must not change a single row. At gate SF the dimension
+    would broadcast anyway; the entry pins the semantics so the
+    declarative skew cure stays correct."""
+    from ..operators import skew
+
+    ev = events_enriched(spark, sf_dir)
+    dim = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("trader")
+           .agg((F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+                .alias("trader_total")))
+    return skew.salted_join(
+        ev.select("event_id", "trader", "value"), dim, ["trader"],
+        salt_col="event_id", salt_buckets=8)
+
+
+_BM25_QUERY = ["join", "vector", "stream"]
+
+
+@register("text_bm25_search",
+          tx.sql_bm25_topk("documents", _BM25_QUERY, k=25))
+def text_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-k lexical retrieval over the documents table —
+    the keyword twin of the embedding ANN entries, on the shared
+    canonical tokenizer. Term frequencies filter to the 3 query terms
+    before any shuffle; df/corpus stats broadcast back; per-term
+    contributions sum as integer micros (order-independent); top-25 is
+    a TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, _BM25_QUERY, k=25)
+
+
 @register("sim_kmeans_centroids",
           sim.sql_kmeans_centroids("embeddings", _EMB_DIM))
 def sim_kmeans_centroids(spark, sf_dir):

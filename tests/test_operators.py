@@ -404,6 +404,28 @@ def test_asof_join_scalable_constant_key(spark):
         assert plain == twophase
 
 
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must return exactly the plain join's rows (the salt
+    only splits partitions) — inner and left joins, skewed keys."""
+    import random
+
+    from mktd6_flink_spark.operators import skew
+
+    rng = random.Random(3)
+    facts = [(f"k{rng.randint(0, 3)}", i, rng.random())
+             for i in range(500)] + [("orphan", 999, 0.5)]
+    dims = [(f"k{j}", f"d{j}") for j in range(4)]
+    f = spark.createDataFrame(facts, "k string, fid long, v double")
+    d = spark.createDataFrame(dims, "k string, label string")
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in
+                 f.join(d, ["k"], how).select("k", "fid", "label").collect()}
+        salted = {tuple(r) for r in
+                  skew.salted_join(f, d, ["k"], "fid", 8, how)
+                  .select("k", "fid", "label").collect()}
+        assert plain == salted
+
+
 def test_session_window_gap_boundary(spark):
     """Pin F.session_window's gap boundary at microsecond precision: an
     event EXACTLY gap after the previous EXTENDS the session (Spark
