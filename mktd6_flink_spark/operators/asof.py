@@ -83,9 +83,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     if scalable:
         n = partitions or max(
             left.sparkSession.sparkContext.defaultParallelism * 2, 8)
+        # Materialize the range-partitioned union ONCE: three consumers
+        # (local fill, pid spine, per-block summaries) would otherwise
+        # each re-scan and re-shuffle it — spark_partition_id() is
+        # non-deterministic to the optimizer, so exchange reuse can't
+        # kick in. Same localCheckpoint pattern as the dedup
+        # connected-components loop; a long-lived cluster job preferring
+        # lineage-based fault recovery would persist(MEMORY_AND_DISK)
+        # instead.
         parts = u.repartitionByRange(
             n, *on, F.col("_t"), F.col("_is_left")
-        ).withColumn("_pid", F.spark_partition_id())
+        ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+            eager=False)
         # Right rows sort before left rows at equal timestamps so a price
         # at t settles an order at t (<= semantics) — same order as the
         # plain plan, but local to each range block.

@@ -150,7 +150,12 @@ def running_sum_scalable(df: DataFrame, key_cols: list[str],
         Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parts.withColumn("_local", F.sum(value).over(wloc))
+    # localCheckpoint: two consumers (block totals + the final join)
+    # would otherwise each re-scan, re-range-shuffle, and re-sort the
+    # stream — the non-deterministic spark_partition_id() blocks
+    # exchange reuse.
+    local = parts.withColumn(
+        "_local", F.sum(value).over(wloc)).localCheckpoint(eager=False)
     # block total = the LAST local cumsum of the block (works for
     # negative values, unlike max); single lineage so the sampled range
     # boundaries can't diverge between subplans

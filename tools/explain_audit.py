@@ -36,11 +36,53 @@ def main(selected):
         single = plan.count("SinglePartition")
         rowudf = plan.count("BatchEvalPython")
         arrow = plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas")
+        # hashpartitioning where EVERY partition expression is a literal
+        # (or a column the plan defines as a literal projection) is an
+        # EFFECTIVE single partition the SinglePartition counter can't
+        # see — every row hashes to the same value: the constant-key
+        # "FOO" trap. Mixed keys like (_k, _pid) spread fine and are
+        # not flagged.
+        lit_ids = {
+            m.group(2)
+            for m in re.finditer(r"(?<![\w#.(])([\w.\"]+) AS (\w+#\d+L?)",
+                                 plan)
+            if "#" not in m.group(1)
+        }
+
+        def _split_top(s):
+            parts, depth, cur = [], 0, []
+            for ch in s:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur).strip())
+                    cur = []
+                else:
+                    cur.append(ch)
+            if cur:
+                parts.append("".join(cur).strip())
+            return parts
+
+        const_hash = 0
+        for m in re.finditer(r"hashpartitioning\((.*)\)", plan):
+            args = _split_top(m.group(1))
+            if args and re.fullmatch(r"\d+", args[-1]):
+                args = args[:-1]   # trailing numPartitions
+            if args and all(
+                    "#" not in a or a in lit_ids or
+                    all(ref in lit_ids
+                        for ref in re.findall(r"\w+#\d+L?", a))
+                    for a in args):
+                const_hash += 1
         flags = []
         if rowudf:
             flags.append("ROW-UDF!")
         if single:
             flags.append(f"single-part x{single}")
+        if const_hash:
+            flags.append(f"CONST-KEY-HASH x{const_hash}")
         if smj and not bhj:
             flags.append("SMJ-only")
         print(f"{name:28s} pushed={pushed} bhj={bhj} smj={smj} "
