@@ -2296,15 +2296,12 @@ def streaming_w3_running_sum(spark, sf_dir):
     )
     ev = enrich_events(raw).select(
         "event_type", "ts", "event_id", _cents(F.col("value")).alias("_c"))
+    # running_cents_step carries a numpy-cumsum vectorized path —
+    # integer cents are associative, so it's bit-identical to the
+    # scalar fold and the whole micro-batch leaves the Python loop.
     out = stateful.apply_per_event_stream(
         ev, ["event_type"], ["ts", "event_id"],
-        lambda: (lambda state, row: (
-            ((0 if state is None else state[0]) + int(row["_c"]),),
-            {"event_id": int(row["event_id"]),
-             "running_sum":
-                 ((0 if state is None else state[0]) + int(row["_c"]))
-                 / 100.0},
-        )),
+        stateful.running_cents_step,
         "event_type string, event_id long, running_sum double",
         "total long",
         lambda s: (int(s[0]),), lambda r: (int(r[0]),))

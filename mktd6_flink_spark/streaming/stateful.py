@@ -73,6 +73,40 @@ def running_sum_step():
     return step
 
 
+def running_cents_step(cents_col: str = "_c",
+                       id_col: str = "event_id"):
+    """W3 with the exact integer-cents accumulator, plus a VECTORIZED
+    batch path: integer addition is associative, so a numpy int64
+    cumsum is bit-identical to the sequential fold no matter how the
+    scan is implemented — the one family of per-event recurrences that
+    can leave the Python loop without any float-order caveat. (Float
+    recurrences — EMA, products — stay scalar: vectorized rewrites
+    would reassociate and break the golden-float parity.)
+
+    Emits {id_col, running_sum = cents/100.0} per event; state is the
+    running cents total."""
+    def step(state, row):
+        acc = (0 if state is None else int(state[0])) + int(row[cents_col])
+        return (acc,), {id_col: int(row[id_col]),
+                        "running_sum": acc / 100.0}
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        import numpy as np
+
+        c = pdf[cents_col].to_numpy(dtype="int64")
+        base = 0 if state is None else int(state[0])
+        cum = base + np.cumsum(c)
+        out = {
+            id_col: pdf[id_col].to_list(),
+            "running_sum": (cum / 100.0).tolist(),
+        }
+        new_state = (int(cum[-1]),) if len(cum) else state
+        return out, new_state
+
+    step.vectorized = vectorized
+    return step
+
+
 def trader_ledger_step():
     """ST6 — TraderStateUpdater.update() (java:115-139) emitting a
     TxnResult per update: deltas → auto-bailout on the new state →
@@ -215,7 +249,15 @@ def apply_per_event_batch(df: DataFrame, key_cols: list[str],
 
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         key_dict = dict(zip(key_cols, key))
-        rows, _ = _fold_pdf(pdf, step_factory(), None, key_dict)
+        step = step_factory()
+        vec = getattr(step, "vectorized", None)
+        if vec is not None:
+            out_cols, _ = vec(pdf, None)
+            out = pd.DataFrame(out_cols)
+            for kc, kv in key_dict.items():
+                out[kc] = kv
+            return out
+        rows, _ = _fold_pdf(pdf, step, None, key_dict)
         cols = (out_schema.fieldNames()
                 if isinstance(out_schema, StructType) else None)
         return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
@@ -244,8 +286,17 @@ def apply_per_event_stream(df: DataFrame, key_cols: list[str],
         state = unpack(gstate.get) if gstate.exists else None
         key_dict = dict(zip(key_cols, key))
         step = step_factory()
+        vec = getattr(step, "vectorized", None)
         for pdf in pdfs:
             pdf = pdf.sort_values(order_cols, kind="mergesort")
+            if vec is not None:
+                out_cols, state = vec(pdf, state)
+                if out_cols and len(next(iter(out_cols.values()))):
+                    out = pd.DataFrame(out_cols)
+                    for kc, kv in key_dict.items():
+                        out[kc] = kv
+                    yield out
+                continue
             rows, state = _fold_pdf(pdf, step, state, key_dict)
             if rows:
                 yield pd.DataFrame(rows)

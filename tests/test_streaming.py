@@ -231,6 +231,29 @@ def test_s2_log_normal_source_plan(spark):
     assert [f.name for f in df.schema.fields] == ["time", "mult"]
 
 
+def test_vectorized_step_matches_scalar(spark):
+    """running_cents_step's numpy-cumsum path must be bit-identical to
+    the scalar fold (integer cents are associative), batch engine."""
+    rows = [("k1", i, i, (-1) ** i * (i * 37 + 5)) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "k string, seq long, event_id long, _c long")
+
+    def scalar_only():
+        s = stateful.running_cents_step()
+        del s.vectorized
+        return s
+
+    out_schema = "k string, event_id long, running_sum double"
+    vec = {(r.event_id): r.running_sum
+           for r in stateful.apply_per_event_batch(
+               df, ["k"], ["seq"], stateful.running_cents_step,
+               out_schema).collect()}
+    sca = {(r.event_id): r.running_sum
+           for r in stateful.apply_per_event_batch(
+               df, ["k"], ["seq"], scalar_only, out_schema).collect()}
+    assert vec == sca and len(vec) == 500
+
+
 def test_s1_k1_kafka_plan_shape(spark):
     """S1/K1 plan-shape verification (no broker OR connector jar in this
     container — 'plan-verified, not executed'):
