@@ -64,8 +64,10 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers with a trivial action.
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # Warm the JVM + parquet footers with trivial actions so JIT/codegen
+    # warmup stays out of the first timed query.
+    for t in ("region", "lineitem", "events"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
