@@ -3069,6 +3069,110 @@ def streaming_w4_cogroup(spark, sf_dir):
         F.col("_f.decision").alias("decision"))
 
 
+@register("dataflow_market_ledger", f"""
+WITH {EV_SQL},
+{_PRICES_SQL},
+o AS (SELECT event_id, ts, trader, otype, shares FROM ev
+      WHERE otype IN ('BUY', 'SELL')),
+j AS (SELECT o.event_id, o.ts, o.trader, o.otype, o.shares, p.price
+      FROM o ASOF LEFT JOIN prices p ON o.ts >= p.pts),
+s AS (SELECT *, coalesce(price,
+        (SELECT price FROM prices ORDER BY pts LIMIT 1)) AS sp FROM j),
+upd AS (
+  SELECT trader, ts, event_id,
+         CAST([
+           ((-(CASE WHEN otype = 'BUY' THEN 1.0 ELSE -1.0 END))
+            * CAST(shares AS DOUBLE)) * sp,
+           CASE WHEN otype = 'BUY' THEN CAST(shares AS DOUBLE)
+                ELSE -CAST(shares AS DOUBLE) END,
+           0.0, 0.0, 0.0, 0.0
+         ] AS DOUBLE[]) AS u
+  FROM s
+  UNION ALL
+  SELECT trader, ts, event_id,
+         CAST([
+           CASE otype WHEN 'INVEST' THEN -invested ELSE 0.0 END,
+           CASE otype WHEN 'FEED' THEN -CAST(monkeys AS DOUBLE)
+                ELSE 0.0 END,
+           0.0,
+           CASE otype WHEN 'FEED' THEN CAST(monkeys AS DOUBLE)
+                ELSE 0.0 END,
+           CASE otype WHEN 'INVEST' THEN 1.0 ELSE 0.0 END,
+           0.0
+         ] AS DOUBLE[]) AS u
+  FROM ev WHERE otype IN ('INVEST', 'FEED')),
+seqs AS (SELECT trader, list(u ORDER BY ts, event_id) AS us
+         FROM upd GROUP BY trader),
+folded AS (
+  SELECT trader,
+         list_reduce(
+           list_prepend(CAST([10.0, 5.0, 0.0, 0.0, 0.0] AS DOUBLE[]), us),
+           (acc, x) -> {_ST6_STEP}) AS st
+  FROM seqs)
+SELECT trader,
+       ROUND6(st[1]) AS coins,
+       CAST(st[2] AS INTEGER) AS shares,
+       CAST(st[3] AS INTEGER) AS bailouts,
+       CAST(st[4] AS INTEGER) AS fed_monkeys,
+       CAST(st[5] AS INTEGER) AS in_flight
+FROM folded
+""")
+def dataflow_market_ledger(spark, sf_dir):
+    """The FULL MarketDataflow composed end to end
+    (MarketDataflow.java:99-132 → 190-268 → 284-310): BUY/SELL orders
+    settle at the as-of share price (ST5, scalable two-phase as-of with
+    first-price flush) instead of st6's fixed 2.0; MARKET updaters are
+    built at the settled price; INVEST/FEED updaters join the stream
+    (P12); the per-trader ST6 ledger fold validates every update with
+    auto-bailout. One query exercises the whole §3.2 DAG — source
+    enrichment, as-of join, conditional projection, union, keyed
+    order-dependent fold — against a single composed oracle."""
+    ev = events_enriched(spark, sf_dir)
+    orders = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
+        "event_id", "ts", "trader", "otype", "shares",
+        F.lit(1).alias("_k"))
+    prices = _prices(spark, sf_dir).select(
+        F.col("pts").alias("ts"), "price", F.lit(1).alias("_k"))
+    settled = asof.asof_join(orders, prices, ["_k"], "ts", "ts",
+                             ["price"], fallback="first", scalable=True)
+    mkt_coins, mkt_shares = stateless.updater_from_market_order(
+        F.col("otype"), F.col("shares"), F.col("asof_price"))
+    mkt = settled.select(
+        "trader", "ts", "event_id",
+        F.lit("MARKET").alias("type"),
+        mkt_coins.alias("coinsDiff"),
+        mkt_shares.cast("int").alias("sharesDiff"),
+        F.lit(False).alias("addBailout"),
+        F.lit(0).alias("fedMonkeys"),
+        F.lit(0).alias("investDiff"))
+    rest = ev.filter(F.col("otype").isin("INVEST", "FEED")).select(
+        "trader", "ts", "event_id",
+        F.col("otype").alias("type"),
+        F.when(F.col("otype") == "INVEST", -F.col("invested"))
+        .otherwise(F.lit(0.0)).alias("coinsDiff"),
+        F.when(F.col("otype") == "FEED", -F.col("monkeys"))
+        .otherwise(F.lit(0)).cast("int").alias("sharesDiff"),
+        F.lit(False).alias("addBailout"),
+        F.when(F.col("otype") == "FEED", F.col("monkeys"))
+        .otherwise(F.lit(0)).cast("int").alias("fedMonkeys"),
+        F.when(F.col("otype") == "INVEST", F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("investDiff"))
+    upd = mkt.unionByName(rest)
+    out = folds.fold_by_key(
+        upd, ["trader"], ["ts", "event_id"],
+        ["type", "coinsDiff", "sharesDiff", "addBailout", "fedMonkeys",
+         "investDiff"],
+        folds.trader_state_fold, "state")
+    return out.select(
+        "trader",
+        round_portable(F.col("state.coins")).alias("coins"),
+        F.col("state.shares").alias("shares"),
+        F.col("state.bailouts").alias("bailouts"),
+        F.col("state.fedMonkeys").alias("fed_monkeys"),
+        F.col("state.inFlightInvestments").alias("in_flight"),
+    )
+
+
 @register("join_salted_skew", f"""
 WITH {EV_SQL},
 dim AS (SELECT trader,
@@ -3169,14 +3273,15 @@ _GATE_PRIORITY = [
     "sim_ivf_recall",
     "sim_ncm_accuracy",
     "asof_join_price",
-    # flagship batch heads kept under the gate
+    # flagship batch heads kept under the gate; dataflow_market_ledger
+    # composes the whole §3.2 DAG (as-of settle → updaters → ledger)
     "st6_trader_ledger",
+    "dataflow_market_ledger",
     "st1_ema",
     "dataflow_hype_influence",
     "dedup_minhash_lsh",
     # round-2 positions 51+ never driver-graded
     "mm_frame_plan",
-    "w5_sum_team_trader",
     "dedup_clusters",
     "pipeline_curation",
     "dedup_embedding_cosine",
