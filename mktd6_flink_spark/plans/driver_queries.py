@@ -3069,6 +3069,50 @@ def streaming_w4_cogroup(spark, sf_dir):
         F.col("_f.decision").alias("decision"))
 
 
+@register("pipeline_sequence_packing", f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({tx.sql_tokens('text')}) AS BIGINT) AS n_tokens,
+         {sql_md5_long("concat('pack', doc_id)")} AS ord
+  FROM documents
+  WHERE len({tx.sql_tokens('text')}) > 0),
+c AS (
+  SELECT doc_id, n_tokens, ord,
+         sum(n_tokens) OVER (ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS cum_before
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+       CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+FROM c
+""")
+def pipeline_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing (concatenate-and-split): documents are
+    laid end-to-end in a deterministic shuffled order (md5 of doc_id —
+    re-shard stable, no RNG state) and cut into fixed 2048-token
+    context windows; each doc gets its pack id and offset from the
+    GLOBAL running token total before it. The global cumsum is the
+    constant-key prefix sum, so it runs on the two-phase
+    range-partition plan (`running_sum_scalable` — sequential work is
+    O(#partitions), not O(docs)); token counts are integers, so the
+    two-phase addition is exact. The oracle is a plain window cumsum."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        md5_long(F.concat(F.lit("pack"), F.col("doc_id"))).alias("ord"),
+    ).filter(F.col("n_tokens") > 0).withColumn("_k", F.lit(1))
+    c = windows.running_sum_scalable(
+        t, ["_k"], ["ord", "doc_id"], "n_tokens", out="cum")
+    return c.select(
+        "doc_id", "n_tokens",
+        F.expr("(cum - n_tokens) div 2048").alias("pack_id"),
+        ((F.col("cum") - F.col("n_tokens")) % F.lit(2048))
+        .cast("long").alias("pack_offset"),
+    )
+
+
 @register("dataflow_market_ledger", f"""
 WITH {EV_SQL},
 {_PRICES_SQL},
