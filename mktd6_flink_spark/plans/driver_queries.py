@@ -1841,6 +1841,12 @@ def streaming_st1_ema(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     # the file stream source needs a directory: stream the sf dir with a
     # glob pinned to the events table
     raw = (
@@ -1870,6 +1876,7 @@ def streaming_st1_ema(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     q.awaitTermination(300)
     return spark.table(name).select(
         "event_type", "event_id", round_portable(F.col("ema")).alias("ema"))
@@ -2096,6 +2103,12 @@ def streaming_st6_ledger(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -2125,6 +2138,7 @@ def streaming_st6_ledger(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     q.awaitTermination(300)
     return spark.table(name).select(
         "trader",
@@ -2152,6 +2166,12 @@ def streaming_w2_window(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -2183,6 +2203,7 @@ def streaming_w2_window(spark, sf_dir):
          .outputMode("complete")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     q.awaitTermination(300)
     return spark.table(name)
 
@@ -2284,6 +2305,12 @@ def streaming_w3_running_sum(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -2310,6 +2337,7 @@ def streaming_w3_running_sum(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     q.awaitTermination(300)
     return spark.table(name).select("event_id", "event_type", "running_sum")
 
@@ -2615,6 +2643,12 @@ def streaming_st2_product(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -2643,6 +2677,7 @@ def streaming_st2_product(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     q.awaitTermination(300)
     return spark.table(name).select(
         "event_type", "event_id",
@@ -2944,6 +2979,12 @@ def streaming_st8_timer(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     # Stage 1 (batch, oracle-checked elsewhere): amounts + delays.
     base = QUERIES["st8_return_amounts"](spark, sf_dir).select(
         F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
@@ -2973,6 +3014,7 @@ def streaming_st8_timer(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(processingTime="200 milliseconds").start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     deadline = _time.time() + 180
     while _time.time() < deadline:
         if spark.table(name).count() >= expected:
@@ -3005,6 +3047,12 @@ def streaming_w4_cogroup(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Bound state-store tasks: at gate/bench SF the session default
+    # (200 on a plain driver session) is pure scheduling overhead per
+    # micro-batch. Partition count binds when the query STARTS; the
+    # session value is restored right after .start().
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     raw = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -3055,6 +3103,7 @@ def streaming_w4_cogroup(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
     q.awaitTermination(300)
     # last emission per trader == the batch coGroup's final state
     emitted = spark.table(name)
