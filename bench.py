@@ -46,6 +46,10 @@ HEADLINE = [
     # and its live applyInPandasWithState twin over the same ledger
     "st6_per_event_ledger",
     "streaming_st6_ledger",
+    # round-3 heads: the composed settlement DAG and the global-prefix-sum
+    # packing (both ride the two-phase range-partition plans)
+    "dataflow_market_ledger",
+    "pipeline_sequence_packing",
 ]
 
 

@@ -50,6 +50,11 @@ class FileTopic:
         return spark.readStream.schema(self.schema).json(self.path)
 
     def append_batch(self, df: DataFrame) -> None:
+        # TEST-HARNESS ONLY: coalesce(1) single-threads the write so each
+        # micro-batch lands as one ordered file (the embedded-Kafka
+        # stand-in needs per-batch ordering). Never copy this into a real
+        # sink — a production Kafka/file sink writes with full
+        # parallelism and lets the keyed state impose order.
         df.coalesce(1).write.mode("append").json(self.path)
 
     def sink(self, df: DataFrame, checkpoint: str):
