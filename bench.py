@@ -68,10 +68,15 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers with trivial actions so JIT/codegen
-    # warmup stays out of the first timed query.
-    for t in ("region", "lineitem", "events"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # Warm the JVM with a real scan -> filter -> agg -> shuffle -> noop
+    # pipeline so JIT/codegen/shuffle-machinery warmup stays out of the
+    # first timed query (a bare count() only touches footers/stats).
+    from pyspark.sql import functions as F
+    (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+     .filter(F.col("l_quantity") > 0)
+     .groupBy("l_returnflag").agg(F.sum("l_quantity"))
+     .write.format("noop").mode("overwrite").save())
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
