@@ -87,14 +87,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         # (local fill, pid spine, per-block summaries) would otherwise
         # each re-scan and re-shuffle it — spark_partition_id() is
         # non-deterministic to the optimizer, so exchange reuse can't
-        # kick in. Same localCheckpoint pattern as the dedup
-        # connected-components loop; a long-lived cluster job preferring
-        # lineage-based fault recovery would persist(MEMORY_AND_DISK)
-        # instead.
+        # kick in. MEMORY_AND_DISK persist keeps lineage (executor loss
+        # recomputes instead of failing the job, unlike localCheckpoint)
+        # and reuses deserialized rows.
         parts = u.repartitionByRange(
             n, *on, F.col("_t"), F.col("_is_left")
-        ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-            eager=False)
+        ).withColumn("_pid", F.spark_partition_id()).persist()
         # Right rows sort before left rows at equal timestamps so a price
         # at t settles an order at t (<= semantics) — same order as the
         # plain plan, but local to each range block.

@@ -150,12 +150,14 @@ def running_sum_scalable(df: DataFrame, key_cols: list[str],
         Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # localCheckpoint: two consumers (block totals + the final join)
-    # would otherwise each re-scan, re-range-shuffle, and re-sort the
-    # stream — the non-deterministic spark_partition_id() blocks
-    # exchange reuse.
+    # persist: two consumers (block totals + the final join) would
+    # otherwise each re-scan, re-range-shuffle, and re-sort the stream —
+    # the non-deterministic spark_partition_id() blocks exchange reuse.
+    # MEMORY_AND_DISK persist keeps lineage (executor loss recomputes
+    # instead of failing the job, unlike localCheckpoint) and reuses
+    # deserialized rows (~2x faster than checkpoint's serialized store).
     local = parts.withColumn(
-        "_local", F.sum(value).over(wloc)).localCheckpoint(eager=False)
+        "_local", F.sum(value).over(wloc)).persist()
     # block total = the LAST local cumsum of the block (works for
     # negative values, unlike max); single lineage so the sampled range
     # boundaries can't diverge between subplans
