@@ -231,6 +231,44 @@ def test_s2_log_normal_source_plan(spark):
     assert [f.name for f in df.schema.fields] == ["time", "mult"]
 
 
+def test_stateful_op_under_rocksdb_store(spark, tmp_path):
+    """The per-event engine must be state-store agnostic: the same
+    operator over Spark's built-in RocksDB provider (the store a 100 TB
+    cluster runs — off-heap, incremental checkpoints) produces the same
+    rows as the default HDFS-backed store. The provider is a runtime
+    SQL conf read at query start."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        d = str(tmp_path / "rocks_in")
+        ck = str(tmp_path / "rocks_ckpt")
+        rows = [(i % 7, i, (i * 3) % 100, i) for i in range(1000)]
+        schema = "k long, seq long, _c long, event_id long"
+        spark.createDataFrame(rows, schema).write.parquet(d)
+        src = spark.readStream.schema(schema).parquet(d)
+        out = stateful.apply_per_event_stream(
+            src, ["k"], ["seq"], stateful.running_cents_step,
+            "k long, event_id long, running_sum double", "total long",
+            lambda s: (int(s[0]),), lambda r: (int(r[0]),))
+        q = (out.writeStream.format("memory").queryName("rocksx")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.event_id: r.running_sum
+               for r in spark.table("rocksx").collect()}
+        # python reference: per-key integer-cents prefix sums
+        acc: dict = {}
+        for k, seq, c, eid in rows:
+            acc[k] = acc.get(k, 0) + c
+            assert got[eid] == acc[k] / 100.0
+        assert len(got) == 1000
+    finally:
+        spark.conf.set(provider_key, old)
+
+
 def test_vectorized_step_matches_scalar(spark):
     """running_cents_step's numpy-cumsum path must be bit-identical to
     the scalar fold (integer cents are associative), batch engine."""
