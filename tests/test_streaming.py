@@ -224,6 +224,70 @@ def test_st8_delayed_return_timer(spark, tmp_path):
     assert rows[0].coinsDiff == 6.0 and rows[0].investDiff == -1
 
 
+def test_st8_timer_survives_restart(spark, tmp_path):
+    """Timer EXPIRY state must survive a cold restart: register a
+    processing-time timeout, stop the query before it fires, restart a
+    NEW query from the same checkpoint after the expiry has passed —
+    the RETURN updater must fire in the restarted query (the state
+    store persists (trader, amount) AND the timeout timestamp)."""
+    schema = ("txnId string, trader string, invested double, "
+              "delay_ms long")
+    in_dir = str(tmp_path / "st8r_in")
+    ckpt = str(tmp_path / "st8r_ckpt")
+    out_dir = str(tmp_path / "st8r_out")
+    out_schema = ("txnId string, trader string, type string, "
+                  "coinsDiff double, investDiff int")
+
+    def start(run):
+        stream = sources.file_stream_source(spark, in_dir, schema)
+        out = stateful.delayed_return_stream(
+            stream, out_schema,
+            compute_return=lambda row: row["invested"] * 2.0)
+        return (out.writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append")
+                    .parquet(f"{out_dir}/{run}"))
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="200 milliseconds").start())
+
+    # run 1: ingest the investment (registers a 1500 ms timeout), stop
+    # before it can fire
+    sources.write_stream_input(
+        spark, in_dir, [("txnR", "t1", 5.0, 1500)], schema)
+    q1 = start(1)
+    deadline = time.time() + 60
+    while time.time() < deadline:   # wait until batch 0 committed
+        if q1.lastProgress and q1.lastProgress["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    time.sleep(2.0)                 # let the expiry pass while DOWN
+
+    # run 2: fresh query, same checkpoint; heartbeat files drive batches
+    q2 = start(2)
+    try:
+        rows = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            sources.write_stream_input(
+                spark, in_dir, [("hb", "hb", 0.0, 600000)], schema)
+            try:
+                rows = [r for r in spark.read.parquet(f"{out_dir}/2")
+                        .collect() if r.type == "RETURN"
+                        and r.txnId == "txnR"]
+            except Exception:
+                rows = []
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    assert rows, "RETURN did not fire after restart"
+    assert rows[0].coinsDiff == 10.0 and rows[0].investDiff == -1
+
+
 def test_s2_log_normal_source_plan(spark):
     """S2 builds a valid streaming plan (rate source → exp(randn·σ+μ))."""
     df = sources.log_normal_mult_source(spark, seed=42)
