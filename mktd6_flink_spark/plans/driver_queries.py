@@ -33,7 +33,6 @@ from ..functions import multimodal as mm
 from ..functions import similarity as sim
 from ..functions import text as tx
 from ..functions.hashing import (
-    MERSENNE_P,
     expand_round6,
     hash_params,
     md5_long,

@@ -10,12 +10,10 @@ replacement for embedded Kafka (SURVEY.md §5).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model import SHARE_PRICE_MULT, TopicDef
+from ..model import TopicDef
 
 
 def kafka_source(spark: SparkSession, topic: TopicDef, bootstrap: str,

@@ -28,7 +28,7 @@ MarketDataflow.java:348-392; W3 SharePriceDataflow.java:121-122.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from typing import Any, TYPE_CHECKING
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
