@@ -423,8 +423,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         # pipeline) must not be recomputed on every propagation sweep
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("id"),
-                          F.col(id_col).alias("label"))
+    # Only edge-endpoint nodes can ever change label — iterate over THEM
+    # (O(|endpoints|), tiny relative to the corpus after LSH blocking at
+    # any scale) and left-join the untouched corpus back at the end with
+    # label = own id.
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -452,8 +456,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         )
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col),
-                         F.col("label").alias("component"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("id", "_eid"),
+              F.col("id") == F.col("_eid"), "left")
+        .select(F.col("id").alias(id_col),
+                F.coalesce("label", F.col("id")).alias("component"))
+    )
 
 
 def sql_connected_components(nodes_sql: str, edges_sql: str,
