@@ -3324,6 +3324,89 @@ def sim_kmeans_centroids(spark, sf_dir):
     return sim.kmeans_centroids(emb, _EMB_DIM)
 
 
+@register("streaming_st3_burst", ORACLES["st3_bubble_burst"])
+def streaming_st3_burst(spark, sf_dir):
+    """ST3 bubble-burst state machine through the LIVE streaming
+    runtime (SharePriceDataflow.java:169-225): per-event state
+    transitions with the injected md5 burst randomness; the LAST
+    emission per key must equal the batch fold's final state, so the
+    entry is checked against the SAME oracle as st3_bubble_burst. The
+    Python step mirrors the JVM fold arithmetic operation-for-operation
+    (same IEEE ops in the same order ⇒ identical bits before the final
+    rounding)."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    ev = enrich_events(raw)
+    rand = (
+        md5_long(F.concat(F.lit("burst|"), F.col("event_type"),
+                          F.lit("|"), F.col("event_id"))) % 1048576
+    ).cast("double") / 1048576.0
+    infl = F.when(F.col("value") < 25.0, 0.01).otherwise(-0.01)
+    src = ev.select("event_type", "time_ms", "event_id",
+                    infl.alias("infl"), rand.alias("rand"))
+
+    def burst_step():
+        mults = stateful.BURST_MULTS
+
+        def step(state, row):
+            running, prev, stp = (0.0, 0.0, 0) if state is None else state
+            running = running + float(row["infl"])
+            d0 = running - prev
+            if stp > 0:
+                d1 = d0 * mults[stp]
+                stp2 = stp + 1 if stp < 10 else 0
+            else:
+                d1 = d0
+                stp2 = 1 if float(row["rand"]) < d0 * 0.01 else 0
+            return (running, d1, stp2), {
+                "time_ms": int(row["time_ms"]),
+                "event_id": int(row["event_id"]),
+                "running": running, "diff": d1, "step": stp2,
+            }
+        return step
+
+    out = stateful.apply_per_event_stream(
+        src, ["event_type"], ["time_ms", "event_id"], burst_step,
+        "event_type string, time_ms long, event_id long, "
+        "running double, diff double, step int",
+        "running double, prev double, step int",
+        lambda s: (float(s[0]), float(s[1]), int(s[2])),
+        lambda r: (r[0], r[1], int(r[2])))
+    name = f"st3_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="st3_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    return emitted.groupBy("event_type").agg(
+        F.max_by(F.struct("running", "diff", "step"),
+                 F.struct("time_ms", "event_id")).alias("_f")
+    ).select(
+        "event_type",
+        round_portable(F.col("_f.running")).alias("hype_total"),
+        round_portable(F.col("_f.diff")).alias("diff"),
+        F.col("_f.step").alias("burst_step"))
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================
