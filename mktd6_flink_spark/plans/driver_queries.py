@@ -3324,6 +3324,79 @@ def sim_kmeans_centroids(spark, sf_dir):
     return sim.kmeans_centroids(emb, _EMB_DIM)
 
 
+@register("streaming_st5_settle", ORACLES["st5_order_buffering"])
+def streaming_st5_settle(spark, sf_dir):
+    """ST5 order buffering through the LIVE streaming runtime
+    (MarketDataflow.java:190-268): a tagged union of orders and prices
+    on the reference's constant key feeds `order_buffer_step` — orders
+    arriving before any price BUFFER in state and flush at the first
+    price; later orders settle immediately at the latest price. The
+    emitted (order, settle_price) rows hash-check against the SAME
+    as-of oracle as the batch twin st5_order_buffering."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    ev = enrich_events(raw)
+    orders = ev.filter(F.col("event_type") == "click").select(
+        F.lit("FOO").alias("key"), "time_ms",
+        F.lit("L").alias("_side"),
+        F.col("event_id").cast("string").alias("txnId"),
+        F.lit(1).alias("shares"),
+        F.lit(None).cast("double").alias("price"))
+    # same per-ts max price dedup as the batch twin's _prices
+    prices = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("FOO").alias("key"), "time_ms",
+        F.lit("R").alias("_side"),
+        F.lit(None).cast("string").alias("txnId"),
+        F.lit(None).cast("int").alias("shares"),
+        F.col("value").alias("price"))
+    # R sorts before L at equal time so a price at t settles an order
+    # at t (the batch as-of's <= semantics); equal-time prices process
+    # in ascending order so the LAST seen equals the batch twin's
+    # per-ts max(value) dedup; L ties break on txnId.
+    tagged = (orders.unionByName(prices)
+              .withColumn("_sr",
+                          F.when(F.col("_side") == "R", 0).otherwise(1))
+              .withColumn("_pr", F.coalesce("price",
+                                            F.lit(float("-inf"))))
+              .withColumn("_tid", F.coalesce("txnId", F.lit(""))))
+
+    out = stateful.apply_per_event_stream(
+        tagged, ["key"], ["time_ms", "_sr", "_pr", "_tid"],
+        stateful.order_buffer_step,
+        "key string, txnId string, shares int, settle_price double",
+        "price double, buffered string",
+        lambda s: (-1.0 if s[0] is None else float(s[0]),
+                   __import__("json").dumps(list(s[1]))),
+        lambda r: (None if r[0] == -1.0 else r[0],
+                   tuple(tuple(x) for x in __import__("json").loads(r[1]))))
+    name = f"st5_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="st5_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("txnId").cast("long").alias("event_id"), "settle_price")
+
+
 @register("streaming_st3_burst", ORACLES["st3_bubble_burst"])
 def streaming_st3_burst(spark, sf_dir):
     """ST3 bubble-burst state machine through the LIVE streaming
