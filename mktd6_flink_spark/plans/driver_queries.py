@@ -3506,6 +3506,8 @@ _GATE_PRIORITY = [
     "streaming_st2_product",
     "streaming_st8_timer",
     "streaming_w4_cogroup",
+    "streaming_st3_burst",
+    "streaming_st5_settle",
     "st3_bubble_burst",
     "st8_return_amounts",
     "w4_cogroup_latest",
@@ -3539,10 +3541,8 @@ _GATE_PRIORITY = [
     "text_chunking",
     "pipeline_train_val_split",
     "text_repetition",
-    "w5_distinct_users_per_team",
     "w5_median_value_per_team",
     "pipeline_stratified_sample",
-    "text_vocab_top100",
     "text_lang_confusion",
     "sim_knn_label_accuracy",
     "pipeline_source_report",
