@@ -22,6 +22,7 @@ Portability rules used throughout (verified primitive-by-primitive):
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3383,9 +3384,9 @@ def streaming_st5_settle(spark, sf_dir):
         "key string, txnId string, shares int, settle_price double",
         "price double, buffered string",
         lambda s: (-1.0 if s[0] is None else float(s[0]),
-                   __import__("json").dumps(list(s[1]))),
+                   json.dumps(list(s[1]))),
         lambda r: (None if r[0] == -1.0 else r[0],
-                   tuple(tuple(x) for x in __import__("json").loads(r[1]))))
+                   tuple(tuple(x) for x in json.loads(r[1]))))
     name = f"st5_stream_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="st5_stream_ckpt_")
     q = (out.writeStream.format("memory").queryName(name)
