@@ -150,20 +150,22 @@ def running_sum_scalable(df: DataFrame, key_cols: list[str],
         Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # persist: two consumers (block totals + the final join) would
-    # otherwise each re-scan, re-range-shuffle, and re-sort the stream —
-    # the non-deterministic spark_partition_id() blocks exchange reuse.
+    # persist: two consumers (block totals + the local cumsum) would
+    # otherwise each re-scan and re-range-shuffle the stream — the
+    # non-deterministic spark_partition_id() blocks exchange reuse.
     # MEMORY_AND_DISK persist keeps lineage (executor loss recomputes
     # instead of failing the job, unlike localCheckpoint) and reuses
-    # deserialized rows (~2x faster than checkpoint's serialized store).
-    local = parts.withColumn(
-        "_local", F.sum(value).over(wloc)).persist()
-    # block total = the LAST local cumsum of the block (works for
-    # negative values, unlike max); single lineage so the sampled range
-    # boundaries can't diverge between subplans
-    totals = local.groupBy(*key_cols, "_pid").agg(
-        F.max_by("_local", F.struct(*[F.col(c) for c in order_cols]))
-        .alias("_tot"))
+    # deserialized rows. Persisting the PRE-window frame keeps the
+    # cache small and lets totals skip the sort entirely.
+    parts = parts.persist()
+    local = parts.withColumn("_local", F.sum(value).over(wloc))
+    # block total = plain SUM over the block (== the last local cumsum;
+    # exact for the integer/cents accumulators this plan is exact for) —
+    # a direct aggregate over parts with map-side partial combining, no
+    # second window pass; single lineage so the sampled range boundaries
+    # can't diverge between subplans
+    totals = parts.groupBy(*key_cols, "_pid").agg(
+        F.sum(value).alias("_tot"))
     woff = (
         Window.partitionBy(*key_cols).orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
