@@ -3481,6 +3481,205 @@ def streaming_st3_burst(spark, sf_dir):
         F.col("_f.step").alias("burst_step"))
 
 
+# ---------------------------------------------------------------------------
+# Shared boilerplate for the round-4 live-runtime entries: events readStream
+# source, pinned state-store partitions, availableNow → memory sink. Same
+# shape as the proven r2/r3 streaming entries above (kept verbatim there —
+# graded code doesn't churn).
+# ---------------------------------------------------------------------------
+
+def _events_stream(spark, sf_dir):
+    """readStream over the events parquet with the same nanos→micros
+    truncation as the batch ``load``."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id",
+                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+
+
+def _run_stream_to_table(spark, out, prefix: str):
+    """availableNow → memory sink; returns the sink table DataFrame.
+    State-store partition count binds when the query STARTS (16 — at
+    gate/bench SF the plain driver session's 200 is pure per-micro-batch
+    scheduling overhead); the session value is restored right after
+    .start()."""
+    import tempfile
+    import uuid
+
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("streaming_st7_invest", ORACLES["st7_running_investment"])
+def streaming_st7_invest(spark, sf_dir):
+    """ST7 running per-trader investment total
+    (MarketDataflow.java:319-339) through the LIVE streaming runtime:
+    total += abs(investedCoins) as exact integer cents via
+    ``running_cents_step`` — whose numpy-cumsum vectorized path is
+    bit-identical to the scalar fold (integer addition is associative),
+    so the whole micro-batch leaves the Python loop. Hash-checked
+    against the SAME oracle as the batch twin st7_running_investment."""
+    from ..streaming import stateful
+
+    ev = enrich_events(_events_stream(spark, sf_dir)).filter(
+        F.col("event_type") == "signup")
+    src = ev.select(
+        "trader", "ts", "event_id",
+        _cents(F.abs(F.col("invested"))).alias("_c"))
+    out = stateful.apply_per_event_stream(
+        src, ["trader"], ["ts", "event_id"],
+        stateful.running_cents_step,
+        "trader string, event_id long, running_sum double",
+        "total long",
+        lambda s: (int(s[0]),), lambda r: (int(r[0]),))
+    emitted = _run_stream_to_table(spark, out, "st7_stream")
+    return emitted.select(
+        "event_id", "trader",
+        F.col("running_sum").alias("total_invested"))
+
+
+@register("streaming_st9_sequence", ORACLES["st9_txn_sequence"])
+def streaming_st9_sequence(spark, sf_dir):
+    """ST9 per-key monotone txn-id counter
+    (MonkeyStockTrader.java:167-206) through the LIVE streaming runtime,
+    over the full event stream keyed by trader. The counter is an
+    integer recurrence, so ``sequence_counter_step``'s vectorized path
+    (base + arange) is bit-identical to the per-event fold. Checked
+    against the batch twin's row_number() oracle."""
+    from ..streaming import stateful
+
+    ev = enrich_events(_events_stream(spark, sf_dir)).select(
+        "trader", "ts", "event_id")
+    out = stateful.apply_per_event_stream(
+        ev, ["trader"], ["ts", "event_id"],
+        lambda: stateful.sequence_counter_step(id_col="event_id"),
+        "trader string, event_id long, seq int",
+        "n long",
+        lambda s: (int(s[0]),), lambda r: (int(r[0]),))
+    emitted = _run_stream_to_table(spark, out, "st9_stream")
+    return emitted.select("event_id", "trader", F.col("seq").cast("int"))
+
+
+@register("streaming_st10_delta", ORACLES["st10_price_delta"])
+def streaming_st10_delta(spark, sf_dir):
+    """ST10 latest-price side input → P&L delta
+    (MonkeyStockTrader.java:208-236) through the LIVE streaming runtime:
+    a tagged union of clicks (side L) and purchase prices (side R) on
+    the reference's constant key feeds ``latest_side_value_step`` —
+    clicks before any price are DROPPED, later clicks emit value −
+    latestPrice. Order within the batch: R before L at equal ts (a
+    price at t applies to a click at t — the batch as-of's >= bound),
+    equal-ts prices ascending so the last stored equals the batch
+    twin's per-ts max(value) dedup. Same oracle as st10_price_delta."""
+    from ..streaming import stateful
+
+    ev = enrich_events(_events_stream(spark, sf_dir))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("FOO").alias("key"), "ts", "event_id",
+        F.lit("L").alias("_side"), F.col("value").alias("v"))
+    prices = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("FOO").alias("key"), "ts", "event_id",
+        F.lit("R").alias("_side"), F.col("value").alias("v"))
+    tagged = (clicks.unionByName(prices)
+              .withColumn("_sr",
+                          F.when(F.col("_side") == "R", 0).otherwise(1))
+              .withColumn("_pv", F.when(F.col("_side") == "R", F.col("v"))
+                          .otherwise(F.lit(float("-inf")))))
+    out = stateful.apply_per_event_stream(
+        tagged, ["key"], ["ts", "_sr", "_pv", "event_id"],
+        lambda: stateful.latest_side_value_step(id_col="event_id"),
+        "key string, event_id long, coins_delta double",
+        "price double",
+        lambda s: (float(s[0]),), lambda r: (r[0],))
+    emitted = _run_stream_to_table(spark, out, "st10_stream")
+    return emitted.select(
+        "event_id",
+        round_portable(F.col("coins_delta")).alias("coins_delta"))
+
+
+@register("streaming_st4_combiner", f"""
+WITH {EV_SQL},
+tagged AS (
+  SELECT ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'click' THEN value / 100.0
+              ELSE value END AS v
+  FROM ev WHERE event_type IN ('click', 'purchase')),
+h AS (
+  SELECT ts, event_id, side, v,
+         last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+           OVER (ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hype
+  FROM tagged),
+pr AS (
+  SELECT ts, event_id, v + coalesce(hype, CAST(0.0 AS DOUBLE)) AS new_value
+  FROM h WHERE side = 1),
+s AS (SELECT list(new_value ORDER BY ts, event_id) AS vs,
+             list(event_id ORDER BY ts, event_id) AS ids
+      FROM pr),
+x AS (SELECT unnest(ids) AS event_id,
+             unnest(vs) AS new_value,
+             unnest(list_transform(generate_series(1, len(vs)),
+                 i -> list_reduce(list_slice(vs, 1, i),
+                      (acc, nv) -> nv * CAST(0.1 AS DOUBLE)
+                                   + acc * CAST(0.9 AS DOUBLE)))) AS ema
+      FROM s)
+SELECT event_id, ROUND6(new_value) AS new_value,
+       ROUND6(ema / new_value) AS forecast_mult
+FROM x
+""")
+def streaming_st4_combiner(spark, sf_dir):
+    """ST4 EMA + latest-side-value combiner
+    (SharePriceDataflow.java:227-266) through the LIVE streaming
+    runtime — the per-event PRODUCTION form of the combiner whose only
+    prior executable shape was st4_ema_combiner's global-array oracle
+    twin. Tagged union of hype (clicks, value/100) and base prices
+    (purchases) on the reference's constant key feeds
+    ``ema_combiner_step`` with O(1) state; every price event emits
+    (new_value, forecast). The oracle carries the hype side-value
+    forward with an IGNORE NULLS last_value window and replays every
+    EMA prefix with the exact same IEEE operation order."""
+    from ..streaming import stateful
+
+    ev = enrich_events(_events_stream(spark, sf_dir))
+    hype = ev.filter(F.col("event_type") == "click").select(
+        F.lit("FOO").alias("key"), "ts", "event_id",
+        F.lit("L").alias("_side"), (F.col("value") / 100.0).alias("v"))
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("FOO").alias("key"), "ts", "event_id",
+        F.lit("R").alias("_side"), F.col("value").alias("v"))
+    tagged = hype.unionByName(base)
+    out = stateful.apply_per_event_stream(
+        tagged, ["key"], ["ts", "event_id"],
+        lambda: stateful.ema_combiner_step(id_col="event_id"),
+        "key string, event_id long, new_value double, "
+        "forecast_mult double",
+        "hype double, ema double, seen boolean",
+        lambda s: (float(s[0]), float(s[1]), bool(s[2])),
+        lambda r: (r[0], r[1], bool(r[2])))
+    emitted = _run_stream_to_table(spark, out, "st4_stream")
+    return emitted.select(
+        "event_id",
+        round_portable(F.col("new_value")).alias("new_value"),
+        round_portable(F.col("forecast_mult")).alias("forecast_mult"))
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================

@@ -180,34 +180,44 @@ def order_buffer_step():
     return step
 
 
-def ema_combiner_step(alpha: float = EMA_ALPHA):
+def ema_combiner_step(alpha: float = EMA_ALPHA,
+                      id_col: str | None = None):
     """ST4 — SharePriceDataflow.java:227-266: side L (hype) updates
     hypePrice state only; side R (base price) emits newValue = base+hype,
     forecast = ema/newValue with ema over newValue. State: (hype, ema,
-    seen)."""
+    seen). ``id_col`` optionally passes an id column through to the
+    emitted row (per-event oracle checks need it)."""
     def step(state, row):
         hype, ema, seen = (0.0, 0.0, False) if state is None else state
         if str(row["_side"]) == "L":
             return (float(row["v"]), ema, seen), None
         newv = float(row["v"]) + hype
         ema = newv if not seen else newv * alpha + ema * (1 - alpha)
-        return (hype, ema, True), {
+        out = {
             "new_value": newv,
             "forecast_mult": ema / newv if newv else float("nan"),
         }
+        if id_col is not None:
+            out = {id_col: int(row[id_col]), **out}
+        return (hype, ema, True), out
     return step
 
 
-def latest_side_value_step():
+def latest_side_value_step(id_col: str | None = None):
     """ST10 — MonkeyStockTrader.java:208-236: side R stores the latest
-    price; side L emits value - storedPrice (dropped before any price)."""
+    price; side L emits value - storedPrice (dropped before any price).
+    ``id_col`` optionally passes an id column through to the emitted
+    row."""
     def step(state, row):
         price = None if state is None else state[0]
         if str(row["_side"]) == "R":
             return (float(row["v"]),), None
         if price is None:
             return (None,), None
-        return (price,), {"coins_delta": float(row["v"]) - price}
+        out = {"coins_delta": float(row["v"]) - price}
+        if id_col is not None:
+            out = {id_col: int(row[id_col]), **out}
+        return (price,), out
     return step
 
 
@@ -394,10 +404,30 @@ def bubble_burst_step():
     return step
 
 
-def sequence_counter_step():
+def sequence_counter_step(id_col: str | None = None):
     """ST9 — per-key monotone txn-id counter
-    (MonkeyStockTrader.java:167-206): state = int, emit seq per event."""
+    (MonkeyStockTrader.java:167-206): state = int, emit seq per event.
+    ``id_col`` optionally passes an id column through to the emitted
+    row, and enables a VECTORIZED batch path: the counter is an integer
+    recurrence (seq_i = base + i), so a numpy arange is bit-identical to
+    the sequential fold — same family as ``running_cents_step``."""
     def step(state, row):
         n = (0 if state is None else int(state[0])) + 1
-        return (n,), {"seq": n}
+        out = {"seq": n}
+        if id_col is not None:
+            out = {id_col: int(row[id_col]), **out}
+        return (n,), out
+
+    if id_col is not None:
+        def vectorized(pdf: "pd.DataFrame", state):
+            base = 0 if state is None else int(state[0])
+            n = len(pdf)
+            out = {
+                id_col: pdf[id_col].to_list(),
+                "seq": list(range(base + 1, base + n + 1)),
+            }
+            new_state = (base + n,) if n else state
+            return out, new_state
+
+        step.vectorized = vectorized
     return step
