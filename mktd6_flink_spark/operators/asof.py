@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import cache
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_time: str, right_time: str,
@@ -83,16 +85,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     if scalable:
         n = partitions or max(
             left.sparkSession.sparkContext.defaultParallelism * 2, 8)
-        # Materialize the range-partitioned union ONCE: three consumers
-        # (local fill, pid spine, per-block summaries) would otherwise
-        # each re-scan and re-shuffle it — spark_partition_id() is
-        # non-deterministic to the optimizer, so exchange reuse can't
-        # kick in. MEMORY_AND_DISK persist keeps lineage (executor loss
-        # recomputes instead of failing the job, unlike localCheckpoint)
-        # and reuses deserialized rows.
-        parts = u.repartitionByRange(
-            n, *on, F.col("_t"), F.col("_is_left")
-        ).withColumn("_pid", F.spark_partition_id()).persist()
+        # Materialize the range-partitioned union ONCE when it's big
+        # enough to be worth caching: three consumers (local fill, pid
+        # spine, per-block summaries) would otherwise each re-scan and
+        # re-shuffle it — spark_partition_id() is non-deterministic to
+        # the optimizer, so exchange reuse can't kick in. Below the size
+        # threshold the cache round-trip costs more than the re-scans
+        # (measured +0.3-1.1 s/query at sf0.1); cache.maybe_persist
+        # makes the call and bounds cache lifetime (see its docstring).
+        parts = cache.maybe_persist(
+            u.repartitionByRange(
+                n, *on, F.col("_t"), F.col("_is_left")
+            ).withColumn("_pid", F.spark_partition_id()))
         # Right rows sort before left rows at equal timestamps so a price
         # at t settles an order at t (<= semantics) — same order as the
         # plain plan, but local to each range block.

@@ -1,0 +1,92 @@
+"""Conditional persist for the two-phase range-partition plans.
+
+The scalable as-of join (``asof.asof_join(scalable=True)``) and prefix sum
+(``windows.running_sum_scalable``) range-partition their input once and
+consume it from 2-3 subplans. ``spark_partition_id()`` is non-deterministic
+to the optimizer, so exchange reuse can't deduplicate those scans — a
+persist() is the only way to pay the range shuffle once. But the persist is
+only a win when re-computing the input costs MORE than writing + reading the
+cache: at bench scale (sf0.1, tens of MB) the unconditional persist added
++0.3-1.1 s per query; at cluster scale (GBs-TBs per task's ancestry) it
+saves N-1 full re-shuffles.
+
+``maybe_persist`` makes the trade size-aware: persist only when Catalyst's
+optimized-plan size estimate exceeds a threshold (default 1 GiB, tunable via
+``spark.mktd6.twophase.persistThreshold``; force with ``always``/``never``).
+Unknown sizes (stats unavailable) persist — the scale-safe default.
+
+Cache lifetime: a persisted frame can only be unpersisted AFTER its
+consumers materialize, which the operator never sees. Persisted frames are
+therefore tracked in a registry; each new ``maybe_persist`` call releases
+the frames registered by PREVIOUS calls (in a sequential query workload
+they are dead by then — and unpersist is always safe: lineage recomputes),
+bounding live two-phase caches to one instead of leaking one per query for
+the session lifetime. Callers that want deterministic cleanup (bench
+harnesses, long-lived drivers) call ``release_twophase_caches()`` after
+materializing each result.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+THRESHOLD_CONF = "spark.mktd6.twophase.persistThreshold"
+DEFAULT_THRESHOLD_BYTES = 1 << 30  # 1 GiB
+
+_LIVE: list[DataFrame] = []
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate, or None if unavailable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+
+
+def _threshold(df: DataFrame) -> int | str:
+    raw = df.sparkSession.conf.get(
+        THRESHOLD_CONF, str(DEFAULT_THRESHOLD_BYTES))
+    if raw in ("always", "never"):
+        return raw
+    try:
+        return int(raw)
+    except ValueError:
+        return DEFAULT_THRESHOLD_BYTES
+
+
+def maybe_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK — keeps lineage, spills, survives
+    executor loss by recomputation unlike localCheckpoint) when its
+    estimated size warrants paying the cache once instead of re-computing
+    it per consumer. Below the threshold the frame is returned
+    un-persisted: the consumers re-scan, which at that size is cheaper
+    than the cache round-trip. Releases frames registered by previous
+    calls (see module docstring)."""
+    threshold = _threshold(df)
+    if threshold == "never":
+        return df
+    if threshold != "always":
+        est = _estimated_bytes(df)
+        if est is not None and est < threshold:
+            return df
+    release_twophase_caches()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE.append(df)
+    return df
+
+
+def release_twophase_caches() -> int:
+    """Unpersist every live two-phase cache; returns how many were
+    released. Always safe — un-materialized consumers recompute from
+    lineage."""
+    n = 0
+    while _LIVE:
+        try:
+            _LIVE.pop().unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n

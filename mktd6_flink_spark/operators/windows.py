@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import cache
+
 
 def tumbling_reduce(df: DataFrame, time_col: str, key_cols: list[str],
                     window_len: str, aggs: list[Column],
@@ -150,14 +152,15 @@ def running_sum_scalable(df: DataFrame, key_cols: list[str],
         Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # persist: two consumers (block totals + the local cumsum) would
-    # otherwise each re-scan and re-range-shuffle the stream — the
-    # non-deterministic spark_partition_id() blocks exchange reuse.
-    # MEMORY_AND_DISK persist keeps lineage (executor loss recomputes
-    # instead of failing the job, unlike localCheckpoint) and reuses
-    # deserialized rows. Persisting the PRE-window frame keeps the
-    # cache small and lets totals skip the sort entirely.
-    parts = parts.persist()
+    # Conditional persist: two consumers (block totals + the local
+    # cumsum) would otherwise each re-scan and re-range-shuffle the
+    # stream — the non-deterministic spark_partition_id() blocks
+    # exchange reuse. Below the size threshold the cache round-trip
+    # costs more than the re-scans (measured +54% on w3_running_sum at
+    # sf0.1); cache.maybe_persist makes the call and bounds cache
+    # lifetime. Persisting the PRE-window frame keeps the cache small
+    # and lets totals skip the sort entirely.
+    parts = cache.maybe_persist(parts)
     local = parts.withColumn("_local", F.sum(value).over(wloc))
     # block total = plain SUM over the block (== the last local cumsum;
     # exact for the integer/cents accumulators this plan is exact for) —
