@@ -57,6 +57,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     Unlike a prefix SUM there is no float reassociation — the fill picks
     values, it doesn't combine them — so both plans return bit-identical
     results; ``scalable`` is purely a physical-plan choice.
+
+    Precondition for that bit-identical guarantee: right timestamps must
+    be UNIQUE per key. With duplicate right timestamps the pick among
+    the duplicates is nondeterministic in BOTH plans (the window's sort
+    and the scalable plan's max_by/min_by structs order only on
+    (time, side)), and the two plans may pick different duplicates.
+    Callers here dedupe the right side first (e.g. the per-ts max-price
+    dedup in plans/driver_queries._prices). NULL key columns are
+    supported and group together, matching the plain plan's
+    partitionBy semantics (internal joins go through a struct key,
+    which matches NULL fields).
     """
     collide = set(value_cols) & set(left.columns)
     if collide:
@@ -93,15 +104,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         # threshold the cache round-trip costs more than the re-scans
         # (measured +0.3-1.1 s/query at sf0.1); cache.maybe_persist
         # makes the call and bounds cache lifetime (see its docstring).
+        # All internal grouping/joining keys on `_jk = struct(*on)`:
+        # struct equality matches NULL fields, so left rows with NULL
+        # join keys form their own group exactly like the plain window
+        # plan's partitionBy — a bare equi-join on the key columns
+        # would silently drop them.
         parts = cache.maybe_persist(
             u.repartitionByRange(
                 n, *on, F.col("_t"), F.col("_is_left")
-            ).withColumn("_pid", F.spark_partition_id()))
+            ).withColumn("_jk", F.struct(*on))
+            .withColumn("_pid", F.spark_partition_id()))
         # Right rows sort before left rows at equal timestamps so a price
         # at t settles an order at t (<= semantics) — same order as the
         # plain plan, but local to each range block.
         wloc = (
-            Window.partitionBy(*on, "_pid")
+            Window.partitionBy("_jk", "_pid")
             .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -112,12 +129,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             )
         # Tiny per-(key, block) summary: last/first right value per block
         # (one row per block after map-side partial aggregation).
-        spine = parts.select(*on, "_pid").distinct()
+        spine = parts.select("_jk", "_pid").distinct()
         blocks = spine
         for c in value_cols:
             bc = (
                 parts.filter(F.col(f"_r_{c}").isNotNull())
-                .groupBy(*on, "_pid")
+                .groupBy("_jk", "_pid")
                 .agg(
                     F.max_by(f"_r_{c}", F.struct("_t", "_is_left"))
                     .alias(f"_bl_{c}"),
@@ -125,13 +142,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                     .alias(f"_bf_{c}"),
                 )
             )
-            blocks = blocks.join(bc, [*on, "_pid"], "left")
+            blocks = blocks.join(bc, ["_jk", "_pid"], "left")
         woff = (
-            Window.partitionBy(*on).orderBy("_pid")
+            Window.partitionBy("_jk").orderBy("_pid")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         wall = (
-            Window.partitionBy(*on).orderBy("_pid")
+            Window.partitionBy("_jk").orderBy("_pid")
             .rowsBetween(Window.unboundedPreceding,
                          Window.unboundedFollowing)
         )
@@ -146,14 +163,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                     f"_gfirst_{c}",
                     F.first(f"_bf_{c}", ignorenulls=True).over(wall))
                 carry_cols.append(f"_gfirst_{c}")
-        carry = F.broadcast(blocks.select(*on, "_pid", *carry_cols))
-        enriched = enriched.join(carry, [*on, "_pid"])
+        carry = F.broadcast(blocks.select("_jk", "_pid", *carry_cols))
+        enriched = enriched.join(carry, ["_jk", "_pid"])
         for c in value_cols:
             filled = F.coalesce(F.col(f"_asof_{c}"), F.col(f"_carry_{c}"))
             if fallback == "first":
                 filled = F.coalesce(filled, F.col(f"_gfirst_{c}"))
             enriched = enriched.withColumn(f"_asof_{c}", filled)
-        enriched = enriched.drop("_pid", *carry_cols)
+        enriched = enriched.drop("_jk", "_pid", *carry_cols)
     else:
         # Right rows sort before left rows at equal timestamps so a price
         # at t settles an order at t (<= semantics).

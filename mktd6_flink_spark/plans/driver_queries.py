@@ -2985,6 +2985,11 @@ def streaming_st8_timer(spark, sf_dir):
     # session value is restored right after .start().
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # Timers fire on the micro-batches AFTER the data drains — those
+    # are no-data batches, so the default-true conf must stay on for
+    # the timer wheel to turn. Pin it rather than assume the default.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "true")
     # Stage 1 (batch, oracle-checked elsewhere): amounts + delays.
     base = QUERIES["st8_return_amounts"](spark, sf_dir).select(
         F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
@@ -3022,6 +3027,15 @@ def streaming_st8_timer(spark, sf_dir):
         _time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
+    got = spark.table(name).count()
+    if got < expected:
+        # A silent partial result would surface as a confusing gate
+        # hash mismatch; fail loudly with the real diagnosis instead.
+        raise RuntimeError(
+            f"streaming_st8_timer: only {got}/{expected} timers fired "
+            "within the 180 s deadline — timer wheel stalled (check "
+            "spark.sql.streaming.noDataMicroBatches.enabled and the "
+            "trigger interval)")
     return spark.table(name).select(
         F.col("txnId").alias("txn_id"), "trader",
         F.col("type").alias("utype"),

@@ -87,6 +87,28 @@ def test_asof_join_fallback_first(spark):
     assert got2 == {"early": None, "exact": 50.0, "late": 60.0}
 
 
+def test_asof_join_scalable_null_keys_match_plain(spark):
+    """NULL join keys must behave identically in both physical plans:
+    the plain window treats NULL as its own partition group; the
+    scalable plan's internal joins go through a struct key so NULL
+    rows survive (a bare equi-join would drop them)."""
+    left = spark.createDataFrame(
+        [("k", 1, "a"), (None, 2, "b"), (None, 9, "c"), ("k", 9, "d")],
+        "k string, t long, tag string")
+    right = spark.createDataFrame(
+        [("k", 5, 50.0), (None, 4, 40.0)],
+        "k string, t long, price double")
+    for fb in ("null", "first"):
+        plain = asof.asof_join(left, right, ["k"], "t", "t", ["price"],
+                               fallback=fb)
+        scal = asof.asof_join(left, right, ["k"], "t", "t", ["price"],
+                              fallback=fb, scalable=True, partitions=3)
+        p = sorted((r.tag, r.asof_price) for r in plain.collect())
+        s = sorted((r.tag, r.asof_price) for r in scal.collect())
+        assert p == s, fb
+    assert dict(s) == {"a": 50.0, "b": 40.0, "c": 40.0, "d": 50.0}
+
+
 def test_tagged_union_widens_schemas(spark):
     left = spark.createDataFrame([(1, "x")], "id int, a string")
     right = spark.createDataFrame([(2, 3.5)], "id int, b double")

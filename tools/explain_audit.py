@@ -65,9 +65,24 @@ def main(selected):
                 parts.append("".join(cur).strip())
             return parts
 
+        def _paren_span(s, start):
+            """s[start] == '('; contents up to the BALANCED close — a
+            greedy regex would run to the last ')' on the line and
+            swallow trailing text like ', ENSURE_REQUIREMENTS,
+            [plan_id=123]' as extra (all-literal-looking) args."""
+            depth = 0
+            for i in range(start, len(s)):
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return s[start + 1:i]
+            return s[start + 1:]
+
         const_hash = 0
-        for m in re.finditer(r"hashpartitioning\((.*)\)", plan):
-            args = _split_top(m.group(1))
+        for m in re.finditer(r"hashpartitioning\(", plan):
+            args = _split_top(_paren_span(plan, m.end() - 1))
             if args and re.fullmatch(r"\d+", args[-1]):
                 args = args[:-1]   # trailing numPartitions
             if args and all(
