@@ -365,6 +365,60 @@ def delayed_return_stream(df: DataFrame, out_schema: str | StructType,
         "append", GroupStateTimeout.ProcessingTimeTimeout)
 
 
+def delayed_return_event_time_stream(
+        df: DataFrame, out_schema: str | StructType,
+        compute_return: Callable[[dict], float],
+        time_col: str = "event_time",
+        delay_ms_col: str = "delay_ms",
+        watermark: str = "0 milliseconds") -> DataFrame:
+    """ST8's EVENT-TIME analog. The reference only registers
+    processing-time timers (MarketDataflow.java:374); this variant keys
+    the same delayed-return semantics to the event-time clock instead:
+    the timeout is ``row[time_col] + delay_ms`` and fires when the
+    WATERMARK passes it — deterministic under replay (a reprocessed
+    stream fires the same timers at the same stream positions, which
+    wall-clock timers cannot promise), the right choice when the delay
+    models stream time rather than real time.
+
+    Requires an event-time watermark; late data beyond ``watermark`` is
+    dropped by the engine before reaching the state function.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    df = df.withWatermark(time_col, watermark)
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: "GroupState") -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            trader, amount = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "txnId": key[0],
+                "trader": trader,
+                "type": "RETURN",
+                "coinsDiff": amount,
+                "investDiff": -1,
+            }])
+            return
+        for pdf in pdfs:
+            for row in pdf.to_dict("records"):
+                amount = compute_return(row)
+                state.update((str(row["trader"]), float(amount)))
+                fire_at_ms = (
+                    int(round(row[time_col].timestamp() * 1000.0))
+                    + int(row[delay_ms_col]))
+                state.setTimeoutTimestamp(fire_at_ms)
+        yield pd.DataFrame(
+            columns=["txnId", "trader", "type", "coinsDiff", "investDiff"])
+
+    return df.groupBy("txnId").applyInPandasWithState(
+        fn, out_schema,
+        "trader string, amount double",
+        "append", GroupStateTimeout.EventTimeTimeout)
+
+
 # Convenience pack/unpack for single-double states (EMA, product, sums).
 def pack1(state: tuple) -> tuple:
     return (float(state[0]),)

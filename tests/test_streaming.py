@@ -224,6 +224,55 @@ def test_st8_delayed_return_timer(spark, tmp_path):
     assert rows[0].coinsDiff == 6.0 and rows[0].investDiff == -1
 
 
+def test_st8_event_time_timer(spark, tmp_path):
+    """Event-time analog of the ST8 timer
+    (delayed_return_event_time_stream): the RETURN fires when the
+    WATERMARK passes eventTime + delay — driven by later event-time
+    heartbeats, independent of wall-clock (deterministic under
+    replay, unlike the reference's processing-time timer)."""
+    import datetime as dt
+
+    schema = ("txnId string, trader string, invested double, "
+              "delay_ms long, event_time timestamp")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    in_dir = str(tmp_path / "st8et_in")
+    ckpt = str(tmp_path / "st8et_ckpt")
+    sources.write_stream_input(
+        spark, in_dir, [("txnE", "t1", 4.0, 1000, base)], schema)
+    stream = sources.file_stream_source(spark, in_dir, schema)
+    out = stateful.delayed_return_event_time_stream(
+        stream,
+        "txnId string, trader string, type string, coinsDiff double, "
+        "investDiff int",
+        compute_return=lambda row: row["invested"] * 1.5)
+    q = (out.writeStream.format("memory").queryName("st8et")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        rows = []
+        k = 0
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            # advance the EVENT-TIME clock: each heartbeat carries a
+            # later event time, pushing the watermark past the timeout
+            k += 1
+            sources.write_stream_input(
+                spark, in_dir,
+                [(f"hb{k}", "hb", 0.0, 10 ** 9,
+                  base + dt.timedelta(seconds=10 * k))], schema)
+            rows = spark.sql(
+                "SELECT * FROM st8et WHERE type = 'RETURN' "
+                "AND txnId = 'txnE'").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert rows, "event-time RETURN never fired"
+    assert rows[0].coinsDiff == 6.0 and rows[0].investDiff == -1
+
+
 def test_st8_timer_survives_restart(spark, tmp_path):
     """Timer EXPIRY state must survive a cold restart: register a
     processing-time timeout, stop the query before it fires, restart a
