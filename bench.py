@@ -4,20 +4,34 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query materializes fully via the no-op sink (format("noop")) so we
-measure scan → compute → shuffle without driver-collect overhead.
+Methodology:
+- Each query materializes fully via the no-op sink (format("noop")) so we
+  measure scan → compute → shuffle without driver-collect overhead.
+- Each query runs REPEATS (3) times and reports the MEDIAN — n=1 timings
+  at this scale swing ±0.5 s with zero code change (BENCH_r03's tpch_q5ish
+  +56% regression was noise), medians make regressions attributable.
+  "value" stays the sum of medians; "total_wall" carries the raw
+  wall-clock of the whole run for the skeptical reader.
+- "streaming_floor" is a SENTINEL, not an operator: file source →
+  passthrough → memory sink over the same events file. It measures the
+  irreducible streaming-machinery cost (source listing, planning, state
+  runtime startup, sink) that every streaming_* entry pays regardless of
+  its operator; subtract it to compare a streaming entry against its
+  batch twin (the SCALING.md decomposition, now measured per-round).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Headliners: the scan/agg/join TPC-H set, the reference's core stateful
 # fold, window + running-sum operators, and the LLM-pipeline big hitters.
@@ -40,6 +54,7 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "pipeline_curation",
+    "streaming_floor",
     "streaming_st1_ema",
     "tpch_q18ish",
     # per-event engine regression sentinels: the applyInPandas batch fold
@@ -53,6 +68,33 @@ HEADLINE = [
 ]
 
 
+def streaming_floor(spark, sf_dir):
+    """The streaming-machinery sentinel (see module docstring): same
+    events file source shape as every streaming_* entry, no enrichment,
+    no state, no Python — pure source → memory-sink floor."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"floor_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="floor_ckpt_")
+    q = (raw.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -62,6 +104,7 @@ def sf_from_dir(d: str) -> float:
 
 
 def main() -> int:
+    from mktd6_flink_spark.operators import cache
     from mktd6_flink_spark.plans import driver_queries as dq
     from mktd6_flink_spark.session import get_spark
 
@@ -78,13 +121,20 @@ def main() -> int:
      .write.format("noop").mode("overwrite").save())
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    t_run0 = time.perf_counter()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = dq.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn = streaming_floor if name == "streaming_floor" else dq.QUERIES[name]
+        reps = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+            # deterministic cleanup between runs: a two-phase plan may
+            # have left a (size-gated) persisted frame behind
+            cache.release_twophase_caches()
+        timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -93,6 +143,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        "repeats": REPEATS,
+        "total_wall": round(time.perf_counter() - t_run0, 3),
     }))
     spark.stop()
     return 0
