@@ -3698,74 +3698,77 @@ def streaming_st4_combiner(spark, sf_dir):
 # Gate-window ordering
 # ===========================================================================
 # The driver's per-round correctness gate grades the FIRST 50 registered
-# queries. Registration order above follows the build chronology, which in
-# round 2 left the strongest evidence (the live Structured-Streaming runs,
-# the per-event ST6 ledger, ST3/ST8/W4) outside the graded window. The
-# priority list below re-keys QUERIES/ORACLES so the gate window carries:
-#   - every entry the round-2 gate never saw (positions 51-90 then),
-#   - the round-3 additions (streaming_st8_timer, streaming_w4_cogroup),
-#   - re-checks of entries whose semantics or physical plan changed this
-#     round (p06 casing, st5/st10 scalable as-of, IVF) plus the flagship
-#     ledger/EMA/LSH heads.
-# Everything else stays registered after position 50 — runnable by
-# tools/check_correctness.py and green in CORRECTNESS_r02.json.
+# queries. Rounds 2+3 put 92 of the then-99 entries under the gate at
+# least once; the round-4 window below completes and refreshes coverage:
+#   - the 7 entries NEVER driver-graded in any round (registered at
+#     positions 92-98 in rounds 2-3);
+#   - the 4 NEW round-4 live-streaming entries (ST4/ST7/ST9/ST10 — every
+#     ST family now runs on the real engine);
+#   - every entry whose physical plan changed in round 3 or 4 after its
+#     last grading: the two-phase consumers (conditional persist +
+#     struct-keyed null-safe as-of landed r4), sim_lsh_ann (r3), and
+#     streaming_st8_timer (r4 diagnostics + conf pin);
+#   - the remaining round-2-only entries, minus 9 one-line stateless
+#     p-series filters (r2-green, untouched since — they and the
+#     r3-graded block stay registered after position 50, runnable by
+#     tools/check_correctness.py).
 
 _GATE_PRIORITY = [
-    # the reference's core: per-event settlement ledger + live runtime
-    "st6_per_event_ledger",
-    "streaming_st6_ledger",
-    "streaming_st1_ema",
-    "streaming_w2_window",
-    "streaming_w3_running_sum",
-    "streaming_st2_product",
-    "streaming_st8_timer",
-    "streaming_w4_cogroup",
-    "streaming_st3_burst",
-    "streaming_st5_settle",
-    "st3_bubble_burst",
-    "st8_return_amounts",
-    "w4_cogroup_latest",
-    "st1_ema_per_event",
-    "w6_session_window",
-    "w7_sliding_window",
-    # changed this round — need fresh driver rows
-    "p06_parse_orders",
-    "p06b_invalid_orders",
+    # never driver-graded in any round
+    "w5_sum_team_trader",
+    "w5_distinct_users_per_team",
+    "text_vocab_top100",
+    "pipeline_sequence_packing",
+    "join_salted_skew",
+    "text_bm25_search",
+    "sim_kmeans_centroids",
+    # new round-4 live-runtime entries
+    "streaming_st4_combiner",
+    "streaming_st7_invest",
+    "streaming_st9_sequence",
+    "streaming_st10_delta",
+    # plans changed since last grading (conditional persist + null-safe
+    # struct-key as-of in r4; sim_lsh_ann in r3; st8 diagnostics in r4)
+    "w3_running_sum",
+    "st7_running_investment",
+    "sim_lsh_ann",
+    "asof_join_price",
     "st5_order_buffering",
     "st10_price_delta",
-    "sim_ivf_ann",
-    "sim_ivf_recall",
-    "sim_ncm_accuracy",
-    "asof_join_price",
-    # flagship batch heads kept under the gate; dataflow_market_ledger
-    # composes the whole §3.2 DAG (as-of settle → updaters → ledger)
-    "st6_trader_ledger",
     "dataflow_market_ledger",
-    "st1_ema",
     "dataflow_hype_influence",
-    "dedup_minhash_lsh",
-    # round-2 positions 51+ never driver-graded
-    "mm_frame_plan",
-    "dedup_clusters",
-    "pipeline_curation",
-    "dedup_embedding_cosine",
-    "tpch_q4ish",
-    "tpch_q18ish",
-    "text_scrub",
-    "text_chunking",
-    "pipeline_train_val_split",
-    "text_repetition",
-    "w5_median_value_per_team",
-    "pipeline_stratified_sample",
-    "text_lang_confusion",
-    "sim_knn_label_accuracy",
-    "pipeline_source_report",
-    "pipeline_contamination",
-    "pipeline_dataset_manifest",
-    "events_funnel",
-    "events_retention_cohorts",
-    "sim_label_centroids",
-    "events_daily_ohlc",
+    "streaming_st8_timer",
+    # round-2-only backlog: graded green in r2, not seen since
+    "p01_buy_sell",
+    "p03_sentiment",
+    "p05_explode_chars",
+    "p09_hype_words",
+    "p12_updaters",
+    "p19_tweet_extract",
+    "r1_r2_split_union",
+    "r3_tagged_union",
+    "w2_tumbling_sum",
+    "w5_avg_per_minute",
+    "w5_sum_per_team",
+    "w5_top5_traders",
+    "st2_product",
+    "st9_txn_sequence",
+    "st4_ema_combiner",
+    "hash_family_check",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5ish",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_media_meta",
+    "mm_resize_plan",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
