@@ -405,6 +405,32 @@ def test_vectorized_step_matches_scalar(spark):
     assert vec == sca and len(vec) == 500
 
 
+def test_sequence_counter_vectorized_matches_scalar(spark):
+    """sequence_counter_step's arange path must equal the scalar fold
+    (ST9's integer recurrence is associative), including across keys."""
+    rows = [(f"k{i % 3}", i, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, seq long, event_id long")
+
+    def factory():
+        return stateful.sequence_counter_step(id_col="event_id")
+
+    def scalar_only():
+        s = stateful.sequence_counter_step(id_col="event_id")
+        del s.vectorized
+        return s
+
+    out_schema = "k string, event_id long, seq int"
+    vec = {r.event_id: (r.k, r.seq)
+           for r in stateful.apply_per_event_batch(
+               df, ["k"], ["seq"], factory, out_schema).collect()}
+    sca = {r.event_id: (r.k, r.seq)
+           for r in stateful.apply_per_event_batch(
+               df, ["k"], ["seq"], scalar_only, out_schema).collect()}
+    assert vec == sca and len(vec) == 300
+    # per-key monotone 1..n
+    assert vec[0] == ("k0", 1) and vec[3] == ("k0", 2)
+
+
 def test_s1_k1_kafka_plan_shape(spark):
     """S1/K1 plan-shape verification (no broker OR connector jar in this
     container — 'plan-verified, not executed'):
