@@ -3627,6 +3627,46 @@ def streaming_st10_delta(spark, sf_dir):
         round_portable(F.col("coins_delta")).alias("coins_delta"))
 
 
+@register("streaming_dedup_exact", """
+WITH d3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text
+  FROM documents WHERE doc_id < 50
+)
+SELECT DISTINCT md5(text) AS content_hash FROM d3
+""")
+def streaming_dedup_exact(spark, sf_dir):
+    """Exact dedup through the LIVE streaming runtime — Structured
+    Streaming's stateful dropDuplicates over the content hash, the op a
+    training-data INGEST pipeline runs (dedupe-on-arrival) where the
+    batch twin dedup_exact is the corpus-at-rest form. The corpus
+    plants 50 EXACT copies (doc_id+20000) so the operator demonstrably
+    drops them: 550 in, 500 distinct hashes out. Emits the keep-SET
+    identity (distinct hashes) — deterministic under any arrival order,
+    unlike "which doc_id was kept", which is the batch twin's
+    min-doc_id policy. State is one entry per distinct hash; at scale
+    bound it with dropDuplicatesWithinWatermark over the ingest-time
+    column (documents carry no event time here)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    planted = raw.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text")
+    out = (
+        raw.unionByName(planted)
+        .select(F.md5("text").alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    return _run_stream_to_table(spark, out, "dedup_stream")
+
+
 @register("streaming_st4_combiner", f"""
 WITH {EV_SQL},
 tagged AS (
@@ -3727,6 +3767,7 @@ _GATE_PRIORITY = [
     "streaming_st7_invest",
     "streaming_st9_sequence",
     "streaming_st10_delta",
+    "streaming_dedup_exact",
     # plans changed since last grading (conditional persist + null-safe
     # struct-key as-of in r4; sim_lsh_ann in r3; st8 diagnostics in r4)
     "w3_running_sum",
@@ -3741,7 +3782,6 @@ _GATE_PRIORITY = [
     # round-2-only backlog: graded green in r2, not seen since
     "p01_buy_sell",
     "p03_sentiment",
-    "p05_explode_chars",
     "p09_hype_words",
     "p12_updaters",
     "p19_tweet_extract",
