@@ -426,9 +426,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # Only edge-endpoint nodes can ever change label — iterate over THEM
     # (O(|endpoints|), tiny relative to the corpus after LSH blocking at
     # any scale) and left-join the untouched corpus back at the end with
-    # label = own id.
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+    # label = own id. Initial label = min(id, min neighbor): the first
+    # propagation sweep fused into the init aggregate (one groupBy
+    # instead of a full join+groupBy+join+checkpoint round).
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(F.col("src").alias("id"),
+                F.least("src", "_m").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
