@@ -56,6 +56,9 @@ HEADLINE = [
     "pipeline_curation",
     "streaming_floor",
     "streaming_st1_ema",
+    # the round-4 production ST4 path (tagged-union combiner, live
+    # runtime) — compare against the floor like every streaming entry
+    "streaming_st4_combiner",
     "tpch_q18ish",
     # per-event engine regression sentinels: the applyInPandas batch fold
     # and its live applyInPandasWithState twin over the same ledger
