@@ -90,6 +90,47 @@ def test_st1_state_survives_micro_batches(spark, tmp_path):
     assert sorted(second) == sorted(CH04_GOLDEN[4:])
 
 
+def test_st10_side_input_state_survives_micro_batches(spark, tmp_path):
+    """ST10's stored side value (the latest price) carries across
+    micro-batches: batch 1 stores a price and settles one click; batch 2
+    contains ONLY clicks, which must settle at batch 1's stored price —
+    then a new price re-points the state within the same batch."""
+    schema = "key string, seq long, _side string, v double, event_id long"
+    in_dir = str(tmp_path / "st10_in")
+    ckpt = str(tmp_path / "st10_ckpt")
+    out_dir = str(tmp_path / "st10_out")
+
+    def run(n):
+        stream = sources.file_stream_source(spark, in_dir, schema)
+        out = stateful.apply_per_event_stream(
+            stream, ["key"], ["seq"],
+            lambda: stateful.latest_side_value_step(id_col="event_id"),
+            "key string, event_id long, coins_delta double",
+            "price double",
+            lambda s: (float(s[0]),), lambda r: (r[0],))
+        run_dir = f"{out_dir}/{n}"
+        q = (out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(run_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.event_id: r.coins_delta
+                for r in spark.read.parquet(run_dir).collect()}
+
+    # batch 1: click before any price (dropped), price 10, click 13
+    sources.write_stream_input(
+        spark, in_dir,
+        [("FOO", 1, "L", 12.0, 1), ("FOO", 2, "R", 10.0, 2),
+         ("FOO", 3, "L", 13.0, 3)], schema)
+    assert run(1) == {3: 3.0}
+    # batch 2: clicks settle at the RESTORED price, then a new price
+    sources.write_stream_input(
+        spark, in_dir,
+        [("FOO", 4, "L", 14.0, 4), ("FOO", 5, "R", 20.0, 5),
+         ("FOO", 6, "L", 21.5, 6)], schema)
+    assert run(2) == {4: 4.0, 6: 1.5}
+
+
 def test_st6_stream_matches_batch_fold(spark, tmp_path):
     """The streaming ledger's final per-trader state equals the batch
     fold's (folds.trader_state_fold) on the same updater history — and
