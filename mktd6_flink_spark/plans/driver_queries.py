@@ -3519,12 +3519,13 @@ def _events_stream(spark, sf_dir):
     )
 
 
-def _run_stream_to_table(spark, out, prefix: str):
+def _run_stream_to_table(spark, out, prefix: str, mode: str = "append"):
     """availableNow → memory sink; returns the sink table DataFrame.
     State-store partition count binds when the query STARTS (16 — at
     gate/bench SF the plain driver session's 200 is pure per-micro-batch
     scheduling overhead); the session value is restored right after
-    .start()."""
+    .start(). ``mode="complete"`` for built-in streaming aggregations
+    (the memory sink holds the latest full result)."""
     import tempfile
     import uuid
 
@@ -3533,6 +3534,7 @@ def _run_stream_to_table(spark, out, prefix: str):
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
     q = (out.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
@@ -3667,6 +3669,42 @@ def streaming_dedup_exact(spark, sf_dir):
     return _run_stream_to_table(spark, out, "dedup_stream")
 
 
+@register("streaming_w5_sum_per_team", ORACLES["w5_sum_per_team"])
+def streaming_w5_sum_per_team(spark, sf_dir):
+    """W5b per-team sum through Spark's BUILT-IN streaming aggregation —
+    the engine path the reference's ES dashboard aggregations ride
+    (kibana-dashboard.json pies), distinct from the arbitrary-state
+    operator every other live entry exercises: groupBy(team) with an
+    integer-cents sum in COMPLETE output mode, partial aggregates
+    map-side-combined then maintained in the state store, the full
+    updated result emitted per micro-batch. Same oracle as the batch
+    twin w5_sum_per_team."""
+    ev = enrich_events(_events_stream(spark, sf_dir))
+    out = ev.groupBy("team").agg(
+        (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+        .alias("sum_value"))
+    return _run_stream_to_table(spark, out, "w5sum_stream",
+                                mode="complete")
+
+
+@register("streaming_w5_top5_traders", ORACLES["w5_top5_traders"])
+def streaming_w5_top5_traders(spark, sf_dir):
+    """W5c top-5 traders through the built-in streaming aggregation +
+    complete-mode sort/limit ("terms trader size 5 order desc") — the
+    streaming top-k a live dashboard maintains; deterministic
+    tie-break on the trader id, same oracle as the batch twin."""
+    ev = enrich_events(_events_stream(spark, sf_dir)).withColumn(
+        "_c", _cents(F.col("value")))
+    out = (
+        ev.groupBy("trader")
+        .agg((F.sum("_c").cast("double") / 100.0).alias("sum_value"))
+        .orderBy(F.col("sum_value").desc(), F.col("trader").asc())
+        .limit(5)
+    )
+    return _run_stream_to_table(spark, out, "w5top_stream",
+                                mode="complete")
+
+
 @register("streaming_st4_combiner", f"""
 WITH {EV_SQL},
 tagged AS (
@@ -3768,6 +3806,8 @@ _GATE_PRIORITY = [
     "streaming_st9_sequence",
     "streaming_st10_delta",
     "streaming_dedup_exact",
+    "streaming_w5_sum_per_team",
+    "streaming_w5_top5_traders",
     # plans changed since last grading (conditional persist + null-safe
     # struct-key as-of in r4; sim_lsh_ann in r3; st8 diagnostics in r4)
     "w3_running_sum",
@@ -3780,8 +3820,6 @@ _GATE_PRIORITY = [
     "dataflow_hype_influence",
     "streaming_st8_timer",
     # round-2-only backlog: graded green in r2, not seen since
-    "p01_buy_sell",
-    "p03_sentiment",
     "p09_hype_words",
     "p12_updaters",
     "p19_tweet_extract",
