@@ -1,0 +1,62 @@
+"""Property tests (hypothesis) for the two physical-plan pairs that must
+be result-identical: plain vs scalable as-of join, and plain vs two-phase
+running sum — over adversarial shapes the randomized differential doesn't
+shrink to (constant keys, NULL keys, empty right sides, partition counts
+smaller/larger than the data)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mktd6_flink_spark.operators import asof, windows
+
+KEYS = [None, "a", "b"]
+
+left_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 12)),
+    min_size=1, max_size=12)
+right_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 12),
+              st.integers(0, 99)),
+    max_size=8, unique_by=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(lrows=left_rows, rrows=right_rows,
+       fallback=st.sampled_from(["null", "first"]),
+       partitions=st.sampled_from([2, 5]))
+def test_asof_scalable_equals_plain(spark, lrows, rrows, fallback,
+                                    partitions):
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    left = spark.createDataFrame(lrows, "k string, t long, lid long")
+    right = spark.createDataFrame(rrows or [(None, -99, -1)],
+                                  "k string, t long, price long")
+    if not rrows:
+        right = right.filter("t > 0")
+    plain = asof.asof_join(left, right, ["k"], "t", "t", ["price"],
+                           fallback=fallback)
+    scal = asof.asof_join(left, right, ["k"], "t", "t", ["price"],
+                          fallback=fallback, scalable=True,
+                          partitions=partitions)
+    p = sorted((r.lid, r.asof_price) for r in plain.collect())
+    s = sorted((r.lid, r.asof_price) for r in scal.collect())
+    assert p == s
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.sampled_from(["x", "y"]),
+                               st.integers(-1000, 1000)),
+                     min_size=1, max_size=20),
+       partitions=st.sampled_from([2, 7]))
+def test_running_sum_scalable_equals_plain(spark, rows, partitions):
+    rows = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k string, seq long, v long")
+    plain = windows.running_sum(df, ["k"], ["seq"], "v", "rs")
+    scal = windows.running_sum_scalable(df, ["k"], ["seq"], "v", "rs",
+                                        partitions=partitions)
+    p = sorted((r.seq, r.rs) for r in plain.collect())
+    s = sorted((r.seq, r.rs) for r in scal.collect())
+    assert p == s
