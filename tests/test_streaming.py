@@ -90,6 +90,37 @@ def test_st1_state_survives_micro_batches(spark, tmp_path):
     assert sorted(second) == sorted(CH04_GOLDEN[4:])
 
 
+def test_builtin_agg_state_survives_restart(spark, tmp_path):
+    """The BUILT-IN streaming aggregation (the W5 dashboard path) must
+    continue its sums from the state store across a cold restart: run 1
+    aggregates 3 rows, run 2 (new query, same checkpoint) folds 2 more
+    into the restored per-key sums."""
+    schema = "team string, v long"
+    in_dir = str(tmp_path / "agg_in")
+    ckpt = str(tmp_path / "agg_ckpt")
+    out_dir = str(tmp_path / "agg_out")
+
+    def run(n):
+        stream = sources.file_stream_source(spark, in_dir, schema)
+        out = stream.groupBy("team").agg(F.sum("v").alias("sum_v"))
+        run_dir = f"{out_dir}/{n}"
+        q = (out.writeStream.outputMode("complete").foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite")
+                .parquet(run_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.team: r.sum_v
+                for r in spark.read.parquet(run_dir).collect()}
+
+    sources.write_stream_input(
+        spark, in_dir, [("red", 1), ("red", 2), ("blue", 10)], schema)
+    assert run(1) == {"red": 3, "blue": 10}
+    sources.write_stream_input(
+        spark, in_dir, [("red", 4), ("green", 7)], schema)
+    assert run(2) == {"red": 7, "blue": 10, "green": 7}
+
+
 def test_st10_side_input_state_survives_micro_batches(spark, tmp_path):
     """ST10's stored side value (the latest price) carries across
     micro-batches: batch 1 stores a price and settles one click; batch 2
