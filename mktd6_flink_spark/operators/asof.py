@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import cache
+from .blocks import with_block_id
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -46,8 +47,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     a constant key serializes the whole stream. The scalable plan
     (same shape as windows.running_sum_scalable):
 
-    1. range-partition the tagged union by (key, time) — globally
-       ordered across partition ids, parallel within;
+    1. block the tagged union by (key, time) — deterministic
+       equal-width time buckets (operators/blocks.py), globally ordered
+       across block ids, parallel within;
     2. per-partition local last-value fill (window over (key, _pid));
     3. per-block last/first right values — a tiny table (#partitions
        rows) whose per-key carry-in offsets cost one trivially small
@@ -96,24 +98,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     if scalable:
         n = partitions or max(
             left.sparkSession.sparkContext.defaultParallelism * 2, 8)
-        # Materialize the range-partitioned union ONCE when it's big
-        # enough to be worth caching: three consumers (local fill, pid
-        # spine, per-block summaries) would otherwise each re-scan and
-        # re-shuffle it — spark_partition_id() is non-deterministic to
-        # the optimizer, so exchange reuse can't kick in. Below the size
-        # threshold the cache round-trip costs more than the re-scans
-        # (measured +0.3-1.1 s/query at sf0.1); cache.maybe_persist
-        # makes the call and bounds cache lifetime (see its docstring).
+        # Block id is a DETERMINISTIC function of the row (blocks.py):
+        # per-key equal-width buckets over _t. Three consumers (local
+        # fill, pid spine, per-block summaries) read this frame; a
+        # repartitionByRange + spark_partition_id() id here is re-sampled
+        # per consumer when the frame isn't materialized, silently
+        # stitching blocks that never existed. With a pure-function id
+        # the subplans agree whether or not the persist below kicks in.
         # All internal grouping/joining keys on `_jk = struct(*on)`:
         # struct equality matches NULL fields, so left rows with NULL
         # join keys form their own group exactly like the plain window
         # plan's partitionBy — a bare equi-join on the key columns
         # would silently drop them.
-        parts = cache.maybe_persist(
-            u.repartitionByRange(
-                n, *on, F.col("_t"), F.col("_is_left")
-            ).withColumn("_jk", F.struct(*on))
-            .withColumn("_pid", F.spark_partition_id()))
+        # maybe_persist is a pure PERF choice (pay the shuffle once when
+        # the frame is big, see cache.py) — never a correctness one.
+        parts = cache.maybe_persist(with_block_id(u, on, "_t", n))
         # Right rows sort before left rows at equal timestamps so a price
         # at t settles an order at t (<= semantics) — same order as the
         # plain plan, but local to each range block.

@@ -1,0 +1,89 @@
+"""Deterministic range blocking for the two-phase scalable plans.
+
+The scalable as-of join (``asof.asof_join(scalable=True)``) and prefix sum
+(``windows.running_sum_scalable``) split each key's stream into
+order-contiguous blocks, compute block-local results in parallel, and stitch
+blocks with a tiny per-block carry table. The block id must be CONSISTENT
+between the block-local subtree and the carry subtree of the same query.
+
+``repartitionByRange + spark_partition_id()`` is NOT consistent: the range
+exchange samples its bounds with an RDD-id-seeded RNG, so when the frame is
+not materialized each consumer re-plans the exchange with different bounds
+and ``spark_partition_id()`` disagrees across subplans — the carry join then
+stitches blocks that never existed (observed as run-to-run nondeterminism in
+``dataflow_market_ledger`` whenever the conditional persist was skipped).
+
+``with_block_id`` instead derives the block id as a PURE FUNCTION of the
+row: per-key equal-width buckets over the leading order column, with the
+per-key [min, max] span coming from an exact one-pass aggregate (map-side
+combined, deterministic). Properties:
+
+- deterministic: same row → same block id, in every subplan, every run;
+- order-monotone: ``order_col`` ties land in one block, and block id is
+  non-decreasing in ``order_col`` — exactly what the carry stitch needs;
+- balanced for roughly uniform order columns (timestamps of an event
+  stream, 64-bit hash orderings); skewed distributions degrade to fewer
+  effective blocks but never to incorrectness — and the per-key window
+  inside one block is still the plain-plan shape, so the worst case equals
+  the non-scalable plan.
+
+The span table has one row per key: the scalable plans target LOW-cardinality
+(or constant, the reference's "FOO" hotspot) keys, where the plain analytic
+window would funnel everything through one partition. High-cardinality keys
+don't need either trick — the plain window already parallelizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal"}
+
+
+def _as_double(df: DataFrame, order_col: str) -> Column:
+    dtype = dict(df.dtypes)[order_col].split("(")[0]
+    if dtype == "date":
+        return F.col(order_col).cast("timestamp").cast("double")
+    if dtype == "timestamp" or dtype in _NUMERIC:
+        return F.col(order_col).cast("double")
+    raise ValueError(
+        f"deterministic range blocking needs a numeric/timestamp/date "
+        f"leading order column, got {order_col}: {dtype}")
+
+
+def with_block_id(df: DataFrame, key_cols: list[str], order_col: str,
+                  n: int) -> DataFrame:
+    """Return ``df`` with two extra columns — ``_jk`` (struct of
+    ``key_cols``; struct equality matches NULL fields, so NULL keys group
+    exactly like a window's partitionBy) and ``_pid`` (deterministic block
+    id in [0, n)) — hash-repartitioned on (``_jk``, ``_pid``).
+
+    ``order_col`` is the LEADING sort column of the caller's total order;
+    ties in it (resolved by the caller's further tiebreak columns) always
+    stay within one block, so blocking on it alone preserves the order
+    contract.
+    """
+    jk = F.struct(*[F.col(c) for c in key_cols])
+    num = _as_double(df, order_col)
+    spans = (
+        df.groupBy(jk.alias("_jk"))
+        .agg(F.min(num).alias("_lo"), F.max(num).alias("_hi"))
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n))
+    pid = (
+        F.when(F.col("_hi") <= F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(n - 1),
+                    F.floor((num - F.col("_lo")) / width).cast("int")))
+    )
+    return (
+        df.withColumn("_jk", jk)
+        .join(F.broadcast(spans), ["_jk"])
+        # NULL order values sort first under Spark's asc ordering → the
+        # first block, keeping block id monotone with the sort order.
+        .withColumn("_pid", F.coalesce(pid, F.lit(0)))
+        .drop("_lo", "_hi")
+        .repartition(n, "_jk", "_pid")
+    )

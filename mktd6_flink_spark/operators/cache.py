@@ -1,10 +1,10 @@
 """Conditional persist for the two-phase range-partition plans.
 
 The scalable as-of join (``asof.asof_join(scalable=True)``) and prefix sum
-(``windows.running_sum_scalable``) range-partition their input once and
-consume it from 2-3 subplans. ``spark_partition_id()`` is non-deterministic
-to the optimizer, so exchange reuse can't deduplicate those scans — a
-persist() is the only way to pay the range shuffle once. But the persist is
+(``windows.running_sum_scalable``) block-partition their input once and
+consume it from 2-3 subplans. The block id is a deterministic function of
+the row (operators/blocks.py), so correctness never depends on this cache —
+persisting just pays the blocking shuffle once. But the persist is
 only a win when re-computing the input costs MORE than writing + reading the
 cache: at bench scale (sf0.1, tens of MB) the unconditional persist added
 +0.3-1.1 s per query; at cluster scale (GBs-TBs per task's ancestry) it

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import cache
+from .blocks import with_block_id
 
 
 def tumbling_reduce(df: DataFrame, time_col: str, key_cols: list[str],
@@ -128,8 +129,9 @@ def running_sum_scalable(df: DataFrame, key_cols: list[str],
     with few (or constant, P11 "FOO") keys funnels the whole stream into
     one partition; this classic two-phase plan doesn't:
 
-    1. range-partition by (keys, order) — global order across partition
-       ids, parallel within;
+    1. block by (keys, order) — deterministic equal-width buckets over
+       the leading order column (operators/blocks.py), globally ordered
+       across block ids, parallel within;
     2. per-partition local cumsum (parallel analytic window over
        (keys, _pid));
     3. block totals = last local cumsum per (keys, _pid) — a tiny
@@ -145,39 +147,38 @@ def running_sum_scalable(df: DataFrame, key_cols: list[str],
     """
     n = partitions or max(
         df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    order_exprs = [F.col(c) for c in key_cols + order_cols]
-    parts = df.repartitionByRange(n, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id())
+    # Block id is a DETERMINISTIC function of the row (blocks.py): a
+    # repartitionByRange + spark_partition_id() id is re-sampled per
+    # consumer when the frame isn't materialized, so the block totals
+    # could be keyed to different blocks than the local cumsums. With a
+    # pure-function id the two subplans agree whether or not the persist
+    # below kicks in; maybe_persist is a pure PERF choice (pay the
+    # shuffle once when the frame is big, see cache.py). Internal keys
+    # go through `_jk = struct(*key_cols)` so NULL keys group exactly
+    # like the window's partitionBy instead of being dropped by the
+    # stitch join.
+    parts = cache.maybe_persist(
+        with_block_id(df, key_cols, order_cols[0], n))
     wloc = (
-        Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
+        Window.partitionBy("_jk", "_pid").orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # Conditional persist: two consumers (block totals + the local
-    # cumsum) would otherwise each re-scan and re-range-shuffle the
-    # stream — the non-deterministic spark_partition_id() blocks
-    # exchange reuse. Below the size threshold the cache round-trip
-    # costs more than the re-scans (measured +54% on w3_running_sum at
-    # sf0.1); cache.maybe_persist makes the call and bounds cache
-    # lifetime. Persisting the PRE-window frame keeps the cache small
-    # and lets totals skip the sort entirely.
-    parts = cache.maybe_persist(parts)
     local = parts.withColumn("_local", F.sum(value).over(wloc))
     # block total = plain SUM over the block (== the last local cumsum;
     # exact for the integer/cents accumulators this plan is exact for) —
     # a direct aggregate over parts with map-side partial combining, no
-    # second window pass; single lineage so the sampled range boundaries
-    # can't diverge between subplans
-    totals = parts.groupBy(*key_cols, "_pid").agg(
+    # second window pass
+    totals = parts.groupBy("_jk", "_pid").agg(
         F.sum(value).alias("_tot"))
     woff = (
-        Window.partitionBy(*key_cols).orderBy("_pid")
+        Window.partitionBy("_jk").orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        *key_cols, "_pid",
+        "_jk", "_pid",
         F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off"))
     return (
-        local.join(F.broadcast(offsets), key_cols + ["_pid"])
+        local.join(F.broadcast(offsets), ["_jk", "_pid"])
         .withColumn(out, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
+        .drop("_jk", "_pid", "_local", "_off")
     )

@@ -14,6 +14,7 @@ def _with_threshold(spark, value):
 
 
 def test_small_frame_not_persisted(spark):
+    cache.release_twophase_caches()  # isolate from earlier tests
     _with_threshold(spark, str(cache.DEFAULT_THRESHOLD_BYTES))
     df = spark.range(100).withColumn("v", F.col("id") * 2)
     out = cache.maybe_persist(df)

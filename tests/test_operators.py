@@ -504,3 +504,56 @@ def test_events_funnel_ordering_golden(spark, tmp_path):
            for r in dq.QUERIES["events_funnel"](spark, str(tmp_path))
            .collect()}
     assert out == {"signup": 2, "click": 2, "purchase": 1}
+
+
+def test_scalable_plans_deterministic_without_persist(spark):
+    """Regression: block ids must be a pure function of the row
+    (operators/blocks.py). The old repartitionByRange +
+    spark_partition_id() ids were re-sampled per consumer whenever the
+    conditional persist skipped (always at test scale), so the carry
+    stitch could join block summaries to blocks that never existed —
+    observed as run-to-run flips in dataflow_market_ledger. Repeated
+    runs with the persist FORCED OFF must be identical to each other
+    and to the plain single-partition plan."""
+    import random
+
+    from mktd6_flink_spark.operators import asof, cache, windows
+
+    rng = random.Random(99)
+    lrows = [("FOO", rng.randint(0, 5000), i) for i in range(600)]
+    rrows = [("FOO", t, round(rng.uniform(1, 9), 3))
+             for t in rng.sample(range(40, 5000), 50)]
+    left = spark.createDataFrame(
+        lrows, "k string, t long, lid long").repartition(7)
+    right = spark.createDataFrame(rrows, "k string, t long, price double")
+    srows = [("FOO", rng.randint(0, 5000), i, rng.randint(-5, 9))
+             for i in range(600)]
+    sdf = spark.createDataFrame(
+        srows, "k string, t long, sid long, v long").repartition(7)
+    spark.conf.set(cache.THRESHOLD_CONF, "never")
+    try:
+        plain_asof = {
+            r.lid: r.asof_price
+            for r in asof.asof_join(
+                left, right, ["k"], "t", "t", ["price"],
+                fallback="first").collect()}
+        plain_rs = {
+            r.sid: r.rs
+            for r in windows.running_sum(
+                sdf, ["k"], ["t", "sid"], "v", out="rs").collect()}
+        for _ in range(3):
+            got = {
+                r.lid: r.asof_price
+                for r in asof.asof_join(
+                    left, right, ["k"], "t", "t", ["price"],
+                    fallback="first", scalable=True,
+                    partitions=16).collect()}
+            assert got == plain_asof
+            got_rs = {
+                r.sid: r.rs
+                for r in windows.running_sum_scalable(
+                    sdf, ["k"], ["t", "sid"], "v", out="rs",
+                    partitions=16).collect()}
+            assert got_rs == plain_rs
+    finally:
+        spark.conf.unset(cache.THRESHOLD_CONF)
