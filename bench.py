@@ -68,6 +68,10 @@ HEADLINE = [
     # packing (both ride the two-phase range-partition plans)
     "dataflow_market_ledger",
     "pipeline_sequence_packing",
+    # round-4 late heads: ROLLUP grouping sets (Expand) and the
+    # stream-stream interval join (symmetric-hash state, vs the floor)
+    "tpch_rollup",
+    "streaming_join_interval",
 ]
 
 

@@ -3772,6 +3772,256 @@ def streaming_st4_combiner(spark, sf_dir):
         round_portable(F.col("forecast_mult")).alias("forecast_mult"))
 
 
+@register("tpch_q12ish", """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""")
+def tpch_q12ish(spark, sf_dir):
+    """TPC-H Q12-style shipping-mode priority split: CONDITIONAL
+    aggregation (sum of CASE) — one join, one shuffle, both counters
+    computed in the same partial aggregate instead of two passes."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register("tpch_q16ish", """
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (5, 10, 15, 20)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_size
+""")
+def tpch_q16ish(spark, sf_dir):
+    """TPC-H Q16-style supplier diversity: LEFT ANTI join (NOT IN over a
+    non-null key — negative-balance suppliers stand in for the
+    complaints filter) + COUNT DISTINCT per group. The anti build side
+    broadcasts; the distinct count expands then dedupes in the same
+    shuffle as the group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20))
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register("tpch_q17ish", """
+WITH pavg AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l JOIN pavg a ON a.l_partkey = l.l_partkey
+WHERE CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) * 2 * a.n
+      < a.sum_qc
+""")
+def tpch_q17ish(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: join the fact table back
+    to its own per-part aggregate and keep rows below half the part's
+    average quantity. The threshold compare is EXACT integer arithmetic
+    (qty_cents * 2 * n < sum_cents ⟺ qty < 0.5 * avg) so float
+    summation order can't flip boundary rows between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    pavg = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qc"),
+             F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    return (
+        li.join(pavg, li.l_partkey == pavg._pk)
+        .filter(_cents(F.col("l_quantity")) * 2 * F.col("n")
+                < F.col("sum_qc"))
+        .agg((F.sum(_cents(F.col("l_extendedprice"))).cast("double")
+              / 100.0 / 7.0).alias("avg_yearly"))
+    )
+
+
+@register("tpch_q22ish", """
+WITH pos AS (
+  SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0.0),
+eligible AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer c, pos
+  WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * pos.n > pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'))
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM eligible GROUP BY c_nationkey
+""")
+def tpch_q22ish(spark, sf_dir):
+    """TPC-H Q22-style global sales opportunity: a SCALAR subquery
+    threshold (broadcast single-row cross join) + NOT EXISTS (left anti
+    join) — customers above the average positive balance with no urgent
+    orders. The average compare is exact integer arithmetic
+    (cents * n > sum_cents ⟺ acctbal > avg) for cross-engine parity."""
+    c = load(spark, sf_dir, "customer")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(_cents(F.col("c_acctbal"))).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    eligible = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_cents(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+        .join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey,
+              "left_anti")
+    )
+    return eligible.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100.0)
+        .alias("totacctbal"))
+
+
+@register("tpch_rollup", """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def tpch_rollup(spark, sf_dir):
+    """Revenue by (region, nation) with ROLLUP — hierarchical subtotals
+    plus the grand total in ONE pass (Catalyst's Expand operator
+    replicates each row per grouping set before a single shuffle; at
+    100 TB that is one aggregation instead of three). NULL group
+    columns mark the subtotal levels identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg((F.sum(
+            _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))))
+            .cast("double") / 100.0).alias("revenue"))
+    )
+
+
+@register("streaming_w6_session", ORACLES["w6_session_window"])
+def streaming_w6_session(spark, sf_dir):
+    """W6 session windows (5-minute gap) through the LIVE streaming
+    runtime: Spark's native session_window aggregation merges and
+    extends per-key session state in the state store as events arrive —
+    a third streaming engine path (session-merging aggregation) beyond
+    the arbitrary-state operator and the fixed-window aggregation
+    already under the gate. COMPLETE output mode so trailing sessions
+    (whose gap timeout never elapses before the source drains) are
+    emitted too; same oracle as the batch twin w6_session_window."""
+    ev = enrich_events(_events_stream(spark, sf_dir))
+    out = (
+        ev.withWatermark("ts", "10 milliseconds")
+        .groupBy(F.session_window("ts", "5 minutes").alias("_w"),
+                 "trader")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            "trader", "n_events", "sum_value",
+        )
+    )
+    return _run_stream_to_table(spark, out, "w6_stream",
+                                mode="complete")
+
+
+@register("streaming_join_interval", f"""
+WITH {EV_SQL},
+c AS (SELECT event_id AS click_id, trader, epoch_us(ts) AS c_us
+      FROM ev WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, trader, epoch_us(ts) AS p_us,
+             value
+      FROM ev WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.trader,
+       p.p_us - c.c_us AS lag_us,
+       p.value AS purchase_value
+FROM c JOIN p ON p.trader = c.trader
+             AND p.p_us >= c.c_us
+             AND p.p_us <= c.c_us + 3600000000
+""")
+def streaming_join_interval(spark, sf_dir):
+    """STREAM-STREAM interval join on the live runtime: each click pairs
+    with the same trader's purchases in the following hour. Both sides
+    carry watermarks and the join condition bounds event time on both
+    ends, so Spark's symmetric-hash join state is EVICTABLE — per-key
+    state is O(events within the interval), not O(stream), which is
+    what makes the operator viable on an unbounded 100 TB stream. A
+    fourth distinct streaming engine path under the gate (after
+    arbitrary state, windowed aggregation, and session merging); the
+    oracle is the identical batch interval join in microseconds."""
+    clicks = enrich_events(_events_stream(spark, sf_dir)).filter(
+        F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("trader").alias("c_trader"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 milliseconds")
+    purchases = enrich_events(_events_stream(spark, sf_dir)).filter(
+        F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("trader").alias("p_trader"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "10 milliseconds")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_trader") == F.col("c_trader"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id", "purchase_id",
+        F.col("c_trader").alias("trader"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        "purchase_value",
+    )
+    return _run_stream_to_table(spark, joined, "sj_stream")
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================
@@ -3840,13 +4090,20 @@ _GATE_PRIORITY = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "sim_cosine_topk",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "mm_media_meta",
-    "mm_resize_plan",
+    # new in this round: SQL shapes (anti join, count-distinct,
+    # exact-threshold self-agg join, scalar-subquery + NOT EXISTS,
+    # ROLLUP/Expand) and two new live-streaming engine paths
+    # (session-merging aggregation, stream-stream interval join) —
+    # displacing 7 r2-green untouched map-side entries (sim_cosine_topk,
+    # text_token_stats/quality/lang_id/fingerprint, mm_media_meta,
+    # mm_resize_plan), which keep their round-2 rows.
+    "tpch_q12ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q22ish",
+    "tpch_rollup",
+    "streaming_w6_session",
+    "streaming_join_interval",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

@@ -557,3 +557,37 @@ def test_scalable_plans_deterministic_without_persist(spark):
             assert got_rs == plain_rs
     finally:
         spark.conf.unset(cache.THRESHOLD_CONF)
+
+
+def test_rollup_subtotals_consistent(spark):
+    """tpch_rollup invariants: per-region subtotal == sum of its nation
+    rows, grand total == sum of region subtotals (exact in cents)."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    rows = dq.QUERIES["tpch_rollup"](spark, "/root/testdata/sf0.001").collect()
+    cents = lambda v: round(v * 100)
+    nations = [(r.r_name, cents(r.revenue)) for r in rows
+               if r.n_name is not None]
+    regions = {r.r_name: cents(r.revenue) for r in rows
+               if r.n_name is None and r.r_name is not None}
+    grand = [cents(r.revenue) for r in rows
+             if r.r_name is None and r.n_name is None]
+    assert len(grand) == 1
+    for region, total in regions.items():
+        assert total == sum(c for rn, c in nations if rn == region), region
+    assert grand[0] == sum(regions.values())
+
+
+def test_block_id_rejects_non_numeric_order():
+    """with_block_id needs a numeric/timestamp/date leading order
+    column; a string order column must fail loudly, not bucket by
+    garbage."""
+    import pytest as _pytest
+
+    from mktd6_flink_spark.operators.blocks import with_block_id
+    from mktd6_flink_spark.session import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame([("a", "x", 1)], "k string, o string, v int")
+    with _pytest.raises(ValueError, match="numeric/timestamp/date"):
+        with_block_id(df, ["k"], "o", 4)
