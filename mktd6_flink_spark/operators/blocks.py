@@ -64,12 +64,24 @@ def with_block_id(df: DataFrame, key_cols: list[str], order_col: str,
     ties in it (resolved by the caller's further tiebreak columns) always
     stay within one block, so blocking on it alone preserves the order
     contract.
+
+    Integer magnitudes above 2^53 coarsen bucket BALANCE (the double
+    cast collapses adjacent large values into one bucket) but never
+    break correctness — the double mapping stays monotone, so block ids
+    remain monotone with the sort order.
     """
     jk = F.struct(*[F.col(c) for c in key_cols])
     num = _as_double(df, order_col)
+    is_float = dict(df.dtypes)[order_col].split("(")[0] in (
+        "float", "double")
+    # NaN is GREATER than every number under Spark's asc ordering (and
+    # poisons min/max), so for float/double order columns: exclude NaN
+    # from the span aggregate and pin NaN rows to the LAST block, keeping
+    # block id monotone with the sort order (NULL < numbers < NaN).
+    span_src = F.when(~F.isnan(num), num) if is_float else num
     spans = (
         df.groupBy(jk.alias("_jk"))
-        .agg(F.min(num).alias("_lo"), F.max(num).alias("_hi"))
+        .agg(F.min(span_src).alias("_lo"), F.max(span_src).alias("_hi"))
     )
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n))
     pid = (
@@ -78,11 +90,18 @@ def with_block_id(df: DataFrame, key_cols: list[str], order_col: str,
             F.least(F.lit(n - 1),
                     F.floor((num - F.col("_lo")) / width).cast("int")))
     )
+    # NULL must be handled explicitly BEFORE the arithmetic branch:
+    # F.least SKIPS nulls (least(n-1, NULL) = n-1), so without this guard
+    # a NULL order value would silently land in the LAST block even
+    # though NULL sorts first under Spark's asc ordering.
+    pid = F.when(num.isNull(), F.lit(0)).otherwise(pid)
+    if is_float:
+        pid = F.when(F.isnan(num), F.lit(n - 1)).otherwise(pid)
     return (
         df.withColumn("_jk", jk)
         .join(F.broadcast(spans), ["_jk"])
         # NULL order values sort first under Spark's asc ordering → the
-        # first block, keeping block id monotone with the sort order.
+        # first block; NaN (float/double only) sorts last → block n-1.
         .withColumn("_pid", F.coalesce(pid, F.lit(0)))
         .drop("_lo", "_hi")
         .repartition(n, "_jk", "_pid")

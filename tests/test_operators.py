@@ -4,6 +4,8 @@ routing."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from mktd6_flink_spark import model
@@ -564,7 +566,12 @@ def test_rollup_subtotals_consistent(spark):
     rows, grand total == sum of region subtotals (exact in cents)."""
     from mktd6_flink_spark.plans import driver_queries as dq
 
-    rows = dq.QUERIES["tpch_rollup"](spark, "/root/testdata/sf0.001").collect()
+    sf_dir = os.path.join(
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            .rstrip("/")),
+        "sf0.001")
+    rows = dq.QUERIES["tpch_rollup"](spark, sf_dir).collect()
     cents = lambda v: round(v * 100)
     nations = [(r.r_name, cents(r.revenue)) for r in rows
                if r.n_name is not None]
@@ -591,3 +598,33 @@ def test_block_id_rejects_non_numeric_order():
     df = spark.createDataFrame([("a", "x", 1)], "k string, o string, v int")
     with _pytest.raises(ValueError, match="numeric/timestamp/date"):
         with_block_id(df, ["k"], "o", 4)
+
+
+def test_block_id_nan_sorts_last():
+    """NaN sorts LAST under Spark's asc ordering, so NaN rows must land
+    in the final block (and must not poison the span min/max used to
+    place every other row)."""
+    import math
+
+    from mktd6_flink_spark.operators.blocks import with_block_id
+    from mktd6_flink_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rows = [("a", float(i), i) for i in range(100)]
+    rows += [("a", float("nan"), 1000), ("a", None, -1)]
+    df = spark.createDataFrame(rows, "k string, o double, v int")
+    got = with_block_id(df, ["k"], "o", 4).select("o", "_pid").collect()
+    pids = {}
+    for r in got:
+        key = ("nan" if r.o is not None and math.isnan(r.o)
+               else ("null" if r.o is None else r.o))
+        pids[key] = r._pid
+    assert pids["nan"] == 3           # NaN → last block
+    assert pids["null"] == 0          # NULL → first block
+    # finite rows still spread over all blocks (span unpoisoned by NaN)
+    finite = {p for k, p in pids.items() if k not in ("nan", "null")}
+    assert finite == {0, 1, 2, 3}
+    # block id monotone with sort order over the finite values
+    order = sorted((k for k in pids if k not in ("nan", "null")))
+    seq = [pids[k] for k in order]
+    assert seq == sorted(seq)
