@@ -3973,49 +3973,59 @@ def streaming_w6_session(spark, sf_dir):
 
 @register("streaming_join_interval", f"""
 WITH {EV_SQL},
-c AS (SELECT event_id AS click_id, trader, epoch_us(ts) AS c_us
+c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
       FROM ev WHERE event_type = 'click'),
-p AS (SELECT event_id AS purchase_id, trader, epoch_us(ts) AS p_us,
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
              value
       FROM ev WHERE event_type = 'purchase')
-SELECT c.click_id, p.purchase_id, c.trader,
+SELECT c.click_id, p.purchase_id, c.user_id,
        p.p_us - c.c_us AS lag_us,
        p.value AS purchase_value
-FROM c JOIN p ON p.trader = c.trader
+FROM c JOIN p ON p.user_id = c.user_id
              AND p.p_us >= c.c_us
              AND p.p_us <= c.c_us + 3600000000
 """)
 def streaming_join_interval(spark, sf_dir):
     """STREAM-STREAM interval join on the live runtime: each click pairs
-    with the same trader's purchases in the following hour. Both sides
+    with the same USER's purchases in the following hour. Both sides
     carry watermarks and the join condition bounds event time on both
     ends, so Spark's symmetric-hash join state is EVICTABLE — per-key
     state is O(events within the interval), not O(stream), which is
     what makes the operator viable on an unbounded 100 TB stream. A
     fourth distinct streaming engine path under the gate (after
     arbitrary state, windowed aggregation, and session merging); the
-    oracle is the identical batch interval join in microseconds."""
+    oracle is the identical batch interval join in microseconds.
+
+    SCALE NOTE (learned the hard way in round 5): the equality key MUST
+    be high-cardinality. Spark's SymmetricHashJoinStateManager stores
+    rows per equality key and linearly scans the other side's stored
+    rows for every input row — the time bounds only EVICT state, they
+    don't index it. Keyed on the 20-value ``trader`` dimension this was
+    O(rows/key)² per micro-batch (~20M timestamp comparisons and an
+    OOM-prone allocation storm at sf0.1); keyed on ``user_id`` (1.5 k
+    keys at sf0.1, millions in production) the same join is linear-ish
+    and the per-key state stays tiny."""
     clicks = enrich_events(_events_stream(spark, sf_dir)).filter(
         F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        F.col("trader").alias("c_trader"),
+        F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
     ).withWatermark("c_ts", "10 milliseconds")
     purchases = enrich_events(_events_stream(spark, sf_dir)).filter(
         F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
-        F.col("trader").alias("p_trader"),
+        F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
         F.col("value").alias("purchase_value"),
     ).withWatermark("p_ts", "10 milliseconds")
     joined = clicks.join(
         purchases,
-        (F.col("p_trader") == F.col("c_trader"))
+        (F.col("p_user") == F.col("c_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select(
         "click_id", "purchase_id",
-        F.col("c_trader").alias("trader"),
+        F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
         "purchase_value",
     )
