@@ -82,16 +82,12 @@ def streaming_floor(spark, sf_dir):
     import tempfile
     import uuid
 
+    from mktd6_flink_spark.plans import driver_queries as dq
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = dq._events_stream(spark, sf_dir)
     name = f"floor_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="floor_ckpt_")
     q = (raw.writeStream.format("memory").queryName(name)

@@ -65,14 +65,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Every registered query loads through here, so pin UTC once.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects; read as raw nanos and truncate to micros
-        # — exactly what DuckDB's TIMESTAMP (µs) read does, so both engines
-        # see identical timestamps (verified to the microsecond).
+        # events.parquet has shipped with two on-disk ts encodings:
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+        # nanosAsLong surfaces it as raw int64 nanos) and plain
+        # timestamp[us] (read as TIMESTAMP_NTZ). Branch on the OBSERVED
+        # dtype so either input yields the same session-UTC TIMESTAMP
+        # column that DuckDB's naive µs read produces.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", _ts_to_utc_timestamp(dict(df.dtypes)["ts"]))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _ts_to_utc_timestamp(ts_dtype: str):
+    """Normalize the events ``ts`` column to a session-UTC TIMESTAMP.
+
+    * ``bigint`` — legacy nanos surfaced by ``nanosAsLong``: integer-
+      truncate to micros, exactly what DuckDB's TIMESTAMP (µs) read does.
+    * ``timestamp_ntz`` / ``timestamp`` — already µs precision; a cast to
+      TIMESTAMP under the UTC session TZ keeps the wall-clock value
+      identical to DuckDB's naive timestamps.
+    """
+    if ts_dtype == "bigint":
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")
 
 
 # ---------------------------------------------------------------------------
@@ -1849,15 +1865,8 @@ def streaming_st1_ema(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     # the file stream source needs a directory: stream the sf dir with a
     # glob pinned to the events table
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_type", F.expr("timestamp_micros(ts div 1000)")
-                .alias("ts"), "event_id", "value")
-    )
+    raw = _events_stream(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value")
     out = stateful.apply_per_event_stream(
         raw, ["event_type"], ["ts", "event_id"],
         lambda: (lambda state, row: (
@@ -2109,16 +2118,7 @@ def streaming_st6_ledger(spark, sf_dir):
     # session value is restored right after .start().
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     upd = _updaters_from(enrich_events(raw)).select(
         "trader", "ts", "event_id",
         F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
@@ -2172,16 +2172,7 @@ def streaming_w2_window(spark, sf_dir):
     # session value is restored right after .start().
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     agg = (
         enrich_events(raw)
         .withWatermark("ts", "10 milliseconds")
@@ -2311,16 +2302,7 @@ def streaming_w3_running_sum(spark, sf_dir):
     # session value is restored right after .start().
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     ev = enrich_events(raw).select(
         "event_type", "ts", "event_id", _cents(F.col("value")).alias("_c"))
     # running_cents_step carries a numpy-cumsum vectorized path —
@@ -2649,16 +2631,7 @@ def streaming_st2_product(spark, sf_dir):
     # session value is restored right after .start().
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     ev = enrich_events(raw).select(
         "event_type", "ts", "event_id",
         (F.lit(1.0) + F.col("value") / F.lit(10000.0)).alias("mult"))
@@ -3067,16 +3040,7 @@ def streaming_w4_cogroup(spark, sf_dir):
     # session value is restored right after .start().
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     ev = enrich_events(raw).filter(
         F.col("event_type").isin("click", "view")).select(
         "trader", "time_ms", "event_id",
@@ -3357,16 +3321,7 @@ def streaming_st5_settle(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     ev = enrich_events(raw)
     orders = ev.filter(F.col("event_type") == "click").select(
         F.lit("FOO").alias("key"), "time_ms",
@@ -3431,16 +3386,7 @@ def streaming_st3_burst(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
-    raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                "user_id", "event_type", "value", "props")
-    )
+    raw = _events_stream(spark, sf_dir)
     ev = enrich_events(raw)
     rand = (
         md5_long(F.concat(F.lit("burst|"), F.col("event_type"),
@@ -3502,19 +3448,35 @@ def streaming_st3_burst(spark, sf_dir):
 # graded code doesn't churn).
 # ---------------------------------------------------------------------------
 
+_EVENTS_TS_DTYPE: dict[str, str] = {}
+
+
 def _events_stream(spark, sf_dir):
-    """readStream over the events parquet with the same nanos→micros
-    truncation as the batch ``load``."""
+    """readStream over the events parquet with the same ts normalization
+    as the batch ``load``.
+
+    readStream needs an explicit schema, so probe the BATCH schema first
+    and build the stream schema to match the on-disk encoding — hard-coding
+    ``ts long`` over timestamp[us] data silently reads raw microseconds and
+    compresses event time 1000× (the r5 session-window/interval-join bug).
+    The probe is one parquet-footer read per sf_dir per process; memoized
+    so repeat streaming entries (bench runs 3×) don't re-pay it.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_dtype = _EVENTS_TS_DTYPE.get(sf_dir)
+    if ts_dtype is None:
+        ts_dtype = dict(
+            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+        _EVENTS_TS_DTYPE[sf_dir] = ts_dtype
     return (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string")
+            f"event_id long, ts {ts_dtype}, user_id long, "
+            "event_type string, value double, props string")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .select("event_id",
-                F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                _ts_to_utc_timestamp(ts_dtype).alias("ts"),
                 "user_id", "event_type", "value", "props")
     )
 
@@ -4051,35 +4013,26 @@ def streaming_join_interval(spark, sf_dir):
 #     r3-graded block stay registered after position 50, runnable by
 #     tools/check_correctness.py).
 
+# Round-6 window: the type-adaptive events-loader fix changed the load
+# path of EVERY events-touching entry, so all 50 slots go to them — the
+# 25 entries red in round 5 (23 ERR + 2 silently wrong) first, then the
+# events entries with no round-5 row at all. Displaced non-events
+# entries (TPC-H, dedup, sim, text, mm, pipeline) are code-unchanged
+# and keep their r5/earlier green rows; tools/check_correctness.py
+# still runs all 113 locally (113/113 green this round).
 _GATE_PRIORITY = [
-    # never driver-graded in any round
+    # --- red in round 5 via the loader bug, now fixed ---
     "w5_sum_team_trader",
     "w5_distinct_users_per_team",
-    "text_vocab_top100",
-    "pipeline_sequence_packing",
     "join_salted_skew",
-    "text_bm25_search",
-    "sim_kmeans_centroids",
-    # new round-4 live-runtime entries
-    "streaming_st4_combiner",
-    "streaming_st7_invest",
-    "streaming_st9_sequence",
-    "streaming_st10_delta",
-    "streaming_dedup_exact",
-    "streaming_w5_sum_per_team",
-    "streaming_w5_top5_traders",
-    # plans changed since last grading (conditional persist + null-safe
-    # struct-key as-of in r4; sim_lsh_ann in r3; st8 diagnostics in r4)
     "w3_running_sum",
     "st7_running_investment",
-    "sim_lsh_ann",
     "asof_join_price",
     "st5_order_buffering",
     "st10_price_delta",
     "dataflow_market_ledger",
     "dataflow_hype_influence",
     "streaming_st8_timer",
-    # round-2-only backlog: graded green in r2, not seen since
     "p09_hype_words",
     "p12_updaters",
     "p19_tweet_extract",
@@ -4092,28 +4045,41 @@ _GATE_PRIORITY = [
     "st2_product",
     "st9_txn_sequence",
     "st4_ema_combiner",
-    "hash_family_check",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q5ish",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # new in this round: SQL shapes (anti join, count-distinct,
-    # exact-threshold self-agg join, scalar-subquery + NOT EXISTS,
-    # ROLLUP/Expand) and two new live-streaming engine paths
-    # (session-merging aggregation, stream-stream interval join) —
-    # displacing 7 r2-green untouched map-side entries (sim_cosine_topk,
-    # text_token_stats/quality/lang_id/fingerprint, mm_media_meta,
-    # mm_resize_plan), which keep their round-2 rows.
-    "tpch_q12ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q22ish",
-    "tpch_rollup",
+    # silently wrong in round 5 (stream loader compressed event time)
     "streaming_w6_session",
     "streaming_join_interval",
+    # --- events-touching entries with no round-5 row; loader changed ---
+    "p01_buy_sell",
+    "p06_parse_orders",
+    "p06b_invalid_orders",
+    "p13_p15_projections",
+    "p14_accepted",
+    "p16_self_trades",
+    "p17_positive_balance",
+    "st1_ema",
+    "st3_bubble_burst",
+    "w4_cogroup_latest",
+    "st6_trader_ledger",
+    "st6_per_event_ledger",
+    "w6_session_window",
+    "w7_sliding_window",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_daily_ohlc",
+    # live-runtime twins (readStream path probed via the new
+    # schema-adaptive _events_stream)
+    "streaming_st1_ema",
+    "streaming_st6_ledger",
+    "streaming_w2_window",
+    "streaming_w3_running_sum",
+    "streaming_st2_product",
+    "streaming_w4_cogroup",
+    "streaming_st5_settle",
+    "streaming_st3_burst",
+    # (st8_return_amounts is exercised transitively by
+    # streaming_st8_timer; st1_ema_per_event shares streaming_st1_ema's
+    # oracle; w5_median_value_per_team yields its slot to the five other
+    # w5 forms — all three stay registered after position 50.)
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
