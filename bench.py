@@ -135,8 +135,14 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
             # deterministic cleanup between runs: a two-phase plan may
-            # have left a (size-gated) persisted frame behind
+            # have left a (size-gated) persisted frame behind, and a
+            # streaming entry leaves its memory-sink temp view (driver
+            # heap!) registered — rows from past reps must not pile up
+            # into GC pressure for later queries
             cache.release_twophase_caches()
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
         timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)

@@ -3962,11 +3962,13 @@ def streaming_join_interval(spark, sf_dir):
     be high-cardinality. Spark's SymmetricHashJoinStateManager stores
     rows per equality key and linearly scans the other side's stored
     rows for every input row — the time bounds only EVICT state, they
-    don't index it. Keyed on the 20-value ``trader`` dimension this was
-    O(rows/key)² per micro-batch (~20M timestamp comparisons and an
-    OOM-prone allocation storm at sf0.1); keyed on ``user_id`` (1.5 k
-    keys at sf0.1, millions in production) the same join is linear-ish
-    and the per-key state stays tiny."""
+    don't index it, so per-key work is quadratic in rows-per-key. The
+    round-4 form keyed on the 20-value ``trader`` dimension benched
+    5.63 s at sf0.1 (the worst headline query); this ``user_id`` rekey
+    (~1.5 k keys at sf0.1, millions in production) measured 4.78 s on
+    the round-6 testdata, and the gap widens with data volume since
+    rows-per-key grows 75× slower. Verified against the 33-row batch
+    oracle at sf0.01 (CORRECTNESS r6)."""
     clicks = enrich_events(_events_stream(spark, sf_dir)).filter(
         F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
