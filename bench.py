@@ -86,7 +86,7 @@ def streaming_floor(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", dq._STREAM_PARTS)
     raw = dq._events_stream(spark, sf_dir)
     name = f"floor_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="floor_ckpt_")
