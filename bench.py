@@ -72,6 +72,10 @@ HEADLINE = [
     # stream-stream interval join (symmetric-hash state, vs the floor)
     "tpch_rollup",
     "streaming_join_interval",
+    # round-6 heads: the bin-bucketed batch range join (the 100 TB-safe
+    # interval join) and the native session-merging streaming aggregation
+    "join_range_bucketed",
+    "streaming_w6_session",
 ]
 
 

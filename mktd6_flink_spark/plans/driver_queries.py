@@ -3288,6 +3288,53 @@ def join_salted_skew(spark, sf_dir):
         salt_col="event_id", salt_buckets=8)
 
 
+@register("join_range_bucketed", f"""
+WITH {EV_SQL},
+c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      FROM ev WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+             value
+      FROM ev WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.user_id,
+       p.p_us - c.c_us AS lag_us,
+       p.value AS purchase_value
+FROM c JOIN p ON p.user_id = c.user_id
+             AND p.p_us >= c.c_us
+             AND p.p_us <= c.c_us + 3600000000
+""")
+def join_range_bucketed(spark, sf_dir):
+    """BATCH bounded range join via time-bin bucketing
+    (operators/rangejoin.py): each click pairs with the same user's
+    purchases in the following hour — the batch twin of
+    streaming_join_interval, solved the 100 TB way. A naive equi-key +
+    range-filter join materializes each key's full click×purchase
+    product in the reducer before filtering (O(rows_per_key²) for hot
+    keys); bucketing both sides into interval-width time bins and
+    exploding the left side into its (at most two) overlapping bins
+    bounds reducer work by rows-per-INTERVAL instead, with exactly one
+    shuffle per side. The exact bounds re-check post-join makes the
+    result row-identical to the naive join — which is precisely what
+    the oracle runs."""
+    from ..operators import rangejoin
+
+    ev = events_enriched(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.unix_micros("ts").alias("c_us"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").alias("purchase_value"))
+    out = rangejoin.bucketed_range_join(
+        clicks, purchases.withColumnRenamed("p_user", "user_id"),
+        ["user_id"], "c_us", "p_us", 0, 3_600_000_000)
+    return out.select(
+        "click_id", "purchase_id", "user_id",
+        (F.col("p_us") - F.col("c_us")).alias("lag_us"),
+        "purchase_value")
+
+
 _BM25_QUERY = ["join", "vector", "stream"]
 
 

@@ -628,3 +628,40 @@ def test_block_id_nan_sorts_last():
     order = sorted((k for k in pids if k not in ("nan", "null")))
     seq = [pids[k] for k in order]
     assert seq == sorted(seq)
+
+
+def test_bucketed_range_join_equals_naive(spark):
+    """The bin-bucketed range join must be row-identical to the naive
+    equi-key + range-filter join on adversarial inputs: a hot key with
+    many rows, timestamps exactly on bin boundaries, intervals with a
+    negative lower bound, and keys present on only one side."""
+    import random
+
+    from mktd6_flink_spark.operators.rangejoin import bucketed_range_join
+
+    rng = random.Random(7)
+    W = 1000
+    lrows = [(k, t, i)
+             for i, (k, t) in enumerate(
+                 [("hot", rng.randint(0, 20 * W)) for _ in range(300)]
+                 + [("cold", rng.randint(0, 20 * W)) for _ in range(20)]
+                 + [("hot", j * W) for j in range(5)]      # exact bins
+                 + [("left_only", 3 * W)])]
+    rrows = [(k, t, 100 + i)
+             for i, (k, t) in enumerate(
+                 [("hot", rng.randint(0, 20 * W)) for _ in range(300)]
+                 + [("cold", rng.randint(0, 20 * W)) for _ in range(20)]
+                 + [("hot", j * W) for j in range(5)]
+                 + [("right_only", 3 * W)])]
+    left = spark.createDataFrame(lrows, "k string, lt long, lid long")
+    right = spark.createDataFrame(rrows, "k string, rt long, rid long")
+
+    for lo, hi in [(0, W), (-W, 0), (-W // 2, W // 2), (1, W + 1)]:
+        got = {(r.lid, r.rid) for r in bucketed_range_join(
+            left, right, ["k"], "lt", "rt", lo, hi).collect()}
+        from pyspark.sql import functions as F
+        want = {(r.lid, r.rid) for r in left.join(
+            right, (left.k == right.k)
+            & (right.rt >= left.lt + F.lit(lo))
+            & (right.rt <= left.lt + F.lit(hi))).collect()}
+        assert got == want, f"bounds ({lo},{hi}): {len(got)} vs {len(want)}"
