@@ -3678,10 +3678,12 @@ def streaming_dedup_exact(spark, sf_dir):
     bound it with dropDuplicatesWithinWatermark over the ingest-time
     column (documents carry no event time here)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # probe the BATCH schema instead of hard-coding one: a silent
+    # on-disk type change must not desync the stream read (the round-5
+    # events lesson, applied to every external-table readStream)
     raw = (
         spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, "
-            "n_chars long")
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .select("doc_id", "text")
