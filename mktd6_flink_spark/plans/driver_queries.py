@@ -4000,6 +4000,33 @@ def streaming_w6_session(spark, sf_dir):
                                 mode="complete")
 
 
+@register("streaming_w7_sliding", ORACLES["w7_sliding_window"])
+def streaming_w7_sliding(spark, sf_dir):
+    """W7 hopping windows through the LIVE streaming runtime: Spark's
+    native windowed aggregation with a slide (2-hour windows every
+    hour) — each event feeds size/slide windows' partial aggregates in
+    the state store. Complete output mode for the same reason as the
+    session twin (trailing windows whose watermark never advances past
+    them still emit); hash-checked against the SAME oracle as the
+    batch twin w7_sliding_window."""
+    ev = enrich_events(_events_stream(spark, sf_dir))
+    out = (
+        ev.withWatermark("ts", "10 milliseconds")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("_w"), "team")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0)
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+            "team", "n_events", "sum_value",
+        )
+    )
+    return _run_stream_to_table(spark, out, "w7_stream",
+                                mode="complete")
+
+
 @register("streaming_join_interval", f"""
 WITH {EV_SQL},
 c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
