@@ -60,3 +60,42 @@ def test_running_sum_scalable_equals_plain(spark, rows, partitions):
     p = sorted((r.seq, r.rs) for r in plain.collect())
     s = sorted((r.seq, r.rs) for r in scal.collect())
     assert p == s
+
+
+range_left = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+    min_size=1, max_size=15)
+range_right = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+    max_size=15)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(lrows=range_left, rrows=range_right,
+       lo=st.integers(-20, 19), width=st.integers(1, 40))
+def test_bucketed_range_join_equals_naive_fuzz(spark, lrows, rrows, lo,
+                                               width):
+    """Fuzzed differential: the bin-bucketed range join must equal the
+    naive conditional join for ANY bounds (negative timestamps and
+    lower bounds included — floor division must bin negatives
+    correctly) and any key/timestamp collision pattern."""
+    from pyspark.sql import functions as F
+
+    from mktd6_flink_spark.operators.rangejoin import bucketed_range_join
+
+    hi = lo + width
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rrows = [(k, t, 100 + i) for i, (k, t) in enumerate(rrows)]
+    left = spark.createDataFrame(lrows, "k string, lt long, lid long")
+    right = spark.createDataFrame(rrows or [("z", 0, -1)],
+                                  "k string, rt long, rid long")
+    if not rrows:
+        right = right.filter("rid > 0")
+    got = {(r.lid, r.rid) for r in bucketed_range_join(
+        left, right, ["k"], "lt", "rt", lo, hi).collect()}
+    want = {(r.lid, r.rid) for r in left.join(
+        right, (left.k == right.k)
+        & (right.rt >= left.lt + F.lit(lo))
+        & (right.rt <= left.lt + F.lit(hi))).collect()}
+    assert got == want
