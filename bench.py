@@ -73,9 +73,11 @@ HEADLINE = [
     "tpch_rollup",
     "streaming_join_interval",
     # round-6 heads: the bin-bucketed batch range join (the 100 TB-safe
-    # interval join) and the native session-merging streaming aggregation
+    # interval join), the native session-merging streaming aggregation,
+    # and the explode-heaviest text op (Gopher repetition signals)
     "join_range_bucketed",
     "streaming_w6_session",
+    "text_repetition",
 ]
 
 
