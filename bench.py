@@ -149,6 +149,10 @@ def main() -> int:
             for tbl in spark.catalog.listTables():
                 if tbl.isTemporary:
                     spark.catalog.dropTempView(tbl.name)
+            # the StreamingQueryManager retains TERMINATED queries (and
+            # through them their memory sinks' rows) until reset —
+            # without this the driver heap grows across the whole run
+            spark.streams.resetTerminated()
         timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
