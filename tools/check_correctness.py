@@ -126,6 +126,14 @@ def main(selected: list[str]) -> int:
             n_fail += 1
             print(f"  ✗ {name}: EXCEPTION")
             traceback.print_exc(limit=4)
+        finally:
+            # terminated streaming queries pin their memory sinks' rows
+            # on the driver heap until reset; 19 of the registry entries
+            # are streaming, so a full sweep leaks GBs without this
+            spark.streams.resetTerminated()
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(names) - n_pass - n_fail} rows-only")
     spark.stop()
