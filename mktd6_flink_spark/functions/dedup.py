@@ -400,6 +400,28 @@ def sql_ngram_jaccard_pairs(table: str = "documents", text: str = "text",
 
 # -- near-dup clustering (connected components) ------------------------------
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage between propagation sweeps, durably when possible.
+
+    ``localCheckpoint`` stores blocks on executors: on a real cluster,
+    losing one executor mid-sweep kills the truncated lineage (or
+    silently recomputes a nondeterministic upstream sample). When the
+    session has a reliable checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir`` → HDFS/S3/local FS), use a
+    reliable ``checkpoint`` instead; fall back to ``localCheckpoint``
+    only when no dir is set (single-JVM local mode, where executor loss
+    means the whole app is gone anyway).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "doc_id",
                          max_iter: int = 20) -> DataFrame:
@@ -419,10 +441,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             edges.select(F.col("id_b").alias("src"),
                          F.col("id_a").alias("dst")))
         .distinct()
-        # materialize once: the edge lineage (often an LSH candidate
-        # pipeline) must not be recomputed on every propagation sweep
-        .localCheckpoint(eager=True)
     )
+    # materialize once: the edge lineage (often an LSH candidate
+    # pipeline) must not be recomputed on every propagation sweep
+    sym = _materialize(sym)
     # Only edge-endpoint nodes can ever change label — iterate over THEM
     # (O(|endpoints|), tiny relative to the corpus after LSH blocking at
     # any scale) and left-join the untouched corpus back at the end with
@@ -434,8 +456,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         .agg(F.min("dst").alias("_m"))
         .select(F.col("src").alias("id"),
                 F.least("src", "_m").alias("label"))
-        .localCheckpoint(eager=True)
     )
+    labels = _materialize(labels)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -454,7 +476,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         # checkpoint FIRST, then early-stop-check the materialized result
         # (counting before checkpointing would compute the sweep twice)
         prev = labels
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = _materialize(new_labels)
         changed = (
             labels.alias("n")
             .join(prev.alias("o"), F.col("n.id") == F.col("o.id"))

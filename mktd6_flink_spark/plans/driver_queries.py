@@ -95,14 +95,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _ts_to_utc_timestamp(ts_dtype: str):
     """Normalize the events ``ts`` column to a session-UTC TIMESTAMP.
 
-    * ``bigint`` — legacy nanos surfaced by ``nanosAsLong``: integer-
-      truncate to micros, exactly what DuckDB's TIMESTAMP (µs) read does.
+    * ``bigint`` — a raw int64 epoch. Legacy TIMESTAMP(NANOS) surfaced
+      by ``nanosAsLong`` is the known case (integer-truncate to micros,
+      exactly what DuckDB's TIMESTAMP µs read does), but a plain int64
+      µs column is the same failure class one drift away — so branch on
+      MAGNITUDE per row instead of assuming ns: 1e17 as ns is 1973 and
+      as µs is year 5138, so any plausible epoch lands on exactly one
+      side of the threshold. A blanket ``div 1000`` would silently
+      compress raw-µs data 1000× (the round-5 bug shape).
     * ``timestamp_ntz`` / ``timestamp`` — already µs precision; a cast to
       TIMESTAMP under the UTC session TZ keeps the wall-clock value
       identical to DuckDB's naive timestamps.
     """
     if ts_dtype == "bigint":
-        return F.expr("timestamp_micros(ts div 1000)")
+        ns_floor = F.lit(100_000_000_000_000_000)  # 1e17
+        return F.when(F.col("ts") >= ns_floor,
+                      F.expr("timestamp_micros(ts div 1000)")
+                      ).otherwise(F.expr("timestamp_micros(ts)"))
     return F.col("ts").cast("timestamp")
 
 
@@ -3522,15 +3531,25 @@ def _events_stream(spark, sf_dir):
     ``ts long`` over timestamp[us] data silently reads raw microseconds and
     compresses event time 1000× (the r5 session-window/interval-join bug).
     The probe is one parquet-footer read per sf_dir per process; memoized
-    so repeat streaming entries (bench runs 3×) don't re-pay it.
+    keyed on (path, file mtime) so repeat streaming entries (bench runs
+    3×) don't re-pay it, while a testdata file regenerated under a live
+    session with a different encoding invalidates the stale entry
+    instead of silently reading wrong values.
     """
+    import os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_dtype = _EVENTS_TS_DTYPE.get(sf_dir)
+    path = f"{sf_dir}/events.parquet"
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    ts_dtype = _EVENTS_TS_DTYPE.get(key)
     if ts_dtype is None:
         ts_dtype = dict(
             spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
-        _EVENTS_TS_DTYPE[sf_dir] = ts_dtype
+        _EVENTS_TS_DTYPE[key] = ts_dtype
     return (
         spark.readStream.schema(
             f"event_id long, ts {ts_dtype}, user_id long, "
@@ -4113,73 +4132,82 @@ def streaming_join_interval(spark, sf_dir):
 #     r3-graded block stay registered after position 50, runnable by
 #     tools/check_correctness.py).
 
-# Round-6 window: the type-adaptive events-loader fix changed the load
-# path of EVERY events-touching entry, so all 50 slots go to them — the
-# 25 entries red in round 5 (23 ERR + 2 silently wrong) first, then the
-# events entries with no round-5 row at all. Displaced non-events
-# entries (TPC-H, dedup, sim, text, mm, pipeline) are code-unchanged
-# and keep their r5/earlier green rows; tools/check_correctness.py
-# still runs all 113 locally (113/113 green this round).
+# Round-6 window (historical): the type-adaptive events-loader fix
+# changed the load path of EVERY events-touching entry, so all 50 slots
+# went to them — 50/50 green in CORRECTNESS_r06.json.
+
+# Round-7 window: testdata regenerates between rounds, so a driver row
+# is the only drift-proof signal. 65 entries have no round-6 row; the
+# 50 slots go to them, leading with the 2 entries NEVER driver-graded
+# in any round (join_range_bucketed, streaming_w7_sliding — both added
+# in round 6). The 15 deferred entries are the lowest-drift-risk ones:
+# the 7 one-line stateless p-series filters (r2-green, code-unchanged),
+# hash_family_check (pure-function diagnostic, no table input),
+# st1_ema_per_event / w5_median_value_per_team / st8_return_amounts
+# (their oracle twins streaming_st1_ema / the w5 family /
+# streaming_st8_timer are r6-green on the same loaders), and the four
+# streaming twins streaming_st{4,7,9,10}_* whose batch twins went
+# r6-green through the identical type-adaptive loader. All 115 still
+# run locally via tools/check_correctness.py.
 _GATE_PRIORITY = [
-    # --- red in round 5 via the loader bug, now fixed ---
-    "w5_sum_team_trader",
-    "w5_distinct_users_per_team",
-    "join_salted_skew",
-    "w3_running_sum",
-    "st7_running_investment",
-    "asof_join_price",
-    "st5_order_buffering",
-    "st10_price_delta",
-    "dataflow_market_ledger",
-    "dataflow_hype_influence",
-    "streaming_st8_timer",
-    "p09_hype_words",
-    "p12_updaters",
-    "p19_tweet_extract",
-    "r1_r2_split_union",
-    "r3_tagged_union",
-    "w2_tumbling_sum",
-    "w5_avg_per_minute",
-    "w5_sum_per_team",
-    "w5_top5_traders",
-    "st2_product",
-    "st9_txn_sequence",
-    "st4_ema_combiner",
-    # silently wrong in round 5 (stream loader compressed event time)
-    "streaming_w6_session",
-    "streaming_join_interval",
-    # --- events-touching entries with no round-5 row; loader changed ---
-    "p01_buy_sell",
-    "p06_parse_orders",
-    "p06b_invalid_orders",
-    "p13_p15_projections",
-    "p14_accepted",
-    "p16_self_trades",
-    "p17_positive_balance",
-    "st1_ema",
-    "st3_bubble_burst",
-    "w4_cogroup_latest",
-    "st6_trader_ledger",
-    "st6_per_event_ledger",
-    "w6_session_window",
-    "w7_sliding_window",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_daily_ohlc",
-    # live-runtime twins (readStream path probed via the new
-    # schema-adaptive _events_stream)
-    "streaming_st1_ema",
-    "streaming_st6_ledger",
-    "streaming_w2_window",
-    "streaming_w3_running_sum",
-    "streaming_st2_product",
-    "streaming_w4_cogroup",
-    "streaming_st5_settle",
-    "streaming_st3_burst",
-    # (st8_return_amounts is exercised transitively by
-    # streaming_st8_timer; st1_ema_per_event shares streaming_st1_ema's
-    # oracle; w5_median_value_per_team yields its slot to the five other
-    # w5 forms — all three stay registered after position 50.)
+    # --- never driver-graded (added round 6) ---
+    "join_range_bucketed",
+    "streaming_w7_sliding",
+    # --- TPC-H family (last driver row r4 or older) ---
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5ish",
+    "tpch_q4ish",
+    "tpch_q12ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q22ish",
+    "tpch_rollup",
+    # --- dedup family ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "streaming_dedup_exact",
+    # --- similarity / ANN family ---
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_ivf_recall",
+    "sim_kmeans_centroids",
+    "sim_knn_label_accuracy",
+    "sim_label_centroids",
+    "sim_ncm_accuracy",
+    # --- text-analysis family ---
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_scrub",
+    "text_chunking",
+    "text_repetition",
+    "text_vocab_top100",
+    "text_lang_confusion",
+    "text_bm25_search",
+    # --- multimodal metadata family ---
+    "mm_media_meta",
+    "mm_resize_plan",
+    "mm_frame_plan",
+    # --- pipeline family ---
+    "pipeline_curation",
+    "pipeline_train_val_split",
+    "pipeline_stratified_sample",
+    "pipeline_source_report",
+    "pipeline_contamination",
+    "pipeline_dataset_manifest",
+    "pipeline_sequence_packing",
+    # --- streaming twins displaced from the round-6 window ---
+    "streaming_w5_sum_per_team",
+    "streaming_w5_top5_traders",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

@@ -226,6 +226,42 @@ def test_connected_components_matches_union_find(spark):
                         if got[i] != exp[i]}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With ``setCheckpointDir`` configured (the cluster-durable path),
+    connected_components must take the reliable ``checkpoint()`` branch
+    — verified by checkpoint files actually landing in the dir — and
+    still converge to the same labels as the localCheckpoint path."""
+    import os
+
+    from mktd6_flink_spark.functions import dedup as dd
+
+    nodes = [(i,) for i in range(8)]
+    edges = [(0, 1), (1, 2), (4, 5), (6, 7), (5, 6)]
+    ndf = spark.createDataFrame(nodes, "doc_id long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    exp = {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 4, 7: 4}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # session default: local path
+    local = {r.doc_id: r.component
+             for r in dd.connected_components(ndf, edf).collect()}
+    assert local == exp
+
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        reliable = {r.doc_id: r.component
+                    for r in dd.connected_components(ndf, edf).collect()}
+        assert reliable == exp
+        # proof the reliable branch ran: RDD checkpoint files on disk
+        assert any(files for _, _, files in os.walk(ckpt)), \
+            "no checkpoint files written — localCheckpoint branch taken?"
+    finally:
+        # don't leak a tmp checkpoint dir into the session-scoped fixture
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+
+
 def test_repetition_stats_golden(spark):
     """'a b a b a b c': 2-grams ab,ba,ab,ba,ab,bc -> top frac 3/6;
     3-grams aba,bab,aba,bab,abc -> dup frac 4/5."""

@@ -16,12 +16,20 @@ plausible (a unit error compresses or inflates it by 1000×, which a span
 assert catches in one line).
 """
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 import pytest
 
 from mktd6_flink_spark.plans import driver_queries as dq
+
+REAL_SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(REAL_SF),
+    reason="driver testdata not present on this machine")
 
 # One hour of synthetic events: 120 rows spaced 30 s apart from a fixed
 # epoch. Span = 3570 s — far above any 1000×-compressed span (3.57 s)
@@ -35,12 +43,19 @@ EXPECTED_SPAN_S = (ROWS[-1][1] - ROWS[0][1]) / 1_000_000
 
 
 def _write_events(path: str, ts_unit: str) -> None:
-    """Write the fixture with ``ts`` as timestamp[us] or timestamp[ns]."""
+    """Write the fixture with ``ts`` as timestamp[us]/timestamp[ns], or as
+    a RAW int64 epoch in µs or ns (the not-yet-shipped-but-one-drift-away
+    encodings the magnitude guard covers)."""
+    if ts_unit in ("us", "ns"):
+        ts_arr = pa.array([r[1] * (1000 if ts_unit == "ns" else 1)
+                           for r in ROWS],
+                          pa.timestamp(ts_unit))
+    else:  # "int64_us" | "int64_ns"
+        mult = 1000 if ts_unit == "int64_ns" else 1
+        ts_arr = pa.array([r[1] * mult for r in ROWS], pa.int64())
     tbl = pa.table({
         "event_id": pa.array([r[0] for r in ROWS], pa.int64()),
-        "ts": pa.array([r[1] * (1000 if ts_unit == "ns" else 1)
-                        for r in ROWS],
-                       pa.timestamp(ts_unit)),
+        "ts": ts_arr,
         "user_id": pa.array([r[2] for r in ROWS], pa.int64()),
         "event_type": pa.array([r[3] for r in ROWS], pa.string()),
         "value": pa.array([r[4] for r in ROWS], pa.float64()),
@@ -57,7 +72,7 @@ def _span_and_first(df):
     return row["span"], row["first_us"]
 
 
-@pytest.mark.parametrize("ts_unit", ["us", "ns"])
+@pytest.mark.parametrize("ts_unit", ["us", "ns", "int64_us", "int64_ns"])
 def test_batch_load_normalizes_ts(spark, tmp_path, ts_unit):
     _write_events(str(tmp_path / "events.parquet"), ts_unit)
     df = dq.load(spark, str(tmp_path), "events")
@@ -67,7 +82,7 @@ def test_batch_load_normalizes_ts(spark, tmp_path, ts_unit):
     assert first_us == BASE_US  # wall-clock identical to the naive value
 
 
-@pytest.mark.parametrize("ts_unit", ["us", "ns"])
+@pytest.mark.parametrize("ts_unit", ["us", "ns", "int64_us", "int64_ns"])
 def test_events_stream_normalizes_ts(spark, tmp_path, ts_unit):
     _write_events(str(tmp_path / "events.parquet"), ts_unit)
     stream = dq._events_stream(spark, str(tmp_path))
@@ -79,10 +94,108 @@ def test_events_stream_normalizes_ts(spark, tmp_path, ts_unit):
     assert first_us == BASE_US
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
-def test_real_testdata_span_plausible(spark, sf_dir):
+@needs_testdata
+def test_real_testdata_span_plausible(spark):
     """Against the REAL driver testdata: the enriched span must exceed an
     hour (the synthetic clock covers weeks) — the assert that would have
     caught both round-5 failure modes before the driver did."""
-    span, _ = _span_and_first(dq.events_enriched(spark, sf_dir))
+    span, _ = _span_and_first(dq.events_enriched(spark, REAL_SF))
     assert span > 3600, f"events ts span {span}s — unit error in loader?"
+
+
+def test_events_stream_reprobes_on_regenerated_file(spark, tmp_path):
+    """If the parquet at the SAME path is regenerated with a different ts
+    encoding under a live session, the stream-schema memo must invalidate
+    (keyed on mtime) rather than read raw values through a stale schema."""
+    path = str(tmp_path / "events.parquet")
+    _write_events(path, "ns")
+    first = dq._run_stream_to_table(
+        spark, dq._events_stream(spark, str(tmp_path)), "reprobe_a")
+    assert _span_and_first(first) == (EXPECTED_SPAN_S, BASE_US)
+
+    os.remove(path)
+    _write_events(path, "us")
+    # ensure the mtime actually differs even on coarse-grained filesystems
+    os.utime(path, (os.path.getmtime(path) + 5,) * 2)
+    second = dq._run_stream_to_table(
+        spark, dq._events_stream(spark, str(tmp_path)), "reprobe_b")
+    assert _span_and_first(second) == (EXPECTED_SPAN_S, BASE_US)
+
+
+# ---------------------------------------------------------------------------
+# Schema contracts for every driver-regenerated table (round-6 verdict #3:
+# the events table was the only one pinned; documents/embeddings/TPC-H
+# would hit the same silent-drift class). A column the engine consumes
+# disappearing or changing to an incompatible type must fail pytest, not
+# the driver gate.
+# ---------------------------------------------------------------------------
+
+# column -> acceptable Spark dtypes (the types our queries' expressions
+# are written against; wider-but-compatible ints are accepted)
+_INT = {"int", "bigint", "smallint"}
+_FLOAT = {"double", "float"}
+_TS = {"timestamp", "timestamp_ntz", "date"}
+TABLE_CONTRACTS = {
+    "region": {"r_regionkey": _INT, "r_name": {"string"}},
+    "nation": {"n_nationkey": _INT, "n_name": {"string"},
+               "n_regionkey": _INT},
+    "customer": {"c_custkey": _INT, "c_name": {"string"},
+                 "c_nationkey": _INT, "c_acctbal": _FLOAT,
+                 "c_mktsegment": {"string"}},
+    "supplier": {"s_suppkey": _INT, "s_name": {"string"},
+                 "s_nationkey": _INT, "s_acctbal": _FLOAT},
+    "part": {"p_partkey": _INT, "p_name": {"string"}, "p_brand": {"string"},
+             "p_type": {"string"}, "p_size": _INT,
+             "p_retailprice": _FLOAT},
+    "orders": {"o_orderkey": _INT, "o_custkey": _INT,
+               "o_orderstatus": {"string"}, "o_totalprice": _FLOAT,
+               "o_orderdate": _TS, "o_orderpriority": {"string"}},
+    "lineitem": {"l_orderkey": _INT, "l_partkey": _INT, "l_suppkey": _INT,
+                 "l_linenumber": _INT, "l_quantity": _FLOAT,
+                 "l_extendedprice": _FLOAT, "l_discount": _FLOAT,
+                 "l_tax": _FLOAT, "l_returnflag": {"string"},
+                 "l_linestatus": {"string"}, "l_shipdate": _TS},
+    "events": {"event_id": _INT, "ts": {"timestamp"}, "user_id": _INT,
+               "event_type": {"string"}, "value": _FLOAT,
+               "props": {"string"}},
+    "documents": {"doc_id": _INT, "text": {"string"}, "lang": {"string"},
+                  "source": {"string"}, "n_chars": _INT},
+    "embeddings": {"vec_id": _INT, "embedding": {"array<float>",
+                                                 "array<double>"},
+                   "label": _INT},
+}
+
+
+@needs_testdata
+@pytest.mark.parametrize("table", sorted(TABLE_CONTRACTS))
+def test_real_testdata_schema_contract(spark, table):
+    df = dq.load(spark, REAL_SF, table)
+    dtypes = dict(df.dtypes)
+    for col, accepted in TABLE_CONTRACTS[table].items():
+        assert col in dtypes, f"{table}.{col} missing — testdata drift"
+        assert dtypes[col] in accepted, (
+            f"{table}.{col} is {dtypes[col]}, engine expects one of "
+            f"{sorted(accepted)} — adapt the loader before the gate runs")
+
+
+@needs_testdata
+def test_real_documents_embeddings_shape_plausible(spark):
+    """Value-level sanity for the two LLM-pipeline tables: n_chars must
+    agree with the text length it claims to describe (text oracles key on
+    it), and embeddings must be fixed-dimension non-null vectors (every
+    ANN operator assumes a rectangular embedding matrix)."""
+    docs = dq.load(spark, REAL_SF, "documents")
+    bad = docs.filter(
+        F.col("text").isNull()
+        | (F.col("n_chars") != F.length("text"))).count()
+    assert bad == 0, f"{bad} documents rows with n_chars != length(text)"
+
+    emb = dq.load(spark, REAL_SF, "embeddings")
+    row = emb.agg(
+        F.min(F.size("embedding")).alias("dmin"),
+        F.max(F.size("embedding")).alias("dmax"),
+        F.sum(F.col("embedding").isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    assert row.nulls == 0
+    assert row.dmin == row.dmax > 0, (
+        f"ragged embedding dims [{row.dmin}, {row.dmax}]")
