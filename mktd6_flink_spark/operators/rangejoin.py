@@ -23,8 +23,26 @@ is identical to the naive join row-for-row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Collision-resistant internal join key; inputs carrying it are rejected
+# rather than silently overwritten/dropped.
+_BIN = "__rangejoin_bin__"
+
+
+def _bin_of(ts: Column, width: int) -> Column:
+    """Exact integer floor-division ``floor(ts / width)`` for int64 ts.
+
+    ``F.floor(ts / width)`` converts to double first: exact only while
+    |ts| < ~2^53 (ns-scale epochs or large ts/width ratios silently
+    mis-bin and DROP matches). Instead subtract ``pmod`` (non-negative,
+    so the difference is floor-aligned even for negative ts) to get an
+    exactly-divisible numerator, then divide as decimal(38,0) — every
+    step is exact over the full int64 range.
+    """
+    aligned = (ts - F.pmod(ts, F.lit(width))).cast("decimal(38,0)")
+    return (aligned / F.lit(width).cast("decimal(38,0)")).cast("long")
 
 
 def bucketed_range_join(left: DataFrame, right: DataFrame,
@@ -34,14 +52,20 @@ def bucketed_range_join(left: DataFrame, right: DataFrame,
     ``right_ts ∈ [left_ts + lo, left_ts + hi]`` (inclusive; integer
     units — µs in this repo). Requires ``hi > lo``; bin width is the
     interval length, never a tuning knob.
+
+    NULL semantics match the naive equi-join + range-filter form: a NULL
+    key or NULL timestamp on either side pairs with nothing.
     """
     if hi <= lo:
         raise ValueError(f"empty interval: lo={lo}, hi={hi}")
+    for side, df in (("left", left), ("right", right)):
+        if _BIN in df.columns:
+            raise ValueError(f"{side} input already has a {_BIN} column")
     width = hi - lo
-    r = right.withColumn("_bin", F.floor(F.col(right_ts) / F.lit(width)))
-    lb0 = F.floor((F.col(left_ts) + F.lit(lo)) / F.lit(width))
-    l = (left.withColumn("_bin", F.explode(F.array(lb0, lb0 + 1))))
-    out = l.join(r, keys + ["_bin"]).filter(
+    r = right.withColumn(_BIN, _bin_of(F.col(right_ts), width))
+    lb0 = _bin_of(F.col(left_ts) + F.lit(lo), width)
+    l = left.withColumn(_BIN, F.explode(F.array(lb0, lb0 + 1)))
+    out = l.join(r, keys + [_BIN]).filter(
         (F.col(right_ts) >= F.col(left_ts) + F.lit(lo))
         & (F.col(right_ts) <= F.col(left_ts) + F.lit(hi)))
-    return out.drop("_bin")
+    return out.drop(_BIN)

@@ -665,3 +665,77 @@ def test_bucketed_range_join_equals_naive(spark):
             & (right.rt >= left.lt + F.lit(lo))
             & (right.rt <= left.lt + F.lit(hi))).collect()}
         assert got == want, f"bounds ({lo},{hi}): {len(got)} vs {len(want)}"
+
+
+def test_bucketed_range_join_nulls_and_contract(spark):
+    """Locks the edge contract: NULL keys/timestamps pair with nothing
+    (naive-join parity), empty and negative-width intervals raise, and
+    an input already carrying the internal bin column is rejected
+    instead of being silently overwritten."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mktd6_flink_spark.operators.rangejoin import (_BIN,
+                                                       bucketed_range_join)
+
+    lrows = [("a", 0, 0), ("a", 10, 1), (None, 5, 2), ("a", None, 3)]
+    rrows = [("a", 5, 100), (None, 5, 101), ("a", None, 102),
+             ("b", 5, 103)]
+    left = spark.createDataFrame(lrows, "k string, lt long, lid long")
+    right = spark.createDataFrame(rrows, "k string, rt long, rid long")
+
+    got = {(r.lid, r.rid) for r in bucketed_range_join(
+        left, right, ["k"], "lt", "rt", 0, 10).collect()}
+    want = {(r.lid, r.rid) for r in left.join(
+        right, (left.k == right.k)
+        & (right.rt >= left.lt + F.lit(0))
+        & (right.rt <= left.lt + F.lit(10))).collect()}
+    assert got == want == {(0, 100)}
+
+    for lo, hi in [(0, 0), (5, 5), (10, 3), (-2, -7)]:
+        with pytest.raises(ValueError, match="empty interval"):
+            bucketed_range_join(left, right, ["k"], "lt", "rt", lo, hi)
+
+    with pytest.raises(ValueError, match=_BIN.replace("$", r"\$")):
+        bucketed_range_join(left.withColumn(_BIN, F.lit(0)), right,
+                            ["k"], "lt", "rt", 0, 10)
+    with pytest.raises(ValueError, match="right input"):
+        bucketed_range_join(left, right.withColumn(_BIN, F.lit(0)),
+                            ["k"], "lt", "rt", 0, 10)
+
+
+def test_bucketed_range_join_exact_beyond_double(spark):
+    """Timestamps past 2^53 (ns-scale epochs): float-division binning
+    rounds |ts| ≥ 2^53 to the wrong bin and silently drops matching
+    pairs; the decimal/pmod path must stay exact over the full int64
+    range. Pairs straddle bin boundaries at +/-2^60 so a single ULP of
+    rounding error flips the result."""
+    from pyspark.sql import functions as F
+
+    from mktd6_flink_spark.operators.rangejoin import bucketed_range_join
+
+    base = 2 ** 60
+    width = 3_600_000_000  # one hour in µs — the repo's real bin width
+    lrows, rrows = [], []
+    for i, b in enumerate([base, -base, base + 7 * width]):
+        start = (b // width) * width  # bin-aligned anchor near b
+        # right rows just inside/outside [lt, lt+width] for lt=start+1
+        lrows.append(("k", start + 1, i))
+        rrows.append(("k", start + 1 + width, 100 + i))   # inside (edge)
+        rrows.append(("k", start + 2 + width, 200 + i))   # outside by 1µs
+        rrows.append(("k", start + 1, 300 + i))           # inside (start)
+        rrows.append(("k", start, 400 + i))               # outside by 1µs
+    left = spark.createDataFrame(lrows, "k string, lt long, lid long")
+    right = spark.createDataFrame(rrows, "k string, rt long, rid long")
+
+    got = {(r.lid, r.rid) for r in bucketed_range_join(
+        left, right, ["k"], "lt", "rt", 0, width).collect()}
+    want = {(r.lid, r.rid) for r in left.join(
+        right, (left.k == right.k)
+        & (right.rt >= left.lt + F.lit(0))
+        & (right.rt <= left.lt + F.lit(width))).collect()}
+    assert got == want
+    assert {(i, 100 + i) for i in range(3)} <= got
+    assert {(i, 300 + i) for i in range(3)} <= got
+    assert not any(rid >= 200 and rid < 300 for _, rid in got)
+    assert not any(rid >= 400 for _, rid in got)

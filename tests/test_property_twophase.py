@@ -63,10 +63,12 @@ def test_running_sum_scalable_equals_plain(spark, rows, partitions):
 
 
 range_left = st.lists(
-    st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+    st.tuples(st.sampled_from(["a", "b", None]),
+              st.one_of(st.integers(-50, 50), st.none())),
     min_size=1, max_size=15)
 range_right = st.lists(
-    st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+    st.tuples(st.sampled_from(["a", "b", None]),
+              st.one_of(st.integers(-50, 50), st.none())),
     max_size=15)
 
 
