@@ -4060,7 +4060,7 @@ FROM c JOIN p ON p.user_id = c.user_id
              AND p.p_us >= c.c_us
              AND p.p_us <= c.c_us + 3600000000
 """)
-def streaming_join_interval(spark, sf_dir):
+def streaming_join_interval(spark, sf_dir, parts: str = "4"):
     """STREAM-STREAM interval join on the live runtime: each click pairs
     with the same USER's purchases in the following hour. Both sides
     carry watermarks and the join condition bounds event time on both
@@ -4106,11 +4106,12 @@ def streaming_join_interval(spark, sf_dir):
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
         "purchase_value",
     )
-    # parts=4: a stream-stream join instantiates FOUR state-store
+    # parts=4 default: a stream-stream join instantiates FOUR state-store
     # providers per side per partition; at single-file bench scale the
     # fixed per-store cost dominates (sf0.1 sweep: 16 parts 7.6 s,
-    # 4 parts 3.1 s). Cluster-scale sizing comes from _STREAM_PARTS.
-    return _run_stream_to_table(spark, joined, "sj_stream", parts="4")
+    # 4 parts 3.1 s). Cluster-scale sizing comes from _STREAM_PARTS; the
+    # kwarg exists so the partition-invariance test can sweep it.
+    return _run_stream_to_table(spark, joined, "sj_stream", parts=parts)
 
 
 # ===========================================================================

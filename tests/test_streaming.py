@@ -652,3 +652,42 @@ def test_st3_burst_sequence_exact(spark, tmp_path):
     expected = sorted([(1.0, 1), (0.95, 2), (1.845, 3),
                        (round((4 - 1.845) * 0.8, 10), 4)])
     assert sorted(got) == expected
+
+
+def test_stream_parts_result_invariance(spark, monkeypatch):
+    """_STREAM_PARTS (default 8) is a bench-scale knob; a cluster deploy
+    sets it to cores×executors. The RESULT must not depend on it: sweep
+    the state-store partition count across 2/8/32 for one entry per
+    streaming-state family — arbitrary state (ST2 product), windowed
+    aggregation (W2), dropDuplicates state (dedup), and the
+    stream-stream interval join (own parts kwarg) — and assert the
+    collected multiset is identical each time."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not __import__("os").path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    entries = {
+        "st2": dq.QUERIES["streaming_st2_product"],
+        "w2": dq.QUERIES["streaming_w2_window"],
+        "dedup": dq.QUERIES["streaming_dedup_exact"],
+    }
+    for name, fn in entries.items():
+        results = []
+        for parts in ("2", "8", "32"):
+            monkeypatch.setattr(dq, "_STREAM_PARTS", parts)
+            results.append(canon(fn(spark, sf_dir)))
+        assert results[0] == results[1] == results[2], \
+            f"{name}: result depends on state partition count"
+        assert results[0], f"{name}: empty result"
+
+    join_results = [
+        canon(dq.streaming_join_interval(spark, sf_dir, parts=p))
+        for p in ("2", "4", "32")]
+    assert join_results[0] == join_results[1] == join_results[2]
+    assert join_results[0]
