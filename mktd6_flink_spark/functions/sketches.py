@@ -1,0 +1,285 @@
+"""Portable probabilistic sketches: HyperLogLog distinct-count and a
+Bloom-filter join prefilter.
+
+Both are standard large-scale techniques a 100 TB pipeline leans on —
+cardinality estimation without a count-distinct shuffle of raw values,
+and semi-join reduction of a big fact table before the real join — and
+both are built on the portable md5 hash family (functions/hashing.py) so
+the ORACLE CAN CHECK THEM BIT-FOR-BIT: Spark's own approx_count_distinct
+/ BloomFilter use engine-private hashing (xxhash64) that DuckDB cannot
+reproduce, while these compute identical registers/bitmaps in both
+engines from the same public definitions.
+
+HLL (Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm", AofA 2007):
+- bucket = h mod m, the remaining 52 bits w = h div m give
+  rho = (leading zeros in the 52-bit field) + 1 computed EXACTLY as
+  53 - bitlen(w) via length(bin(w)) — no floating log anywhere;
+- registers are max(rho) per (group, bucket): one m-bounded shuffle;
+- the indicator sum is kept in INTEGER space: sum(2^(53-M_j)) + empty
+  buckets * 2^53 is exact in int64 (m * 2^53 <= 2^61 for m <= 256), so
+  cross-engine float-summation order can never flip a bit. Only the
+  final estimate divides in IEEE doubles, identically on both sides.
+- small-range (linear counting) correction per the paper when
+  E <= 2.5m and empty buckets exist.
+
+Bloom (Bloom, CACM 1970; broadcast-bloom semi-join reduction is the
+classic distributed-join optimization, cf. Spark's own
+spark.sql.optimizer.runtime.bloomFilter):
+- k positions per key from the universal hash family over md5;
+- the bitmap is w words of 62 usable bits each (shifts never touch the
+  int64 sign bit, which DuckDB rejects as overflow) built by bit_or in
+  ONE tiny aggregation (w rows), then densified into a single
+  array<long> row that BROADCASTS to the big side — membership is a
+  pure map-side element_at + mask test, the big side never shuffles.
+
+Reference parity note: the reference engine (mktd6-flink) has no sketch
+operators; these extend the engine for the training-data-pipeline layer
+the same way dedup/similarity do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import (hash_params, md5_long, sql_md5_long,
+                      sql_universal_hash, universal_hash)
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# 52 = 60 md5 bits - 8 bucket bits is an upper bound for any m >= 256;
+# for smaller m the field is wider, so size the rho offset per call.
+
+
+def _hll_alpha(m: int) -> str:
+    """The paper's alpha_m as a literal arithmetic EXPRESSION string —
+    evaluated in IEEE doubles identically by both engines (never
+    pre-evaluate in Python: repr rounding would diverge)."""
+    if m == 16:
+        return "0.673"
+    if m == 32:
+        return "0.697"
+    if m == 64:
+        return "0.709"
+    return f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
+                 b: int = 6) -> DataFrame:
+    """Estimated distinct ``value`` per group via an m=2^b-register HLL.
+
+    Output: group_cols + (hll_est double, hll_empty_buckets int).
+    Cost: one shuffle bounded by |groups| * m rows, then one by
+    |groups| — never a shuffle of distinct raw values. The register
+    table is the sketch: union-able across partitions/days by re-maxing,
+    which is what makes it the 100 TB cardinality tool.
+    """
+    m = 1 << b
+    wbits = 60 - b  # width of the rho field
+    h = md5_long(value.cast("string"))
+    bucket = F.pmod(h, F.lit(m))
+    # exact h div m: m is a power of two, so shift — h is 60 bits and a
+    # double-division detour would round past 2^53
+    w = F.shiftright(h, b)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w)))
+    regs = (
+        df.select(*group_cols, bucket.alias("_bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    # integer indicator: sum over present buckets of 2^(R-M), empty
+    # buckets contribute 2^R each (R = wbits+1, the max rho)
+    R = wbits + 1
+    est = (
+        regs.groupBy(*group_cols)
+        .agg(
+            # F.shiftleft requires a literal shift amount; _M is a named
+            # column here so the SQL form takes the column shift
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {R} - _M)"))
+            .alias("_s_present"),
+            F.count("*").alias("_nbuckets"),
+        )
+        .withColumn("_empty", (F.lit(m) - F.col("_nbuckets")).cast("int"))
+        .withColumn(
+            "_s",
+            F.col("_s_present")
+            + F.col("_empty").cast("long") * F.lit(1 << R).cast("long"))
+        .withColumn(
+            "_e_raw",
+            F.expr(f"{_hll_alpha(m)} * {m}.0 * {m}.0 "
+                   f"* CAST({1 << R} AS DOUBLE) / CAST(_s AS DOUBLE)"))
+        .withColumn(
+            "hll_est",
+            F.when((F.col("_e_raw") <= F.lit(2.5 * m))
+                   & (F.col("_empty") > 0),
+                   F.expr(f"{m}.0 * ln({m}.0 / CAST(_empty AS DOUBLE))"))
+            .otherwise(F.col("_e_raw")))
+    )
+    from .hashing import round_portable
+
+    return est.select(
+        *group_cols,
+        round_portable(F.col("hll_est"), 6).alias("hll_est"),
+        F.col("_empty").alias("hll_empty_buckets"))
+
+
+def sql_hll_distinct(table_sql: str, group_cols: list[str],
+                     value_expr: str, b: int = 6) -> str:
+    """DuckDB twin of :func:`hll_distinct` — same registers, same
+    integer indicator sum, same correction branch."""
+    m = 1 << b
+    R = 60 - b + 1
+    g = ", ".join(group_cols)
+    h = sql_md5_long(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+    WITH _hll_in AS ({table_sql}),
+    _hll_h AS (
+      SELECT {g}, {h} AS _h FROM _hll_in
+    ),
+    _hll_rho AS (
+      SELECT {g}, _h % {m} AS _bucket,
+             CASE WHEN _h // {m} = 0 THEN {R}
+                  ELSE {R} - length(bin(_h // {m})) END AS _rho
+      FROM _hll_h
+    ),
+    _hll_regs AS (
+      SELECT {g}, _bucket, max(_rho) AS _M
+      FROM _hll_rho GROUP BY {g}, _bucket
+    ),
+    _hll_sum AS (
+      SELECT {g},
+             sum((CAST(1 AS BIGINT) << ({R} - _M))) AS _s_present,
+             count(*) AS _nbuckets
+      FROM _hll_regs GROUP BY {g}
+    ),
+    _hll_est AS (
+      SELECT {g},
+             CAST({m} - _nbuckets AS INTEGER) AS _empty,
+             _s_present + ({m} - _nbuckets) * (CAST(1 AS BIGINT) << {R})
+               AS _s
+      FROM _hll_sum
+    )
+    SELECT {g},
+           ROUND6(CASE WHEN ({_hll_alpha(m)} * {m}.0 * {m}.0
+                        * CAST(CAST(1 AS BIGINT) << {R} AS DOUBLE)
+                        / CAST(_s AS DOUBLE)) <= {2.5 * m}
+                       AND _empty > 0
+                  THEN {m}.0 * ln({m}.0 / CAST(_empty AS DOUBLE))
+                  ELSE ({_hll_alpha(m)} * {m}.0 * {m}.0
+                        * CAST(CAST(1 AS BIGINT) << {R} AS DOUBLE)
+                        / CAST(_s AS DOUBLE)) END) AS hll_est,
+           _empty AS hll_empty_buckets
+    FROM _hll_est
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter
+# ---------------------------------------------------------------------------
+
+WORD_BITS = 62  # 1 << 62 is the largest shift both engines allow
+
+
+def bloom_bitmap(small: DataFrame, key: Column, k: int = 3,
+                 bits: int = 4092) -> DataFrame:
+    """One-row DataFrame holding the dense ``array<long>`` bitmap
+    (bits/62 words of 62 usable bits) over the small side's keys. The
+    word aggregation is bits/62 rows — constant-size regardless of
+    input, so the final single-row densification is not a scale hazard;
+    the row then broadcasts to the probe side."""
+    assert bits % WORD_BITS == 0
+    words = bits // WORD_BITS
+    h = md5_long(key.cast("string"))
+    pos = [F.pmod(universal_hash(h, a, b_), F.lit(bits)) for a, b_ in
+           hash_params(k)]
+    word_rows = (
+        small.select(F.explode(F.array(*pos)).alias("_p"))
+        # shiftleft needs the shift as a named-column SQL expression
+        .select(
+            ((F.col("_p") - F.pmod(F.col("_p"), F.lit(WORD_BITS)))
+             / F.lit(WORD_BITS)).cast("long").alias("_word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST(pmod(_p, {WORD_BITS}) AS INT))").alias("_mask"))
+        .groupBy("_word").agg(F.bit_or("_mask").alias("_bits"))
+    )
+    return word_rows.agg(
+        F.map_from_entries(F.collect_list(F.struct("_word", "_bits")))
+        .alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"),
+                       F.lit(words - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at(F.col("_m"), i),
+                                 F.lit(0).cast("long")),
+        ).alias("bloom_arr"))
+
+
+def bloom_filter(big: DataFrame, key: Column, bitmap: DataFrame,
+                 k: int = 3, bits: int = 4092) -> DataFrame:
+    """Rows of ``big`` whose key passes the Bloom membership test —
+    a superset of the true semi-join (false positives, never negatives).
+    Pure map-side: the 1-row bitmap broadcasts, each row tests its k
+    positions with element_at + mask; the big side never shuffles."""
+    h = md5_long(key.cast("string"))
+    probed = big.crossJoin(F.broadcast(bitmap))
+    pcols = []
+    for j, (a, b_) in enumerate(hash_params(k)):
+        pcols.append(f"__bp{j}")
+        probed = probed.withColumn(
+            f"__bp{j}", F.pmod(universal_hash(h, a, b_), F.lit(bits)))
+    cond = None
+    for pc in pcols:
+        word = ((F.col(pc) - F.pmod(F.col(pc), F.lit(WORD_BITS)))
+                / F.lit(WORD_BITS)).cast("long")
+        mask = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                      f"CAST(pmod({pc}, {WORD_BITS}) AS INT))")
+        test = F.element_at(F.col("bloom_arr"),
+                            (word + 1).cast("int")).bitwiseAND(mask) != 0
+        cond = test if cond is None else (cond & test)
+    return probed.filter(cond).drop("bloom_arr", *pcols)
+
+
+def sql_bloom_positions(key_expr: str, k: int, bits: int) -> list[str]:
+    h = sql_md5_long(f"CAST({key_expr} AS VARCHAR)")
+    return [f"({sql_universal_hash(h, a, b_)} % {bits})"
+            for a, b_ in hash_params(k)]
+
+
+def sql_bloom_filter(small_sql: str, small_key: str, big_sql: str,
+                     big_key: str, k: int = 3, bits: int = 4092) -> str:
+    """DuckDB twin: identical positions, identical words, identical
+    dense list, identical membership predicate. Returns a CTE chain
+    ending in ``_bloom_pass`` (all columns of the big side that pass)."""
+    words = bits // WORD_BITS
+    small_pos = sql_bloom_positions(small_key, k, bits)
+    pos_union = " UNION ALL ".join(
+        f"SELECT {p} AS _p FROM _bloom_small" for p in small_pos)
+    big_tests = " AND ".join(
+        f"(_bloom_arr.arr[CAST({p} // {WORD_BITS} AS INTEGER) + 1]"
+        f" & (CAST(1 AS BIGINT) << CAST({p} % {WORD_BITS} AS INTEGER)))"
+        f" != 0"
+        for p in (f"({q})" for q in sql_bloom_positions(big_key, k, bits)))
+    return f"""
+    _bloom_small AS ({small_sql}),
+    _bloom_pos AS ({pos_union}),
+    _bloom_words AS (
+      SELECT _p // 62 AS _word,
+             bit_or(CAST(1 AS BIGINT) << CAST(_p % 62 AS INTEGER))
+               AS _bits
+      FROM _bloom_pos GROUP BY 1
+    ),
+    _bloom_arr AS (
+      SELECT list(coalesce(w._bits, 0) ORDER BY s.i) AS arr
+      FROM generate_series(0, {words - 1}) AS s(i)
+      LEFT JOIN _bloom_words w ON w._word = s.i
+    ),
+    _bloom_big AS ({big_sql}),
+    _bloom_pass AS (
+      SELECT _bloom_big.* FROM _bloom_big, _bloom_arr
+      WHERE {big_tests}
+    )
+    """

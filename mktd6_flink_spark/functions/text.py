@@ -620,3 +620,78 @@ def sql_bm25_topk(table: str, query_terms: list[str], k: int = 10,
     SELECT {id_col}, score FROM scored
     ORDER BY score DESC, {id_col} ASC LIMIT {k}
     """
+
+
+# -- character-trigram surprisal (CCNet-style LM quality filter) -------------
+
+def trigram_surprisal(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean character-trigram surprisal against an add-one
+    model trained on the corpus itself — the portable form of CCNet's
+    perplexity filter (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", LREC 2020): gibberish
+    and boilerplate score high because their trigrams are corpus-rare.
+
+    Engine-portability is why surprisal is QUANTIZED TO INTEGER BITS:
+    per-trigram -log2 P would be a float whose per-doc SUM depends on
+    engine reduction order. Instead each trigram scores
+    floor(log2((N+V)/(c+1))) computed exactly in integers as
+    bitlen((N+V) div (c+1)) - 1 (valid since floor(log2(floor(q))) =
+    floor(log2(q)) for q >= 1), so the per-doc sum is exact int64 and
+    only the final mean divides in IEEE — bit-identical cross-engine.
+
+    Scale shape: trigram explode is map-side; one count shuffle keyed
+    by trigram (uniform, bounded by charset^3 distinct keys); the model
+    + the two scalar totals broadcast; final doc-keyed aggregation is
+    combiner-friendly. No raw-text shuffle beyond the doc-keyed agg.
+    """
+    tri = df.filter(F.length(text) >= 3).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, length({text}) - 2), "
+            f"i -> substring({text}, i, 3))")).alias("_tri"))
+    model = tri.groupBy("_tri").agg(F.count(F.lit(1)).alias("_c"))
+    totals = model.agg(F.sum("_c").alias("_N"),
+                       F.count(F.lit(1)).alias("_V"))
+    scored = (
+        tri.join(F.broadcast(model), "_tri")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            (F.length(F.bin(F.expr("(_N + _V) div (_c + 1)"))) - 1)
+            .cast("long").alias("_bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        round_portable(F.sum("_bits").cast("double")
+                       / F.count(F.lit(1)).cast("double"))
+        .alias("avg_surprisal_bits"))
+
+
+def sql_trigram_surprisal(table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id") -> str:
+    return f"""
+    WITH _tri AS (
+      SELECT {id_col},
+             unnest(list_transform(generate_series(1, length({text}) - 2),
+                                   i -> substr({text}, CAST(i AS INTEGER),
+                                               3))) AS _tri
+      FROM {table}
+      WHERE length({text}) >= 3
+    ),
+    _model AS (
+      SELECT _tri, count(*) AS _c FROM _tri GROUP BY _tri
+    ),
+    _tot AS (
+      SELECT sum(_c) AS _N, count(*) AS _V FROM _model
+    ),
+    _scored AS (
+      SELECT t.{id_col},
+             length(bin((_N + _V) // (_c + 1))) - 1 AS _bits
+      FROM _tri t JOIN _model USING (_tri) CROSS JOIN _tot
+    )
+    SELECT {id_col}, count(*) AS n_trigrams,
+           ROUND6(CAST(sum(_bits) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             AS avg_surprisal_bits
+    FROM _scored GROUP BY {id_col}
+    """

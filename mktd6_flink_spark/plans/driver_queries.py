@@ -4115,6 +4115,99 @@ def streaming_join_interval(spark, sf_dir, parts: str = "4"):
 
 
 # ===========================================================================
+# Sketches (round 7): portable HLL + broadcast-Bloom prefilter + trigram
+# surprisal — the cardinality / semi-join-reduction / LM-quality tools a
+# 100 TB curation pipeline runs, each bit-checkable against DuckDB
+# because they ride the portable md5 hash family instead of
+# engine-private hashing.
+# ===========================================================================
+
+from ..functions import sketches as sk  # noqa: E402
+
+@register("sketch_hll_users", f"""
+WITH _exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+_hll AS (
+{sk.sql_hll_distinct("SELECT event_type, user_id FROM events",
+                     ["event_type"], "user_id")}
+)
+SELECT _hll.event_type, _hll.hll_est, _hll.hll_empty_buckets,
+       _exact.exact_distinct
+FROM _hll JOIN _exact ON _exact.event_type = _hll.event_type
+""")
+def sketch_hll_users(spark, sf_dir):
+    """Distinct users per event_type via a portable 64-register
+    HyperLogLog (Flajolet 2007), joined with the exact count so the
+    estimation error is part of the checked result. At 100 TB the
+    register table IS the rollup currency: m rows per group, mergeable
+    across days/partitions by re-maxing — no count-distinct re-shuffle
+    of raw ids, ever. The indicator sum stays in int64 so the oracle
+    match is exact (see functions/sketches.py)."""
+    ev = load(spark, sf_dir, "events")
+    hll = sk.hll_distinct(ev, ["event_type"], F.col("user_id"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return hll.join(exact, "event_type")
+
+
+@register("join_bloom_prefilter", f"""
+WITH
+{sk.sql_bloom_filter(
+    "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "c_custkey",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "o_custkey")},
+_members AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT (m.c_custkey IS NOT NULL) AS is_true_member,
+       count(*) AS n_orders,
+       CAST(sum({SQL_CENTS.format(x='p.o_totalprice')}) AS BIGINT)
+         AS total_cents
+FROM _bloom_pass p LEFT JOIN _members m ON m.c_custkey = p.o_custkey
+GROUP BY 1
+""")
+def join_bloom_prefilter(spark, sf_dir):
+    """Broadcast-Bloom semi-join reduction: a 4092-bit k=3 Bloom built
+    over BUILDING-segment customers prefilters the orders fact table
+    map-side BEFORE any join shuffle — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling ~the matching
+    fraction (Spark's runtime bloomFilter optimization, made explicit
+    and portable). The checked result groups the surviving rows into
+    true members vs false positives with exact-cents totals, so a
+    single wrong bitmap bit flips the hash."""
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bitmap = sk.bloom_bitmap(building, F.col("c_custkey"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    passed = sk.bloom_filter(orders, F.col("o_custkey"), bitmap)
+    members = building.select("c_custkey").distinct()
+    return (
+        passed.join(F.broadcast(members),
+                    passed.o_custkey == members.c_custkey, "left")
+        .groupBy(F.col("c_custkey").isNotNull().alias("is_true_member"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+    )
+
+
+@register("text_trigram_surprisal", tx.sql_trigram_surprisal("documents"))
+def text_trigram_surprisal(spark, sf_dir):
+    """CCNet-style LM-quality filter (Wenzek et al., LREC 2020) made
+    engine-portable: per-doc mean character-trigram surprisal against
+    an add-one model trained on the corpus, quantized to integer bits
+    so the per-doc sum is exact int64 (see functions/text.py). High
+    scores = corpus-rare trigrams = gibberish/boilerplate candidates —
+    the perplexity axis of a curation pipeline, alongside
+    text_quality and text_repetition."""
+    return tx.trigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
 # Gate-window ordering
 # ===========================================================================
 # The driver's per-round correctness gate grades the FIRST 50 registered

@@ -273,3 +273,66 @@ def test_repetition_stats_golden(spark):
     assert rows[1].top_2gram_frac == 0.5
     assert rows[1].dup_3gram_frac == 0.8
     assert 2 not in rows  # < 3 tokens: no 3-gram, excluded
+
+
+def test_hll_distinct_accuracy_and_merge_semantics(spark):
+    """m=64 HLL: estimate within the sketch's expected error envelope
+    (~1.04/sqrt(64) = 13% std; assert 3 sigma) on cardinalities
+    spanning the linear-counting and raw branches, and empty-bucket
+    count is consistent with the estimate branch taken."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    rows = [(grp, f"v{grp}_{i}")
+            for grp, n in [("tiny", 10), ("mid", 150), ("big", 5000)]
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: (r.hll_est, r.hll_empty_buckets)
+           for r in sk.hll_distinct(df, ["g"], df.v).collect()}
+    for g, n in [("tiny", 10), ("mid", 150), ("big", 5000)]:
+        est, empty = got[g]
+        assert abs(est - n) / n < 0.40, (g, est, n)
+    # duplicates must not move the estimate (set semantics)
+    df2 = df.union(df)
+    got2 = {r.g: r.hll_est
+            for r in sk.hll_distinct(df2, ["g"], df2.v).collect()}
+    assert {g: e for g, (e, _) in got.items()} == got2
+
+
+def test_bloom_filter_no_false_negatives_and_fp_rate(spark):
+    """Every true member's row must survive the Bloom (no false
+    negatives — the correctness half of the contract), and the false-
+    positive rate on 2000 non-members must be within ~4x of the
+    theoretical (1-e^(-kn/m))^k (the efficiency half)."""
+    import math
+
+    from mktd6_flink_spark.functions import sketches as sk
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame(
+        [(i,) for i in range(300)], "k long")
+    probe = spark.createDataFrame(
+        [(i,) for i in range(5000)], "k long")  # 300 members + 4700 not
+    bitmap = sk.bloom_bitmap(members, F.col("k"))
+    passed = {r.k for r in
+              sk.bloom_filter(probe, F.col("k"), bitmap).collect()}
+    assert set(range(300)) <= passed, "false negative!"
+    fp = len(passed) - 300
+    k_, n, m = 3, 300, 4092
+    theo = (1 - math.exp(-k_ * n / m)) ** k_
+    assert fp / 4700 < max(4 * theo, 0.02), (fp, theo)
+
+
+def test_trigram_surprisal_golden(spark):
+    """Hand-computed tiny corpus: docs 'aaaa' (x2) and 'abcd'.
+    Trigrams: aaa x4 (2 docs x 2), abc, bcd. N=6, V=3, N+V=9.
+    Surprisal bits: aaa -> floor(log2(9//5))=0; abc/bcd ->
+    floor(log2(9//2))=2. Doc scores: 'aaaa' avg 0; 'abcd' avg 2."""
+    from mktd6_flink_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "abcd"), (4, "xy")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.avg_surprisal_bits)
+           for r in tx.trigram_surprisal(df).collect()}
+    assert got == {1: (2, 0.0), 2: (2, 0.0), 3: (2, 2.0)}
+    # doc 4 is shorter than a trigram: excluded entirely
