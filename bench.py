@@ -78,6 +78,10 @@ HEADLINE = [
     "join_range_bucketed",
     "streaming_w6_session",
     "text_repetition",
+    # round-7 heads: the corpus-model text op (trigram LM surprisal) and
+    # the broadcast-Bloom prefilter (map-side fact-table reduction)
+    "text_trigram_surprisal",
+    "join_bloom_prefilter",
 ]
 
 

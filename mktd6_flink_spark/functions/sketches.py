@@ -67,15 +67,15 @@ def _hll_alpha(m: int) -> str:
     return f"(0.7213 / (1.0 + 1.079 / {m}.0))"
 
 
-def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
-                 b: int = 6) -> DataFrame:
-    """Estimated distinct ``value`` per group via an m=2^b-register HLL.
+def hll_registers(df: DataFrame, group_cols: list[str], value: Column,
+                  b: int = 6) -> DataFrame:
+    """The HLL register table: group_cols + (_bucket, _M = max rho).
 
-    Output: group_cols + (hll_est double, hll_empty_buckets int).
-    Cost: one shuffle bounded by |groups| * m rows, then one by
-    |groups| — never a shuffle of distinct raw values. The register
-    table is the sketch: union-able across partitions/days by re-maxing,
-    which is what makes it the 100 TB cardinality tool.
+    This IS the sketch — union-able across partitions/days/streams by
+    re-maxing on (group, _bucket), which is what makes it the 100 TB
+    cardinality currency. Works identically on a batch frame and a
+    streaming one (pure projection + groupBy-max: streamable in
+    complete/update mode with per-bucket incremental state).
     """
     m = 1 << b
     wbits = 60 - b  # width of the rho field
@@ -86,14 +86,21 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
     w = F.shiftright(h, b)
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w)))
-    regs = (
+    return (
         df.select(*group_cols, bucket.alias("_bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rho").alias("_M"))
     )
+
+
+def hll_finalize(regs: DataFrame, group_cols: list[str],
+                 b: int = 6) -> DataFrame:
+    """Collapse a register table into the estimate:
+    group_cols + (hll_est double, hll_empty_buckets int)."""
+    m = 1 << b
     # integer indicator: sum over present buckets of 2^(R-M), empty
     # buckets contribute 2^R each (R = wbits+1, the max rho)
-    R = wbits + 1
+    R = 60 - b + 1
     est = (
         regs.groupBy(*group_cols)
         .agg(
@@ -125,6 +132,18 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
         *group_cols,
         round_portable(F.col("hll_est"), 6).alias("hll_est"),
         F.col("_empty").alias("hll_empty_buckets"))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value: Column,
+                 b: int = 6) -> DataFrame:
+    """Estimated distinct ``value`` per group via an m=2^b-register HLL.
+
+    Output: group_cols + (hll_est double, hll_empty_buckets int).
+    Cost: one shuffle bounded by |groups| * m rows, then one by
+    |groups| — never a shuffle of distinct raw values.
+    """
+    return hll_finalize(hll_registers(df, group_cols, value, b),
+                        group_cols, b)
 
 
 def sql_hll_distinct(table_sql: str, group_cols: list[str],

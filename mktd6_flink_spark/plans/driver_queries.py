@@ -4195,6 +4195,27 @@ def join_bloom_prefilter(spark, sf_dir):
     )
 
 
+@register("streaming_sketch_hll", ORACLES["sketch_hll_users"])
+def streaming_sketch_hll(spark, sf_dir):
+    """The HLL register table maintained ON THE LIVE STREAMING RUNTIME
+    — per-(event_type, bucket) max-rho is an incremental aggregation,
+    so the sketch stays current as events arrive (complete output mode;
+    per-bucket state is one int, bounded by groups x m). The batch
+    finalize collapses the sunk registers into the same estimate as
+    sketch_hll_users and is checked against the SAME oracle — register
+    maintenance on a stream must lose nothing vs the batch scan. This
+    is exactly how a production pipeline keeps a running cardinality
+    dashboard without ever re-shuffling raw ids."""
+    raw = _events_stream(spark, sf_dir)
+    regs_stream = sk.hll_registers(raw, ["event_type"], F.col("user_id"))
+    regs = _run_stream_to_table(spark, regs_stream, "hll_regs",
+                                mode="complete")
+    hll = sk.hll_finalize(regs, ["event_type"])
+    exact = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return hll.join(exact, "event_type")
+
+
 @register("text_trigram_surprisal", tx.sql_trigram_surprisal("documents"))
 def text_trigram_surprisal(spark, sf_dir):
     """CCNet-style LM-quality filter (Wenzek et al., LREC 2020) made

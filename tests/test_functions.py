@@ -336,3 +336,42 @@ def test_trigram_surprisal_golden(spark):
            for r in tx.trigram_surprisal(df).collect()}
     assert got == {1: (2, 0.0), 2: (2, 0.0), 3: (2, 2.0)}
     # doc 4 is shorter than a trigram: excluded entirely
+
+
+def test_bloom_probe_side_never_shuffles(spark):
+    """The whole point of the Bloom prefilter: the probe (big) side is
+    filtered MAP-SIDE against a broadcast bitmap. The physical plan
+    must contain a broadcast exchange for the bitmap and NO
+    hash-partition shuffle anywhere — a shuffle would mean the big side
+    paid the cost the filter exists to avoid."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    probe = spark.createDataFrame([(i, i * 1.5) for i in range(1000)],
+                                  "k long, v double")
+    bitmap = sk.bloom_bitmap(members, F.col("k"))
+    plan = (sk.bloom_filter(probe, F.col("k"), bitmap)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan
+    # the ONLY permitted shuffle is the constant-size (bits/62-row) word
+    # aggregation inside the bitmap build; any other hash partitioning
+    # means the probe side shuffled
+    import re as _re
+
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert _re.search(r"hashpartitioning\(_word", line), plan
+
+
+def test_hll_registers_partial_aggregation(spark):
+    """The register build must partial-aggregate map-side (max is
+    algebraic): the plan has a partial HashAggregate BELOW the exchange,
+    so the shuffle carries at most groups x m rows per task, never the
+    raw values — the property that keeps the sketch 100 TB-viable."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    df = spark.createDataFrame([("g", f"v{i}") for i in range(500)],
+                               "g string, v string")
+    plan = (sk.hll_registers(df, ["g"], df.v)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_max" in plan, plan
