@@ -695,3 +695,101 @@ def sql_trigram_surprisal(table: str = "documents", text: str = "text",
              AS avg_surprisal_bits
     FROM _scored GROUP BY {id_col}
     """
+
+
+# -- temperature-based source mixing (data-mixing resample) -------------------
+
+def temperature_mix_report(df: DataFrame, source_col: str = "source",
+                           text: str = "text", seed: str = "mix1",
+                           budget_div: int = 2) -> DataFrame:
+    """Temperature-resampled domain mixture at tau = 0.5 — the
+    data-mixing step that upweights small sources (target share of
+    source s proportional to sqrt(n_s); cf. multilingual sampling in
+    Devlin et al. 2019 / exam-mixture weighting in Raffel et al. 2020
+    (T5), public-definition re-derivation). Budget = total // budget_div
+    docs kept.
+
+    Portability is the design constraint: tau = 0.5 EXACTLY because
+    IEEE sqrt is correctly rounded in both engines while pow() is not;
+    the weight sum is quantized to integer micro-units before summation
+    so reduction order can't drift; the keep threshold is a ppm integer
+    compared against the same content-hash ppm as stratified_sample, so
+    re-sharded corpora keep identical docs. Scale shape: one tiny
+    per-source aggregate (|sources| rows) broadcasts back; the keep
+    filter is map-side; the report is one more |sources| aggregation.
+
+    Output per source: n_docs, weight_micro, keep_ppm, n_kept.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # integer micro-weights: sqrt is correctly rounded, floor-quantize
+    counts = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n").cast("double"))
+                      * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+    tot = counts.agg(F.sum("_n").alias("_total"),
+                     F.sum("_w").alias("_totw"))
+    # identical op sequence in the SQL twin: tgt = (B * w) / totw;
+    # rate = tgt / n; ppm = min(1e6, floor(rate * 1e6))
+    ppm = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_B", F.expr(f"_total div {budget_div}"))
+        .withColumn(
+            "_ppm",
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.floor(F.col("_B").cast("double")
+                        * F.col("_w").cast("double")
+                        / F.col("_totw").cast("double")
+                        / F.col("_n").cast("double")
+                        * F.lit(1000000.0)).cast("long")))
+        .select(source_col, "_n", "_w", "_ppm")
+    )
+    h = md5_long(F.concat(F.lit(seed), F.lit("|"), F.col(text))) % 1000000
+    kept = (
+        df.select(F.col(source_col), h.alias("_h"))
+        .join(F.broadcast(ppm), source_col)
+        .withColumn("_keep", (F.col("_h") < F.col("_ppm")).cast("int"))
+        .groupBy(source_col, "_n", "_w", "_ppm")
+        .agg(F.sum("_keep").alias("n_kept"))
+    )
+    return kept.select(
+        F.col(source_col),
+        F.col("_n").alias("n_docs"),
+        F.col("_w").alias("weight_micro"),
+        F.col("_ppm").alias("keep_ppm"),
+        F.col("n_kept"))
+
+
+def sql_temperature_mix_report(table: str = "documents",
+                               source_col: str = "source",
+                               text: str = "text", seed: str = "mix1",
+                               budget_div: int = 2) -> str:
+    h = sql_md5_long(f"concat('{seed}', '|', {text})")
+    return f"""
+    WITH _tm_counts AS (
+      SELECT {source_col}, count(*) AS _n,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS _w
+      FROM {table} GROUP BY {source_col}
+    ),
+    _tm_tot AS (
+      SELECT CAST(sum(_n) AS BIGINT) AS _total,
+             CAST(sum(_w) AS BIGINT) AS _totw
+      FROM _tm_counts
+    ),
+    _tm_ppm AS (
+      SELECT {source_col}, _n, _w,
+             least(CAST(1000000 AS BIGINT),
+                   CAST(floor(CAST(_total // {budget_div} AS DOUBLE)
+                              * CAST(_w AS DOUBLE)
+                              / CAST(_totw AS DOUBLE)
+                              / CAST(_n AS DOUBLE)
+                              * 1000000.0) AS BIGINT)) AS _ppm
+      FROM _tm_counts CROSS JOIN _tm_tot
+    )
+    SELECT d.{source_col}, p._n AS n_docs, p._w AS weight_micro,
+           p._ppm AS keep_ppm,
+           CAST(sum(CASE WHEN ({h}) % 1000000 < p._ppm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM {table} d JOIN _tm_ppm p ON p.{source_col} = d.{source_col}
+    GROUP BY d.{source_col}, p._n, p._w, p._ppm
+    """

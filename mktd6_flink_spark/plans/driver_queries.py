@@ -4216,6 +4216,22 @@ def streaming_sketch_hll(spark, sf_dir):
     return hll.join(exact, "event_type")
 
 
+@register("pipeline_temperature_mix",
+          tx.sql_temperature_mix_report("documents"))
+def pipeline_temperature_mix(spark, sf_dir):
+    """Temperature-resampled domain mixture (tau=0.5) over the
+    documents sources: small sources are upweighted toward
+    sqrt-proportional shares under a total/2 budget — the data-mixing
+    step between curation and packing in a pretraining pipeline. tau is
+    0.5 BY DESIGN: IEEE sqrt is correctly rounded in both engines where
+    pow() is not, and the weight sum is integer-quantized, so the
+    keep-ppm table and therefore the exact kept-set is bit-reproducible
+    (see functions/text.py). Verified as per-source
+    (n_docs, weight, keep_ppm, n_kept) — any drift in the mixture math
+    flips the hash."""
+    return tx.temperature_mix_report(load(spark, sf_dir, "documents"))
+
+
 @register("text_trigram_surprisal", tx.sql_trigram_surprisal("documents"))
 def text_trigram_surprisal(spark, sf_dir):
     """CCNet-style LM-quality filter (Wenzek et al., LREC 2020) made

@@ -375,3 +375,32 @@ def test_hll_registers_partial_aggregation(spark):
     plan = (sk.hll_registers(df, ["g"], df.v)
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_max" in plan, plan
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """tau=0.5 mixing contract on a skewed corpus (1000/100/10 docs):
+    keep RATE must be monotone-decreasing in source size (that's the
+    whole point of temperature resampling), the implied kept total must
+    respect the budget envelope, and the operator is deterministic."""
+    from mktd6_flink_spark.functions import text as tx
+
+    rows = [(f"{s}_{i}", s) for s, n in
+            [("big", 1000), ("mid", 100), ("small", 10)]
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "text string, source string")
+    out = {r.source: r for r in
+           tx.temperature_mix_report(df, text="text").collect()}
+    assert out["small"].keep_ppm >= out["mid"].keep_ppm >= \
+        out["big"].keep_ppm
+    # budget: sum over sources of n*ppm/1e6 <= total/2 (+1 per-source
+    # floor slack); small source should be kept (almost) entirely
+    implied = sum(v.n_docs * v.keep_ppm / 1e6 for v in out.values())
+    assert implied <= 1110 / 2 + 3
+    assert out["small"].keep_ppm == 1000000  # rate capped at 1: keep all
+    assert out["small"].n_kept == 10
+    for v in out.values():
+        assert 0 <= v.n_kept <= v.n_docs
+    out2 = {r.source: r for r in
+            tx.temperature_mix_report(df, text="text").collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+        {k: tuple(v) for k, v in out2.items()}
