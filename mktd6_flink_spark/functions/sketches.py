@@ -302,3 +302,86 @@ def sql_bloom_filter(small_sql: str, small_key: str, big_sql: str,
       WHERE {big_tests}
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+def cms_counters(df: DataFrame, value: Column, d: int = 3,
+                 w: int = 512) -> DataFrame:
+    """The count-min counter table (Cormode & Muthukrishnan, J.Alg
+    2005): d universal-hash rows x w counters; returns (_row, _slot,
+    _cnt). Like the HLL registers this IS the sketch — d*w integers
+    regardless of input size, mergeable by summing slot-wise — so
+    per-day/per-partition frequency summaries union at constant cost.
+    Build is one explode(d) + groupBy on (row, slot): partial-agg
+    map-side, shuffle bounded by d*w rows per task. All-integer, so the
+    oracle match is exact by construction."""
+    h = md5_long(value.cast("string"))
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("_row"),
+                 F.pmod(universal_hash(h, a, b_), F.lit(w)).alias("_slot"))
+        for j, (a, b_) in enumerate(hash_params(d))])
+    return (
+        df.select(F.explode(rows).alias("_rs"))
+        .select("_rs._row", "_rs._slot")
+        .groupBy("_row", "_slot")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, probe: DataFrame, key: Column,
+                 d: int = 3, w: int = 512) -> DataFrame:
+    """Point-frequency estimates for ``probe`` keys: est = min over the
+    d rows of the key's counter (an over-estimate, never under). The
+    counter table broadcasts (d*w rows); probes are map-side joins."""
+    probed = probe.select(key.alias("_key"))
+    h = md5_long(F.col("_key").cast("string"))
+    for j, (a, b_) in enumerate(hash_params(d)):
+        probed = probed.withColumn(
+            f"_slot{j}", F.pmod(universal_hash(h, a, b_), F.lit(w)))
+    out = probed
+    for j in range(d):
+        cj = counters.filter(F.col("_row") == j).select(
+            F.col("_slot").alias(f"_s{j}"),
+            F.col("_cnt").alias(f"_c{j}"))
+        out = out.join(F.broadcast(cj),
+                       out[f"_slot{j}"] == cj[f"_s{j}"], "left")
+    est = F.least(*[F.coalesce(F.col(f"_c{j}"), F.lit(0))
+                    for j in range(d)])
+    return out.select(F.col("_key"), est.alias("cms_est"))
+
+
+def sql_cms_estimate(table_sql: str, value_expr: str, probe_sql: str,
+                     probe_key: str, d: int = 3, w: int = 512) -> str:
+    """DuckDB twin: identical counters, identical min-over-rows."""
+    h_in = sql_md5_long(f"CAST({value_expr} AS VARCHAR)")
+    h_probe = sql_md5_long(f"CAST({probe_key} AS VARCHAR)")
+    slot_rows = " UNION ALL ".join(
+        f"SELECT {j} AS _row, "
+        f"({sql_universal_hash('_h', a, b_)}) % {w} AS _slot "
+        f"FROM _cms_h"
+        for j, (a, b_) in enumerate(hash_params(d)))
+    probe_mins = ", ".join(
+        f"(SELECT coalesce(min(_cnt), 0) FROM _cms_counters c "
+        f"WHERE c._row = {j} AND c._slot = "
+        f"({sql_universal_hash('p._h', a, b_)}) % {w}) AS _e{j}"
+        for j, (a, b_) in enumerate(hash_params(d)))
+    least_expr = "least(" + ", ".join(f"_e{j}" for j in range(d)) + ")"
+    return f"""
+    WITH _cms_in AS ({table_sql}),
+    _cms_h AS (SELECT {h_in} AS _h FROM _cms_in),
+    _cms_slots AS ({slot_rows}),
+    _cms_counters AS (
+      SELECT _row, _slot, count(*) AS _cnt
+      FROM _cms_slots GROUP BY _row, _slot
+    ),
+    _cms_probe AS (
+      SELECT {probe_key} AS _key, {h_probe} AS _h FROM ({probe_sql})
+    ),
+    _cms_est AS (
+      SELECT _key, {probe_mins} FROM _cms_probe p
+    )
+    SELECT _key, CAST({least_expr} AS BIGINT) AS cms_est FROM _cms_est
+    """

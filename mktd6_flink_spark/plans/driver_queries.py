@@ -4216,6 +4216,39 @@ def streaming_sketch_hll(spark, sf_dir):
     return hll.join(exact, "event_type")
 
 
+@register("sketch_cms_user_counts", f"""
+WITH {{cms}}
+, _exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+)
+SELECT e._key AS user_id, e.cms_est, coalesce(x.exact_cnt, 0) AS exact_cnt
+FROM _cms_out e LEFT JOIN _exact x ON x.user_id = e._key
+""".format(cms="_cms_out AS (" + sk.sql_cms_estimate(
+    "SELECT user_id FROM events", "user_id",
+    "SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0",
+    "user_id") + ")"))
+def sketch_cms_user_counts(spark, sf_dir):
+    """Per-user event frequencies via a count-min sketch (Cormode &
+    Muthukrishnan 2005) probed for every 37th user, joined with exact
+    counts so the over-estimate property is part of the checked result.
+    Like the HLL registers, the d x w counter table is the mergeable
+    100 TB frequency currency: constant size, union by slot-wise sum,
+    broadcastable to probes — heavy-hitter monitoring without a
+    per-key shuffle of the stream. All-integer, so oracle-exact by
+    construction."""
+    ev = load(spark, sf_dir, "events")
+    counters = sk.cms_counters(ev, F.col("user_id"))
+    probes = ev.filter(F.col("user_id") % 37 == 0) \
+        .select("user_id").distinct()
+    est = sk.cms_estimate(counters, probes, F.col("user_id"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, est._key == exact.user_id, "left")
+        .select(F.col("_key").alias("user_id"), "cms_est",
+                F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"))
+    )
+
+
 @register("pipeline_temperature_mix",
           tx.sql_temperature_mix_report("documents"))
 def pipeline_temperature_mix(spark, sf_dir):

@@ -404,3 +404,25 @@ def test_temperature_mix_upweights_small_sources(spark):
             tx.temperature_mix_report(df, text="text").collect()}
     assert {k: tuple(v) for k, v in out.items()} == \
         {k: tuple(v) for k, v in out2.items()}
+
+
+def test_cms_overestimates_never_under(spark):
+    """Count-min contract: the estimate is >= the true count for EVERY
+    key (min over d rows of colliding sums can only add), equals it
+    when the sketch is sparse relative to keys, and the counter table
+    is exactly d x w bounded regardless of input size."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    rows = [(f"k{i % 50}",) for i in range(2000)]  # 50 keys, 40 each
+    df = spark.createDataFrame(rows, "k string")
+    counters = sk.cms_counters(df, F.col("k"))
+    assert counters.count() <= 3 * 512
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)] + [("absent",)], "k string")
+    est = {r._key: r.cms_est for r in
+           sk.cms_estimate(counters, probes, F.col("k")).collect()}
+    for i in range(50):
+        assert est[f"k{i}"] >= 40
+    # 50 keys in 3x512 slots: collisions are rare; most estimates exact
+    assert sum(1 for i in range(50) if est[f"k{i}"] == 40) >= 45
+    assert est["absent"] >= 0  # may collide, never negative
