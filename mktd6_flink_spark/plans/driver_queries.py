@@ -4225,11 +4225,11 @@ SELECT e._key AS user_id, e.cms_est, coalesce(x.exact_cnt, 0) AS exact_cnt
 FROM _cms_out e LEFT JOIN _exact x ON x.user_id = e._key
 """.format(cms="_cms_out AS (" + sk.sql_cms_estimate(
     "SELECT user_id FROM events", "user_id",
-    "SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0",
+    "SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0",
     "user_id") + ")"))
 def sketch_cms_user_counts(spark, sf_dir):
     """Per-user event frequencies via a count-min sketch (Cormode &
-    Muthukrishnan 2005) probed for every 37th user, joined with exact
+    Muthukrishnan 2005) probed for every 7th user, joined with exact
     counts so the over-estimate property is part of the checked result.
     Like the HLL registers, the d x w counter table is the mergeable
     100 TB frequency currency: constant size, union by slot-wise sum,
@@ -4238,7 +4238,7 @@ def sketch_cms_user_counts(spark, sf_dir):
     construction."""
     ev = load(spark, sf_dir, "events")
     counters = sk.cms_counters(ev, F.col("user_id"))
-    probes = ev.filter(F.col("user_id") % 37 == 0) \
+    probes = ev.filter(F.col("user_id") % 7 == 0) \
         .select("user_id").distinct()
     est = sk.cms_estimate(counters, probes, F.col("user_id"))
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
