@@ -3989,6 +3989,159 @@ def tpch_rollup(spark, sf_dir):
     )
 
 
+@register("tpch_q7ish", """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_nationkey <> sn.n_nationkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY cn.n_name, sn.n_name, CAST(EXTRACT(year FROM l.l_shipdate)
+                                    AS INTEGER)
+""")
+def tpch_q7ish(spark, sf_dir):
+    """TPC-H Q7-style cross-nation volume shipping: the five-way
+    snowflake join with a cross-nation inequality. TRUE dimensions
+    (supplier, nation twice under distinct aliases) are forced
+    broadcasts; orders and customer are FACT-scale at 100 TB so their
+    joins are left to Catalyst/AQE — key-partitioned shuffle joins on
+    the cluster, broadcast at bench SF where they fit. Exact-cents
+    revenue."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("_cnk"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("_snk"),
+                  F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+        .filter(F.col("_cnk") != F.col("_snk"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg((F.sum(_cents(F.col("l_extendedprice")
+                           * (1.0 - F.col("l_discount"))))
+              .cast("double") / 100.0).alias("revenue"))
+    )
+
+
+@register("tpch_q13ish", """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def tpch_q13ish(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    join with the filter INSIDE the join condition (customers with zero
+    qualifying orders must still appear with c_count = 0), then a
+    second aggregation over the first — the double-grouping histogram
+    shape. First shuffle keyed by custkey, second by the (tiny)
+    count domain."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@register("tpch_q14ish", """
+SELECT CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(floor(l.l_extendedprice
+                                        * (1.0 - l.l_discount)
+                                        * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01'
+""")
+def tpch_q14ish(spark, sf_dir):
+    """TPC-H Q14-style promotion effect: conditional revenue share in a
+    single scalar aggregate — both numerator and denominator as exact
+    integer cents in ONE partial-agg pass over the date-pruned scan
+    (pushdown verified), broadcast part join, final division the only
+    float op."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+    p = load(spark, sf_dir, "part")
+    cents = _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0)
+              * F.sum(F.when(F.col("p_type") == "PROMO", cents)
+                      .otherwise(0)).cast("double")
+              / F.sum(cents).cast("double")).alias("promo_revenue_pct"))
+    )
+
+
+@register("tpch_q19ish", """
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""")
+def tpch_q19ish(spark, sf_dir):
+    """TPC-H Q19-style disjunctive predicate join (discounted revenue
+    over three OR'd brand/size/quantity bands): the classic test that
+    the optimizer keeps the join an equi-join on partkey and evaluates
+    the disjunction as a post-join filter with the single-side
+    conjuncts (brand/size, quantity) pushed beneath it, instead of
+    falling back to a nested-loop theta join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#7")
+           & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#13")
+           & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(band).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))))
+         .cast("double") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
 @register("streaming_w6_session", ORACLES["w6_session_window"])
 def streaming_w6_session(spark, sf_dir):
     """W6 session windows (5-minute gap) through the LIVE streaming
