@@ -4402,6 +4402,32 @@ def sketch_cms_user_counts(spark, sf_dir):
     )
 
 
+@register("streaming_sketch_cms", ORACLES["sketch_cms_user_counts"])
+def streaming_sketch_cms(spark, sf_dir):
+    """The count-min counter table maintained ON THE LIVE STREAMING
+    RUNTIME: per-(row, slot) counting is an incremental aggregation
+    (complete mode, d x w integers of state total), so frequency
+    estimates stay current as events arrive — the streaming half of
+    heavy-hitter monitoring. Probing and the exact-count join happen
+    batch-side on the sunk counters, checked against the SAME oracle as
+    the batch twin: counting on a stream must lose nothing vs the
+    batch scan."""
+    raw = _events_stream(spark, sf_dir)
+    counters_stream = sk.cms_counters(raw, F.col("user_id"))
+    counters = _run_stream_to_table(spark, counters_stream, "cms_regs",
+                                    mode="complete")
+    ev = load(spark, sf_dir, "events")
+    probes = ev.filter(F.col("user_id") % 7 == 0) \
+        .select("user_id").distinct()
+    est = sk.cms_estimate(counters, probes, F.col("user_id"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, est._key == exact.user_id, "left")
+        .select(F.col("_key").alias("user_id"), "cms_est",
+                F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"))
+    )
+
+
 @register("pipeline_temperature_mix",
           tx.sql_temperature_mix_report("documents"))
 def pipeline_temperature_mix(spark, sf_dir):

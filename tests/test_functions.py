@@ -426,3 +426,37 @@ def test_cms_overestimates_never_under(spark):
     # 50 keys in 3x512 slots: collisions are rare; most estimates exact
     assert sum(1 for i in range(50) if est[f"k{i}"] == 40) >= 45
     assert est["absent"] >= 0  # may collide, never negative
+
+
+def test_sketch_merge_contracts(spark):
+    """The 100 TB story for both sketches is MERGEABILITY: building a
+    sketch per shard and merging must equal building one sketch over
+    the union. HLL merges by re-maxing registers; CMS merges by
+    slot-wise summing counters. Exercised over a 2-way split."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    rows = [("g", f"v{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    half_a = df.filter(F.md5("v").substr(1, 1) < "8")
+    half_b = df.subtract(half_a)
+
+    whole_hll = sk.hll_distinct(df, ["g"], df.v).collect()[0]
+    merged_regs = (
+        sk.hll_registers(half_a, ["g"], half_a.v)
+        .unionByName(sk.hll_registers(half_b, ["g"], half_b.v))
+        .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
+    merged_hll = sk.hll_finalize(merged_regs, ["g"]).collect()[0]
+    assert (whole_hll.hll_est, whole_hll.hll_empty_buckets) == \
+        (merged_hll.hll_est, merged_hll.hll_empty_buckets)
+
+    probes = spark.createDataFrame(
+        [(f"v{i}",) for i in range(0, 3000, 100)], "v string")
+    whole_cms = {r._key: r.cms_est for r in sk.cms_estimate(
+        sk.cms_counters(df, df.v), probes, F.col("v")).collect()}
+    merged_counters = (
+        sk.cms_counters(half_a, half_a.v)
+        .unionByName(sk.cms_counters(half_b, half_b.v))
+        .groupBy("_row", "_slot").agg(F.sum("_cnt").alias("_cnt")))
+    merged_cms = {r._key: r.cms_est for r in sk.cms_estimate(
+        merged_counters, probes, F.col("v")).collect()}
+    assert whole_cms == merged_cms
