@@ -460,3 +460,15 @@ def test_sketch_merge_contracts(spark):
     merged_cms = {r._key: r.cms_est for r in sk.cms_estimate(
         merged_counters, probes, F.col("v")).collect()}
     assert whole_cms == merged_cms
+
+
+def test_bloom_empty_member_set_rejects_all(spark):
+    """Degenerate but real at 100 TB (a shard with no members): an
+    empty small side must yield an all-zero bitmap that rejects every
+    probe — not a crash, not an accept-all."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    members = spark.createDataFrame([], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bitmap = sk.bloom_bitmap(members, F.col("k"))
+    assert sk.bloom_filter(probe, F.col("k"), bitmap).count() == 0
