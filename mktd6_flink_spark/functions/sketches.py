@@ -202,6 +202,12 @@ def sql_hll_distinct(table_sql: str, group_cols: list[str],
 
 WORD_BITS = 62  # 1 << 62 is the largest shift both engines allow
 
+# Internal columns injected into the probe side; collision-resistant
+# names, rejected if the input already carries them (same hazard class
+# operators/rangejoin.py guards with _BIN).
+_ARR = "__bloom_arr__"
+_P = "__bloom_p{}__"
+
 
 def bloom_bitmap(small: DataFrame, key: Column, k: int = 3,
                  bits: int = 4092) -> DataFrame:
@@ -234,7 +240,7 @@ def bloom_bitmap(small: DataFrame, key: Column, k: int = 3,
                        F.lit(words - 1).cast("long")),
             lambda i: F.coalesce(F.element_at(F.col("_m"), i),
                                  F.lit(0).cast("long")),
-        ).alias("bloom_arr"))
+        ).alias(_ARR))
 
 
 def bloom_filter(big: DataFrame, key: Column, bitmap: DataFrame,
@@ -243,23 +249,29 @@ def bloom_filter(big: DataFrame, key: Column, bitmap: DataFrame,
     a superset of the true semi-join (false positives, never negatives).
     Pure map-side: the 1-row bitmap broadcasts, each row tests its k
     positions with element_at + mask; the big side never shuffles."""
+    reserved = [_ARR] + [_P.format(j) for j in range(k)]
+    clash = [c for c in big.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"bloom_filter input already has internal column(s) {clash}")
     h = md5_long(key.cast("string"))
     probed = big.crossJoin(F.broadcast(bitmap))
     pcols = []
     for j, (a, b_) in enumerate(hash_params(k)):
-        pcols.append(f"__bp{j}")
+        pc = _P.format(j)
+        pcols.append(pc)
         probed = probed.withColumn(
-            f"__bp{j}", F.pmod(universal_hash(h, a, b_), F.lit(bits)))
+            pc, F.pmod(universal_hash(h, a, b_), F.lit(bits)))
     cond = None
     for pc in pcols:
         word = ((F.col(pc) - F.pmod(F.col(pc), F.lit(WORD_BITS)))
                 / F.lit(WORD_BITS)).cast("long")
         mask = F.expr("shiftleft(CAST(1 AS BIGINT), "
                       f"CAST(pmod({pc}, {WORD_BITS}) AS INT))")
-        test = F.element_at(F.col("bloom_arr"),
+        test = F.element_at(F.col(_ARR),
                             (word + 1).cast("int")).bitwiseAND(mask) != 0
         cond = test if cond is None else (cond & test)
-    return probed.filter(cond).drop("bloom_arr", *pcols)
+    return probed.filter(cond).drop(_ARR, *pcols)
 
 
 def sql_bloom_positions(key_expr: str, k: int, bits: int) -> list[str]:

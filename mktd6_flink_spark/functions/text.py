@@ -756,7 +756,11 @@ def temperature_mix_report(df: DataFrame, source_col: str = "source",
     kept = (
         df.select(F.col(source_col), h.alias("_h"))
         .join(F.broadcast(ppm), source_col)
-        .withColumn("_keep", (F.col("_h") < F.col("_ppm")).cast("int"))
+        # NULL text hashes to NULL: coalesce the keep flag to 0 so an
+        # all-NULL source yields n_kept = 0 (matching the SQL twin's
+        # CASE ... ELSE 0), not a NULL sum.
+        .withColumn("_keep", F.coalesce(
+            (F.col("_h") < F.col("_ppm")).cast("int"), F.lit(0)))
         .groupBy(source_col, "_n", "_w", "_ppm")
         .agg(F.sum("_keep").alias("n_kept"))
     )

@@ -87,31 +87,98 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # dtype so either input yields the same session-UTC TIMESTAMP
         # column that DuckDB's naive µs read produces.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_dtype, ts_unit = _events_ts_meta(spark, sf_dir)
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", _ts_to_utc_timestamp(dict(df.dtypes)["ts"]))
+        return df.withColumn("ts", _ts_to_utc_timestamp(ts_dtype, ts_unit))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _ts_to_utc_timestamp(ts_dtype: str):
+# 1e17: as nanoseconds this is 1973-03-03, as microseconds year 5138 —
+# any one-unit file of plausible epochs lands entirely on one side.
+# Documented floor: int64 NANOSECOND epochs before 1973-03-03 are
+# indistinguishable from µs and unsupported (they'd read as µs).
+_NS_FLOOR = 100_000_000_000_000_000
+
+# (path, st_mtime_ns, st_size) -> (spark ts dtype, epoch unit "us"|"ns").
+# Keyed on the ns-resolution stat pair so a regenerated testdata file
+# invalidates the memo even within coarse mtime granularity.
+_EVENTS_TS_META: dict[tuple, tuple[str, str]] = {}
+
+
+def _probe_int64_ts_unit(path: str) -> str:
+    """Decide the epoch unit of a raw-int64 ``ts`` column ONCE PER FILE
+    from the parquet footer's row-group min/max statistics (no data IO).
+    A file whose values straddle ``_NS_FLOOR`` has mixed units — raise
+    instead of silently interpreting rows two different ways."""
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(path)
+    md = pf.metadata
+    ci = next(i for i in range(len(md.schema))
+              if md.schema.column(i).name == "ts")
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        mn, mx = st.min_raw, st.max_raw  # physical int64 values
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        # footer stats absent (rare): one-column read, local-probe path
+        col = pf.read(columns=["ts"]).column("ts").cast("int64")
+        import pyarrow.compute as _pc
+        lo, hi = _pc.min(col).as_py(), _pc.max(col).as_py()
+    if lo is None:  # zero rows / all-NULL: unit is irrelevant
+        return "us"
+    if lo >= _NS_FLOOR and hi >= _NS_FLOOR:
+        return "ns"
+    if lo < _NS_FLOOR and hi < _NS_FLOOR:
+        return "us"
+    raise ValueError(
+        f"{path}: int64 ts values straddle the 1e17 ns/us threshold "
+        f"(min={lo}, max={hi}) — mixed epoch units in one file; "
+        "refusing to guess a per-row interpretation")
+
+
+def _events_ts_meta(spark, sf_dir: str) -> tuple[str, str]:
+    """(spark dtype, epoch unit) of the on-disk ``events.ts`` column,
+    decided once per file VERSION: dtype from a footer read under
+    ``nanosAsLong`` (TIMESTAMP(NANOS) surfaces as bigint ns), unit from
+    footer statistics when the column is a raw int64."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    meta = _EVENTS_TS_META.get(key)
+    if meta is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_dtype = dict(spark.read.parquet(path).dtypes)["ts"]
+        unit = _probe_int64_ts_unit(path) if ts_dtype == "bigint" else "us"
+        _EVENTS_TS_META[key] = meta = (ts_dtype, unit)
+    return meta
+
+
+def _ts_to_utc_timestamp(ts_dtype: str, ts_unit: str = "us"):
     """Normalize the events ``ts`` column to a session-UTC TIMESTAMP.
 
-    * ``bigint`` — a raw int64 epoch. Legacy TIMESTAMP(NANOS) surfaced
-      by ``nanosAsLong`` is the known case (integer-truncate to micros,
-      exactly what DuckDB's TIMESTAMP µs read does), but a plain int64
-      µs column is the same failure class one drift away — so branch on
-      MAGNITUDE per row instead of assuming ns: 1e17 as ns is 1973 and
-      as µs is year 5138, so any plausible epoch lands on exactly one
-      side of the threshold. A blanket ``div 1000`` would silently
-      compress raw-µs data 1000× (the round-5 bug shape).
+    * ``bigint`` — a raw int64 epoch whose unit was decided ONCE for the
+      whole file by ``_probe_int64_ts_unit`` (footer min/max vs the 1e17
+      threshold; mixed-magnitude files raise there). ns is
+      integer-truncated to micros, exactly what DuckDB's TIMESTAMP µs
+      read does; a blanket ``div 1000`` would silently compress raw-µs
+      data 1000× (the round-5 bug shape).
     * ``timestamp_ntz`` / ``timestamp`` — already µs precision; a cast to
       TIMESTAMP under the UTC session TZ keeps the wall-clock value
       identical to DuckDB's naive timestamps.
     """
     if ts_dtype == "bigint":
-        ns_floor = F.lit(100_000_000_000_000_000)  # 1e17
-        return F.when(F.col("ts") >= ns_floor,
-                      F.expr("timestamp_micros(ts div 1000)")
-                      ).otherwise(F.expr("timestamp_micros(ts)"))
+        if ts_unit == "ns":
+            return F.expr("timestamp_micros(ts div 1000)")
+        return F.expr("timestamp_micros(ts)")
     return F.col("ts").cast("timestamp")
 
 
@@ -3519,9 +3586,6 @@ def streaming_st3_burst(spark, sf_dir):
 # graded code doesn't churn).
 # ---------------------------------------------------------------------------
 
-_EVENTS_TS_DTYPE: dict[str, str] = {}
-
-
 def _events_stream(spark, sf_dir):
     """readStream over the events parquet with the same ts normalization
     as the batch ``load``.
@@ -3531,25 +3595,16 @@ def _events_stream(spark, sf_dir):
     ``ts long`` over timestamp[us] data silently reads raw microseconds and
     compresses event time 1000× (the r5 session-window/interval-join bug).
     The probe is one parquet-footer read per sf_dir per process; memoized
-    keyed on (path, file mtime) so repeat streaming entries (bench runs
-    3×) don't re-pay it, while a testdata file regenerated under a live
-    session with a different encoding invalidates the stale entry
-    instead of silently reading wrong values.
+    in ``_EVENTS_TS_META`` keyed on (path, st_mtime_ns, st_size) so
+    repeat streaming entries (bench runs 3×) don't re-pay it, while a
+    testdata file regenerated under a live session with a different
+    encoding invalidates the stale entry — even a same-second rewrite,
+    which the old float-mtime key could serve stale — instead of
+    silently reading wrong values.
     """
-    import os
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    try:
-        key = (path, os.path.getmtime(path))
-    except OSError:
-        key = (path, None)
-    ts_dtype = _EVENTS_TS_DTYPE.get(key)
-    if ts_dtype is None:
-        ts_dtype = dict(
-            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
-        _EVENTS_TS_DTYPE[key] = ts_dtype
+    ts_dtype, ts_unit = _events_ts_meta(spark, sf_dir)
     return (
         spark.readStream.schema(
             f"event_id long, ts {ts_dtype}, user_id long, "
@@ -3557,7 +3612,7 @@ def _events_stream(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .select("event_id",
-                _ts_to_utc_timestamp(ts_dtype).alias("ts"),
+                _ts_to_utc_timestamp(ts_dtype, ts_unit).alias("ts"),
                 "user_id", "event_type", "value", "props")
     )
 
@@ -4010,11 +4065,11 @@ GROUP BY cn.n_name, sn.n_name, CAST(EXTRACT(year FROM l.l_shipdate)
 def tpch_q7ish(spark, sf_dir):
     """TPC-H Q7-style cross-nation volume shipping: the five-way
     snowflake join with a cross-nation inequality. TRUE dimensions
-    (supplier, nation twice under distinct aliases) are forced
-    broadcasts; orders and customer are FACT-scale at 100 TB so their
-    joins are left to Catalyst/AQE — key-partitioned shuffle joins on
-    the cluster, broadcast at bench SF where they fit. Exact-cents
-    revenue."""
+    (nation twice under distinct aliases — 25 rows at any SF) are
+    forced broadcasts; supplier is SF-scaled (10k x SF rows, ~1e9 at
+    100 TB) so it is left to Catalyst/AQE like orders and customer —
+    key-partitioned shuffle joins on the cluster, broadcast at bench SF
+    where they fit. Exact-cents revenue."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
@@ -4030,7 +4085,7 @@ def tpch_q7ish(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
         .filter(F.col("_cnk") != F.col("_snk"))
         .groupBy("cust_nation", "supp_nation",
@@ -4140,6 +4195,226 @@ def tpch_q19ish(spark, sf_dir):
         (F.sum(_cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))))
          .cast("double") / 100.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"))
+
+
+@register("tpch_q2ish", """
+WITH eursupp AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name,
+         CAST(floor(s.s_acctbal * 100.0 + 0.5) AS BIGINT) AS cost_cents
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pscost AS (
+  SELECT ps.l_partkey, e.s_suppkey, e.s_name, e.n_name, e.cost_cents
+  FROM ps JOIN eursupp e ON e.s_suppkey = ps.l_suppkey),
+pmin AS (SELECT l_partkey, min(cost_cents) AS min_cents
+         FROM pscost GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_name, c.s_name, c.n_name,
+       CAST(c.cost_cents AS DOUBLE) / 100.0 AS s_acctbal
+FROM pscost c
+JOIN pmin m ON m.l_partkey = c.l_partkey AND c.cost_cents = m.min_cents
+JOIN part p ON p.p_partkey = c.l_partkey
+WHERE p.p_type = 'SMALL' AND p.p_size < 15
+""")
+def tpch_q2ish(spark, sf_dir):
+    """TPC-H Q2-style correlated minimum-cost supplier. The reference
+    schema has no partsupp, so the part-supplier relation is DISTINCT
+    (l_partkey, l_suppkey) from lineitem and "supply cost" is the
+    supplier's account balance — preserving Q2's defining shape: the
+    inner MIN is correlated over the SAME region-restricted supplier
+    set as the outer query, decorrelated into a per-part aggregate
+    joined back on (part, min). nation/region are TRUE dimensions
+    (forced broadcast); supplier/part are SF-scaled so their joins are
+    left to AQE; the (part,supp) dedup and per-part min shuffle on
+    partkey. Exact integer cents keep the min/equality portable."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 15))
+    eursupp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name",
+                _cents(F.col("s_acctbal")).alias("cost_cents"))
+    )
+    pscost = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(eursupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_name", "n_name", "cost_cents")
+    )
+    pmin = (pscost.groupBy("l_partkey")
+            .agg(F.min("cost_cents").alias("min_cents"))
+            .withColumnRenamed("l_partkey", "_pk"))
+    return (
+        pscost.join(pmin, (pscost.l_partkey == pmin._pk)
+                    & (pscost.cost_cents == pmin.min_cents))
+        .join(p, pscost.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                (F.col("cost_cents").cast("double") / 100.0)
+                .alias("s_acctbal"))
+    )
+
+
+@register("tpch_q15ish", """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT max(rev_cents) AS m FROM revenue)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.rev_cents AS DOUBLE) / 100.0 AS total_revenue
+FROM supplier s
+JOIN revenue r ON r.l_suppkey = s.s_suppkey
+CROSS JOIN mx
+WHERE r.rev_cents = mx.m
+""")
+def tpch_q15ish(spark, sf_dir):
+    """TPC-H Q15 top supplier: the revenue "view" (per-supplier
+    discounted revenue over one shipping year) consumed twice — once
+    for the scalar MAX, once to select the supplier(s) achieving it.
+    One fact shuffle keyed by suppkey builds the view; the scalar max
+    is a single-row broadcast cross join (never a second fact scan);
+    supplier attaches by broadcast at bench SF / AQE on the cluster.
+    Ties surface as multiple rows, exactly as in the spec's view
+    formulation. Integer-cents revenue makes the max/equality exact."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice")
+                          * (1.0 - F.col("l_discount"))))
+             .alias("rev_cents"))
+    )
+    mx = revenue.agg(F.max("rev_cents").alias("m"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("m"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                (F.col("rev_cents").cast("double") / 100.0)
+                .alias("total_revenue"))
+    )
+
+
+@register("tpch_q20ish", """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS q_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+hot AS (
+  SELECT DISTINCT q.l_suppkey
+  FROM qty q JOIN part p ON p.p_partkey = q.l_partkey
+  WHERE p.p_name LIKE 'small%' AND q.q_cents > 3000)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'AMERICA'
+  AND EXISTS (SELECT 1 FROM hot h WHERE h.l_suppkey = s.s_suppkey)
+""")
+def tpch_q20ish(spark, sf_dir):
+    """TPC-H Q20-style EXISTS semi-join chain: AMERICA suppliers who
+    shipped a meaningful volume (>30 qty, exact cents) of 'small%'
+    parts in 1997. Q20's nested shape — an aggregate-over-fact
+    subquery, part-name filter, then an EXISTS into suppliers — is
+    kept; partsupp's availqty threshold becomes a shipped-quantity
+    threshold over the same (part,supp) grain. The Spark side is a
+    genuine LEFT SEMI join (no projection of the inner), the per-pair
+    aggregate shuffles on (partkey, suppkey), the part filter prunes
+    before the join, and the distinct supplier set is broadcast-sized
+    (bounded by |supplier|) so the semi probe is map-side."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qty = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("q_cents"))
+    )
+    hot = (
+        qty.join(p, qty.l_partkey == p.p_partkey)
+        .filter(F.col("q_cents") > 3000)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(hot, s.s_suppkey == hot.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register("tpch_q21ish", """
+WITH l AS (
+  SELECT li.l_orderkey, li.l_suppkey, li.l_returnflag
+  FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+  WHERE o.o_orderstatus = 'F')
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM l l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey, s.s_name
+""")
+def tpch_q21ish(spark, sf_dir):
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: within
+    finished orders, suppliers whose line was RETURNED while some
+    other supplier also participated (EXISTS — the order could have
+    been sourced elsewhere) but no other supplier's line was returned
+    (NOT EXISTS — this supplier alone is to blame). The reference
+    schema lacks commit/receipt dates, so "late" is l_returnflag='R';
+    the defining correlated EXISTS + NOT EXISTS pair on the same fact
+    table survives intact. Spark-side these are a LEFT SEMI and a LEFT
+    ANTI join, each equi-keyed on l_orderkey with the supplier
+    inequality as a residual join predicate — hash-partitioned probes,
+    never a nested loop; orders' status filter prunes the fact before
+    any join. numwait counts DISTINCT orders per supplier."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    l = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select("l_orderkey", "l_suppkey", "l_returnflag"))
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    l2 = l.select(F.col("l_orderkey").alias("_ok2"),
+                  F.col("l_suppkey").alias("_sk2"))
+    l3 = (l.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("_ok3"),
+                  F.col("l_suppkey").alias("_sk3")))
+    s = load(spark, sf_dir, "supplier")
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == F.col("_ok2"))
+                & (l1.l_suppkey != F.col("_sk2")), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("_ok3"))
+              & (l1.l_suppkey != F.col("_sk3")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
 
 
 @register("streaming_w6_session", ORACLES["w6_session_window"])

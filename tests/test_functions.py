@@ -472,3 +472,19 @@ def test_bloom_empty_member_set_rejects_all(spark):
     probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
     bitmap = sk.bloom_bitmap(members, F.col("k"))
     assert sk.bloom_filter(probe, F.col("k"), bitmap).count() == 0
+
+
+def test_bloom_rejects_internal_column_collision(spark):
+    """A probe side already carrying one of the injected internal
+    columns must raise, not be silently clobbered (ADVICE r7 — same
+    guard class as rangejoin's _BIN rejection)."""
+    import pytest
+
+    from mktd6_flink_spark.functions import sketches as sk
+
+    members = spark.createDataFrame([(1,)], "k long")
+    bitmap = sk.bloom_bitmap(members, F.col("k"))
+    probe = spark.createDataFrame(
+        [(1, 0)], f"k long, {sk._ARR} int")
+    with pytest.raises(ValueError, match="internal column"):
+        sk.bloom_filter(probe, F.col("k"), bitmap)

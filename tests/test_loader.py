@@ -115,11 +115,47 @@ def test_events_stream_reprobes_on_regenerated_file(spark, tmp_path):
 
     os.remove(path)
     _write_events(path, "us")
-    # ensure the mtime actually differs even on coarse-grained filesystems
-    os.utime(path, (os.path.getmtime(path) + 5,) * 2)
+    # the memo key is (st_mtime_ns, st_size): a sub-second rewrite is
+    # detected without help; nudge by 1 ms only for filesystems with
+    # whole-second timestamps (the old float-seconds key needed +5 s)
+    ns = os.stat(path).st_mtime_ns + 1_000_000
+    os.utime(path, ns=(ns, ns))
     second = dq._run_stream_to_table(
         spark, dq._events_stream(spark, str(tmp_path)), "reprobe_b")
     assert _span_and_first(second) == (EXPECTED_SPAN_S, BASE_US)
+
+
+def test_int64_ts_mixed_magnitudes_raise(spark, tmp_path):
+    """A raw-int64 ts file whose values straddle the 1e17 ns/µs threshold
+    has no single epoch unit; the loader must refuse (ValueError) rather
+    than interpret different rows with different units (ADVICE r7: the
+    old per-row magnitude guard did exactly that, silently)."""
+    path = str(tmp_path / "events.parquet")
+    tbl = pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        # row 0 plausible-µs (2024), row 1 plausible-ns (2024)
+        "ts": pa.array([BASE_US, BASE_US * 1000], pa.int64()),
+        "user_id": pa.array([0, 1], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([0.0, 1.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(tbl, path)
+    with pytest.raises(ValueError, match="straddle"):
+        dq.load(spark, str(tmp_path), "events")
+
+
+def test_int64_ts_unit_decided_per_file_not_per_row(spark, tmp_path):
+    """Pre-1973 within an all-ns file is out of scope (documented floor),
+    but the complement must hold: an all-µs int64 file with POST-5138
+    garbage would be ns — what matters is that each file gets exactly one
+    interpretation, derived from footer stats, not row values."""
+    path = str(tmp_path / "events.parquet")
+    _write_events(path, "int64_us")
+    assert dq._probe_int64_ts_unit(path) == "us"
+    os.remove(path)
+    _write_events(path, "int64_ns")
+    assert dq._probe_int64_ts_unit(path) == "ns"
 
 
 # ---------------------------------------------------------------------------
