@@ -1878,7 +1878,28 @@ def pipeline_curation(spark, sf_dir):
     of a 100 TB pretraining filter (each stage is an independent
     map-side computation; the only shuffles are the dedup groupBy and
     the final broadcast-able keep-list joins)."""
-    docs = _docs2(spark, sf_dir)
+    df, _ = curation_with_lineage(spark, sf_dir)
+    return df
+
+
+def curation_with_lineage(spark, sf_dir):
+    """``pipeline_curation`` plus its filter-funnel audit: returns
+    (result, {stage: Observation}) where each Observation carries the
+    row count surviving that stage — the P18 observable-metric pattern
+    (operators/stateless.py:log_passthrough) applied per drop point, so
+    a 100 TB run can report how many documents each of its three
+    filters removed from the QueryProgress/Observation channel without
+    a second scan or any change to the data path (CollectMetrics is a
+    pass-through node). Stages: ``input`` (corpus size) → ``deduped``
+    (near-dup keep-list survivors) → ``final`` (quality + language
+    gate survivors); drops are the deltas."""
+    from pyspark.sql import Observation
+
+    obs = {"input": Observation("curation_input"),
+           "deduped": Observation("curation_deduped"),
+           "final": Observation("curation_final")}
+    docs = _docs2(spark, sf_dir).observe(
+        obs["input"], F.count(F.lit(1)).alias("rows"))
     quality = tx.quality_stats(docs)
     langs = tx.lang_id(docs)
     # near-dup keep-list: LSH pairs -> connected components -> keep the
@@ -1886,13 +1907,17 @@ def pipeline_curation(spark, sf_dir):
     pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = dd.connected_components(docs.select("doc_id"), pairs)
     kept = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
-    return (
-        docs.join(kept, "doc_id")
+    deduped = docs.join(kept, "doc_id").observe(
+        obs["deduped"], F.count(F.lit(1)).alias("rows"))
+    result = (
+        deduped
         .join(quality, "doc_id")
         .join(langs, "doc_id")
         .filter((F.col("quality_score") >= 0.3) & (F.col("n_tokens") >= 50))
         .select("doc_id", "pred_lang", "quality_score", "n_tokens")
+        .observe(obs["final"], F.count(F.lit(1)).alias("rows"))
     )
+    return result, obs
 
 
 @register("dedup_embedding_cosine", expand_round6(f"""
@@ -3100,6 +3125,104 @@ def streaming_st8_timer(spark, sf_dir):
             "within the 180 s deadline — timer wheel stalled (check "
             "spark.sql.streaming.noDataMicroBatches.enabled and the "
             "trigger interval)")
+    return spark.table(name).select(
+        F.col("txnId").alias("txn_id"), "trader",
+        F.col("type").alias("utype"),
+        F.col("coinsDiff").alias("coins_diff"),
+        F.col("investDiff").alias("invest_diff"))
+
+
+@register("streaming_st8_event_time", f"""
+WITH base AS ({ORACLES['st8_return_amounts']})
+SELECT concat('txn', event_id) AS txn_id, trader,
+       'RETURN' AS utype, return_coins AS coins_diff,
+       CAST(-1 AS INTEGER) AS invest_diff
+FROM base
+""")
+def streaming_st8_event_time(spark, sf_dir):
+    """ST8's EVENT-TIME timer path through the LIVE streaming runtime
+    (stateful.delayed_return_event_time_stream — the deterministic-
+    replay variant of MarketDataflow.java:348-392's processing-time
+    timer): each INVEST stashes (trader, amount) keyed by txnId and
+    registers an EventTimeTimeout at event_time + delay_ms; the RETURN
+    updater is emitted only when the WATERMARK passes that timestamp.
+    A single max-event-time heartbeat row (whose own timer is parked
+    beyond any horizon) advances the watermark past every timeout, so
+    all timers fire on the next micro-batch — by stream position, not
+    wall clock. Same oracle as streaming_st8_timer: the emitted RETURN
+    multiset must equal the batch-precomputed amounts, so a timer that
+    never fires, fires twice, or loses state fails the gate."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_PARTS)
+    # The firing micro-batch is a NO-DATA batch (the watermark advances
+    # after the data batch commits); the timer wheel needs this on.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "true")
+    base = QUERIES["st8_return_amounts"](spark, sf_dir).select(
+        F.concat(F.lit("txn"), F.col("event_id")).alias("txnId"),
+        "trader",
+        F.col("return_coins").alias("amount"),
+        # event-time position: a fixed epoch plus a per-txn sub-second
+        # offset; delays clamped to [1ms, 500ms]. The emitted VALUES
+        # (what the oracle hashes) don't depend on either.
+        F.greatest(F.least(F.col("delay_ms"), F.lit(500)), F.lit(1))
+        .cast("long").alias("delay_ms"),
+        F.timestamp_millis(
+            F.lit(1767225600000)  # 2026-01-01T00:00:00Z
+            + F.pmod(F.col("event_id"), F.lit(1000))).alias("event_time"),
+    )
+    expected = base.count()
+    # one heartbeat an hour past every possible timeout pushes the
+    # watermark over all of them; its own timer is parked ~12 days out
+    # so it never emits
+    heartbeat = spark.range(1).select(
+        F.lit("__wm_heartbeat__").alias("txnId"),
+        F.lit("hb").alias("trader"),
+        F.lit(0.0).alias("amount"),
+        F.lit(1_000_000_000).cast("long").alias("delay_ms"),
+        F.timestamp_millis(
+            F.lit(1767225600000 + 3_600_000)).alias("event_time"))
+    topic = tempfile.mkdtemp(prefix="st8et_topic_")
+    base.unionByName(heartbeat).write.mode("overwrite").parquet(topic)
+
+    src = spark.readStream.schema(
+        "txnId string, trader string, amount double, delay_ms long, "
+        "event_time timestamp"
+    ).parquet(topic)
+    out = stateful.delayed_return_event_time_stream(
+        src,
+        "txnId string, trader string, type string, coinsDiff double, "
+        "investDiff int",
+        lambda row: row["amount"],
+    )
+    name = f"st8et_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="st8et_stream_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="200 milliseconds").start())
+    spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
+    deadline = _time.time() + 180
+    while _time.time() < deadline:
+        if spark.table(name).count() >= expected:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    got = spark.table(name).count()
+    if got < expected:
+        raise RuntimeError(
+            f"streaming_st8_event_time: only {got}/{expected} event-time "
+            "timers fired within the 180 s deadline — watermark did not "
+            "pass the timeouts (check the heartbeat row and "
+            "spark.sql.streaming.noDataMicroBatches.enabled)")
     return spark.table(name).select(
         F.col("txnId").alias("txn_id"), "trader",
         F.col("type").alias("utype"),

@@ -1,0 +1,75 @@
+"""Property tests (hypothesis) for sketch MERGEABILITY — the 100 TB
+union contract the docstrings promise (sketches.py): building one
+sketch per shard and merging must BIT-EXACTLY equal building a single
+sketch over the whole corpus, for EVERY partitioning of the data.
+
+The fixed 2-way split in test_functions.py::test_sketch_merge_contracts
+pins the happy path; these drive random multisets (duplicates, single
+values) through random shard assignments (including empty shards, the
+degenerate case a real cluster hits whenever a task gets no rows):
+
+* HLL merges by re-MAXing per-bucket registers;
+* CMS merges by slot-wise SUMMING counters;
+* Bloom merges by bitwise-ORing bitmap words.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mktd6_flink_spark.functions import sketches as sk
+
+# (value id, shard id) pairs: value ids collide on purpose (duplicates
+# must not change any of the three sketches' merge results), shard ids
+# may leave some shards empty.
+data_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 3)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=data_strategy, nparts=st.sampled_from([2, 3]))
+def test_sketch_merge_equals_whole_for_random_partitions(
+        spark, data, nparts):
+    rows = [(f"v{v}", p % nparts) for v, p in data]
+    df = (spark.createDataFrame(rows, "v string, p int")
+          .withColumn("g", F.lit("g")))
+    shards = [df.filter(F.col("p") == i) for i in range(nparts)]
+
+    # --- HLL: re-max registers across shards ---
+    whole_hll = sk.hll_finalize(
+        sk.hll_registers(df, ["g"], F.col("v")), ["g"]).collect()
+    merged_regs = (
+        reduce(lambda a, b: a.unionByName(b),
+               [sk.hll_registers(s, ["g"], F.col("v")) for s in shards])
+        .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
+    merged_hll = sk.hll_finalize(merged_regs, ["g"]).collect()
+    assert [(r.hll_est, r.hll_empty_buckets) for r in whole_hll] == \
+        [(r.hll_est, r.hll_empty_buckets) for r in merged_hll]
+
+    # --- CMS: slot-wise counter sums across shards ---
+    probes = spark.createDataFrame(
+        sorted({(f"v{v}",) for v, _ in data}) + [("absent",)],
+        "v string")
+    whole_cms = {r._key: r.cms_est for r in sk.cms_estimate(
+        sk.cms_counters(df, df.v), probes, F.col("v")).collect()}
+    merged_counters = (
+        reduce(lambda a, b: a.unionByName(b),
+               [sk.cms_counters(s, s.v) for s in shards])
+        .groupBy("_row", "_slot").agg(F.sum("_cnt").alias("_cnt")))
+    merged_cms = {r._key: r.cms_est for r in sk.cms_estimate(
+        merged_counters, probes, F.col("v")).collect()}
+    assert whole_cms == merged_cms
+
+    # --- Bloom: bitwise-OR of bitmap words across shards ---
+    whole_arr = sk.bloom_bitmap(df, F.col("v")).collect()[0][0]
+    shard_arrs = [sk.bloom_bitmap(s, F.col("v")).collect()[0][0]
+                  for s in shards]
+    merged_arr = [reduce(lambda a, b: a | b, words)
+                  for words in zip(*shard_arrs)]
+    assert merged_arr == whole_arr
