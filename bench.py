@@ -82,7 +82,18 @@ HEADLINE = [
     # the broadcast-Bloom prefilter (map-side fact-table reduction)
     "text_trigram_surprisal",
     "join_bloom_prefilter",
+    # round-8 head: the EXISTS/NOT-EXISTS chain (left-semi + left-anti
+    # residual-predicate joins on the same fact table)
+    "tpch_q21ish",
 ]
+
+# Cross-round comparability: the headline total only grows because the
+# panel grows, so pin the frozen prefixes older rounds measured — the
+# one-glance regression signal is the SUBTOTAL of a fixed set, not the
+# moving total. r6 = the 31 entries benched in round 6; r7 = those plus
+# the two round-7 heads.
+_R6_SET = HEADLINE[:31]
+_R7_SET = HEADLINE[:33]
 
 
 def streaming_floor(spark, sf_dir):
@@ -168,6 +179,12 @@ def main() -> int:
         "sf": sf_from_dir(SF_DIR),
         "repeats": REPEATS,
         "total_wall": round(time.perf_counter() - t_run0, 3),
+        "subtotals": {
+            "r6_comparable_31": round(
+                sum(timings[n] for n in _R6_SET), 3),
+            "r7_comparable_33": round(
+                sum(timings[n] for n in _R7_SET), 3),
+        },
     }))
     spark.stop()
     return 0

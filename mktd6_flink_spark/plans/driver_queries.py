@@ -1898,8 +1898,7 @@ def curation_with_lineage(spark, sf_dir):
     obs = {"input": Observation("curation_input"),
            "deduped": Observation("curation_deduped"),
            "final": Observation("curation_final")}
-    docs = _docs2(spark, sf_dir).observe(
-        obs["input"], F.count(F.lit(1)).alias("rows"))
+    docs = _docs2(spark, sf_dir)
     quality = tx.quality_stats(docs)
     langs = tx.lang_id(docs)
     # near-dup keep-list: LSH pairs -> connected components -> keep the
@@ -1907,8 +1906,14 @@ def curation_with_lineage(spark, sf_dir):
     pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     comp = dd.connected_components(docs.select("doc_id"), pairs)
     kept = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
-    deduped = docs.join(kept, "doc_id").observe(
-        obs["deduped"], F.count(F.lit(1)).alias("rows"))
+    # observe nodes live ONLY on the final chain: wrapping the shared
+    # _docs2 subtree would replicate the CollectMetrics node into every
+    # branch (quality/lang/LSH/CC) and its metric into each of their
+    # actions; here "input" counts the corpus rows entering the keep
+    # join — the same number — paid once on the result's own action.
+    deduped = (docs.observe(obs["input"], F.count(F.lit(1)).alias("rows"))
+               .join(kept, "doc_id")
+               .observe(obs["deduped"], F.count(F.lit(1)).alias("rows")))
     result = (
         deduped
         .join(quality, "doc_id")
@@ -4893,65 +4898,69 @@ def text_trigram_surprisal(spark, sf_dir):
 # register after the window — locally oracle-green this round, to be
 # rotated in next round together with the 15 deferred. All entries
 # still run locally via tools/check_correctness.py.
+# Round-8 window: (a) the 11 round-7 additions never driver-graded,
+# (b) the 15 entries deferred out of the r7 window (last driver row r5
+# or older), (c) the 5 round-8 additions, (d) 19 entries whose code
+# path changed this round — the events loader now decides the int64 ts
+# unit per FILE (every events-based entry reads through it; the live
+# streaming entries also rebuild their stream schema from the new
+# probe) and pipeline_curation gained Observation nodes. Everything
+# displaced here holds a green r7 driver row.
 _GATE_PRIORITY = [
-    # --- never driver-graded (added round 6) ---
-    "join_range_bucketed",
-    "streaming_w7_sliding",
-    # --- TPC-H family (last driver row r4 or older) ---
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q5ish",
-    "tpch_q4ish",
-    "tpch_q12ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q22ish",
-    "tpch_rollup",
-    # --- dedup family ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "streaming_dedup_exact",
-    # --- similarity / ANN family ---
-    "sim_cosine_topk",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "sim_ivf_recall",
-    "sim_kmeans_centroids",
-    "sim_knn_label_accuracy",
-    "sim_label_centroids",
-    "sim_ncm_accuracy",
-    # --- text-analysis family ---
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_scrub",
-    "text_chunking",
-    "text_repetition",
-    "text_vocab_top100",
-    "text_lang_confusion",
-    "text_bm25_search",
-    # --- multimodal metadata family ---
-    "mm_media_meta",
-    "mm_resize_plan",
-    "mm_frame_plan",
-    # --- pipeline family ---
+    # --- (a) round-7 additions, never driver-graded ---
+    "sketch_hll_users",
+    "sketch_cms_user_counts",
+    "streaming_sketch_hll",
+    "streaming_sketch_cms",
+    "join_bloom_prefilter",
+    "text_trigram_surprisal",
+    "pipeline_temperature_mix",
+    "tpch_q7ish",
+    "tpch_q13ish",
+    "tpch_q14ish",
+    "tpch_q19ish",
+    # --- (b) deferred from the r7 window (driver row r5 or older) ---
+    "p02_hashtag_filter",
+    "p03_sentiment",
+    "p04_non_neutral",
+    "p05_explode_chars",
+    "p07_order_size",
+    "p08_contains",
+    "p10_influence",
+    "hash_family_check",
+    "st1_ema_per_event",
+    "st8_return_amounts",
+    "w5_median_value_per_team",
+    "streaming_st7_invest",
+    "streaming_st9_sequence",
+    "streaming_st10_delta",
+    "streaming_st4_combiner",
+    # --- (c) round-8 additions ---
+    "tpch_q2ish",
+    "tpch_q15ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
+    "streaming_st8_event_time",
+    # --- (d) code path changed in round 8 ---
     "pipeline_curation",
-    "pipeline_train_val_split",
-    "pipeline_stratified_sample",
-    "pipeline_source_report",
-    "pipeline_contamination",
-    "pipeline_dataset_manifest",
-    "pipeline_sequence_packing",
-    # --- streaming twins displaced from the round-6 window ---
-    "streaming_w5_sum_per_team",
-    "streaming_w5_top5_traders",
+    "streaming_st8_timer",
+    "streaming_st1_ema",
+    "streaming_st2_product",
+    "streaming_st3_burst",
+    "streaming_st5_settle",
+    "streaming_st6_ledger",
+    "streaming_w2_window",
+    "streaming_w3_running_sum",
+    "streaming_w4_cogroup",
+    "streaming_w6_session",
+    "streaming_join_interval",
+    "st6_trader_ledger",
+    "dataflow_market_ledger",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_daily_ohlc",
+    "asof_join_price",
+    "join_salted_skew",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
