@@ -4545,6 +4545,238 @@ def tpch_q21ish(spark, sf_dir):
     )
 
 
+@register("tpch_q8ish", """
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS vol_cents,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'SMALL'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(sum(vol_cents) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY o_year
+""")
+def tpch_q8ish(spark, sf_dir):
+    """TPC-H Q8 national market share: within the ASIA market (the
+    CUSTOMER's region) for SMALL-type parts over two order years, the
+    share of revenue supplied by NATION_3. Q8's defining shape — a
+    two-branch conditional aggregate (nation revenue / all revenue)
+    over a snowflake reaching nation twice, once through customer and
+    once through supplier — is intact. nation/region are TRUE
+    dimensions (forced broadcast, both probes map-side);
+    customer/supplier/part are SF-scaled and left to Catalyst/AQE;
+    the single fact shuffle is the final year grouping. The share
+    divides two exact integer-cent sums, so the only float op is one
+    final division — identical in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_regionkey").alias("_cn_region"))
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("_cn_key"))
+        .join(F.broadcast(r), F.col("_cn_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("_sn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _cents(F.col("l_extendedprice")
+                   * (1.0 - F.col("l_discount"))).alias("vol_cents"),
+            "supp_nation")
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                           F.col("vol_cents")).otherwise(F.lit(0)))
+              .cast("double")
+              / F.sum("vol_cents").cast("double")).alias("mkt_share"))
+    )
+
+
+@register("tpch_q9ish", """
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)
+                - CAST(floor(p.p_retailprice * l.l_quantity * 0.1
+                             * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS sum_profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY sn.n_name, year(o.o_orderdate)
+""")
+def tpch_q9ish(spark, sf_dir):
+    """TPC-H Q9 product-type profit: per supplier nation per order
+    year, profit on '%red%' parts. The reference schema has no
+    partsupp, so supply cost is a retail-price proxy
+    (p_retailprice * l_quantity * 0.1) — Q9's shape survives: a
+    leading-wildcard LIKE that can never push into a scan, a
+    fact-to-fact lineitem⋈orders join, and profit as a DIFFERENCE of
+    two monetary terms (the one TPC-H aggregate that mixes revenue
+    and cost in a single sum). Both terms are floored to integer
+    cents BEFORE subtraction and summation — identical float product
+    order in both engines, then exact integer arithmetic — so the
+    grouped sums are bit-equal. nation broadcasts; part prunes on the
+    LIKE before its join; the fact shuffles once on (nation, year)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("nation"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    profit = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("_sn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (_cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+             - _cents(F.col("p_retailprice") * F.col("l_quantity")
+                      * F.lit(0.1))).alias("profit_cents"))
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg((F.sum("profit_cents").cast("double") / 100.0)
+             .alias("sum_profit"))
+    )
+
+
+@register("tpch_q10ish", """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                        * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal)
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
+FROM rev
+ORDER BY rev_cents DESC, c_custkey
+LIMIT 20
+""")
+def tpch_q10ish(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: the 20 customers with the
+    most revenue lost to returns over one order quarter. The defining
+    shape — fact⋈fact⋈dimension rollup to customer grain, then a
+    global top-N — is intact. The quarter filter pushes into the
+    orders scan and the returnflag filter into lineitem's; nation is
+    a TRUE dimension (broadcast); customer attaches by AQE. Revenue
+    accumulates in exact integer cents, and the top-20 breaks ties on
+    c_custkey so the selected SET is deterministic cross-engine (the
+    gate's compare is order-insensitive, so only set identity
+    matters). The global sort is a 20-row TakeOrdered, never a full
+    exchange of the grouped aggregate."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_cents(F.col("l_extendedprice")
+                          * (1.0 - F.col("l_discount"))))
+             .alias("rev_cents"))
+    )
+    return (
+        rev.orderBy(F.col("rev_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal",
+                (F.col("rev_cents").cast("double") / 100.0)
+                .alias("revenue"))
+    )
+
+
+@register("tpch_q11ish", """
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+           AS val_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey),
+tot AS (SELECT sum(val_cents) AS t, count(*) AS np FROM val)
+SELECT v.l_partkey AS p_partkey,
+       CAST(v.val_cents AS DOUBLE) / 100.0 AS value
+FROM val v CROSS JOIN tot
+WHERE v.val_cents * tot.np > 2 * tot.t
+""")
+def tpch_q11ish(spark, sf_dir):
+    """TPC-H Q11 important stock: parts whose shipped value from
+    NATION_3 suppliers exceeds twice the MEAN per-part value. Q11's
+    defining HAVING-against-a-scalar-subquery shape is decorrelated
+    the canonical way: the per-part aggregate is computed ONCE, the
+    grand total+count is a single-row broadcast cross join over that
+    same aggregate (one fact scan, not two). The spec's FRACTION
+    threshold is 0.0001/SF — i.e. deliberately scale-invariant — so
+    the 2×-mean form (val·np > 2·total) keeps both the shape and the
+    invariance without the engine knowing SF, and compares in the
+    INTEGER domain (exact, no float epsilon; the product stays under
+    2^63 until value·parts exceeds ~9e18 cent-units). nation
+    broadcasts into supplier; the supplier semi-restriction prunes
+    the fact before its one shuffle on l_partkey."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("val_cents"))
+    )
+    tot = val.agg(F.sum("val_cents").alias("t"),
+                  F.count(F.lit(1)).alias("np"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_cents") * F.col("np") > F.lit(2) * F.col("t"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                (F.col("val_cents").cast("double") / 100.0).alias("value"))
+    )
+
+
 @register("streaming_w6_session", ORACLES["w6_session_window"])
 def streaming_w6_session(spark, sf_dir):
     """W6 session windows (5-minute gap) through the LIVE streaming

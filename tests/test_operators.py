@@ -585,6 +585,59 @@ def test_rollup_subtotals_consistent(spark):
     assert grand[0] == sum(regions.values())
 
 
+def test_tpch_q8_q9_q11_invariants(spark):
+    """Internal consistency of the round-8 TPC-H shapes at sf0.001:
+    q8ish market shares are probabilities over exactly the two filtered
+    order years; q9ish grouped profits reconcile against a direct
+    one-pass total over the same join (same cents quantization); q11ish
+    keeps only parts strictly above 2x the mean per-part value, and
+    recomputing the mean from the unfiltered aggregate agrees."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    sf_dir = os.path.join(
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            .rstrip("/")),
+        "sf0.001")
+
+    q8 = dq.QUERIES["tpch_q8ish"](spark, sf_dir).collect()
+    assert sorted(r.o_year for r in q8) == [1995, 1996]
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in q8)
+
+    q9 = dq.QUERIES["tpch_q9ish"](spark, sf_dir).collect()
+    got_total = round(sum(r.sum_profit for r in q9) * 100)
+    li = dq.load(spark, sf_dir, "lineitem")
+    o = dq.load(spark, sf_dir, "orders").select("o_orderkey")
+    s = dq.load(spark, sf_dir, "supplier").select("s_suppkey")
+    p = dq.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    direct = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg(F.sum(
+            dq._cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+            - dq._cents(F.col("p_retailprice") * F.col("l_quantity")
+                        * F.lit(0.1))).alias("t"))
+        .collect()[0].t)
+    assert got_total == direct
+
+    q11 = dq.QUERIES["tpch_q11ish"](spark, sf_dir).collect()
+    assert len(q11) == len({r.p_partkey for r in q11})
+    n3 = dq.load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3").select("n_nationkey")
+    sup3 = dq.load(spark, sf_dir, "supplier").join(
+        n3, F.col("s_nationkey") == F.col("n_nationkey")).select("s_suppkey")
+    val = (
+        li.join(sup3, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dq._cents(F.col("l_extendedprice"))).alias("vc"))
+        .collect())
+    tot, np_ = sum(r.vc for r in val), len(val)
+    expect = {r.l_partkey for r in val if r.vc * np_ > 2 * tot}
+    assert {r.p_partkey for r in q11} == expect
+
+
 def test_block_id_rejects_non_numeric_order():
     """with_block_id needs a numeric/timestamp/date leading order
     column; a string order column must fail loudly, not bucket by
