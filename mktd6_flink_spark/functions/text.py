@@ -477,6 +477,242 @@ def sql_repetition_stats(table: str = "documents", text: str = "text",
     """)
 
 
+# -- Gopher document-rule panel (Rae et al. 2021, §A1.1) ----------------------
+
+# The paper's rule list keyed to a small common-word vocabulary; the synthetic
+# corpus has its own vocabulary, so the list mixes true English stopwords with
+# corpus-frequent function words to keep the rule discriminative (the SHAPE —
+# "contains >= 2 distinct words from a fixed small list" — is the paper's).
+GOPHER_COMMON_WORDS = ("the", "a", "and", "of", "to", "data", "in", "is")
+
+
+def gopher_rules(df: DataFrame, text: str = "text",
+                 id_col: str = "doc_id", min_words: int = 20,
+                 max_words: int = 100_000) -> DataFrame:
+    """Gopher document-level quality-rule panel (Rae et al. 2021,
+    §A1.1): per-document boolean verdicts for word count, mean word
+    length, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    ratio, common-word presence, bullet-line and ellipsis-line
+    fractions, plus the conjunctive keep flag.
+
+    EVERY ratio threshold compares in the integer domain by
+    cross-multiplication (e.g. mean word length in [3,10] is
+    3·n ≤ Σlen ≤ 10·n) — no float ever forms, so the verdicts are
+    bit-portable across engines and reduction orders. One
+    F.aggregate pass folds (count, length sum, alphabetic count,
+    common-word bitmask) into a struct accumulator so the tokenizer
+    regex runs ONCE per row (same CSE rationale as quality_stats);
+    distinct-common-word count is bit_count of the OR-folded mask.
+    Pure map-side — no shuffle, no UDF; at 100 TB this is a scan."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("wlen"),
+        F.lit(0).cast("long").alias("alpha"),
+        F.lit(0).cast("long").alias("mask"),
+    )
+    # chained CASE mapping each common word to a distinct bit
+    def _bit(w_col):
+        expr = F.lit(0).cast("long")
+        for i, w in enumerate(GOPHER_COMMON_WORDS):
+            expr = F.when(w_col == w, F.lit(1 << i).cast("long")).otherwise(expr)
+        return expr
+
+    acc = F.aggregate(
+        tokens(F.col(text)), zero,
+        lambda a, w: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["wlen"] + F.length(w)).alias("wlen"),
+            (a["alpha"] + F.when(w.rlike("[a-z]"), 1).otherwise(0))
+            .alias("alpha"),
+            a["mask"].bitwiseOR(_bit(w)).alias("mask"),
+        ),
+    )
+    lines = F.split(F.col(text), "\n")
+    staged = df.select(
+        F.col(id_col),
+        acc.alias("_a"),
+        (F.length(text) - F.length(F.replace(F.col(text), F.lit("#"),
+                                             F.lit("")))).alias("_hash"),
+        ((F.length(text) - F.length(F.replace(F.col(text), F.lit("..."),
+                                              F.lit("")))) / 3)
+        .cast("long").alias("_ellip"),
+        F.size(lines).alias("_nl"),
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
+        .alias("_bul"),
+        F.size(F.filter(lines, lambda l: F.rtrim(l).like("%...")
+                        | F.rtrim(l).like("%…"))).alias("_el"),
+    )
+    n, wlen = F.col("_a.n"), F.col("_a.wlen")
+    alpha, mask = F.col("_a.alpha"), F.col("_a.mask")
+    sym = F.col("_hash") + F.col("_ellip")
+    flag = lambda c: F.coalesce(c, F.lit(False))
+    r_wc = flag((n >= min_words) & (n <= max_words))
+    r_mwl = flag((F.lit(3) * n <= wlen) & (wlen <= F.lit(10) * n))
+    r_sym = flag(F.lit(10) * sym <= n)
+    r_alpha = flag(F.lit(5) * alpha >= F.lit(4) * n)
+    r_common = flag(F.bit_count(mask) >= 2)
+    r_bul = flag(F.lit(10) * F.col("_bul") <= F.lit(9) * F.col("_nl"))
+    r_el = flag(F.lit(10) * F.col("_el") <= F.lit(3) * F.col("_nl"))
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_common.alias("r_common_words"),
+        r_bul.alias("r_bullet_lines"),
+        r_el.alias("r_ellipsis_lines"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_common & r_bul & r_el)
+        .alias("keep"),
+    )
+
+
+def sql_gopher_rules(table: str = "documents", text: str = "text",
+                     id_col: str = "doc_id", min_words: int = 20,
+                     max_words: int = 100_000) -> str:
+    toks = sql_tokens(text)
+    words = ", ".join(f"'{w}'" for w in GOPHER_COMMON_WORDS)
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, {text} AS _txt, {toks} AS _toks,
+             string_split({text}, chr(10)) AS _lines
+      FROM {table}
+    ), s AS (
+      SELECT {id_col},
+        CAST(len(_toks) AS BIGINT) AS n,
+        CAST(coalesce(list_sum(list_transform(_toks,
+             w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS wlen,
+        CAST(len(list_filter(_toks,
+             w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha,
+        CAST(len(list_intersect(list_distinct(_toks),
+             [{words}])) AS BIGINT) AS ncommon,
+        CAST(length(_txt) - length(replace(_txt, '#', ''))
+             + (length(_txt) - length(replace(_txt, '...', ''))) // 3
+             AS BIGINT) AS sym,
+        CAST(len(_lines) AS BIGINT) AS nl,
+        CAST(len(list_filter(_lines,
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS BIGINT) AS bul,
+        CAST(len(list_filter(_lines,
+             l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+             AS BIGINT) AS el
+      FROM t
+    )
+    SELECT {id_col}, n AS n_words,
+      coalesce(n >= {min_words} AND n <= {max_words}, FALSE)
+        AS r_word_count,
+      coalesce(3 * n <= wlen AND wlen <= 10 * n, FALSE)
+        AS r_mean_word_len,
+      coalesce(10 * sym <= n, FALSE) AS r_symbol_ratio,
+      coalesce(5 * alpha >= 4 * n, FALSE) AS r_alpha_words,
+      coalesce(ncommon >= 2, FALSE) AS r_common_words,
+      coalesce(10 * bul <= 9 * nl, FALSE) AS r_bullet_lines,
+      coalesce(10 * el <= 3 * nl, FALSE) AS r_ellipsis_lines,
+      coalesce(n >= {min_words} AND n <= {max_words}, FALSE)
+        AND coalesce(3 * n <= wlen AND wlen <= 10 * n, FALSE)
+        AND coalesce(10 * sym <= n, FALSE)
+        AND coalesce(5 * alpha >= 4 * n, FALSE)
+        AND coalesce(ncommon >= 2, FALSE)
+        AND coalesce(10 * bul <= 9 * nl, FALSE)
+        AND coalesce(10 * el <= 3 * nl, FALSE) AS keep
+    FROM s
+    """
+
+
+# -- corpus-level line dedup (CCNet / RefinedWeb boilerplate removal) ---------
+
+def line_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id",
+               min_dup: int = 2) -> DataFrame:
+    """Corpus-level line deduplication (Wenzek et al. 2020 "CCNet" §3;
+    Penedo et al. 2023 "RefinedWeb" §3.4): any trimmed line occurring
+    in >= ``min_dup`` documents-worth of lines across the WHOLE corpus
+    is boilerplate (headers, cookie banners, nav text) and is dropped
+    from every document; empty lines are dropped unconditionally and
+    never counted. Returns (doc_id, n_lines, n_kept, text_clean) with
+    surviving lines re-joined in original order — docs whose text is
+    NULL come back with zero counts and empty text so row identity is
+    preserved.
+
+    Scale shape: posexplode (map-side) → one groupBy on the line for
+    corpus counts (map-side combine absorbs the skew of very frequent
+    boilerplate lines) → the DUP SET ONLY (count >= min_dup, far
+    smaller than the line fact) joins back — broadcast when small,
+    AQE otherwise — then one doc-keyed rebuild. The rebuild collects
+    (index, line) structs per doc; struct sort_array orders by index
+    without a window, so the only per-doc state is the doc's own
+    lines — same grain as reading the document."""
+    lines = (
+        df.select(F.col(id_col),
+                  F.posexplode(F.split(F.col(text), "\n"))
+                  .alias("_idx", "_raw"))
+        .select(F.col(id_col), "_idx", F.trim(F.col("_raw")).alias("_ln"))
+        .filter(F.col("_ln") != "")
+    )
+    dups = (lines.groupBy("_ln").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") >= min_dup).select("_ln"))
+    kept = lines.join(dups, "_ln", "left_anti")
+    per_doc_tot = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("_idx"), F.col("_ln")))),
+                     lambda s: s["_ln"]),
+                 "\n").alias("text_clean"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc_tot, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def sql_line_dedup(table: str = "documents", text: str = "text",
+                   id_col: str = "doc_id", min_dup: int = 2) -> str:
+    return f"""
+    WITH raw AS (
+      SELECT {id_col},
+             unnest(list_transform(
+                 generate_series(1, len(string_split({text}, chr(10)))),
+                 i -> {{'i': i,
+                        'ln': trim(string_split({text}, chr(10))[i])}}))
+               AS _e
+      FROM {table}
+    ), l AS (
+      SELECT {id_col}, _e.i AS _idx, _e.ln AS _ln FROM raw
+      WHERE _e.ln <> ''
+    ), dup AS (
+      SELECT _ln FROM l GROUP BY _ln HAVING count(*) >= {min_dup}
+    ), kept AS (
+      SELECT {id_col}, _idx, _ln FROM l
+      WHERE _ln NOT IN (SELECT _ln FROM dup)
+    ), tot AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lines
+      FROM l GROUP BY {id_col}
+    ), reb AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(_ln, chr(10) ORDER BY _idx) AS text_clean
+      FROM kept GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.text_clean, '') AS text_clean
+    FROM {table} d
+    LEFT JOIN tot t ON t.{id_col} = d.{id_col}
+    LEFT JOIN reb r ON r.{id_col} = d.{id_col}
+    """
+
+
 # -- deterministic stratified sampling (mixture weights) ----------------------
 
 def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],

@@ -1510,6 +1510,25 @@ def text_quality(spark, sf_dir):
     return tx.quality_stats(load(spark, sf_dir, "documents"))
 
 
+@register("text_gopher_rules", tx.sql_gopher_rules())
+def text_gopher_rules(spark, sf_dir):
+    """Gopher §A1.1 document-rule panel: per-doc boolean verdicts
+    (word count, mean word length, symbol ratio, alphabetic-word
+    ratio, common-word presence, bullet/ellipsis line fractions) and
+    the conjunctive keep flag — all thresholds compared in the
+    integer domain, one tokenizer pass, pure map-side scan."""
+    return tx.gopher_rules(load(spark, sf_dir, "documents"))
+
+
+@register("text_line_dedup", tx.sql_line_dedup())
+def text_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb corpus-level line dedup: lines occurring >= 2
+    times across the corpus are boilerplate, dropped from every doc;
+    survivors re-join in original order. Dup-set-only join back (far
+    smaller than the line fact), doc-keyed rebuild without windows."""
+    return tx.line_dedup(load(spark, sf_dir, "documents"))
+
+
 @register("text_lang_id", tx.sql_lang_id())
 def text_lang_id(spark, sf_dir):
     """Stopword-vote language ID with deterministic tie-break."""

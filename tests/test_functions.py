@@ -147,6 +147,52 @@ def test_lang_id_votes(spark):
     assert got[1] == "en" and got[2] == "es" and got[3] == "und"
 
 
+def test_gopher_rules_each_rule_flips(spark):
+    """The sf corpus is single-line with no symbols, so the bullet /
+    ellipsis / symbol / alpha rules never fire there; crafted docs
+    prove each rule trips independently (and NULL text keeps=False)."""
+    base = "the a " + " ".join(f"word{i}" for i in range(30))
+    docs = [
+        (1, base),                                   # passes everything
+        (2, "the a short"),                          # word count < 20
+        (3, "xyzzy " * 40),                          # no 2 common words
+        (4, base + " ##########"),                   # >0.1 symbols/word
+        (5, base.replace("word", "1000")),           # <80% alphabetic words
+        (6, "\n".join(["- b " + base] * 10)),        # all lines bullets
+        (7, "\n".join(["l " + base + " ..."] * 10)), # all lines ellipsis-end
+        (8, None),                                   # NULL text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+    assert got[1].keep
+    assert not got[2].r_word_count and not got[2].keep
+    assert not got[3].r_common_words and not got[3].keep
+    assert not got[4].r_symbol_ratio and not got[4].keep
+    assert not got[5].r_alpha_words and not got[5].keep
+    assert not got[6].r_bullet_lines and not got[6].keep
+    assert not got[7].r_ellipsis_lines and not got[7].keep
+    assert not got[8].keep and not got[8].r_word_count
+
+
+def test_line_dedup_drops_corpus_boilerplate(spark):
+    """Lines repeated across the corpus vanish from every doc, empty
+    lines are dropped and never counted, survivors keep original
+    order, and NULL-text docs keep row identity with zero counts."""
+    docs = [
+        (1, "cookie banner\nunique one\n\nunique two"),
+        (2, "cookie banner\nunique three"),
+        (3, "  cookie banner  \nonly here"),  # trims to the same line
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.line_dedup(df).collect()}
+    assert got[1].n_lines == 3 and got[1].n_kept == 2
+    assert got[1].text_clean == "unique one\nunique two"  # order kept
+    assert got[2].text_clean == "unique three"
+    assert got[3].text_clean == "only here"
+    assert got[4].n_lines == 0 and got[4].text_clean == ""
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
