@@ -82,9 +82,14 @@ HEADLINE = [
     # the broadcast-Bloom prefilter (map-side fact-table reduction)
     "text_trigram_surprisal",
     "join_bloom_prefilter",
-    # round-8 head: the EXISTS/NOT-EXISTS chain (left-semi + left-anti
-    # residual-predicate joins on the same fact table)
+    # round-8 heads: the EXISTS/NOT-EXISTS chain (left-semi + left-anti
+    # residual-predicate joins on the same fact table), the fact-fact
+    # profit join under a leading-wildcard LIKE, and the corpus-level
+    # duplicated-5-gram signal (shingle explode + count-distinct +
+    # semi-join back — the heaviest new text shape)
     "tpch_q21ish",
+    "tpch_q9ish",
+    "text_dup_ngram_fraction",
 ]
 
 # Cross-round comparability: the headline total only grows because the

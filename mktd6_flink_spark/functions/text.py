@@ -713,6 +713,85 @@ def sql_line_dedup(table: str = "documents", text: str = "text",
     """
 
 
+# -- cross-document duplicated-n-gram fraction (Lee et al. 2021) --------------
+
+def dup_ngram_fraction(df: DataFrame, text: str = "text",
+                       id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Cross-document duplicated-n-gram signal (Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb §3.4 uses the same per-doc fraction as a filter): for
+    each document, the fraction of its n-gram OCCURRENCES whose n-gram
+    also appears in at least one OTHER document, plus a keep verdict
+    at the 20% threshold compared in the integer domain
+    (5·n_dup ≤ n_grams). Unlike repetition_stats (within-doc) this is
+    a CORPUS-level signal — the memorization risk Lee et al. measure.
+
+    Scale shape: one shingle explode, one shingle-keyed count-distinct
+    (map-side partials), then the DUP SET ONLY joins back via
+    left_semi — the fact never carries counts, and docs shorter than
+    n tokens reattach with zero counts."""
+    from .dedup import shingles_exploded
+
+    grams = shingles_exploded(df, text, id_col, n)
+    dup = (grams.groupBy("shingle")
+           .agg(F.count_distinct(id_col).alias("_d"))
+           .filter(F.col("_d") >= 2).select("shingle"))
+    tot = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dupocc = (grams.join(dup, "shingle", "left_semi")
+              .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup")))
+    return (
+        df.select(F.col(id_col))
+        .join(tot, id_col, "left")
+        .join(dupocc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            round_portable(
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)),
+                             F.lit(1)).cast("double")).alias("dup_frac"),
+            (F.lit(5) * F.coalesce(F.col("n_dup"), F.lit(0))
+             <= F.coalesce(F.col("n_grams"), F.lit(0))).alias("keep"),
+        )
+    )
+
+
+def sql_dup_ngram_fraction(table: str = "documents", text: str = "text",
+                           id_col: str = "doc_id", n: int = 5) -> str:
+    toks = sql_tokens(text)
+    all_grams = (
+        f"list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return expand_round6(f"""
+    WITH g AS (
+      SELECT {id_col}, unnest({all_grams}) AS _ng FROM {table}
+    ), dup AS (
+      SELECT _ng FROM g GROUP BY _ng
+      HAVING count(DISTINCT {id_col}) >= 2
+    ), tot AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_grams
+      FROM g GROUP BY {id_col}
+    ), docc AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_dup
+      FROM g WHERE _ng IN (SELECT _ng FROM dup)
+      GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(o.n_dup, 0) AS n_dup,
+           ROUND6(CAST(coalesce(o.n_dup, 0) AS DOUBLE)
+                  / CAST(greatest(coalesce(t.n_grams, 0), 1) AS DOUBLE))
+               AS dup_frac,
+           5 * coalesce(o.n_dup, 0) <= coalesce(t.n_grams, 0) AS keep
+    FROM {table} d
+    LEFT JOIN tot t ON t.{id_col} = d.{id_col}
+    LEFT JOIN docc o ON o.{id_col} = d.{id_col}
+    """)
+
+
 # -- deterministic stratified sampling (mixture weights) ----------------------
 
 def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],

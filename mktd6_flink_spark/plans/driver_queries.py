@@ -1529,6 +1529,37 @@ def text_line_dedup(spark, sf_dir):
     return tx.line_dedup(load(spark, sf_dir, "documents"))
 
 
+@register("text_dup_ngram_fraction", tx.sql_dup_ngram_fraction())
+def text_dup_ngram_fraction(spark, sf_dir):
+    """Lee et al. 2021 cross-document duplicated-5-gram fraction per
+    doc + integer-domain 20% keep verdict — the corpus-level
+    memorization signal (repetition_stats is within-doc)."""
+    return tx.dup_ngram_fraction(load(spark, sf_dir, "documents"))
+
+
+@register("streaming_gopher_rules", tx.sql_gopher_rules())
+def streaming_gopher_rules(spark, sf_dir):
+    """The Gopher rule panel ON INGEST through the LIVE streaming
+    runtime — the quality gate a training-data pipeline applies as
+    documents arrive, not after the corpus lands. The panel is pure
+    map-side Column expressions (one F.aggregate tokenizer fold, all
+    thresholds integer cross-multiplied), so the stream plan is
+    stateless — no state store, no watermark, no shuffle — and the
+    result is row-identical to the batch twin text_gopher_rules under
+    the same oracle. Schema is probed from the batch read (round-5
+    events lesson: never hard-code an external table's stream
+    schema)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = tx.gopher_rules(raw)
+    return _run_stream_to_table(spark, out, "gopher_stream")
+
+
 @register("text_lang_id", tx.sql_lang_id())
 def text_lang_id(spark, sf_dir):
     """Stopword-vote language ID with deterministic tie-break."""
@@ -2102,6 +2133,64 @@ def text_chunking(spark, sf_dir):
     return tx.chunk(load(spark, sf_dir, "documents"))
 
 
+@register("pipeline_epoch_shuffle", """
+WITH h AS (
+  SELECT doc_id, md5(concat('epoch1:', CAST(doc_id AS VARCHAR))) AS _h
+  FROM documents)
+SELECT doc_id, _h AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY _h, doc_id) - 1 AS BIGINT)
+         AS shuffle_rank,
+       CAST((row_number() OVER (ORDER BY _h, doc_id) - 1) % 4 AS BIGINT)
+         AS shard
+FROM h
+""")
+def pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic seeded GLOBAL permutation for training-epoch
+    sharding: every document gets a dense shuffle_rank (0..n-1) in
+    md5('epoch<N>:'+doc_id) order and a round-robin shard — the
+    manifest a data loader consumes to stream one epoch in shuffled
+    order, reproducibly, with no RNG state. Changing the epoch prefix
+    re-permutes; re-running bit-reproduces.
+
+    The SCALE point: a global row_number would be a single-partition
+    window. Instead the rank is assigned two-phase with NO global
+    exchange: (1) the first hex byte of the key is a 256-way range
+    bucket whose lexicographic order equals its numeric order, so
+    per-bucket counts (one tiny 256-row aggregate, broadcast back as
+    cumulative offsets) give each bucket its global starting rank;
+    (2) a row_number window PER BUCKET (256-way parallel, each
+    partition ~n/256 rows) adds the intra-bucket position. Offsets
+    join by broadcast; the only full-data movement is the one
+    bucket-keyed shuffle any global sort would need. Oracle is the
+    plain global row_number — proving the two-phase rank IS the
+    global rank."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+        .alias("shuffle_key"))
+    d = d.withColumn("_bucket",
+                     F.conv(F.substring("shuffle_key", 1, 2), 16, 10)
+                     .cast("long"))
+    counts = (d.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_c")))
+    woff = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    # 256-row frame: the cumulative sum runs on a trivially small side
+    offsets = counts.select(
+        "_bucket",
+        (F.sum("_c").over(woff) - F.col("_c")).alias("_off"))
+    win = Window.partitionBy("_bucket").orderBy("shuffle_key", "doc_id")
+    ranked = (
+        d.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_intra", F.row_number().over(win))
+        .select(
+            "doc_id", "shuffle_key",
+            (F.col("_off") + F.col("_intra") - 1).alias("shuffle_rank"))
+    )
+    return ranked.select(
+        "doc_id", "shuffle_key", "shuffle_rank",
+        (F.col("shuffle_rank") % 4).alias("shard"))
+
+
 @register("pipeline_train_val_split", tx.sql_train_val_split())
 def pipeline_train_val_split(spark, sf_dir):
     """Deterministic content-hash train/val split (re-shard stable)."""
@@ -2667,6 +2756,57 @@ def sim_knn_label_accuracy(spark, sf_dir):
         .groupBy("query_id")
         .agg((F.sum(F.when(F.col("_nl") == F.col("_ql"), 1).otherwise(0))
               .cast("double") / 5.0).alias("label_agreement"))
+    )
+
+
+@register("pipeline_length_quantiles", """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+r AS (
+  SELECT d.source, CAST(d.n_chars AS BIGINT) AS nc,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY d.n_chars, d.doc_id) AS rn,
+         c.n_docs
+  FROM documents d JOIN c ON c.source = d.source)
+SELECT source, n_docs,
+       max(CASE WHEN rn = (n_docs + 1) // 2 THEN nc END) AS p50_chars,
+       max(CASE WHEN rn = (9 * n_docs + 9) // 10 THEN nc END) AS p90_chars,
+       max(CASE WHEN rn = (99 * n_docs + 99) // 100 THEN nc END) AS p99_chars
+FROM r
+GROUP BY source, n_docs
+""")
+def pipeline_length_quantiles(spark, sf_dir):
+    """Per-source document-length distribution report (p50/p90/p99 of
+    n_chars) — the length-profile table a pretraining pipeline emits
+    to spot truncation-heavy or fragment-heavy sources. Quantiles are
+    TYPE-1 DISCRETE (the value at rank ceil(p·n), computed by integer
+    arithmetic with a doc_id tie-break) — no interpolation, so the
+    result is an actual corpus value and bit-equal cross-engine,
+    where Spark's continuous `percentile` and DuckDB's quantile_cont
+    could drift in float. Scale shape: per-source counts are a tiny
+    broadcast; the rank window shuffles once on source (bounded
+    cardinality — at 100 TB sources are O(100), so each partition is
+    a single ordered scan; for skewed giant sources the same ranks
+    could be found by per-source binary search over count-by-value,
+    trading a second pass for no window)."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars",
+                                                "doc_id")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    nd = F.col("n_docs")
+    idx = lambda num, den: F.floor((nd * num + num) / F.lit(den)).cast("long")
+    ranked = (
+        d.join(F.broadcast(counts), "source")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    pick = lambda i: F.max(F.when(F.col("rn") == i,
+                                  F.col("n_chars").cast("long")))
+    return (
+        ranked.groupBy("source", "n_docs")
+        .agg(pick(F.floor((nd + 1) / 2).cast("long")).alias("p50_chars"),
+             pick(idx(9, 10)).alias("p90_chars"),
+             pick(idx(99, 100)).alias("p99_chars"))
     )
 
 
