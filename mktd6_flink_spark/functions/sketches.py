@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .hashing import (hash_params, md5_long, sql_md5_long,
                       sql_universal_hash, universal_hash)
@@ -396,4 +397,95 @@ def sql_cms_estimate(table_sql: str, value_expr: str, probe_sql: str,
       SELECT _key, {probe_mins} FROM _cms_probe p
     )
     SELECT _key, CAST({least_expr} AS BIGINT) AS cms_est FROM _cms_est
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quantile-histogram sketch (mergeable percentiles)
+# ---------------------------------------------------------------------------
+
+QHIST_WIDTH_CENTS = 500  # 5.00-unit bins over integer cents
+
+
+def qhist_bins(df: DataFrame, value: Column,
+               width_cents: int = QHIST_WIDTH_CENTS) -> DataFrame:
+    """The equi-width histogram bin table: (_bin, _c). Like the HLL
+    registers and CMS counters this IS the sketch — mergeable across
+    partitions/days/streams by SUMMING _c per _bin, which is what
+    makes it the 100 TB percentile currency (the exact-rank answer,
+    pipeline_length_quantiles style, needs a per-group sort; the
+    histogram needs one bounded groupBy and unions at constant cost).
+    Bin ids are floor(integer_cents / width): all-integer state, so
+    shard merges are exact by construction and the quantile estimate
+    carries a HARD error bound of one bin width. Works identically on
+    a batch frame and a streaming one (pure projection + groupBy-sum:
+    complete/update-mode incremental state, one integer per active
+    bin)."""
+    cents = F.floor(value * F.lit(100.0) + F.lit(0.5)).cast("long")
+    b = F.floor(cents.cast("double") / F.lit(float(width_cents)))
+    return (df.select(b.cast("long").alias("_bin"))
+            .groupBy("_bin").agg(F.count(F.lit(1)).alias("_c")))
+
+
+def qhist_quantiles(bins: DataFrame,
+                    percentiles: tuple = (50, 90, 99),
+                    width_cents: int = QHIST_WIDTH_CENTS) -> DataFrame:
+    """Finalize a bin table into percentile estimates: for each p the
+    FIRST bin whose cumulative count reaches ceil(p·n/100), reported
+    as the bin's lower edge in cents — fully deterministic (no
+    interpolation, integer rank arithmetic), so the oracle matches
+    bit-for-bit and the true type-1 quantile provably lies within
+    [est, est + width). The cumulative window runs over the BIN table
+    (cardinality = value-range / width, hundreds of rows — the
+    documented bounded-cardinality single-partition case, same class
+    as the HLL/CMS finalizers)."""
+    wcum = Window.orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = bins.select(
+        "_bin", F.sum("_c").over(wcum).alias("_cum"))
+    tot = bins.agg(F.sum("_c").alias("_n"))
+    ps = None
+    for p in percentiles:
+        row = tot.select(F.lit(p).cast("long").alias("pct"), "_n")
+        ps = row if ps is None else ps.unionByName(row)
+    # k_p = ceil(p*n/100), exact in integers
+    ps = ps.select(
+        "pct", "_n",
+        F.floor((F.col("pct") * F.col("_n") + F.lit(99))
+                / F.lit(100.0)).cast("long").alias("_k"))
+    return (
+        ps.join(cum, cum["_cum"] >= ps["_k"])
+        .groupBy("pct", "_n")
+        .agg((F.min("_bin") * F.lit(width_cents)).alias("est_cents"))
+        .select("pct", F.col("est_cents").cast("long"),
+                F.col("_n").cast("long").alias("n_rows"))
+    )
+
+
+def sql_qhist_quantiles(table_sql: str, value_expr: str,
+                        percentiles: tuple = (50, 90, 99),
+                        width_cents: int = QHIST_WIDTH_CENTS) -> str:
+    """DuckDB twin: identical bins, identical integer rank pick."""
+    plist = ", ".join(str(p) for p in percentiles)
+    return f"""
+    WITH _qh_in AS ({table_sql}),
+    _qh_bins AS (
+      SELECT CAST(floor(CAST(floor({value_expr} * 100.0 + 0.5) AS BIGINT)
+                        / {width_cents}.0) AS BIGINT) AS _bin,
+             count(*) AS _c
+      FROM _qh_in GROUP BY 1
+    ),
+    _qh_cum AS (
+      SELECT _bin, sum(_c) OVER (ORDER BY _bin) AS _cum FROM _qh_bins
+    ),
+    _qh_tot AS (SELECT CAST(sum(_c) AS BIGINT) AS _n FROM _qh_bins),
+    _qh_p AS (SELECT CAST(unnest([{plist}]) AS BIGINT) AS pct)
+    SELECT p.pct,
+           CAST(min(c._bin) * {width_cents} AS BIGINT) AS est_cents,
+           t._n AS n_rows
+    FROM _qh_p p
+    CROSS JOIN _qh_tot t
+    JOIN _qh_cum c
+      ON c._cum >= CAST(floor((p.pct * t._n + 99) / 100.0) AS BIGINT)
+    GROUP BY p.pct, t._n
     """

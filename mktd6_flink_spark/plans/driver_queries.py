@@ -5196,6 +5196,40 @@ def sketch_cms_user_counts(spark, sf_dir):
     )
 
 
+@register("sketch_quantile_hist",
+          sk.sql_qhist_quantiles("SELECT value FROM events", "value"))
+def sketch_quantile_hist(spark, sf_dir):
+    """Mergeable quantile-histogram sketch over event values: p50/p90/
+    p99 estimated from an equi-width integer-cents bin table — the
+    sketch-family percentile currency (exact ranks need a sort; the
+    bin table is one bounded groupBy that unions across partitions/
+    days by summing, like HLL registers re-max and CMS counters sum).
+    The estimate is the lower edge of the first bin reaching rank
+    ceil(p·n/100) — deterministic integer arithmetic, oracle-exact,
+    with a hard one-bin-width error bound against the true type-1
+    quantile (pinned by a pytest golden)."""
+    ev = load(spark, sf_dir, "events")
+    return sk.qhist_quantiles(sk.qhist_bins(ev, F.col("value")))
+
+
+@register("streaming_sketch_qhist",
+          sk.sql_qhist_quantiles("SELECT value FROM events", "value"))
+def streaming_sketch_qhist(spark, sf_dir):
+    """The quantile-histogram bin table maintained ON THE LIVE
+    STREAMING RUNTIME: per-bin counting is an incremental aggregation
+    (complete mode, one integer per active bin of state), so latency
+    percentiles stay current as events arrive — the streaming half of
+    SLO monitoring. Finalization (cumulative rank pick) happens
+    batch-side on the sunk bins, checked against the SAME oracle as
+    the batch twin: binning on a stream must lose nothing vs the
+    batch scan."""
+    raw = _events_stream(spark, sf_dir)
+    bins_stream = sk.qhist_bins(raw, F.col("value"))
+    bins = _run_stream_to_table(spark, bins_stream, "qhist_bins",
+                                mode="complete")
+    return sk.qhist_quantiles(bins)
+
+
 @register("streaming_sketch_cms", ORACLES["sketch_cms_user_counts"])
 def streaming_sketch_cms(spark, sf_dir):
     """The count-min counter table maintained ON THE LIVE STREAMING

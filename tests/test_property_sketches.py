@@ -73,3 +73,45 @@ def test_sketch_merge_equals_whole_for_random_partitions(
     merged_arr = [reduce(lambda a, b: a | b, words)
                   for words in zip(*shard_arrs)]
     assert merged_arr == whole_arr
+
+
+quant_data = st.lists(
+    st.tuples(st.floats(0.01, 500.0, allow_nan=False),
+              st.integers(0, 3)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=quant_data, nparts=st.sampled_from([2, 3]))
+def test_qhist_merge_equals_whole_and_error_bound(spark, data, nparts):
+    """Quantile-histogram sketch: (a) bin tables merged by summing _c
+    across ANY shard partitioning equal the whole-corpus bin table and
+    give identical percentile estimates; (b) every estimate is within
+    one bin width BELOW the true type-1 quantile (est <= q_true <
+    est + width) — the hard bound the docstring promises."""
+    from functools import reduce as _red
+
+    import math
+
+    rows = [(float(v), p % nparts) for v, p in data]
+    df = spark.createDataFrame(rows, "value double, p int")
+    shards = [df.filter(F.col("p") == i) for i in range(nparts)]
+
+    whole = {(r.pct): (r.est_cents, r.n_rows) for r in
+             sk.qhist_quantiles(sk.qhist_bins(df, df.value)).collect()}
+    merged_bins = (
+        _red(lambda a, b: a.unionByName(b),
+             [sk.qhist_bins(s, s.value) for s in shards])
+        .groupBy("_bin").agg(F.sum("_c").alias("_c")))
+    merged = {(r.pct): (r.est_cents, r.n_rows) for r in
+              sk.qhist_quantiles(merged_bins).collect()}
+    assert whole == merged
+
+    cents = sorted(math.floor(v * 100.0 + 0.5) for v, _ in rows)
+    n = len(cents)
+    for p in (50, 90, 99):
+        true_q = cents[max(0, math.ceil(p * n / 100) - 1)]
+        est, n_out = whole[p]
+        assert n_out == n
+        assert est <= true_q < est + sk.QHIST_WIDTH_CENTS
