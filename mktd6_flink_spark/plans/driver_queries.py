@@ -4331,6 +4331,89 @@ def tpch_rollup(spark, sf_dir):
     )
 
 
+@register("tpch_cube", """
+SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY CUBE (r.r_name, year(o.o_orderdate))
+""")
+def tpch_cube(spark, sf_dir):
+    """Revenue by CUBE(region, order year) — ALL four grouping sets
+    (region×year, region, year, grand total) in one pass. CUBE is the
+    grouping-sets shape ROLLUP doesn't cover: the (NULL, year)
+    cross-slice exists here but not in a rollup. Catalyst's Expand
+    replicates each joined row per grouping set before ONE shuffle —
+    at 100 TB that is one aggregation instead of four, and the
+    replication factor (4×) is paid map-side where it compresses into
+    partial aggregates. Dimensions broadcast; exact cents."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name",
+                F.year("o_orderdate").cast("long").alias("o_year"),
+                _cents(F.col("l_extendedprice")
+                       * (1.0 - F.col("l_discount"))).alias("_rc"))
+        .cube("r_name", "o_year")
+        .agg((F.sum("_rc").cast("double") / 100.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register("events_type_pivot", """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type NOT IN ('click', 'purchase', 'view')
+                THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM events
+GROUP BY user_id
+""")
+def events_type_pivot(spark, sf_dir):
+    """Per-user event-type PIVOT — the wide activity-matrix shape
+    (one row per user, one column per event type) that feature
+    pipelines feed to trainers. Uses the DataFrame pivot() API with
+    the pivot values DECLARED, which matters at scale: an undeclared
+    pivot first runs a distinct scan over the pivot column to infer
+    values (an extra job over the full fact) and can explode the
+    schema on high-cardinality columns; declared values compile
+    straight to conditional aggregates — one shuffle on user_id,
+    map-side partials, same plan as the hand-written CASE form the
+    oracle uses. Unknown types fold into 'other' so the declared
+    list is total."""
+    ev = load(spark, sf_dir, "events")
+    known = ("click", "purchase", "view")
+    typed = ev.select(
+        "user_id",
+        F.when(F.col("event_type").isin(*known), F.col("event_type"))
+        .otherwise(F.lit("other")).alias("_t"))
+    return (
+        typed.groupBy("user_id")
+        .pivot("_t", [*known, "other"])
+        .agg(F.count(F.lit(1)))
+        .select("user_id",
+                *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                  for t in (*known, "other")])
+    )
+
+
 @register("tpch_q7ish", """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,

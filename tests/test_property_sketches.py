@@ -76,7 +76,7 @@ def test_sketch_merge_equals_whole_for_random_partitions(
 
 
 quant_data = st.lists(
-    st.tuples(st.floats(0.01, 500.0, allow_nan=False),
+    st.tuples(st.floats(-500.0, 500.0, allow_nan=False),
               st.integers(0, 3)),
     min_size=1, max_size=40)
 
