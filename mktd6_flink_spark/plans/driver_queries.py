@@ -4331,6 +4331,53 @@ def tpch_rollup(spark, sf_dir):
     )
 
 
+@register("events_anomaly_zscore", """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS qx
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type,
+       (CAST(s.n AS HUGEINT) * c.x - s.sx)
+         * (CAST(s.n AS HUGEINT) * c.x - s.sx)
+         > 9 * (CAST(s.n AS HUGEINT) * s.qx
+                - CAST(s.sx AS HUGEINT) * s.sx) AS is_outlier
+FROM c JOIN s ON s.event_type = c.event_type
+""")
+def events_anomaly_zscore(spark, sf_dir):
+    """Per-type 3-sigma outlier flags with NO float ever formed: the
+    z-test |x − μ| > 3σ is cross-multiplied by n² into
+    (n·x − S)² > 9·(n·Q − S²) over integer-cents moments
+    (S = Σx, Q = Σx²) — mean and variance never materialize, so the
+    verdict is exact and engine-portable (Spark decimal(38) vs DuckDB
+    HUGEINT, both exact integer domains; a float σ comparison could
+    flip boundary rows between engines). Scale shape: the moment
+    table is |event types| rows (one map-side-combined shuffle),
+    broadcast back onto the fact — flagging is then a pure map; n=1
+    groups degenerate to 0 > 0 = false in both engines."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type",
+                  _cents(F.col("value")).alias("x"))
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("qx"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    d = dec(F.col("n")) * dec(F.col("x")) - dec(F.col("sx"))
+    rhs = (F.lit(9).cast("decimal(38,0)")
+           * (dec(F.col("n")) * dec(F.col("qx"))
+              - dec(F.col("sx")) * dec(F.col("sx"))))
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", (d * d > rhs).alias("is_outlier"))
+    )
+
+
 @register("tpch_cube", """
 SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
