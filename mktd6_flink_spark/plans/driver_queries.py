@@ -4378,6 +4378,40 @@ def events_anomaly_zscore(spark, sf_dir):
     )
 
 
+@register("streaming_anomaly_zscore", ORACLES["events_anomaly_zscore"])
+def streaming_anomaly_zscore(spark, sf_dir):
+    """The z-score moment table maintained ON THE LIVE STREAMING
+    RUNTIME: per-type (n, Σx, Σx²) is an incremental aggregation
+    (complete mode, three integers per event type of state), so the
+    anomaly threshold stays current as events arrive — the streaming
+    half of drift/outlier monitoring. Flagging happens batch-side on
+    the sunk moments with the same exact decimal(38) comparison and
+    the SAME oracle as the batch twin: accumulating moments on a
+    stream must lose nothing vs the batch scan."""
+    raw = _events_stream(spark, sf_dir)
+    mom_stream = (
+        raw.select("event_type", _cents(F.col("value")).alias("x"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("x").alias("sx"),
+             F.sum(F.col("x") * F.col("x")).alias("qx"))
+    )
+    s = _run_stream_to_table(spark, mom_stream, "zscore_moments",
+                             mode="complete")
+    ev = load(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type",
+                  _cents(F.col("value")).alias("x"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    d = dec(F.col("n")) * dec(F.col("x")) - dec(F.col("sx"))
+    rhs = (F.lit(9).cast("decimal(38,0)")
+           * (dec(F.col("n")) * dec(F.col("qx"))
+              - dec(F.col("sx")) * dec(F.col("sx"))))
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", (d * d > rhs).alias("is_outlier"))
+    )
+
+
 @register("tpch_cube", """
 SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
