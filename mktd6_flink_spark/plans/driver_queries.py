@@ -2990,6 +2990,87 @@ def pipeline_dataset_manifest(spark, sf_dir):
     )
 
 
+@register("events_session_paths", """
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         array_to_string(
+           list_slice(list(event_type ORDER BY epoch_us(ts), event_id),
+                      1, 8), '>') AS path
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE))
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path HAVING count(*) >= 2
+""")
+def events_session_paths(spark, sf_dir):
+    """Funnel-path mining: per (user, day) session, the ordered
+    event-type path (first 8 events, '>'-joined), then the paths that
+    recur across >= 2 sessions — the behavioral-sequence report
+    product analytics runs. Ordering is total and portable
+    ((unix_micros, event_id) struct sort — the same tie-break every
+    windowed entry uses), the per-session state is the session's own
+    events (collect_list inside a session-keyed groupBy, no corpus
+    window), the 8-event cap bounds path length BEFORE the path
+    shuffle, and the HAVING >= 2 bounds the report to recurring
+    behavior. Two shuffles: session grain, then path grain — both
+    map-side-combined."""
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.select("user_id", F.to_date("ts").alias("d"),
+                  F.struct(F.unix_micros("ts").alias("_us"),
+                           F.col("event_id").alias("_eid"),
+                           F.col("event_type").alias("_t")).alias("_s"))
+        .groupBy("user_id", "d")
+        .agg(F.array_join(
+            F.slice(F.transform(F.array_sort(F.collect_list("_s")),
+                                lambda s: s["_t"]), 1, 8),
+            ">").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 2)
+    )
+
+
+@register("events_page_dwell", """
+WITH g AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dwell_us
+  FROM events)
+SELECT event_type,
+       CAST(count(dwell_us) AS BIGINT) AS n_gaps,
+       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(sum(dwell_us) AS DOUBLE) / count(dwell_us) AS avg_dwell_us
+FROM g GROUP BY event_type
+""")
+def events_page_dwell(spark, sf_dir):
+    """Dwell time per event type: the gap to each user's NEXT event
+    (LEAD over the per-user timeline with the standard
+    (unix_micros, event_id) total order), aggregated as exact integer
+    microsecond sums — the engagement metric behind session-quality
+    dashboards. Each user's last event has no successor and drops out
+    of count and sum identically in both engines. The only full-data
+    exchange is the user-keyed window shuffle (uniform keys); the
+    type rollup is map-side-combined on five keys. avg is the single
+    final float division of two exact integers."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id")
+    g = ev.select(
+        "event_type",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .alias("dwell_us"))
+    return (
+        g.groupBy("event_type")
+        .agg(F.count("dwell_us").alias("n_gaps"),
+             F.sum("dwell_us").alias("total_dwell_us"),
+             (F.sum("dwell_us").cast("double") / F.count("dwell_us"))
+             .alias("avg_dwell_us"))
+    )
+
+
 @register("events_funnel", f"""
 WITH {EV_SQL},
 s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
