@@ -3071,6 +3071,50 @@ def events_page_dwell(spark, sf_dir):
     )
 
 
+@register("events_rolling_7d", """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM events GROUP BY 1)
+SELECT day_idx, n_events, rev_cents,
+       CAST(sum(n_events) OVER (ORDER BY day_idx
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_events_7d,
+       CAST(sum(rev_cents) OVER (ORDER BY day_idx
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rev_cents_7d
+FROM d
+""")
+def events_rolling_7d(spark, sf_dir):
+    """Rolling 7-day activity/revenue per day — the trailing-window
+    dashboard metric — using a RANGE frame (6 PRECEDING on the
+    integer day index), the frame shape ROWS frames can't express
+    when days are MISSING: a gap day must age old days out of the
+    window by VALUE distance, not row count. Exact integer cents and
+    day indexes (epoch_us floor-div 86400e6) so the frame bounds and
+    sums are bit-portable. Scale shape: the fact collapses to one row
+    per day FIRST (map-side-combined groupBy); the window then runs
+    over the tiny day table — the documented bounded-cardinality
+    single-partition class, same as the qhist finalizer (partition by
+    year for multi-century tables)."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                  .cast("long").alias("day_idx"),
+                  _cents(F.col("value")).alias("_c"))
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_c").alias("rev_cents"))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, Window.currentRow)
+    return d.select(
+        "day_idx", "n_events", "rev_cents",
+        F.sum("n_events").over(w).alias("n_events_7d"),
+        F.sum("rev_cents").over(w).alias("rev_cents_7d"))
+
+
 @register("events_funnel", f"""
 WITH {EV_SQL},
 s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
