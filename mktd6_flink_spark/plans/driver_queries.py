@@ -2191,6 +2191,65 @@ def pipeline_epoch_shuffle(spark, sf_dir):
         (F.col("shuffle_rank") % 4).alias("shard"))
 
 
+@register("pipeline_cdc_upsert", """
+WITH base AS (
+  SELECT doc_id, text, CAST(1 AS BIGINT) AS version,
+         FALSE AS is_delete
+  FROM documents),
+upd AS (
+  SELECT doc_id, text || ' [v2]' AS text, CAST(2 AS BIGINT) AS version,
+         FALSE AS is_delete
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), TRUE
+  FROM documents WHERE doc_id % 10 = 5),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+ranked AS (
+  SELECT doc_id, text, version, is_delete,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC) AS _rn
+  FROM allr)
+SELECT doc_id, version, text
+FROM ranked WHERE _rn = 1 AND NOT is_delete
+""")
+def pipeline_cdc_upsert(spark, sf_dir):
+    """CDC upsert/tombstone merge — the MERGE INTO pattern a corpus
+    refresh runs when a new crawl lands: a change batch carrying
+    updated documents (every 10th doc gets a v2 body) and deletion
+    tombstones (every doc_id ≡ 5 mod 10) folds into the base so the
+    LATEST version per key wins and tombstoned keys vanish. Expressed
+    as union → per-key latest (row_number over version desc, the
+    deterministic spelling both engines share) → tombstone filter:
+    ONE shuffle on the document key, per-key state is a single row —
+    the same plan a Delta/Iceberg MERGE compiles to when the change
+    batch can't broadcast. The change batch is DERIVED from the base
+    here (no second table in the harness); a real deployment unions
+    an external changelog with identical semantics."""
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit(1).cast("long").alias("version"),
+        F.lit(False).alias("is_delete"))
+    src = load(spark, sf_dir, "documents")
+    upd = (
+        src.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id",
+                F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+                F.lit(2).cast("long").alias("version"),
+                F.lit(False).alias("is_delete"))
+        .unionByName(
+            src.filter(F.col("doc_id") % 10 == 5)
+            .select("doc_id", F.lit(None).cast("string").alias("text"),
+                    F.lit(2).cast("long").alias("version"),
+                    F.lit(True).alias("is_delete")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(upd)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("is_delete")))
+        .select("doc_id", "version", "text")
+    )
+
+
 @register("pipeline_train_val_split", tx.sql_train_val_split())
 def pipeline_train_val_split(spark, sf_dir):
     """Deterministic content-hash train/val split (re-shard stable)."""
@@ -4453,6 +4512,52 @@ def tpch_rollup(spark, sf_dir):
         .agg((F.sum(
             _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))))
             .cast("double") / 100.0).alias("revenue"))
+    )
+
+
+@register("join_bucketed_colocated", """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS qty_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""")
+def join_bucketed_colocated(spark, sf_dir):
+    """The fact-to-fact join with the shuffle REMOVED AT THE STORAGE
+    LAYER: both sides are written as bucketed+sorted tables on the
+    join key (8 buckets here; thousands on a cluster), so the
+    sort-merge join reads co-located buckets directly — the physical
+    plan has NO Exchange on either side
+    (tests/test_operators.py::test_bucketed_join_has_no_exchange
+    pins this). This is the 100 TB answer for a join BOTH of whose
+    sides are too big to broadcast and which recurs across many
+    queries: pay the bucket-write once at ingest, never shuffle the
+    fact again. Results are hash-identical to the plain shuffled join
+    (the oracle), because bucketing changes only data placement.
+    The write-then-join here exists to exercise the path end-to-end
+    at gate scale; a real deployment points `load()` at
+    already-bucketed tables."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey",
+                                             "o_orderpriority")
+    tli, to = f"bk_li_{tag}", f"bk_o_{tag}"
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .option("path", f"{base}/li").saveAsTable(tli))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", f"{base}/o").saveAsTable(to))
+    lb, ob = spark.table(tli), spark.table(to)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
     )
 
 

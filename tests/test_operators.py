@@ -638,6 +638,44 @@ def test_tpch_q8_q9_q11_invariants(spark):
     assert {r.p_partkey for r in q11} == expect
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """join_bucketed_colocated's claim made concrete: with both sides
+    bucketed+sorted on the join key, the JOIN subtree contains no
+    Exchange — the only shuffle in the whole plan is the final
+    5-group aggregation, never the fact join."""
+    import re
+
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    sf_dir = os.path.join(
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            .rstrip("/")),
+        "sf0.001")
+    # at sf0.001 Catalyst would broadcast (also shuffle-free, but not
+    # the path under test); force the merge join a 100 TB fact pair gets
+    old = {k: spark.conf.get(k, None) for k in
+           ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        df = dq.QUERIES["join_bucketed_colocated"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    join_at = plan.find("SortMergeJoin")
+    assert join_at != -1, plan
+    # no Exchange below the join (Spark prints children after parents)
+    assert "Exchange" not in plan[join_at:], plan[join_at:]
+    assert plan.count("Exchange") <= 1, plan  # only the final group-by
+    assert "Bucketed: true" in plan, plan
+
+
 def test_block_id_rejects_non_numeric_order():
     """with_block_id needs a numeric/timestamp/date leading order
     column; a string order column must fail loudly, not bucket by
