@@ -4561,6 +4561,50 @@ def join_bucketed_colocated(spark, sf_dir):
     )
 
 
+@register("scan_partition_pruned", """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         event_type, value
+  FROM events)
+SELECT day_idx, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM e
+WHERE day_idx >= 19730 AND day_idx < 19733
+GROUP BY day_idx, event_type
+""")
+def scan_partition_pruned(spark, sf_dir):
+    """Partition pruning — the scan-side complement to the bucketed
+    join: events land PARTITIONED BY day (hive-style day_idx=N/
+    directories), and a 3-day query never opens the other ~27 days'
+    files — the plan's PartitionFilters prune at the FILE LISTING, so
+    a 100 TB table costs only the days touched
+    (tests/test_operators.py::test_partition_pruning_skips_files
+    pins the pruned partition count). Day comes from the same integer
+    epoch-day index as events_rolling_7d; the write-then-read here
+    exercises the layout end-to-end at gate scale — a real deployment
+    ingests partitioned once and every daily query prunes forever.
+    Results are hash-identical to the unpartitioned scan + filter
+    (the oracle)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="partitioned_")
+    ev = load(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("long").alias("day_idx"),
+        "event_type", _cents(F.col("value")).alias("_c"))
+    ev.write.partitionBy("day_idx").parquet(f"{base}/events_by_day")
+    part = spark.read.parquet(f"{base}/events_by_day")
+    return (
+        part.filter((F.col("day_idx") >= 19730) & (F.col("day_idx") < 19733))
+        .groupBy(F.col("day_idx").cast("long").alias("day_idx"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("_c").alias("rev_cents"))
+    )
+
+
 @register("events_anomaly_zscore", """
 WITH c AS (
   SELECT event_id, event_type,

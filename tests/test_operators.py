@@ -676,6 +676,33 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Bucketed: true" in plan, plan
 
 
+def test_partition_pruning_skips_files(spark):
+    """scan_partition_pruned's claim made concrete: the day filter
+    reaches the scan as a PartitionFilter and the file index selects
+    only the 3 matching day directories out of 30."""
+    import re
+
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    sf_dir = os.path.join(
+        os.path.dirname(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            .rstrip("/")),
+        "sf0.001")
+    df = dq.QUERIES["scan_partition_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the day filter must reach the scan as PartitionFilters — that is
+    # where FileSourceScanExec prunes the file LISTING (dirs never
+    # opened), the property that makes a 100 TB day-partitioned table
+    # cost only the days touched
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day_idx" in m.group(1), plan
+    assert "19730" in m.group(1) and "19733" in m.group(1), m.group(1)
+    # and the partitioned read returns exactly the 3 selected days
+    days = {r.day_idx for r in df.select("day_idx").distinct().collect()}
+    assert days == {19730, 19731, 19732}, days
+
+
 def test_block_id_rejects_non_numeric_order():
     """with_block_id needs a numeric/timestamp/date leading order
     column; a string order column must fail loudly, not bucket by
