@@ -2250,6 +2250,58 @@ def pipeline_cdc_upsert(spark, sf_dir):
     )
 
 
+@register("streaming_cdc_upsert", ORACLES["pipeline_cdc_upsert"])
+def streaming_cdc_upsert(spark, sf_dir):
+    """CDC upsert ON INGEST through the LIVE streaming runtime: the
+    change stream (base rows, v2 updates, tombstones — derived as
+    projections of one documents stream, self-union being the
+    streaming spelling of a changelog merge) folds into per-key
+    latest-version state via a complete-mode max_by aggregation — one
+    (version, text, is_delete) struct per key of state, arrival-order
+    independent because max_by keys on the version. Tombstone
+    filtering happens batch-side on the sunk state table, checked
+    against the SAME oracle as the batch twin pipeline_cdc_upsert:
+    merging a changelog as it arrives must lose nothing vs merging
+    it at rest."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    base = raw.select(
+        "doc_id", "text", F.lit(1).cast("long").alias("version"),
+        F.lit(False).alias("is_delete"))
+    upd = (
+        raw.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id",
+                F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+                F.lit(2).cast("long").alias("version"),
+                F.lit(False).alias("is_delete"))
+        .unionByName(
+            raw.filter(F.col("doc_id") % 10 == 5)
+            .select("doc_id", F.lit(None).cast("string").alias("text"),
+                    F.lit(2).cast("long").alias("version"),
+                    F.lit(True).alias("is_delete")))
+    )
+    latest_stream = (
+        base.unionByName(upd)
+        .groupBy("doc_id")
+        .agg(F.max_by(
+            F.struct("version", "text", "is_delete"), "version")
+            .alias("_w"))
+    )
+    state = _run_stream_to_table(spark, latest_stream, "cdc_state",
+                                 mode="complete")
+    return (
+        state.filter(~F.col("_w.is_delete"))
+        .select("doc_id", F.col("_w.version").alias("version"),
+                F.col("_w.text").alias("text"))
+    )
+
+
 @register("pipeline_train_val_split", tx.sql_train_val_split())
 def pipeline_train_val_split(spark, sf_dir):
     """Deterministic content-hash train/val split (re-shard stable)."""
