@@ -4657,6 +4657,59 @@ def scan_partition_pruned(spark, sf_dir):
     )
 
 
+@register("scan_schema_evolution", """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) % 100 AS q
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN day_idx >= 19738 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_quality,
+       CAST(sum(CASE WHEN day_idx >= 19738 THEN q ELSE 0 END) AS BIGINT)
+         AS quality_sum
+FROM e GROUP BY event_type
+""")
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across ingest batches — the lake reality a
+    100 TB table lives with: early batches land WITHOUT a column
+    (here `quality`), later batches add it, and one mergeSchema read
+    unifies them — old rows surface the new column as NULL, no
+    rewrite of petabytes of history. The entry writes the two
+    generations (pre/post day 19738), reads the parent with
+    mergeSchema=true, and aggregates with explicit NULL semantics
+    (count of present values, coalesced sum) so the result is
+    hash-identical to the oracle's CASE-on-day reconstruction.
+    Scale note: mergeSchema's footer-merge cost is per-FILE at
+    planning time — keep it off hot paths by declaring the unified
+    schema once the evolution settles; this entry demonstrates the
+    transition window works."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schevo_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("long").alias("day_idx"),
+        (_cents(F.col("value")) % 100).alias("q"))
+    (ev.filter(F.col("day_idx") < 19738)
+     .select("event_type")
+     .write.parquet(f"{base}/gen/batch1"))
+    (ev.filter(F.col("day_idx") >= 19738)
+     .select("event_type", F.col("q").alias("quality"))
+     .write.parquet(f"{base}/gen/batch2"))
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{base}/gen/*"))
+    return (
+        merged.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count("quality").alias("n_with_quality"),
+             F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+             .alias("quality_sum"))
+    )
+
+
 @register("events_anomaly_zscore", """
 WITH c AS (
   SELECT event_id, event_type,
