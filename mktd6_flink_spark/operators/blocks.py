@@ -106,3 +106,40 @@ def with_block_id(df: DataFrame, key_cols: list[str], order_col: str,
         .drop("_lo", "_hi")
         .repartition(n, "_jk", "_pid")
     )
+
+
+def global_hash_rank(df: DataFrame, id_col: str,
+                     prefix: str = "epoch1:") -> DataFrame:
+    """Dense global rank (0..n-1) of every row in md5(prefix+id) order
+    WITHOUT a global window: the first hex byte of the key is a
+    256-way range bucket whose lexicographic order equals its numeric
+    order, so the 256-row cumulative bucket offsets (broadcast) plus a
+    per-bucket row_number reproduce the global row_number exactly —
+    the single-partition sort a naive global rank needs never forms.
+    Returns (id_col, shuffle_key, shuffle_rank). Deterministic and
+    seed-stable: same prefix → same permutation, new prefix → fresh
+    permutation. Ties impossible (id is part of the sort key).
+    Raise the prefix to two bytes (65536 buckets) when n/256 exceeds
+    a comfortable per-task sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = df.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(prefix), F.col(id_col).cast("string")))
+        .alias("shuffle_key"))
+    d = d.withColumn("_bucket",
+                     F.conv(F.substring("shuffle_key", 1, 2), 16, 10)
+                     .cast("long"))
+    counts = d.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_c"))
+    woff = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    offsets = counts.select(
+        "_bucket", (F.sum("_c").over(woff) - F.col("_c")).alias("_off"))
+    win = Window.partitionBy("_bucket").orderBy("shuffle_key", id_col)
+    return (
+        d.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_intra", F.row_number().over(win))
+        .select(id_col, "shuffle_key",
+                (F.col("_off") + F.col("_intra") - 1).alias("shuffle_rank"))
+    )

@@ -2163,29 +2163,12 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     join by broadcast; the only full-data movement is the one
     bucket-keyed shuffle any global sort would need. Oracle is the
     plain global row_number — proving the two-phase rank IS the
-    global rank."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
-        .alias("shuffle_key"))
-    d = d.withColumn("_bucket",
-                     F.conv(F.substring("shuffle_key", 1, 2), 16, 10)
-                     .cast("long"))
-    counts = (d.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_c")))
-    woff = Window.orderBy("_bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    # 256-row frame: the cumulative sum runs on a trivially small side
-    offsets = counts.select(
-        "_bucket",
-        (F.sum("_c").over(woff) - F.col("_c")).alias("_off"))
-    win = Window.partitionBy("_bucket").orderBy("shuffle_key", "doc_id")
-    ranked = (
-        d.join(F.broadcast(offsets), "_bucket")
-        .withColumn("_intra", F.row_number().over(win))
-        .select(
-            "doc_id", "shuffle_key",
-            (F.col("_off") + F.col("_intra") - 1).alias("shuffle_rank"))
-    )
+    global rank. Core: operators/blocks.py global_hash_rank
+    (hypothesis-tested permutation identity over random id sets)."""
+    from ..operators.blocks import global_hash_rank
+
+    ranked = global_hash_rank(
+        load(spark, sf_dir, "documents"), "doc_id", "epoch1:")
     return ranked.select(
         "doc_id", "shuffle_key", "shuffle_rank",
         (F.col("shuffle_rank") % 4).alias("shard"))
@@ -4654,6 +4637,57 @@ def scan_partition_pruned(spark, sf_dir):
                  "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum("_c").alias("rev_cents"))
+    )
+
+
+@register("scan_jsonl_permissive", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '_corrupt', 7, 0
+""")
+def scan_jsonl_permissive(spark, sf_dir):
+    """Semi-structured JSONL ingest with PERMISSIVE corruption
+    handling — the schema-on-read path a log pipeline runs: events
+    round-trip through JSON lines, seven deliberately malformed lines
+    land in the same directory, and the read (explicit schema +
+    _corrupt_record) yields every good row bit-identically (JSON
+    shortest-repr doubles round-trip exactly) while quarantining bad
+    lines as rows instead of killing the job — the same
+    one-bad-record-must-not-kill-a-100 TB-job stance as the
+    null-decoding Kafka codecs (DIVERGENCES.md #1). Corrupt rows
+    surface as a counted '_corrupt' bucket; at scale the same column
+    routes them to a quarantine sink. Schema is DECLARED — schema
+    inference over JSON is a full extra pass at 100 TB."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="jsonl_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ev.write.json(f"{base}/in/good")
+    bad = spark.createDataFrame(
+        [(f'{{"event_id": {i}, "event_type": "x", "value": ',)
+         for i in range(7)], "value string")
+    bad.coalesce(1).write.text(f"{base}/in/bad")
+    schema = ("event_id long, event_type string, value double, "
+              "_corrupt_record string")
+    raw = (spark.read.schema(schema)
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt_record")
+           .json(f"{base}/in/*"))
+    return (
+        raw.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit(0))
+            .otherwise(_cents(F.col("value"))).alias("_c"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("_c").alias("value_cents"))
     )
 
 

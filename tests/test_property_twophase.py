@@ -101,3 +101,26 @@ def test_bucketed_range_join_equals_naive_fuzz(spark, lrows, rrows, lo,
         & (right.rt >= left.lt + F.lit(lo))
         & (right.rt <= left.lt + F.lit(hi))).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(ids=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60,
+                    unique=True),
+       prefix=st.sampled_from(["epoch1:", "epoch2:", "x:"]))
+def test_global_hash_rank_is_the_global_row_number(spark, ids, prefix):
+    """global_hash_rank's two-phase rank must BE the global sort rank:
+    for any id set and seed prefix, ranks are the dense permutation
+    0..n-1 in md5(prefix+id) order with the id tie-break — the same
+    thing a single-partition row_number would produce."""
+    import hashlib
+
+    from mktd6_flink_spark.operators.blocks import global_hash_rank
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.shuffle_rank
+           for r in global_hash_rank(df, "doc_id", prefix).collect()}
+    expect_order = sorted(
+        ids, key=lambda i: (hashlib.md5(
+            f"{prefix}{i}".encode()).hexdigest(), i))
+    assert got == {i: r for r, i in enumerate(expect_order)}
