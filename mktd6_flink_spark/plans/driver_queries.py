@@ -2233,6 +2233,72 @@ def pipeline_cdc_upsert(spark, sf_dir):
     )
 
 
+@register("streaming_dedup_watermarked", """
+SELECT event_id FROM events
+""")
+def streaming_dedup_watermarked(spark, sf_dir):
+    """Dedup with BOUNDED state — the 100 TB form streaming_dedup_
+    exact's docstring promises: dropDuplicatesWithinWatermark evicts
+    a key's dedup state once the watermark passes its event time +
+    delay, so state holds only the in-flight horizon instead of
+    every key ever seen. The stream plants a duplicate of every 97th
+    event 5 ms later (inside the 1 s horizon), and exactly the
+    original event_id set survives — the planted copies are dropped
+    by state that CAN be evicted, where plain dropDuplicates would
+    pin all 10k keys forever. Event-time watermark on the real ts
+    column; availableNow replay."""
+    raw = _events_stream(spark, sf_dir).select("event_id", "ts")
+    planted = raw.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 5 MILLISECONDS")).alias("ts"))
+    out = (
+        raw.unionByName(planted)
+        .withWatermark("ts", "1 second")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return _run_stream_to_table(spark, out, "dedup_wm")
+
+
+@register("streaming_join_static_dim", """
+WITH w AS (
+  SELECT event_type,
+         CAST(10 + length(event_type) AS BIGINT) AS type_weight
+  FROM (SELECT DISTINCT event_type FROM events))
+SELECT e.event_type, w.type_weight,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)
+                * w.type_weight) AS BIGINT) AS weighted_cents
+FROM events e JOIN w ON w.event_type = e.event_type
+GROUP BY e.event_type, w.type_weight
+""")
+def streaming_join_static_dim(spark, sf_dir):
+    """STREAM-STATIC join — the enrichment path every ingest pipeline
+    runs (events joining a slowly-changing dimension) and a distinct
+    streaming engine mechanism from the stream-stream interval join:
+    the static side is a plain batch DataFrame re-resolved per
+    micro-batch, needs NO watermark and NO join state (nothing waits
+    for the other side), and broadcasts into each batch. The
+    dimension here is a deterministic per-type weight table derived
+    from the batch read; the weighted per-type rollup is checked
+    against the batch oracle: enriching on the wire must equal
+    enriching at rest."""
+    dim = (load(spark, sf_dir, "events").select("event_type").distinct()
+           .select("event_type",
+                   (F.lit(10) + F.length("event_type")).cast("long")
+                   .alias("type_weight")))
+    raw = _events_stream(spark, sf_dir)
+    joined = raw.join(F.broadcast(dim), "event_type")
+    out = (
+        joined.groupBy("event_type", "type_weight")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(_cents(F.col("value")) * F.col("type_weight"))
+             .alias("weighted_cents"))
+    )
+    return _run_stream_to_table(spark, out, "static_dim",
+                                mode="complete")
+
+
 @register("streaming_cdc_upsert", ORACLES["pipeline_cdc_upsert"])
 def streaming_cdc_upsert(spark, sf_dir):
     """CDC upsert ON INGEST through the LIVE streaming runtime: the
