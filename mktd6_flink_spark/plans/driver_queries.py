@@ -3275,6 +3275,100 @@ def events_rolling_7d(spark, sf_dir):
         F.sum("rev_cents").over(w).alias("rev_cents_7d"))
 
 
+@register("events_trend_slope", """
+WITH p AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM p GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+FROM m
+""")
+def events_trend_slope(spark, sf_dir):
+    """Per-type OLS trend: the least-squares slope of value (cents)
+    against day, computed ENTIRELY from integer moments —
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) — so numerator and
+    denominator are exact BIGINTs (day offsets rebased to 0..29 keep
+    n·Σxy ≤ ~1e15, far under 2^63) and the only float is the final
+    division, reported alongside the exact integer pair for
+    bit-stable comparisons downstream. This is the drift-detection
+    aggregate a monitoring pipeline runs per segment; one
+    map-side-combined shuffle on five keys, no window, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("long")
+         - F.lit(19723)).alias("x"),
+        _cents(F.col("value")).alias("y"))
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type", "n",
+        num.alias("slope_num"), den.alias("slope_den"),
+        (num.cast("double") / den.cast("double"))
+        .alias("slope_cents_per_day"))
+
+
+@register("events_max_drawdown", f"""
+WITH {EV_SQL}
+SELECT trader,
+       CAST(max(peak_cents - c) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(peak_cents) AS BIGINT) AS peak_cents
+FROM (
+  SELECT trader, c,
+         max(c) OVER (PARTITION BY trader
+                      ORDER BY t_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak_cents
+  FROM (SELECT trader, epoch_us(ts) AS t_us, event_id,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        FROM ev))
+GROUP BY trader
+""")
+def events_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per trader — the path-dependent risk metric
+    (largest peak-to-trough drop over the value series) that LOOKS
+    like it needs an imperative scan but is two compositions of
+    standard relational pieces: a running-max window over the
+    portable (unix_micros, event_id) total order, then a grouped max
+    of (peak − value). Exact integer cents throughout — drawdown is
+    a difference of observed values, so no float ever forms. One
+    trader-keyed window shuffle (uniform keys), map-side-combined
+    final rollup; at 100 TB the same two-phase block trick the
+    scalable prefix sum uses applies if a single key's history
+    exceeds a task."""
+    ev = events_enriched(spark, sf_dir)
+    w = (Window.partitionBy("trader")
+         .orderBy(F.unix_micros("ts"), "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = _cents(F.col("value"))
+    staged = ev.select("trader", c.alias("c"),
+                       F.max(c).over(w).alias("peak_cents"))
+    return (
+        staged.groupBy("trader")
+        .agg(F.max(F.col("peak_cents") - F.col("c"))
+             .alias("max_drawdown_cents"),
+             F.max("peak_cents").alias("peak_cents"))
+    )
+
+
 @register("events_funnel", f"""
 WITH {EV_SQL},
 s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
