@@ -3369,6 +3369,77 @@ def events_max_drawdown(spark, sf_dir):
     )
 
 
+@register("events_type_correlation", """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         event_type,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.rev) AS BIGINT) AS sa,
+         CAST(sum(b.rev) AS BIGINT) AS sb,
+         CAST(sum(a.rev * b.rev) AS HUGEINT) AS sab,
+         CAST(sum(a.rev * a.rev) AS HUGEINT) AS saa,
+         CAST(sum(b.rev * b.rev) AS HUGEINT) AS sbb
+  FROM d a JOIN d b ON a.day_idx = b.day_idx
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n,
+       CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+         / sqrt(CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+           AS pearson_r
+FROM pairs
+""")
+def events_type_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation of DAILY revenue series between
+    event types — the co-movement matrix a monitoring pipeline uses
+    to spot coupled segments. The fact collapses to (day, type)
+    revenue first (one map-side-combined shuffle); the pair frame is
+    a day-keyed self-join of that tiny series table (30×5 rows — at
+    100 TB still |days|×|types|, never the fact); covariance and
+    variances come from EXACT integer moments (Spark decimal(38) /
+    DuckDB HUGEINT — daily sums reach ~2e7 cents, squares ~4e14,
+    ×days ~1e16: exact), with floats only in the final
+    divide-and-sqrt, the identical three IEEE ops in both engines
+    (sqrt is correctly rounded — the temperature-mix argument)."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.select(F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                   .cast("long").alias("day_idx"),
+                   "event_type", _cents(F.col("value")).alias("_c"))
+         .groupBy("day_idx", "event_type")
+         .agg(F.sum("_c").alias("rev")))
+    a = d.select(F.col("day_idx").alias("_d"),
+                 F.col("event_type").alias("type_a"),
+                 F.col("rev").alias("_ra"))
+    b = d.select(F.col("day_idx").alias("_d2"),
+                 F.col("event_type").alias("type_b"),
+                 F.col("rev").alias("_rb"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    pairs = (
+        a.join(b, (F.col("_d") == F.col("_d2"))
+               & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("_ra").alias("sa"), F.sum("_rb").alias("sb"),
+             F.sum(dec(F.col("_ra")) * dec(F.col("_rb"))).alias("sab"),
+             F.sum(dec(F.col("_ra")) * dec(F.col("_ra"))).alias("saa"),
+             F.sum(dec(F.col("_rb")) * dec(F.col("_rb"))).alias("sbb"))
+    )
+    nD = dec(F.col("n"))
+    cov = nD * F.col("sab") - dec(F.col("sa")) * dec(F.col("sb"))
+    va = nD * F.col("saa") - dec(F.col("sa")) * dec(F.col("sa"))
+    vb = nD * F.col("sbb") - dec(F.col("sb")) * dec(F.col("sb"))
+    return pairs.select(
+        "type_a", "type_b", "n",
+        (cov.cast("double")
+         / F.sqrt(va.cast("double")) / F.sqrt(vb.cast("double")))
+        .alias("pearson_r"))
+
+
 @register("events_funnel", f"""
 WITH {EV_SQL},
 s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
