@@ -90,6 +90,10 @@ HEADLINE = [
     "tpch_q21ish",
     "tpch_q9ish",
     "text_dup_ngram_fraction",
+    # late round-8 heads: the path-dependent running-max window metric
+    # and the collect-and-sort session-path miner (array-heavy shape)
+    "events_max_drawdown",
+    "events_session_paths",
 ]
 
 # Cross-round comparability: the headline total only grows because the
