@@ -2351,6 +2351,59 @@ def streaming_cdc_upsert(spark, sf_dir):
     )
 
 
+@register("pipeline_dataset_diff", """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' [v2]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 10 <> 5
+  UNION ALL
+  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 10 = 1),
+d AS (
+  SELECT CASE WHEN b.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN b.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS change_class
+  FROM documents b FULL OUTER JOIN newv n ON n.doc_id = b.doc_id)
+SELECT change_class, CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY change_class
+""")
+def pipeline_dataset_diff(spark, sf_dir):
+    """Dataset-version diff — the release audit a training pipeline
+    publishes between corpus versions: a FULL OUTER reconciliation on
+    the document key classifies every row as added / removed /
+    changed / unchanged and rolls the classes up. The v2 corpus here
+    is derived (every 10th doc rewritten, doc_id≡5 dropped, doc_id≡1
+    re-keyed as additions) so all four classes are non-empty. Scale
+    shape: full outer is the one join type that cannot drop either
+    side — both sides shuffle on the key (SMJ when neither
+    broadcasts, the correct 100 TB plan); classification is a
+    map-side CASE on the joined row, the rollup 4 keys. Pair with
+    content hashes instead of raw text equality when bodies are
+    large (text_fingerprint is the drop-in)."""
+    base = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_bid"), F.col("text").alias("_btext"))
+    src = load(spark, sf_dir, "documents")
+    newv = (
+        src.filter(F.col("doc_id") % 10 != 5)
+        .select("doc_id",
+                F.when(F.col("doc_id") % 10 == 0,
+                       F.concat(F.col("text"), F.lit(" [v2]")))
+                .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            src.filter(F.col("doc_id") % 10 == 1)
+            .select((F.col("doc_id") + 30000).alias("doc_id"), "text"))
+    )
+    d = base.join(newv, F.col("_bid") == F.col("doc_id"), "full_outer")
+    cls = (F.when(F.col("_bid").isNull(), "added")
+           .when(F.col("doc_id").isNull(), "removed")
+           .when(F.col("_btext") == F.col("text"), "unchanged")
+           .otherwise("changed"))
+    return (d.select(cls.alias("change_class"))
+            .groupBy("change_class")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 @register("pipeline_train_val_split", tx.sql_train_val_split())
 def pipeline_train_val_split(spark, sf_dir):
     """Deterministic content-hash train/val split (re-shard stable)."""
