@@ -1477,6 +1477,59 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.5)
 
 
+@register("dedup_lsh_recall", f"""
+WITH truth AS (
+  SELECT id_a, id_b FROM (
+    {_with_docs2(dd.sql_ngram_jaccard_pairs("docs2", threshold=0.5))}
+  )),
+cand AS (
+  SELECT id_a, id_b FROM (
+    {_with_docs2(dd.sql_minhash_lsh_pairs("docs2"))}
+  )),
+inter AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM inter) AS BIGINT) AS n_found,
+       CAST((SELECT count(*) FROM inter) AS DOUBLE)
+         / (SELECT count(*) FROM truth) AS recall,
+       CAST((SELECT count(*) FROM inter) AS DOUBLE)
+         / (SELECT count(*) FROM cand) AS precision
+""")
+def dedup_lsh_recall(spark, sf_dir):
+    """LSH quality evaluation — the dedup-family mirror of
+    sim_ivf_recall: MinHash-LSH candidate pairs measured against the
+    exact n-gram-Jaccard ≥ 0.5 ground truth, reporting recall (what
+    fraction of true near-dup pairs the banded blocking surfaces)
+    and precision (what fraction of candidates are real). This is
+    the dial-tuning report a 100 TB dedup run produces on a SAMPLE
+    before committing band/row parameters to the full corpus: both
+    sides are the existing O(candidates) plans (no all-pairs
+    anywhere), the intersection is a pair-keyed equi-join, and the
+    five counts collapse to one row. Floats are two final divisions
+    of exact counts."""
+    truth = dd.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.5) \
+        .select("id_a", "id_b")
+    cand = dd.minhash_lsh_pairs(_docs2(spark, sf_dir)) \
+        .select(F.col("id_a").alias("_ca"), F.col("id_b").alias("_cb"))
+    inter = truth.join(
+        cand, (F.col("id_a") == F.col("_ca"))
+        & (F.col("id_b") == F.col("_cb")), "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ni = inter.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        nt.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(ni))
+        .select("n_truth", "n_candidates", "n_found",
+                (F.col("n_found").cast("double")
+                 / F.col("n_truth").cast("double")).alias("recall"),
+                (F.col("n_found").cast("double")
+                 / F.col("n_candidates").cast("double"))
+                .alias("precision"))
+    )
+
+
 _QUERY_IDS = list(range(10))
 _EMB_DIM = 64
 
