@@ -3546,6 +3546,53 @@ def events_type_correlation(spark, sf_dir):
         .alias("pearson_r"))
 
 
+@register("events_dau_wau", """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         user_id
+  FROM events),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+wau AS (
+  SELECT w.d, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM days w JOIN du u ON u.d BETWEEN w.d - 6 AND w.d
+  GROUP BY w.d)
+SELECT a.d AS day_idx, a.dau, b.wau,
+       CAST(a.dau AS DOUBLE) / b.wau AS stickiness
+FROM dau a JOIN wau b ON b.d = a.d
+""")
+def events_dau_wau(spark, sf_dir):
+    """DAU / WAU / stickiness per day — EXACT windowed distinct
+    counts, the engagement triple a RANGE frame cannot express
+    (frames can sum but not count-distinct across a window). The
+    correct distributed shape: dedupe to (day, user) grain FIRST
+    (one fact shuffle, map-side combined), then the 7-day window is
+    a bounded self-join of the TINY day list against the deduped
+    day-user table (×7 replication of the deduped grain, never the
+    fact) with a count-distinct per window day. Stickiness DAU/WAU
+    is the one final float division of exact counts. At 100 TB the
+    deduped (day,user) table is the right intermediate to persist —
+    every engagement metric derives from it."""
+    ev = load(spark, sf_dir, "events")
+    du = (ev.select(F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                    .cast("long").alias("d"), "user_id")
+          .distinct())
+    days = du.select("d").distinct().withColumnRenamed("d", "_wd")
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.join(du, (F.col("d") >= F.col("_wd") - 6)
+                  & (F.col("d") <= F.col("_wd")))
+        .groupBy("_wd")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau._wd)
+        .select(F.col("d").alias("day_idx"), "dau", "wau",
+                (F.col("dau").cast("double") / F.col("wau").cast("double"))
+                .alias("stickiness"))
+    )
+
+
 @register("events_funnel", f"""
 WITH {EV_SQL},
 s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
