@@ -1940,6 +1940,88 @@ def dedup_clusters(spark, sf_dir):
     return dd.connected_components(docs.select("doc_id"), pairs)
 
 
+@register("dedup_cluster_sizes", f"""
+WITH cc AS (
+  SELECT * FROM ({dd.sql_connected_components(
+    "SELECT doc_id FROM documents UNION ALL "
+    "SELECT doc_id + 10000 FROM documents WHERE doc_id < 50",
+    _with_docs2(dd.sql_minhash_lsh_pairs("docs2"))
+    .replace("SELECT id_a, id_b, est_jaccard FROM pairs",
+             "SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5"))})),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS sz
+  FROM cc GROUP BY component)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN sz > 1 THEN (sz - 1) * count(*) ELSE 0 END
+            AS BIGINT) AS n_removable
+FROM sizes GROUP BY sz
+""")
+def dedup_cluster_sizes(spark, sf_dir):
+    """Dup-cluster size histogram — the dedup AUDIT a corpus run
+    publishes before committing deletions: how many near-dup
+    clusters exist at each size, how many documents they hold, and
+    how many a keep-one-per-cluster policy would remove (Σ(size−1)).
+    Two tiny keyed rollups over the existing connected-components
+    output — the histogram answers 'is dedup removing 2% or 40% of
+    the corpus?' BEFORE the delete, the number a 100 TB run wants
+    reviewed by a human. Exact integers throughout."""
+    docs = _docs2(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    cc = dd.connected_components(docs.select("doc_id"), pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.col("sz").alias("cluster_size"), "n_clusters",
+                (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+                F.when(F.col("sz") > 1,
+                       (F.col("sz") - 1) * F.col("n_clusters"))
+                .otherwise(F.lit(0)).cast("long").alias("n_removable"))
+    )
+
+
+@register("sim_dim_mean_report", f"""
+WITH e AS (
+  SELECT unnest(list_transform(generate_series(1, {_EMB_DIM}),
+         i -> {{'dim': i - 1,
+                'v': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                * 1000000.0 + 0.5)
+                          AS BIGINT)}})) AS _s
+  FROM embeddings)
+SELECT _s.dim AS dim_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(_s.v) AS BIGINT) AS sum_micro,
+       CAST(sum(_s.v) AS DOUBLE) / 1000000.0 / count(*) AS mean
+FROM e GROUP BY _s.dim
+""")
+def sim_dim_mean_report(spark, sf_dir):
+    """Embedding-hygiene report: the per-dimension mean across the
+    corpus — the anisotropy check that catches collapsed or biased
+    dimensions (a healthy isotropic embedding has every per-dim mean
+    near 0; a dimension stuck at a constant screams preprocessing
+    bug). The norm check is degenerate here (vectors are
+    unit-normalized — itself verified by sim_cosine machinery), so
+    the dimension means are the informative hygiene axis. Elements
+    quantize to integer micros BEFORE summing, so the 64 per-dim
+    sums are exact under any reduction order; the mean is one final
+    float division. posexplode + a 64-key map-side-combined rollup —
+    one fact-sized explode, bounded output."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim_idx", "_x"))
+    return (
+        ex.groupBy("dim_idx")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.col("_x") * 1000000.0 + F.lit(0.5))
+                   .cast("long")).alias("sum_micro"))
+        .select(F.col("dim_idx").cast("long").alias("dim_idx"), "n",
+                "sum_micro",
+                (F.col("sum_micro").cast("double") / 1000000.0
+                 / F.col("n")).alias("mean"))
+    )
+
+
 @register("sim_ivf_ann",
           sim.sql_ivf_ann_topk("embeddings", _QUERY_IDS, _EMB_DIM, k=5))
 def sim_ivf_ann(spark, sf_dir):
