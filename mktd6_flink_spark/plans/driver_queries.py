@@ -1613,6 +1613,40 @@ def streaming_gopher_rules(spark, sf_dir):
     return _run_stream_to_table(spark, out, "gopher_stream")
 
 
+@register("text_length_log2_histogram", f"""
+WITH t AS (
+  SELECT CAST(len({tx.sql_tokens('text')}) AS BIGINT) AS n
+  FROM documents)
+SELECT CAST(CASE WHEN n = 0 THEN 0
+            ELSE length(bin(n)) END AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1
+""")
+def text_length_log2_histogram(spark, sf_dir):
+    """Exponential (power-of-two) token-length histogram — the
+    length-distribution summary a packing planner reads to size
+    context windows: bucket = bit length of the token count (the HLL
+    rho trick reused: length(bin(n)) ≡ ⌊log₂ n⌋+1, pure integer, no
+    float log), with per-bucket doc counts, extremes, and token
+    mass. Exponential buckets stay bounded (~60) for ANY corpus —
+    unlike equi-width bins, no width parameter to mis-set at 100 TB.
+    One tokenizer pass, one bounded-key map-side-combined rollup."""
+    d = load(spark, sf_dir, "documents").select(
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n"))
+    bucket = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n")))).cast("long")
+    return (
+        d.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n").alias("min_tokens"),
+             F.max("n").alias("max_tokens"),
+             F.sum("n").alias("total_tokens"))
+    )
+
+
 @register("text_lang_id", tx.sql_lang_id())
 def text_lang_id(spark, sf_dir):
     """Stopword-vote language ID with deterministic tie-break."""
