@@ -398,6 +398,90 @@ def sql_ngram_jaccard_pairs(table: str = "documents", text: str = "text",
     """)
 
 
+def containment_pairs(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id", n: int = SHINGLE_N,
+                      threshold_pct: int = 80,
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ t.
+
+    Jaccard misses the quote/excerpt case — a 100-gram doc fully pasted
+    into a 10,000-gram doc has Jaccard ≈ 0.01 but containment 1.0, and
+    training corpora are full of exactly that (boilerplate wrappers,
+    quoted articles, README prologues). Broder's containment coefficient
+    (SEQUENCES 1997) is the standard detector.
+
+    Same O(pairs-sharing-a-gram) equi-join skeleton as
+    :func:`ngram_jaccard_pairs`; ``max_df`` optionally drops n-grams
+    present in more than that many documents BEFORE the self-join — the
+    hot-gram cap that keeps the candidate count near-linear at 100 TB
+    (a boilerplate gram shared by 1M docs would otherwise fan out 1e12
+    pairs; capped grams can only cost recall on pairs ALSO sharing a
+    rarer gram, and the oracle applies the identical cap so the check
+    stays exact). The keep verdict compares in the integer domain
+    (100·common ≥ t·min) — the ratio double is display-only."""
+    grams = shingles_exploded(df, text, id_col, n, distinct=True)
+    base = grams.select(F.col(id_col).alias("_id"),
+                        F.col("shingle").alias("_ng"))
+    counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    if max_df is not None:
+        hot = (base.groupBy("_ng").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") <= max_df).select("_ng"))
+        base = base.join(hot, "_ng")
+    a, b = base.alias("a"), base.alias("b")
+    inter = (
+        a.join(b, (F.col("a._ng") == F.col("b._ng"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common_ngrams"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("_id", "id_a")
+                   .withColumnRenamed("_n", "na"), "id_a")
+        .join(counts.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_n", "nb"), "id_b")
+        .filter(F.lit(100) * F.col("common_ngrams")
+                >= F.lit(threshold_pct) * F.least("na", "nb"))
+        .select("id_a", "id_b", "common_ngrams", "na", "nb",
+                round_portable(
+                    F.col("common_ngrams").cast("double")
+                    / F.least("na", "nb").cast("double"))
+                .alias("containment"))
+    )
+
+
+def sql_containment_pairs(table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id", n: int = SHINGLE_N,
+                          threshold_pct: int = 80,
+                          max_df: int | None = None) -> str:
+    sh = sql_shingles(text, n)
+    hot = (f"""base AS (
+      SELECT _id, _ng FROM base0
+      WHERE _ng IN (SELECT _ng FROM base0 GROUP BY _ng
+                    HAVING count(*) <= {max_df})
+    ),""" if max_df is not None else "base AS (SELECT * FROM base0),")
+    return expand_round6(f"""
+    WITH base0 AS (
+      SELECT {id_col} AS _id, unnest({sh}) AS _ng FROM {table}
+    ),
+    counts AS (SELECT _id, count(*) AS _n FROM base0 GROUP BY _id),
+    {hot}
+    inter AS (
+      SELECT a._id AS id_a, b._id AS id_b,
+             CAST(count(*) AS BIGINT) AS common_ngrams
+      FROM base a JOIN base b ON a._ng = b._ng AND a._id < b._id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common_ngrams,
+           CAST(ca._n AS BIGINT) AS na, CAST(cb._n AS BIGINT) AS nb,
+           ROUND6(CAST(common_ngrams AS DOUBLE)
+                 / CAST(least(ca._n, cb._n) AS DOUBLE)) AS containment
+    FROM inter
+    JOIN counts ca ON ca._id = id_a
+    JOIN counts cb ON cb._id = id_b
+    WHERE 100 * common_ngrams >= {threshold_pct} * least(ca._n, cb._n)
+    """)
+
+
 # -- near-dup clustering (connected components) ------------------------------
 
 def _materialize(df: DataFrame) -> DataFrame:

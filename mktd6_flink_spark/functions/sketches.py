@@ -489,3 +489,87 @@ def sql_qhist_quantiles(table_sql: str, value_expr: str,
       ON c._cum >= CAST(floor((p.pct * t._n + 99) / 100.0) AS BIGINT)
     GROUP BY p.pct, t._n
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+# Bar-Yossef et al., "Counting distinct elements in a data stream"
+# (RANDOM 2002); unbiased estimator D ~ (k-1) * H / h_(k) from Beyer et
+# al., "On synopses for distinct value estimation under multiset
+# operations" (SIGMOD 2007). Complements HLL: the sketch IS the k
+# smallest distinct hash values, so two shards union by re-taking the
+# bottom-k of the concatenation — and unlike HLL registers, a KMV pair
+# also supports INTERSECTION estimates (Jaccard over the union sketch),
+# which is why engines ship both (cf. DataSketches ThetaSketch).
+
+KMV_K = 64
+KMV_SPACE = 1 << 60  # md5_long yields uniform 60-bit hashes
+
+
+def kmv_bottomk(df: DataFrame, group_cols: list[str], value: Column,
+                k: int = KMV_K) -> DataFrame:
+    """The sketch: per group, the k smallest DISTINCT 60-bit hashes of
+    ``value`` as (group_cols..., _h, _rn). Built scale-safely in three
+    bounded stages: (1) one distinct shuffle on (group, hash) — the
+    same grain the HLL register build pays; (2) bottom-k WITHIN each
+    post-shuffle partition (any globally-k-smallest hash is k-smallest
+    in its own partition, so this prunes to <= k * P rows without a
+    global sort); (3) bottom-k over that bounded remainder. No stage
+    sorts more than one partition's rows or k*P survivors."""
+    h = md5_long(value.cast("string"))
+    dedup = (df.select(*group_cols, h.alias("_h"))
+             .groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one"))
+             .drop("_one"))
+    wpart = Window.partitionBy(*group_cols,
+                               F.spark_partition_id()).orderBy("_h")
+    pruned = (dedup.withColumn("_prn", F.row_number().over(wpart))
+              .filter(F.col("_prn") <= k).drop("_prn"))
+    wglob = Window.partitionBy(*group_cols).orderBy("_h")
+    return (pruned.withColumn("_rn", F.row_number().over(wglob))
+            .filter(F.col("_rn") <= k))
+
+
+def kmv_estimate(mins: DataFrame, group_cols: list[str],
+                 k: int = KMV_K) -> DataFrame:
+    """Finalize a bottom-k table: (group_cols..., kmv_k_used,
+    kmv_kth_hash, kmv_est). A group holding fewer than k hashes was
+    counted EXACTLY (the sketch saw every distinct value); otherwise
+    est = SPACE // (h_(k) // (k-1)) — the Beyer estimator computed in
+    two int64 floor-divisions (divisor-first, so no 60-bit * 6-bit
+    overflow and no IEEE rounding anywhere; the truncation error is
+    O(D/2^60), far below the sketch's own 1/sqrt(k-2) noise)."""
+    agg = mins.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("kmv_k_used"),
+        F.max("_h").alias("kmv_kth_hash"))
+    est = F.when(
+        F.col("kmv_k_used") < k, F.col("kmv_k_used")
+    ).otherwise(
+        F.expr(f"div(CAST({KMV_SPACE} AS BIGINT), "
+               f"greatest(div(kmv_kth_hash, {k - 1}), CAST(1 AS BIGINT)))"))
+    return agg.select(*group_cols, "kmv_k_used", "kmv_kth_hash",
+                      est.cast("long").alias("kmv_est"))
+
+
+def sql_kmv_distinct(table_sql: str, group_cols: list[str],
+                     value_expr: str, k: int = KMV_K) -> str:
+    """DuckDB twin: identical hashes, ranks, and floor-division
+    estimator (DuckDB ``//`` == Spark ``div`` on non-negative int64)."""
+    gc = ", ".join(group_cols)
+    return f"""
+    SELECT {gc}, kmv_k_used, kmv_kth_hash,
+           CAST(CASE WHEN kmv_k_used < {k} THEN kmv_k_used
+                ELSE {KMV_SPACE} // greatest(kmv_kth_hash // {k - 1}, 1)
+                END AS BIGINT) AS kmv_est
+    FROM (
+      SELECT {gc}, CAST(count(*) AS BIGINT) AS kmv_k_used,
+             max(_h) AS kmv_kth_hash
+      FROM (
+        SELECT {gc}, _h,
+               row_number() OVER (PARTITION BY {gc} ORDER BY _h) AS _rn
+        FROM (SELECT DISTINCT {gc},
+                     {sql_md5_long(f"CAST({value_expr} AS VARCHAR)")} AS _h
+              FROM ({table_sql}))
+      ) WHERE _rn <= {k} GROUP BY {gc}
+    )
+    """

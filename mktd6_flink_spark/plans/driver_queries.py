@@ -1477,6 +1477,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.5)
 
 
+@register("dedup_containment", """
+WITH docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         substr(text, 1, CAST(n_chars // 2 AS INT)) AS text
+  FROM documents WHERE doc_id < 30
+),
+""" + dd.sql_containment_pairs("docs3", threshold_pct=80, max_df=100)
+          .strip()[len("WITH"):].lstrip())
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-containment detection (|∩|/min ≥ 0.8): catches
+    the excerpt/quote class of training-set duplication that Jaccard
+    structurally misses (a short doc pasted into a long one). Probe
+    corpus = documents plus the FIRST HALF of 30 of them as synthetic
+    excerpts — each excerpt must surface as contained in its source.
+    Hot-gram cap max_df=100 bounds the self-join fan-out (the 100 TB
+    guard); verdicts compare integer-cross-multiplied. See
+    functions/dedup.py:containment_pairs (Broder 1997)."""
+    docs = load(spark, sf_dir, "documents")
+    excerpts = (
+        docs.filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 20000).alias("doc_id"),
+                F.expr("substr(text, 1, CAST(CAST(n_chars AS DOUBLE) / 2 "
+                       "AS INT))").alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    return dd.containment_pairs(corpus, threshold_pct=80, max_df=100)
+
+
 @register("dedup_lsh_recall", f"""
 WITH truth AS (
   SELECT id_a, id_b FROM (
@@ -3090,6 +3119,60 @@ def text_vocab_top100(spark, sf_dir):
     map-side-combined counts + TakeOrdered top-k, deterministic
     tie-break on the token."""
     return tx.vocab_topk(load(spark, sf_dir, "documents"), k=100)
+
+
+@register("text_top_terms_per_doc", f"""
+WITH _tt_tok AS (
+  SELECT doc_id, unnest({tx.sql_tokens('text')}) AS term
+  FROM documents
+),
+_tt_tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM _tt_tok WHERE length(term) >= 3
+  GROUP BY doc_id, term
+),
+_tt_df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+  FROM _tt_tf GROUP BY term
+),
+_tt_rank AS (
+  SELECT f.doc_id, f.term, f.tf, d.df_docs,
+         row_number() OVER (
+           PARTITION BY f.doc_id
+           ORDER BY f.tf DESC, d.df_docs ASC, f.term ASC) AS rank
+  FROM _tt_tf f JOIN _tt_df d ON d.term = f.term
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df_docs
+FROM _tt_rank WHERE rank <= 3
+""")
+def text_top_terms_per_doc(spark, sf_dir):
+    """Top-3 distinctive terms per document — keyword extraction for
+    corpus inspection / tagging, ranked by (tf DESC, df ASC, term ASC):
+    high in-doc frequency broken toward corpus-RARE terms. This is
+    TF-IDF's argsort without forming the float score — for a FIXED
+    document, tf·idf(df) ordering under ties-broken-by-df is exactly
+    the lexicographic (tf, -df) order used here, so the ranking is
+    pure-integer and oracle-exact (no cross-engine log/float drift).
+    Plan: explode → (doc,term) count (map-side combined), df from the
+    SAME deduped grain (one keyed shuffle on term, AQE-broadcast when
+    small), rank window keyed by doc_id (per-doc term lists are
+    bounded) — every shuffle is keyed, nothing global."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= 3))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc())
+    return (
+        tf.join(df_docs, "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df_docs")
+    )
 
 
 @register("text_lang_confusion", f"""
@@ -6361,6 +6444,42 @@ def sketch_quantile_hist(spark, sf_dir):
     quantile (pinned by a pytest golden)."""
     ev = load(spark, sf_dir, "events")
     return sk.qhist_quantiles(sk.qhist_bins(ev, F.col("value")))
+
+
+@register("sketch_kmv_distinct", f"""
+WITH _kmv AS (
+{sk.sql_kmv_distinct("SELECT event_type, user_id FROM events",
+                     ["event_type"], "user_id")}
+),
+_exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT _kmv.event_type, _kmv.kmv_k_used, _kmv.kmv_kth_hash,
+       _kmv.kmv_est, _exact.exact_distinct
+FROM _kmv JOIN _exact ON _exact.event_type = _kmv.event_type
+""")
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per event type —
+    the third cardinality currency next to HLL and exact count
+    (Bar-Yossef 2002; Beyer 2007 estimator). The sketch is the k=64
+    smallest distinct 60-bit hashes per group: unlike HLL registers it
+    unions AND intersects (Jaccard over merged bottom-k — the Theta-
+    sketch trick), at the price of k words of state instead of m
+    6-bit registers. Built scale-safe: one distinct shuffle on
+    (group, hash) — the same grain HLL pays — then bottom-k per
+    post-shuffle partition (<= k rows survive per partition, no global
+    sort), then bottom-k of the k*P survivors. Estimator is two int64
+    floor-divisions, zero floats; groups with < k distinct hashes are
+    exact by construction. Joined against the exact count as the
+    self-audit (error within 1/sqrt(k-2) is pinned by a pytest
+    golden + a hypothesis merge-property test)."""
+    ev = load(spark, sf_dir, "events")
+    mins = sk.kmv_bottomk(ev, ["event_type"], F.col("user_id"))
+    est = sk.kmv_estimate(mins, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "event_type")
 
 
 @register("streaming_sketch_qhist",

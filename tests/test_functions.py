@@ -534,3 +534,56 @@ def test_bloom_rejects_internal_column_collision(spark):
         [(1, 0)], f"k long, {sk._ARR} int")
     with pytest.raises(ValueError, match="internal column"):
         sk.bloom_filter(probe, F.col("k"), bitmap)
+
+
+def test_kmv_distinct_accuracy_and_exact_small_groups(spark):
+    """k=64 KMV: a group with fewer than k distinct values is counted
+    EXACTLY (the sketch holds every hash); a large group's estimate
+    lands within the sketch's error envelope (std ~ 1/sqrt(k-2) = 13%;
+    assert 3 sigma). Duplicates must never move either (set
+    semantics)."""
+    from mktd6_flink_spark.functions import sketches as sk
+
+    rows = [(grp, f"v{grp}_{i}")
+            for grp, n in [("tiny", 10), ("big", 5000)]
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = {r.g: (r.kmv_k_used, r.kmv_est)
+           for r in sk.kmv_estimate(
+               sk.kmv_bottomk(df, ["g"], df.v), ["g"]).collect()}
+    assert est["tiny"] == (10, 10)  # under-full => exact
+    k_used, e = est["big"]
+    assert k_used == sk.KMV_K
+    assert abs(e - 5000) / 5000 < 0.40, e
+    df2 = df.union(df)
+    est2 = {r.g: (r.kmv_k_used, r.kmv_est)
+            for r in sk.kmv_estimate(
+                sk.kmv_bottomk(df2, ["g"], df2.v), ["g"]).collect()}
+    assert est == est2
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one must surface as a
+    containment pair (~1.0) while its Jaccard stays below any dedup
+    threshold — the quote/excerpt class the operator exists for. The
+    hot-gram cap must also drop boilerplate-only pairs."""
+    from mktd6_flink_spark.functions import dedup as dd
+
+    words = [f"w{i}" for i in range(300)]
+    long_doc = " ".join(words)
+    excerpt = " ".join(words[:30])
+    rows = [(1, long_doc), (2, excerpt), (3, "totally different text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): (r.containment, r.na, r.nb)
+             for r in dd.containment_pairs(df).collect()}
+    assert (1, 2) in pairs
+    c, na, nb = pairs[(1, 2)]
+    assert c == 1.0 and nb < na
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in dd.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert jac[(1, 2)] < 0.15  # Jaccard structurally misses the excerpt
+    # hot-gram cap: a gram shared by all docs is dropped before the join
+    boiler = [(i, "common header line alpha beta") for i in (10, 11, 12)]
+    df2 = spark.createDataFrame(rows + boiler, "doc_id long, text string")
+    capped = dd.containment_pairs(df2, max_df=2).collect()
+    assert all({r.id_a, r.id_b} != {10, 11} for r in capped)

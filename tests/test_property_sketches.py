@@ -115,3 +115,35 @@ def test_qhist_merge_equals_whole_and_error_bound(spark, data, nparts):
         est, n_out = whole[p]
         assert n_out == n
         assert est <= true_q < est + sk.QHIST_WIDTH_CENTS
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=data_strategy, nparts=st.sampled_from([2, 3]))
+def test_kmv_merge_equals_whole_for_random_partitions(spark, data, nparts):
+    """KMV: bottom-k tables from ANY shard partitioning, unioned and
+    re-bottom-k'd, must bit-exactly equal the whole-corpus sketch (the
+    k smallest distinct hashes of a union are each the k smallest in
+    some shard), and the finalized estimates must agree."""
+    rows = [(f"v{v}", p % nparts) for v, p in data]
+    df = (spark.createDataFrame(rows, "v string, p int")
+          .withColumn("g", F.lit("g")))
+    shards = [df.filter(F.col("p") == i) for i in range(nparts)]
+
+    whole_mins = sorted(
+        r._h for r in sk.kmv_bottomk(df, ["g"], F.col("v")).collect())
+    shard_union = reduce(
+        lambda a, b: a.unionByName(b),
+        [sk.kmv_bottomk(s, ["g"], F.col("v")).select("g", "_h")
+         for s in shards])
+    # re-bottom-k the union: dedup (shared hashes appear in 2+ shards),
+    # then k smallest — the merge operation a 100 TB shard tree runs
+    merged_mins = sorted({r._h for r in shard_union.collect()})[:sk.KMV_K]
+    assert whole_mins == merged_mins
+
+    whole_est = sk.kmv_estimate(
+        sk.kmv_bottomk(df, ["g"], F.col("v")), ["g"]).collect()[0]
+    n_true = len({v for v, _ in rows})
+    if whole_est.kmv_k_used < sk.KMV_K:
+        # under-full sketch counts exactly
+        assert whole_est.kmv_est == n_true == whole_est.kmv_k_used
