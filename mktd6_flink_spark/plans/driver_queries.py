@@ -3792,6 +3792,57 @@ def events_dau_wau(spark, sf_dir):
     )
 
 
+@register("events_concurrency", """
+WITH _cc_spans AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx, user_id,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY 1, 2),
+_cc_pts AS (
+  SELECT day_idx, s AS t_us, 1 AS delta FROM _cc_spans
+  UNION ALL
+  SELECT day_idx, e AS t_us, -1 AS delta FROM _cc_spans),
+_cc_run AS (
+  SELECT day_idx,
+         sum(delta) OVER (PARTITION BY day_idx ORDER BY t_us, -delta
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM _cc_pts)
+SELECT day_idx, CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(count(*) // 2 AS BIGINT) AS n_spans
+FROM _cc_run GROUP BY day_idx
+""")
+def events_concurrency(spark, sf_dir):
+    """Peak concurrent users per day — the classic sweep-line
+    capacity metric (how many sessions overlap at the worst moment,
+    what a serving fleet must be sized for). Each user's daily active
+    span [min ts, max ts] emits +1/-1 boundary points; peak = max of
+    the running sum with starts ordered before ends at the same
+    microsecond (touching spans count as concurrent). The prefix sum
+    rides running_sum_scalable (windows.py) — per-day two-phase
+    blocks, so a hot day never funnels into one partition the way a
+    plain per-day window would at 100 TB. The per-day MAX is
+    invariant to tie order among equal (t_us, delta) rows (prefix
+    values within a same-delta run form the same multiset under any
+    permutation), so the result is deterministic and oracle-exact
+    despite the unordered shuffle."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    spans = (ev.groupBy(
+        F.floor(us / F.lit(86400000000.0)).cast("long").alias("day_idx"),
+        "user_id")
+        .agg(F.min(us).alias("s"), F.max(us).alias("e")))
+    pts = (spans.select("day_idx", F.col("s").alias("t_us"),
+                        F.lit(1).alias("delta"))
+           .unionByName(spans.select("day_idx", F.col("e").alias("t_us"),
+                                     F.lit(-1).alias("delta")))
+           .withColumn("_nd", -F.col("delta")))
+    run = windows.running_sum_scalable(pts, ["day_idx"], ["t_us", "_nd"],
+                                  "delta", out="conc")
+    return (run.groupBy("day_idx")
+            .agg(F.max("conc").cast("long").alias("max_concurrent"),
+                 F.floor(F.count(F.lit(1)) / 2).cast("long")
+                 .alias("n_spans")))
+
+
 @register("events_funnel", f"""
 WITH {EV_SQL},
 s AS (SELECT user_id, min(epoch_us(ts)) AS t_s FROM ev
@@ -6293,6 +6344,94 @@ def streaming_join_interval(spark, sf_dir, parts: str = "4"):
     # 4 parts 3.1 s). Cluster-scale sizing comes from _STREAM_PARTS; the
     # kwarg exists so the partition-invariance test can sweep it.
     return _run_stream_to_table(spark, joined, "sj_stream", parts=parts)
+
+
+@register("streaming_join_left_outer", f"""
+WITH {EV_SQL},
+c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      FROM ev WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+             value
+      FROM ev WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.user_id,
+       p.p_us - c.c_us AS lag_us,
+       p.value AS purchase_value
+FROM c LEFT JOIN p ON p.user_id = c.user_id
+                  AND p.p_us >= c.c_us
+                  AND p.p_us <= c.c_us + 3600000000
+""")
+def streaming_join_left_outer(spark, sf_dir, parts: str = "4"):
+    """STREAM-STREAM LEFT OUTER interval join on the live runtime:
+    every click emits — paired with the same user's purchases in the
+    following hour, or once with NULLs when the watermark proves no
+    purchase can still arrive. The null-emission path is pure
+    event-time state eviction (no timer, no batch fallback): Spark
+    holds each unmatched click until the global watermark passes its
+    join upper bound, then flushes it from the no-data micro-batch.
+
+    A finite source would strand the final hour's unmatched clicks in
+    state forever (the watermark stops 10 ms shy of max event time),
+    so BOTH sides are unioned with a far-future SENTINEL row (+3
+    days, user_id -1) derived as a projection of the same stream —
+    the CDC-entry pattern: one anchor row re-written per side, no
+    file staging, no second source. The sentinel lifts each side's
+    max event time, so after the data batch the global watermark
+    clears every real row's bound and the no-data batch flushes all
+    unmatched clicks; the oracle is then the plain relational LEFT
+    JOIN — no watermark arithmetic leaks into the correctness
+    contract. Sentinel-derived rows (matched pair + unmatched click)
+    are dropped by the user_id >= 0 filter; the anchor/max-ts probe
+    is a scalar batch aggregate, not a data collect. Same
+    state-scalability contract as streaming_join_interval:
+    high-cardinality equality key, watermark-evictable O(interval)
+    per-key state."""
+    min_id, max_us = load(spark, sf_dir, "events").agg(
+        F.min("event_id"), F.max(F.unix_micros("ts"))).collect()[0]
+    sent_ts = F.timestamp_micros(F.lit(max_us + 3 * 86400000000))
+    raw = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    sentinel = (
+        raw.filter(F.col("event_id") == min_id)
+        .select(F.lit(-1).cast("long").alias("event_id"),
+                sent_ts.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.explode(F.array(F.lit("click"), F.lit("purchase")))
+                .alias("event_type"),
+                F.lit(0.0).alias("value")))
+    aug = raw.unionByName(sentinel)
+    clicks = aug.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "10 milliseconds")
+    purchases = aug.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "10 milliseconds")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id", "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        "purchase_value",
+    )
+    # The sentinel filter runs on the SUNK table, not in the streaming
+    # plan: a user_id >= 0 filter inside the plan is pushed below the
+    # LEFT side's watermark node (legal for left outer), which silently
+    # kills the sentinel click before it can lift the click-side
+    # watermark — the global watermark then stalls at the real click
+    # max and the final unmatched click never flushes (observed:
+    # 2005/2006 rows, eventTime.max = real max). Batch-side, the same
+    # filter is just a scan predicate.
+    sunk = _run_stream_to_table(spark, joined, "sjlo_stream", parts=parts)
+    return sunk.filter(F.col("user_id") >= 0)
 
 
 # ===========================================================================
