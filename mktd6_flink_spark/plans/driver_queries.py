@@ -2003,6 +2003,61 @@ def dedup_clusters(spark, sf_dir):
     return dd.connected_components(docs.select("doc_id"), pairs)
 
 
+@register("pipeline_keep_best_dedup", f"""
+WITH _kb_cc AS ({dd.sql_connected_components(
+    "SELECT doc_id FROM documents UNION ALL "
+    "SELECT doc_id + 10000 FROM documents WHERE doc_id < 50",
+    _with_docs2(dd.sql_minhash_lsh_pairs("docs2"))
+    .replace("SELECT id_a, id_b, est_jaccard FROM pairs",
+             "SELECT id_a, id_b FROM pairs WHERE est_jaccard >= 0.5"))}),
+{_DOCS2_SQL.strip()},
+_kb_tok AS (
+  SELECT doc_id, CAST(len({{toks}}) AS BIGINT) AS toks FROM docs2
+),
+_kb_prio AS (
+  SELECT c.component,
+         t.toks * 1000000 + (999999 - c.doc_id) AS prio
+  FROM _kb_cc c JOIN _kb_tok t ON t.doc_id = c.doc_id
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(999999 - max(prio) % 1000000 AS BIGINT) AS kept_doc_id,
+       CAST(max(prio) // 1000000 AS BIGINT) AS kept_tokens
+FROM _kb_prio GROUP BY component
+""".replace("{toks}", tx.sql_tokens("text")))
+def pipeline_keep_best_dedup(spark, sf_dir):
+    """Quality-priority near-dup resolution: per cluster keep the BEST
+    document, not the arbitrary min-id one — here best = most tokens
+    (the keep-longest rule production curation uses when near-dups
+    differ by truncation), ties to the lower doc_id. The two-level
+    preference packs into ONE integer priority
+    (tokens·1e6 + (999999 − doc_id), doc_ids < 1e6 by contract) so
+    the per-cluster argmax is a single map-side-combinable MAX — no
+    window, no struct-ordering portability risk — and the kept id and
+    token count unpack arithmetically. Clusters come from the same
+    LSH → connected-components path as dedup_clusters; the extra cost
+    over min-id keep is one broadcast-able join against per-doc token
+    counts."""
+    docs = _docs2(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    cc = dd.connected_components(docs.select("doc_id"), pairs)
+    toks = docs.select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("long")
+        .alias("toks"))
+    prio = (F.col("toks") * F.lit(1000000)
+            + (F.lit(999999) - F.col("doc_id")))
+    return (
+        cc.join(toks, "doc_id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.max(prio).alias("_prio"))
+        .select("component", "n_docs",
+                (F.lit(999999) - F.col("_prio") % F.lit(1000000))
+                .cast("long").alias("kept_doc_id"),
+                F.expr("div(_prio, 1000000)").cast("long")
+                .alias("kept_tokens"))
+    )
+
+
 @register("dedup_cluster_sizes", f"""
 WITH cc AS (
   SELECT * FROM ({dd.sql_connected_components(
@@ -5399,6 +5454,56 @@ def scan_jsonl_permissive(spark, sf_dir):
     )
 
 
+@register("scan_csv_permissive", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '_corrupt', 5, 0
+""")
+def scan_csv_permissive(spark, sf_dir):
+    """Delimited-text ingest with PERMISSIVE corruption handling — the
+    CSV sibling of scan_jsonl_permissive, exercising the OTHER text
+    parser (tokenizer + type coercion instead of JSON): events
+    round-trip through CSV (Java shortest-repr doubles parse back
+    bit-exactly), five malformed lines (excess columns / non-numeric
+    value) land in the same directory and surface as a counted
+    '_corrupt' bucket via columnNameOfCorruptRecord instead of
+    killing the job. Schema DECLARED, header off — inference over
+    CSV costs a full extra pass at 100 TB and type-guesses; the
+    corrupt-record column is the quarantine-sink hook."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="csvp_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ev.write.option("header", "false").csv(f"{base}/in/good")
+    bad = spark.createDataFrame(
+        [(f"{i},x,not_a_number,extra,cols",) for i in range(5)],
+        "value string")
+    bad.coalesce(1).write.text(f"{base}/in/bad")
+    schema = ("event_id long, event_type string, value double, "
+              "_corrupt_record string")
+    raw = (spark.read.schema(schema)
+           .option("header", "false")
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt_record")
+           .csv(f"{base}/in/*"))
+    return (
+        raw.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit(0))
+            .otherwise(_cents(F.col("value"))).alias("_c"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("_c").alias("value_cents"))
+    )
+
+
 @register("scan_schema_evolution", """
 WITH e AS (
   SELECT event_type,
@@ -6619,6 +6724,44 @@ def sketch_kmv_distinct(spark, sf_dir):
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct"))
     return est.join(exact, "event_type")
+
+
+@register("sketch_hll_daily_merge", f"""
+WITH _hm AS (
+{sk.sql_hll_distinct("SELECT 1 AS g, user_id FROM events", ["g"],
+                     "user_id")}
+)
+SELECT _hm.hll_est, _hm.hll_empty_buckets,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         AS exact_distinct,
+       (SELECT CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+        FROM events) AS n_days
+FROM _hm
+""")
+def sketch_hll_daily_merge(spark, sf_dir):
+    """The HLL union property as a QUERY, not just a test: registers
+    built independently PER DAY (the shard grain a 100 TB pipeline
+    materializes — one sketch per partition/day, stored tiny), then
+    merged by per-bucket re-max into the month's distinct-user
+    estimate. The oracle computes the whole-corpus sketch directly in
+    one pass: merge-of-shards ≡ sketch-of-union must hold register-
+    for-register, so the two paths agree BIT-EXACTLY or the gate
+    fails — this is the contract that lets a cluster maintain daily
+    sketches and answer any date-range cardinality by merging, never
+    rescanning. Costs one (day × 64-bucket)-bounded shuffle + one
+    64-row re-max."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("long")
+    regs_daily = sk.hll_registers(
+        ev.withColumn("_day", day), ["_day"], F.col("user_id"))
+    merged = (regs_daily.groupBy("_bucket")
+              .agg(F.max("_M").alias("_M"))
+              .withColumn("_g", F.lit(1)))
+    est = sk.hll_finalize(merged, ["_g"]).drop("_g")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.countDistinct(day).alias("n_days"))
+    return est.crossJoin(exact)
 
 
 @register("streaming_sketch_qhist",
