@@ -470,3 +470,200 @@ def sql_ivf_ann_topk(table: str, query_ids: list[int], dim: int, k: int = 5,
           FROM scored)
     WHERE rank <= {k}
     """)
+
+
+# -- Product quantization (PQ) ------------------------------------------------
+
+PQ_M = 4   # subspaces
+PQ_K = 16  # codes per subspace (4 bits)
+
+
+def pq_codes(embeddings: DataFrame, dim: int, m: int = PQ_M,
+             k: int = PQ_K, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encoding (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into m subvectors, quantize each against a per-subspace
+    codebook of k entries → an m-byte code replacing a dim-float
+    vector (here 4 codes for 64 floats: 64× compression). At 100 TB
+    THIS is what makes billion-vector ANN fit in memory — IVF prunes
+    candidates, PQ shrinks what every candidate costs to score.
+
+    Deterministic and oracle-checkable like the IVF/k-means family:
+    codebook = the first-k vectors' subvectors (ivf_centroids-style
+    cheap trainer, constant-size so it broadcasts at any corpus
+    scale); assignment = argmin of micro-quantized squared L2
+    (floor(d*1e6+0.5) — the fold order matches the SQL twin exactly,
+    so the integer can never differ), ties to the lower code. The
+    scored product (n·m·k rows) is map-side only; the argmin is
+    groupBy(vec, subspace).agg(min_by) — map-side partial combining,
+    ONE row per (vector, subspace) shuffled.
+
+    Returns (id, subspace, code, err_micro) — err_micro is the
+    per-subspace quantization error, the quantity a codebook trainer
+    monitors."""
+    sub = dim // m
+    subs = embeddings.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("subspace"),
+                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     .alias("_sv"))
+            for j in range(m)])).alias("_e")
+    ).select(id_col, F.col("_e.subspace").alias("subspace"),
+             F.col("_e._sv").alias("_sv"))
+    cents = subs.filter(F.col(id_col) < k).select(
+        F.col("subspace").alias("_cs"),
+        F.col(id_col).cast("int").alias("_code"),
+        F.col("_sv").alias("_cv"))
+    scored = subs.join(F.broadcast(cents),
+                       F.col("subspace") == F.col("_cs")).select(
+        id_col, "subspace", "_code",
+        F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_dm"))
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min_by(
+            F.struct(F.col("_code"), F.col("_dm")),
+            F.struct(F.col("_dm").alias("_d"),
+                     F.col("_code").alias("_c")),
+        ).alias("_b"))
+    return best.select(
+        id_col, "subspace",
+        F.col("_b._code").alias("code"),
+        F.col("_b._dm").alias("err_micro"))
+
+
+def sql_pq_codes(table: str, dim: int, m: int = PQ_M, k: int = PQ_K,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    """DuckDB twin: identical subvector slices, distances, micro
+    quantization, and tie order."""
+    sub = dim // m
+    d = sql_l2sq("a.sv", "c.cv", sub)
+    return f"""
+    WITH _pq_sub AS (
+      SELECT {id_col}, CAST(g.s AS INTEGER) AS subspace,
+             {vec_col}[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS sv
+      FROM {table},
+           (SELECT unnest(generate_series(0, {m - 1})) AS s) g
+    ),
+    _pq_cent AS (
+      SELECT subspace, CAST({id_col} AS INTEGER) AS code, sv AS cv
+      FROM _pq_sub WHERE {id_col} < {k}
+    ),
+    _pq_scored AS (
+      SELECT a.{id_col}, a.subspace, c.code,
+             CAST(floor(({d}) * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM _pq_sub a JOIN _pq_cent c ON c.subspace = a.subspace
+    )
+    SELECT {id_col}, subspace, code, dm AS err_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}, subspace
+                   ORDER BY dm ASC, code ASC) AS rn
+      FROM _pq_scored) WHERE rn = 1
+    """
+
+
+def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
+                m: int = PQ_M, kcent: int = PQ_K, k: int = 5,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric distance computation (ADC) search over PQ codes
+    (Jegou 2011 §IV): each query precomputes an m x kcent distance
+    table against the codebook, then every corpus vector is scored by
+    LOOKUP — sum over subspaces of table[subspace][code] — without
+    ever touching the original floats. This is the scan that makes
+    compressed billion-vector search cheap: the corpus side carries
+    only the m small codes, the distance tables (|Q| * m * kcent
+    integers) broadcast, scoring is map-side adds, and the only
+    shuffle is the (query, vector) partial-sum combine. Distances
+    stay micro-quantized integers end to end, so cross-engine
+    summation order cannot flip a bit.
+
+    Returns (query_id, neighbor_id, adc_micro, rank), k nearest OTHER
+    vectors per query by approximate distance, ties to lower id."""
+    sub = dim // m
+    codes = pq_codes(embeddings, dim, m, kcent, id_col, vec_col)
+    qsubs = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("subspace"),
+                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     .alias("_qsv"))
+            for j in range(m)])).alias("_e")
+    ).select("query_id", F.col("_e.subspace").alias("subspace"),
+             F.col("_e._qsv").alias("_qsv"))
+    cents = embeddings.filter(F.col(id_col) < kcent).select(
+        F.col(id_col).cast("int").alias("_code"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("_cs"),
+                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     .alias("_cv"))
+            for j in range(m)])).alias("_e")
+    ).select("_code", F.col("_e._cs").alias("_cs"),
+             F.col("_e._cv").alias("_cv"))
+    dtab = qsubs.join(cents, F.col("subspace") == F.col("_cs")).select(
+        "query_id", "subspace", "_code",
+        F.floor(l2sq(F.col("_qsv"), F.col("_cv")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_dm"))
+    scored = (
+        codes.join(F.broadcast(dtab),
+                   (codes.subspace == dtab.subspace)
+                   & (codes.code == dtab._code))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("_dm").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_micro",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_pq_adc_topk(table: str, query_ids: list[int], dim: int,
+                    m: int = PQ_M, kcent: int = PQ_K, k: int = 5,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """DuckDB twin: same codes, same distance tables, same integer
+    sums and tie order."""
+    sub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    d = sql_l2sq("q.qsv", "c.cv", sub)
+    return f"""
+    WITH _adc_codes AS ({sql_pq_codes(table, dim, m, kcent,
+                                      id_col, vec_col)}),
+    _adc_q AS (
+      SELECT {id_col} AS query_id, CAST(g.s AS INTEGER) AS subspace,
+             {vec_col}[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS qsv
+      FROM {table},
+           (SELECT unnest(generate_series(0, {m - 1})) AS s) g
+      WHERE {id_col} IN ({ids})
+    ),
+    _adc_c AS (
+      SELECT CAST({id_col} AS INTEGER) AS code,
+             CAST(g.s AS INTEGER) AS cs,
+             {vec_col}[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS cv
+      FROM {table},
+           (SELECT unnest(generate_series(0, {m - 1})) AS s) g
+      WHERE {id_col} < {kcent}
+    ),
+    _adc_dtab AS (
+      SELECT q.query_id, q.subspace, c.code,
+             CAST(floor(({d}) * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM _adc_q q JOIN _adc_c c ON c.cs = q.subspace
+    ),
+    _adc_scored AS (
+      SELECT t.query_id, x.{id_col} AS neighbor_id,
+             CAST(sum(t.dm) AS BIGINT) AS adc_micro
+      FROM _adc_codes x
+      JOIN _adc_dtab t ON t.subspace = x.subspace AND t.code = x.code
+      WHERE x.{id_col} <> t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+          FROM _adc_scored)
+    WHERE rank <= {k}
+    """

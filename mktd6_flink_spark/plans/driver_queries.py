@@ -2149,6 +2149,32 @@ def sim_ivf_ann(spark, sf_dir):
     return sim.ivf_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)
 
 
+@register("sim_pq_codes", sim.sql_pq_codes("embeddings", _EMB_DIM))
+def sim_pq_codes(spark, sf_dir):
+    """Product-quantization encoding: 4 sub-codebooks of 16 entries
+    compress each 64-float vector to 4 codes (64× smaller) — the
+    memory side of billion-scale ANN (IVF prunes candidates, PQ
+    shrinks per-candidate cost; Jegou 2011). Broadcast codebook,
+    map-side scoring, one (vector, subspace) row shuffled into the
+    min_by argmin; per-subspace err_micro is the trainer's
+    monitoring signal. See functions/similarity.py:pq_codes."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.pq_codes(emb, _EMB_DIM)
+
+
+@register("sim_pq_adc_topk",
+          sim.sql_pq_adc_topk("embeddings", _QUERY_IDS, _EMB_DIM, k=5))
+def sim_pq_adc_topk(spark, sf_dir):
+    """ADC top-5 search over PQ codes: per-query distance tables
+    (broadcast, m x 16 integers each) + code lookups + one
+    (query, vector) partial-sum shuffle — nearest neighbors scored
+    WITHOUT touching the original floats, the compressed-corpus scan
+    of billion-vector search. Integer micro distances end to end.
+    See functions/similarity.py:pq_adc_topk (Jegou 2011 §IV)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)
+
+
 # ===========================================================================
 # Composed curation pipeline + embedding-cosine near-dup
 # ===========================================================================
@@ -2970,6 +2996,62 @@ def sim_ivf_recall(spark, sf_dir):
     return (
         bf.join(F.broadcast(ivf), (F.col("_q") == F.col("query_id"))
                 & (F.col("_n") == F.col("neighbor_id")), "left")
+        .groupBy("query_id")
+        .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
+    )
+
+
+@register("sim_pq_recall", f"""
+WITH _pqr_q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+_pqr_exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY CAST(floor(
+               ({sim.sql_l2sq('q.qv', 'e.embedding', _EMB_DIM)})
+               * 1000000.0 + 0.5) AS BIGINT) ASC, e.vec_id ASC) AS rn
+    FROM _pqr_q q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id) WHERE rn <= 5
+),
+_pqr_adc AS ({sim.sql_pq_adc_topk('embeddings', _QUERY_IDS,
+                                  _EMB_DIM, k=5)})
+SELECT x.query_id,
+       CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM _pqr_exact x LEFT JOIN _pqr_adc a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""")
+def sim_pq_recall(spark, sf_dir):
+    """Compression-quality measurement: recall@5 of the PQ/ADC scan
+    against the EXACT L2 top-5 (ADC approximates L2, so L2 — not
+    cosine — is the right ground truth), per query. This is the dial
+    a codebook trainer tunes m/k against: more subspaces or codes →
+    higher recall, bigger codes. Both rankings use the same
+    micro-quantized integer distances and tie order."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv")))
+    scored = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                     F.col("embedding").alias("_cv")))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
+                              * F.lit(1000000.0) + F.lit(0.5))
+                      .cast("long").alias("_dm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dm").asc(), F.col("neighbor_id").asc())
+    exact = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).select("query_id", "neighbor_id"))
+    adc = sim.pq_adc_topk(emb, _QUERY_IDS, _EMB_DIM, k=5).select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
+    return (
+        exact.join(F.broadcast(adc), (F.col("_q") == F.col("query_id"))
+                   & (F.col("_n") == F.col("neighbor_id")), "left")
         .groupBy("query_id")
         .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
     )
