@@ -94,6 +94,17 @@ HEADLINE = [
     # and the collect-and-sort session-path miner (array-heavy shape)
     "events_max_drawdown",
     "events_session_paths",
+    # this-session round-8 heads: the containment shingle self-join
+    # (hot-gram-capped fan-out), the per-doc keyword ranker (explode +
+    # df join + rank window), the PQ/ADC compressed-corpus scan
+    # (broadcast lookup tables), the sweep-line two-phase prefix sum,
+    # and the stream-stream LEFT OUTER join (watermark-evicted null
+    # emission, vs the floor like every streaming entry)
+    "dedup_containment",
+    "text_top_terms_per_doc",
+    "sim_pq_adc_topk",
+    "events_concurrency",
+    "streaming_join_left_outer",
 ]
 
 # Cross-round comparability: the headline total only grows because the

@@ -1688,6 +1688,41 @@ def text_fingerprint(spark, sf_dir):
     return tx.fingerprint(load(spark, sf_dir, "documents"))
 
 
+@register("mm_dedup_content_hash", """
+WITH _mc AS (
+  SELECT doc_id AS media_id, md5(text) AS content_hash FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS media_id, md5(text) AS content_hash
+  FROM documents WHERE doc_id < 40
+)
+SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(media_id) AS BIGINT) AS keep_id
+FROM _mc GROUP BY content_hash HAVING count(*) > 1
+""")
+def mm_dedup_content_hash(spark, sf_dir):
+    """Exact multimodal dedup by payload hash — the first pass every
+    image/audio corpus runs (identical bytes re-crawled under
+    different ids): md5 over the opaque binary payload (the docs
+    table's text bytes stand in for the blob, like the rest of the
+    mm family), one hash-keyed groupBy, keep = min id. 40 planted
+    byte-identical copies must collapse onto their originals. At
+    100 TB this is the cheapest dedup tier — hash computed map-side
+    next to the bytes, only (hash, id) pairs shuffle, payloads never
+    move."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash")
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 10000).alias("media_id"),
+            F.md5(F.col("text").cast("binary")).alias("content_hash")))
+    return (media.groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("media_id").alias("keep_id"))
+            .filter(F.col("n_copies") > 1))
+
+
 @register("mm_media_meta", """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -2816,6 +2851,44 @@ def asof_join_price(spark, sf_dir):
     )
 
 
+@register("asof_join_next_price", f"""
+WITH {EV_SQL},
+l AS (SELECT trader, time_ms, event_id, otype, shares
+      FROM ev WHERE otype IN ('BUY', 'SELL')),
+r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
+      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms)
+SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
+       r.price AS next_price
+FROM l ASOF LEFT JOIN r ON l.trader = r.trader AND l.time_ms <= r.time_ms
+""")
+def asof_join_next_price(spark, sf_dir):
+    """FORWARD as-of join: each BUY/SELL order is enriched with the
+    EARLIEST price at-or-after its timestamp, per trader —
+    settle-at-next-tick semantics (the execution model of an order
+    that waits for the next quote, dual to asof_join_price's
+    settle-at-latest). No new operator code: forward as-of IS
+    backward as-of under time negation, so this reuses
+    operators/asof.py verbatim on a negated time key — the
+    union+last_value plan, one shuffle + one sort, no per-key
+    product. Checked against DuckDB's native ASOF LEFT JOIN with the
+    <= inequality (its forward form)."""
+    ev = events_enriched(spark, sf_dir)
+    left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
+        "trader", "time_ms", "event_id", "otype", "shares",
+        (-F.col("time_ms")).alias("_negt"))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("trader", "time_ms")
+        .agg(F.max_by("value", "event_id").alias("price"))
+        .select("trader", (-F.col("time_ms")).alias("_negt"), "price")
+    )
+    return asof.asof_join(
+        left, right, on=["trader"], left_time="_negt",
+        right_time="_negt", value_cols=["price"], fallback="null",
+    ).select("trader", "time_ms", "event_id", "otype", "shares",
+             F.col("asof_price").alias("next_price"))
+
+
 @register("streaming_st6_ledger", ORACLES["st6_per_event_ledger"])
 def streaming_st6_ledger(spark, sf_dir):
     """The ST6 settlement ledger through the REAL Structured Streaming
@@ -3590,6 +3663,89 @@ def pipeline_dataset_manifest(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@register("events_value_rank_report", """
+WITH _vr AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       cume_dist() OVER w AS cdist
+FROM _vr
+WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC, user_id ASC)
+QUALIFY rank() OVER w <= 20
+""")
+def events_value_rank_report(spark, sf_dir):
+    """Leaderboard report exercising the full ranking-window surface
+    in one plan — rank, dense_rank, ntile(4), cume_dist over per-type
+    user spend (exact cents), top-20 per type: the API-parity entry
+    for the SQL window family the other frames (RANGE sums, lead/lag)
+    don't touch. Ordering is totalized by (cents DESC, user_id ASC)
+    so every rank function is deterministic; cume_dist is an exact
+    rank/n division computed identically by both engines. One fact
+    shuffle to (type, user) grain, one |users-per-type| window keyed
+    by the 5-value type column — bounded like the w5 dashboards."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", "user_id").agg(
+        F.sum(_cents(F.col("value"))).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc())
+    return (g.select(
+        "event_type", "user_id", "cents",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"))
+        .filter(F.col("rnk") <= 20))
+
+
+@register("events_markov_transitions", """
+WITH _mk_seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events),
+_mk_cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM _mk_seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2),
+_mk_tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+  FROM _mk_cnt GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / t.tot AS p
+FROM _mk_cnt c JOIN _mk_tot t ON t.from_type = c.from_type
+""")
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction
+    and funnel-dropoff diagnosis: P(next event type | current), from
+    lead() over each user's (ts, event_id)-ordered stream. The
+    sequence window keys on user_id (high cardinality — parallel at
+    any scale, the same partitioning every per-user operator here
+    uses); the count rollup is |types|² bounded, map-side combined.
+    Counts are exact integers; the probability is one final float
+    division per matrix cell."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    cnt = (seq.filter(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (cnt.join(tot, "from_type")
+            .select("from_type", "to_type", "n",
+                    (F.col("n").cast("double")
+                     / F.col("tot").cast("double")).alias("p")))
 
 
 @register("events_session_paths", """
