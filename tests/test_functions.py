@@ -587,3 +587,50 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     df2 = spark.createDataFrame(rows + boiler, "doc_id long, text string")
     capped = dd.containment_pairs(df2, max_df=2).collect()
     assert all({r.id_a, r.id_b} != {10, 11} for r in capped)
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark):
+    """PQ invariants: (a) a vector that IS a codebook entry must
+    encode to its own code with zero error in every subspace; (b) ADC
+    distance of a query to a codebook vector equals the sum of its
+    distance-table entries at that vector's codes — here zero for the
+    query itself when the query is a codebook entry."""
+    from mktd6_flink_spark.functions import similarity as sim
+
+    import random
+    rnd = random.Random(7)
+    dim, n = 16, 40
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {(r.vec_id, r.subspace): (r.code, r.err_micro)
+             for r in sim.pq_codes(df, dim, m=4, k=16).collect()}
+    for vid in range(16):
+        for s in range(4):
+            code, err = codes[(vid, s)]
+            assert code == vid and err == 0, (vid, s, code, err)
+    # every vector gets exactly m codes in [0, 16)
+    assert len(codes) == n * 4
+    assert all(0 <= c < 16 for c, _ in codes.values())
+
+
+def test_markov_transition_rows_are_probabilities(spark):
+    """Per from_type the transition probabilities must sum to 1 and
+    the counts must equal n_events - n_users_with_that_last_type
+    (every event except each user's final one emits one transition)."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    out = dq.QUERIES["events_markov_transitions"](
+        spark, "/root/testdata/sf0.001").collect()
+    import collections
+    psum = collections.defaultdict(float)
+    total = 0
+    for r in out:
+        psum[r.from_type] += r.p
+        total += r.n
+    for ft, s in psum.items():
+        assert abs(s - 1.0) < 1e-9, (ft, s)
+    ev = dq.load(spark, "/root/testdata/sf0.001", "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
