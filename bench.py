@@ -111,9 +111,11 @@ HEADLINE = [
 # panel grows, so pin the frozen prefixes older rounds measured — the
 # one-glance regression signal is the SUBTOTAL of a fixed set, not the
 # moving total. r6 = the 31 entries benched in round 6; r7 = those plus
-# the two round-7 heads.
+# the two round-7 heads; r8 = the 38-head panel the earlier round-8
+# sessions measured (before this session's five additions).
 _R6_SET = HEADLINE[:31]
 _R7_SET = HEADLINE[:33]
+_R8_SET = HEADLINE[:38]
 
 
 def streaming_floor(spark, sf_dir):
@@ -204,6 +206,8 @@ def main() -> int:
                 sum(timings[n] for n in _R6_SET), 3),
             "r7_comparable_33": round(
                 sum(timings[n] for n in _R7_SET), 3),
+            "r8_comparable_38": round(
+                sum(timings[n] for n in _R8_SET), 3),
         },
     }))
     spark.stop()
