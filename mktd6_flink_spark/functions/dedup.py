@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import cache
 from .hashing import (
     MERSENNE_P,
     expand_round6,
@@ -337,11 +338,11 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
     grams = shingles_exploded(df, text, id_col, n, distinct=True)
     if group_col:
         grams = grams.join(df.select(id_col, group_col), id_col)
-    base = grams.select(
+    base = cache.maybe_persist(grams.select(
         F.col(id_col).alias("_id"),
         *([F.col(group_col).alias("_g")] if group_col else []),
         F.col("shingle").alias("_ng"),
-    )
+    ))
     counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = base.alias("a"), base.alias("b")
     join_cond = (F.col("a._ng") == F.col("b._ng")) & (F.col("a._id") < F.col("b._id"))
@@ -420,8 +421,12 @@ def containment_pairs(df: DataFrame, text: str = "text",
     stays exact). The keep verdict compares in the integer domain
     (100·common ≥ t·min) — the ratio double is display-only."""
     grams = shingles_exploded(df, text, id_col, n, distinct=True)
-    base = grams.select(F.col(id_col).alias("_id"),
-                        F.col("shingle").alias("_ng"))
+    # the gram table feeds counts, the hot-gram filter, AND both self-join
+    # sides — at corpus scale recomputing means re-tokenizing 4x, so pay
+    # the (size-gated) cache once; below threshold consumers just re-scan
+    base = cache.maybe_persist(
+        grams.select(F.col(id_col).alias("_id"),
+                     F.col("shingle").alias("_ng")))
     counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_df is not None:
         hot = (base.groupBy("_ng").agg(F.count(F.lit(1)).alias("_df"))
