@@ -61,8 +61,17 @@ def sql_universal_hash(expr: str, a: int, b: int) -> str:
 # (verified: 1.005, 2.675, -1.0045, ... all agree).
 
 def round_portable(col: Column, digits: int = 6) -> Column:
+    # Spark's floor(double) returns BIGINT and SATURATES at 2^63 — a
+    # huge accumulator (st2's multiplicative product reaches 1e43 at
+    # sf0.1) would silently clamp to 9223372036854.775807 while
+    # DuckDB's double-domain floor sails past. x - pmod(x, 1) IS
+    # double-domain floor (identical for every finite value: below
+    # 2^53 it equals floor exactly, above 2^53 doubles are already
+    # integers so pmod is 0), keeping both engines bit-identical at
+    # any magnitude.
     scale = float(10 ** digits)
-    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    x = col * F.lit(scale) + F.lit(0.5)
+    return (x - F.pmod(x, F.lit(1.0))) / F.lit(scale)
 
 
 def sql_round_portable(expr: str, digits: int = 6) -> str:

@@ -286,7 +286,18 @@ def apply_per_event_stream(df: DataFrame, key_cols: list[str],
     convert the operator's python state tuple to/from the typed state row
     (state must be serializable to ``state_schema``). Rows are sorted by
     ``order_cols`` within each micro-batch; ordering across batches is
-    arrival order (Kafka order in the reference)."""
+    arrival order (Kafka order in the reference).
+
+    The runtime hands each key's batch rows as an ITERATOR of Arrow
+    chunks (~10k rows each). Sorting chunk-by-chunk silently violates
+    the per-batch ordering contract the folds depend on — fine at
+    sf0.01 where every key fits one chunk, wrong at sf0.1+ where a hot
+    key spans several (found by the sf0.1 oracle sweep: st2/st4/st5
+    drifted). The chunks are therefore drained and concatenated BEFORE
+    the single sort; memory is one key-batch — exactly what any
+    per-batch sort requires, and bounded on a real cluster by
+    micro-batch admission (maxOffsetsPerTrigger / maxFilesPerTrigger),
+    the knob that sizes batches to executors."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
@@ -297,7 +308,10 @@ def apply_per_event_stream(df: DataFrame, key_cols: list[str],
         key_dict = dict(zip(key_cols, key))
         step = step_factory()
         vec = getattr(step, "vectorized", None)
-        for pdf in pdfs:
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(order_cols, kind="mergesort")
             if vec is not None:
                 out_cols, state = vec(pdf, state)
@@ -306,10 +320,10 @@ def apply_per_event_stream(df: DataFrame, key_cols: list[str],
                     for kc, kv in key_dict.items():
                         out[kc] = kv
                     yield out
-                continue
-            rows, state = _fold_pdf(pdf, step, state, key_dict)
-            if rows:
-                yield pd.DataFrame(rows)
+            else:
+                rows, state = _fold_pdf(pdf, step, state, key_dict)
+                if rows:
+                    yield pd.DataFrame(rows)
         if state is not None:
             gstate.update(pack(state))
 

@@ -634,3 +634,24 @@ def test_markov_transition_rows_are_probabilities(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_round_portable_no_bigint_saturation(spark):
+    """round_portable must stay in the double domain: Spark's
+    floor(double) returns BIGINT and saturates at 2^63, which clamped
+    huge accumulators (st2's 1e43 product at sf0.1) to 9.22e12 while
+    DuckDB's double floor sailed past. Large magnitudes must pass
+    through unclamped and small values must still round to micros."""
+    from mktd6_flink_spark.functions.hashing import round_portable
+
+    import duckdb
+    vals = [1.404596900468535e+43, 9.3e12, 123.4567894, 1.005,
+            -2.6754315, 0.0000004, -1e40]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in df.select(
+        round_portable(F.col("x")).alias("y")).collect()]
+    want = [duckdb.sql(
+        f"SELECT floor(CAST({v!r} AS DOUBLE) * 1000000.0 + 0.5) "
+        f"/ 1000000.0").fetchone()[0] for v in vals]
+    assert got == want, list(zip(vals, got, want))
+    assert got[0] > 1e42  # genuinely unclamped

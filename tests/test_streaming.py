@@ -691,3 +691,37 @@ def test_stream_parts_result_invariance(spark, monkeypatch):
         for p in ("2", "4", "32")]
     assert join_results[0] == join_results[1] == join_results[2]
     assert join_results[0]
+
+
+def test_multi_chunk_key_folds_in_order(spark, tmp_path, monkeypatch):
+    """A key whose batch rows span MULTIPLE Arrow chunks must still
+    fold in (order_cols) order: the runtime hands applyInPandasWithState
+    an iterator of ~maxRecordsPerBatch-row chunks, and sorting each
+    chunk independently silently breaks every order-sensitive fold
+    (found by the sf0.1 oracle sweep — st2/st4/st5 drifted once keys
+    outgrew one chunk). Forces 50-row chunks, feeds 300 scrambled rows,
+    and checks the running sum against the sequential fold."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        n = 300
+        import random
+        rnd = random.Random(11)
+        seqs = list(range(1, n + 1))
+        rnd.shuffle(seqs)
+        rows = [("K", s, float(s)) for s in seqs]
+        schema = "key string, seq long, value double"
+
+        def build(stream):
+            return stateful.apply_per_event_stream(
+                stream, ["key"], ["seq"], stateful.running_sum_step,
+                "key string, running_sum double", "total double",
+                stateful.pack1, stateful.unpack1)
+
+        got = _run_stream(spark, tmp_path, rows, schema, build,
+                          "chunky").collect()
+        # per-event running sums of 1..n in seq order
+        want = [float(s * (s + 1) // 2) for s in range(1, n + 1)]
+        assert sorted(r.running_sum for r in got) == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
