@@ -46,7 +46,10 @@ def universal_hash(x: Column, a: int, b: int) -> Column:
 # -- DuckDB / oracle side ----------------------------------------------------
 
 def sql_md5_long(expr: str) -> str:
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+    # '||' not concat(): DuckDB's concat() treats NULL as '' (giving
+    # CAST('0x' AS BIGINT) = an error-prone token), while Spark's
+    # md5/conv pipeline propagates NULL — '||' matches that.
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def sql_universal_hash(expr: str, a: int, b: int) -> str:

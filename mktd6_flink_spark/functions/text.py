@@ -149,9 +149,10 @@ def sql_quality_stats(table: str = "documents", text: str = "text",
              len(_toks) AS n_tok,
              len(list_filter(_toks, w -> w IN ({stop_list}))) AS n_stop,
              length(regexp_replace(_txt, '[a-zA-Z0-9\\s]+', '', 'g')) AS n_punct,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(_toks, w -> CAST(length(w) AS BIGINT))),
-                 (acc, x) -> acc + x) AS sum_wlen
+             CASE WHEN _toks IS NULL THEN NULL
+                  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(_toks, w -> CAST(length(w) AS BIGINT))),
+                    (acc, x) -> acc + x) END AS sum_wlen
       FROM t
     )
     SELECT {id_col},
@@ -271,11 +272,12 @@ def sql_fingerprint(table: str = "documents", text: str = "text",
     h = sql_md5_long("w")
     return f"""
     SELECT {id_col},
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform({toks}, w -> ({h}) % {MERSENNE_P})),
-             (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {MERSENNE_P}
-           ) AS fingerprint
+           CASE WHEN {text} IS NULL THEN NULL
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform({toks}, w -> ({h}) % {MERSENNE_P})),
+                  (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {MERSENNE_P})
+           END AS fingerprint
     FROM {table}
     """
 
@@ -400,7 +402,7 @@ def train_val_split(df: DataFrame, val_pct: int = 5, seed: str = "split1",
 def sql_train_val_split(table: str = "documents", val_pct: int = 5,
                         seed: str = "split1", text: str = "text",
                         id_col: str = "doc_id") -> str:
-    h = sql_md5_long(f"concat('{seed}', '|', {text})")
+    h = sql_md5_long(f"('{seed}' || '|' || {text})")
     return f"""
     SELECT {id_col},
            CAST(({h}) % 100 AS INTEGER) AS bucket,
@@ -822,7 +824,7 @@ def sql_stratified_sample(table: str, strata_col: str,
                           rates: dict[str, float], seed: str = "mix1",
                           text: str = "text",
                           id_col: str = "doc_id") -> str:
-    h = sql_md5_long(f"concat('{seed}', '|', {text})")
+    h = sql_md5_long(f"('{seed}' || '|' || {text})")
     whens = " ".join(f"WHEN '{s}' THEN {int(r * 1000000)}"
                      for s, r in rates.items())
     return f"""
@@ -1091,7 +1093,7 @@ def sql_temperature_mix_report(table: str = "documents",
                                source_col: str = "source",
                                text: str = "text", seed: str = "mix1",
                                budget_div: int = 2) -> str:
-    h = sql_md5_long(f"concat('{seed}', '|', {text})")
+    h = sql_md5_long(f"('{seed}' || '|' || {text})")
     return f"""
     WITH _tm_counts AS (
       SELECT {source_col}, count(*) AS _n,

@@ -349,7 +349,8 @@ def p05_explode_chars(spark, sf_dir):
         F.col("text"),
     )
     out = stateless.explode_influencing_chars(
-        docs.withColumn("text", F.regexp_replace("text", "a", "!")),
+        docs.withColumn("text", F.regexp_replace(
+            F.regexp_replace("text", "!", ""), "a", "!")),
         "text", "sentiment")
     return out.select("doc_id", "influence")
 
@@ -1421,7 +1422,7 @@ _DOCS2_SQL = """
 docs2 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, concat(text, ' qqq') AS text
+  SELECT doc_id + 10000 AS doc_id, (text || ' qqq') AS text
   FROM documents WHERE doc_id < 50
 )
 """
@@ -3441,7 +3442,7 @@ WITH c AS (
 r AS (
   SELECT d.source, CAST(d.n_chars AS BIGINT) AS nc,
          row_number() OVER (PARTITION BY d.source
-                            ORDER BY d.n_chars, d.doc_id) AS rn,
+                            ORDER BY d.n_chars NULLS LAST, d.doc_id) AS rn,
          c.n_docs
   FROM documents d JOIN c ON c.source = d.source)
 SELECT source, n_docs,
@@ -3468,7 +3469,8 @@ def pipeline_length_quantiles(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("source", "n_chars",
                                                 "doc_id")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc_nulls_last(), "doc_id")
     nd = F.col("n_docs")
     idx = lambda num, den: F.floor((nd * num + num) / F.lit(den)).cast("long")
     ranked = (
