@@ -361,11 +361,11 @@ def p05_explode_chars(spark, sf_dir):
 # lowercase type (regex-pass, case-sensitive valueOf-fail → invalid
 # branch, Chapter02:241), INVEST/FEED/OOPS types fail the regex itself.
 _ORDER_TXT_SQL = """
-concat(CASE WHEN user_id % 7 = 0 THEN concat(time_ms, 'x')
-            ELSE CAST(time_ms AS VARCHAR) END,
-       ' ', trader, ' txn', event_id, ' ',
-       CASE WHEN user_id % 11 = 0 THEN lower(otype) ELSE otype END,
-       ' ', shares)
+((CASE WHEN user_id % 7 = 0 THEN CAST(time_ms AS VARCHAR) || 'x'
+       ELSE CAST(time_ms AS VARCHAR) END)
+ || ' ' || trader || ' txn' || event_id || ' '
+ || (CASE WHEN user_id % 11 = 0 THEN lower(otype) ELSE otype END)
+ || ' ' || shares)
 """
 
 
@@ -769,12 +769,18 @@ SELECT event_id, event_type,
             OVER (PARTITION BY event_type ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
        AS running_sum
-FROM ev
+FROM ev WHERE value IS NOT NULL
 """)
 def w3_running_sum(spark, sf_dir):
     """W3 per-key running sum emitted per element
-    (SharePriceDataflow.java:121-122), exact integer-cents accumulation."""
-    ev = events_enriched(spark, sf_dir).withColumn("_c", _cents(F.col("value")))
+    (SharePriceDataflow.java:121-122), exact integer-cents accumulation.
+    NULL-value rows are filtered at input: a block-local sum cannot
+    distinguish an empty prefix from an all-NULL prefix, so the
+    two-phase prefix sum (like any running fold here) contracts on
+    non-null accumulator input — identical filter in the oracle."""
+    ev = (events_enriched(spark, sf_dir)
+          .filter(F.col("value").isNotNull())
+          .withColumn("_c", _cents(F.col("value"))))
     # 5 distinct keys would bottleneck a plain analytic window at scale;
     # the two-phase prefix sum parallelizes within each key (exact:
     # integer cents, associative)
@@ -850,7 +856,7 @@ def w5_top5_traders(spark, sf_dir):
 @register("st1_ema", f"""
 WITH {EV_SQL},
 s AS (SELECT event_type, list(value ORDER BY ts, event_id) AS vs
-      FROM ev GROUP BY event_type)
+      FROM ev WHERE value IS NOT NULL GROUP BY event_type)
 SELECT event_type,
        ROUND6(list_reduce(vs,
            (acc, x) -> x * CAST(0.1 AS DOUBLE)
@@ -865,7 +871,7 @@ def st1_ema(spark, sf_dir):
     (5 keys here). Production-shaped jobs route through the O(1)-state
     streaming path instead (`streaming_st1_ema`) — see folds.py scale
     note."""
-    ev = events_enriched(spark, sf_dir)
+    ev = events_enriched(spark, sf_dir).filter(F.col("value").isNotNull())
     out = folds.fold_by_key(
         ev, ["event_type"], ["ts", "event_id"], ["value"],
         lambda seq: folds.ema_fold(seq, "value", 0.1), "ema")
@@ -899,7 +905,11 @@ def _updaters_from(ev: DataFrame) -> DataFrame:
     """Full TraderStateUpdater stream from an enriched events frame
     (all three P12 variants, price fixed 2.0). Pure expressions —
     batch- and stream-compatible."""
-    ev = ev.filter(F.col("otype") != "OOPS")
+    # null-value events carry no decodable updater payload (shares /
+    # invested / monkeys all derive from value) — the null-decoding
+    # codec stance: reject at ingest, identically in the oracle CTE
+    ev = ev.filter((F.col("otype") != "OOPS")
+                   & F.col("value").isNotNull())
     is_mkt = F.col("otype").isin("BUY", "SELL")
     is_inv = F.col("otype") == "INVEST"
     is_feed = F.col("otype") == "FEED"
@@ -967,7 +977,7 @@ upd AS (
            CASE otype WHEN 'INVEST' THEN 1.0 ELSE 0.0 END,
            0.0
          ] AS DOUBLE[]) AS u
-  FROM ev WHERE otype <> 'OOPS'
+  FROM ev WHERE otype <> 'OOPS' AND value IS NOT NULL
 )
 """
 
@@ -1134,6 +1144,7 @@ tagged AS (
                CASE WHEN event_type = 'click' THEN value / 100.0
                     ELSE value END] AS DOUBLE[]) AS u
   FROM ev WHERE event_type IN ('click', 'purchase')
+    AND value IS NOT NULL
 ),
 seqs AS (SELECT list(u ORDER BY ts, event_id) AS us FROM tagged),
 folded AS (
@@ -1166,7 +1177,7 @@ def st4_ema_combiner(spark, sf_dir):
     hotspot, faithfully). Nothing production-shaped routes through it —
     the streaming form of the same combiner is the ST4/ST10 tagged-union
     pattern in streaming/stateful.py with O(1) state."""
-    ev = events_enriched(spark, sf_dir)
+    ev = events_enriched(spark, sf_dir).filter(F.col("value").isNotNull())
     hype = ev.filter(F.col("event_type") == "click").select(
         "ts", "event_id", F.lit(0.0).alias("side"),
         (F.col("value") / 100.0).alias("v"))
@@ -3892,8 +3903,10 @@ m AS (
 SELECT event_type, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_day
 FROM m
 """)
 def events_trend_slope(spark, sf_dir):
@@ -3922,7 +3935,10 @@ def events_trend_slope(spark, sf_dir):
     return m.select(
         "event_type", "n",
         num.alias("slope_num"), den.alias("slope_den"),
-        (num.cast("double") / den.cast("double"))
+        # single-day segments have zero x-variance: NULL slope, not an
+        # ANSI divide-by-zero crash (found by the degenerate sweep)
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope_cents_per_day"))
 
 
@@ -3981,17 +3997,19 @@ pairs AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(a.rev) AS BIGINT) AS sa,
          CAST(sum(b.rev) AS BIGINT) AS sb,
-         CAST(sum(a.rev * b.rev) AS HUGEINT) AS sab,
-         CAST(sum(a.rev * a.rev) AS HUGEINT) AS saa,
-         CAST(sum(b.rev * b.rev) AS HUGEINT) AS sbb
+         CAST(sum(CAST(a.rev AS HUGEINT) * b.rev) AS HUGEINT) AS sab,
+         CAST(sum(CAST(a.rev AS HUGEINT) * a.rev) AS HUGEINT) AS saa,
+         CAST(sum(CAST(b.rev AS HUGEINT) * b.rev) AS HUGEINT) AS sbb
   FROM d a JOIN d b ON a.day_idx = b.day_idx
   WHERE a.event_type < b.event_type
   GROUP BY 1, 2)
 SELECT type_a, type_b, n,
-       CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
-         / sqrt(CAST(n * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE))
-         / sqrt(CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))
-           AS pearson_r
+       CASE WHEN n * saa - CAST(sa AS HUGEINT) * sa = 0
+              OR n * sbb - CAST(sb AS HUGEINT) * sb = 0 THEN NULL
+            ELSE CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+                 / sqrt(CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+       END AS pearson_r
 FROM pairs
 """)
 def events_type_correlation(spark, sf_dir):
@@ -4035,8 +4053,11 @@ def events_type_correlation(spark, sf_dir):
     vb = nD * F.col("sbb") - dec(F.col("sb")) * dec(F.col("sb"))
     return pairs.select(
         "type_a", "type_b", "n",
-        (cov.cast("double")
-         / F.sqrt(va.cast("double")) / F.sqrt(vb.cast("double")))
+        # a zero-variance series (single shared day, constant revenue)
+        # has no defined correlation: NULL, not an ANSI div-by-zero
+        F.when((va == 0) | (vb == 0), F.lit(None).cast("double"))
+        .otherwise(cov.cast("double")
+                   / F.sqrt(va.cast("double")) / F.sqrt(vb.cast("double")))
         .alias("pearson_r"))
 
 
@@ -4321,15 +4342,18 @@ SELECT trader,
        max_by(value, printf('%013d%010d', epoch_ms(ts), event_id))
          AS close,
        CAST(count(*) AS BIGINT) AS n_ticks
-FROM ev GROUP BY 1, 2
+FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
 """)
 def events_daily_ohlc(spark, sf_dir):
     """Per-trader daily OHLC bars — the canonical market-data rollup
     for the reference's share-price domain: open/close via
     min_by/max_by on the (time, event_id) total order (deterministic
     under ties), integer epoch-day bucketing (no date/timezone edge),
-    one uniform-key groupBy with map-side partials."""
-    ev = events_enriched(spark, sf_dir)
+    one uniform-key groupBy with map-side partials. Null-value events
+    are not quotes (and the engines' min_by/max_by disagree on
+    skipping NULL payloads) — filtered at input, identically in the
+    oracle."""
+    ev = events_enriched(spark, sf_dir).filter(F.col("value").isNotNull())
     # zero-padded string composite: lexicographic == numeric order for
     # non-negative (time_ms, event_id); DuckDB's min_by/max_by accept
     # only scalar ordering keys, so both engines use the same encoding
@@ -5806,7 +5830,7 @@ s AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx,
-         CAST(sum(x * x) AS BIGINT) AS qx
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx
   FROM c GROUP BY event_type)
 SELECT c.event_id, c.event_type,
        (CAST(s.n AS HUGEINT) * c.x - s.sx)
@@ -5829,11 +5853,13 @@ def events_anomaly_zscore(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     c = ev.select("event_id", "event_type",
                   _cents(F.col("value")).alias("x"))
+    dec = lambda col: col.cast("decimal(38,0)")
     s = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("qx"))
-    dec = lambda col: col.cast("decimal(38,0)")
+        # x^2 in the WIDE domain: a 1e9-unit value has x^2 ~ 1e22,
+        # over int64 — the ANSI overflow the degenerate sweep caught
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("qx"))
     d = dec(F.col("n")) * dec(F.col("x")) - dec(F.col("sx"))
     rhs = (F.lit(9).cast("decimal(38,0)")
            * (dec(F.col("n")) * dec(F.col("qx"))
@@ -6915,7 +6941,9 @@ def sketch_cms_user_counts(spark, sf_dir):
 
 
 @register("sketch_quantile_hist",
-          sk.sql_qhist_quantiles("SELECT value FROM events", "value"))
+          sk.sql_qhist_quantiles(
+              "SELECT value FROM events WHERE value IS NOT NULL",
+              "value"))
 def sketch_quantile_hist(spark, sf_dir):
     """Mergeable quantile-histogram sketch over event values: p50/p90/
     p99 estimated from an equi-width integer-cents bin table — the
@@ -6926,7 +6954,7 @@ def sketch_quantile_hist(spark, sf_dir):
     ceil(p·n/100) — deterministic integer arithmetic, oracle-exact,
     with a hard one-bin-width error bound against the true type-1
     quantile (pinned by a pytest golden)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return sk.qhist_quantiles(sk.qhist_bins(ev, F.col("value")))
 
 
@@ -7005,7 +7033,9 @@ def sketch_hll_daily_merge(spark, sf_dir):
 
 
 @register("streaming_sketch_qhist",
-          sk.sql_qhist_quantiles("SELECT value FROM events", "value"))
+          sk.sql_qhist_quantiles(
+              "SELECT value FROM events WHERE value IS NOT NULL",
+              "value"))
 def streaming_sketch_qhist(spark, sf_dir):
     """The quantile-histogram bin table maintained ON THE LIVE
     STREAMING RUNTIME: per-bin counting is an incremental aggregation
@@ -7015,7 +7045,7 @@ def streaming_sketch_qhist(spark, sf_dir):
     batch-side on the sunk bins, checked against the SAME oracle as
     the batch twin: binning on a stream must lose nothing vs the
     batch scan."""
-    raw = _events_stream(spark, sf_dir)
+    raw = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
     bins_stream = sk.qhist_bins(raw, F.col("value"))
     bins = _run_stream_to_table(spark, bins_stream, "qhist_bins",
                                 mode="complete")
