@@ -57,13 +57,23 @@ def sql_dot(a: str, b: str, dim: int) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # zero-norm guard: cosine against the zero vector is undefined —
+    # NULL, not an ANSI divide-by-zero crash (a 100 TB corpus WILL
+    # contain zero embeddings from failed encoders; found by the
+    # degenerate sweep). NULL sorts after every real score in both
+    # engines' DESC rankings.
+    na, nb = dot(a, a), dot(b, b)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)),
+                  F.lit(None).cast("double")).otherwise(
+        dot(a, b) / (F.sqrt(na) * F.sqrt(nb)))
 
 
 def sql_cosine(a: str, b: str, dim: int) -> str:
     return (
-        f"({sql_dot(a, b, dim)}) / "
-        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)}))"
+        f"(CASE WHEN ({sql_dot(a, a, dim)}) = 0.0"
+        f" OR ({sql_dot(b, b, dim)}) = 0.0 THEN NULL"
+        f" ELSE ({sql_dot(a, b, dim)}) / "
+        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})) END)"
     )
 
 

@@ -4282,7 +4282,8 @@ scored AS (
   SELECT e.vec_id, e.label, c.c_label,
          ROUND6({sim.sql_cosine('e.embedding', 'c.cvec', _EMB_DIM)})
            AS cos
-  FROM embeddings e CROSS JOIN cents c),
+  FROM embeddings e CROSS JOIN cents c
+  WHERE ({sim.sql_dot('e.embedding', 'e.embedding', _EMB_DIM)}) <> 0.0),
 best AS (
   SELECT vec_id, label, c_label FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -4301,7 +4302,11 @@ def sim_ncm_accuracy(spark, sf_dir):
     the standard linear-probe-lite evaluation of an embedding space.
     The 10 centroids broadcast; the corpus never shuffles until the
     tiny per-label aggregate."""
-    emb = load(spark, sf_dir, "embeddings")
+    # a zero-norm vector has no defined similarity to any centroid —
+    # unclassifiable, excluded identically in the oracle (found by the
+    # degenerate sweep: NULL-cosine rows rank differently per engine)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        sim.dot(F.col("embedding"), F.col("embedding")) != F.lit(0.0))
     cent_rows = QUERIES["sim_label_centroids"](spark, sf_dir)
     cents = F.broadcast(
         cent_rows.groupBy(F.col("label").alias("c_label")).agg(
