@@ -57,23 +57,23 @@ def sql_dot(a: str, b: str, dim: int) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    # zero-norm guard: cosine against the zero vector is undefined —
-    # NULL, not an ANSI divide-by-zero crash (a 100 TB corpus WILL
-    # contain zero embeddings from failed encoders; found by the
-    # degenerate sweep). NULL sorts after every real score in both
-    # engines' DESC rankings.
-    na, nb = dot(a, a), dot(b, b)
-    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)),
-                  F.lit(None).cast("double")).otherwise(
-        dot(a, b) / (F.sqrt(na) * F.sqrt(nb)))
+    # zero-norm guard via nullif: cosine against the zero vector is
+    # undefined — NULL, not an ANSI divide-by-zero crash (a 100 TB
+    # corpus WILL contain zero embeddings from failed encoders; found
+    # by the degenerate sweep). nullif keeps each dot-product HOF
+    # evaluated ONCE — a when()-branch form re-evaluated the norms
+    # (HOF lambdas defeat CSE) and doubled sim_cosine_topk's cost at
+    # sf0.1. NULL sorts after every real score in both engines' DESC
+    # rankings.
+    return dot(a, b) / F.nullif(
+        F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0))
 
 
 def sql_cosine(a: str, b: str, dim: int) -> str:
     return (
-        f"(CASE WHEN ({sql_dot(a, a, dim)}) = 0.0"
-        f" OR ({sql_dot(b, b, dim)}) = 0.0 THEN NULL"
-        f" ELSE ({sql_dot(a, b, dim)}) / "
-        f"(sqrt({sql_dot(a, a, dim)}) * sqrt({sql_dot(b, b, dim)})) END)"
+        f"(({sql_dot(a, b, dim)}) / "
+        f"nullif(sqrt({sql_dot(a, a, dim)})"
+        f" * sqrt({sql_dot(b, b, dim)}), 0.0))"
     )
 
 
