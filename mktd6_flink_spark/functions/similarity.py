@@ -509,6 +509,13 @@ def pq_codes(embeddings: DataFrame, dim: int, m: int = PQ_M,
     groupBy(vec, subspace).agg(min_by) — map-side partial combining,
     ONE row per (vector, subspace) shuffled.
 
+    PRECONDITION (enforced): the codebook is the first-k vectors, so
+    ids 0..k-1 must all exist in the input — with gaps (or ids not
+    starting at 0) the codebook would be short and the encoder would
+    silently emit biased codes. An in-plan assert_true on the
+    broadcast codebook's row count (m*k, a constant-size aggregate
+    over the tiny cents side) aborts the job instead.
+
     Returns (id, subspace, code, err_micro) — err_micro is the
     per-subspace quantization error, the quantity a codebook trainer
     monitors."""
@@ -526,11 +533,22 @@ def pq_codes(embeddings: DataFrame, dim: int, m: int = PQ_M,
         F.col("subspace").alias("_cs"),
         F.col(id_col).cast("int").alias("_code"),
         F.col("_sv").alias("_cv"))
+    # Fail-fast id-contiguity guard: count the (constant-size) codebook
+    # once, broadcast the 1-row count, and fold an assert_true into the
+    # distance as +0 — values unchanged, incomplete codebooks fatal.
+    ncent = cents.agg(F.count(F.lit(1)).alias("_ncent"))
+    cguard = F.coalesce(
+        F.assert_true(
+            F.col("_ncent") == F.lit(m * k),
+            F.lit(f"pq_codes: incomplete codebook — expected ids 0..{k - 1}"
+                  f" all present ({m * k} subvector rows)")).cast("long"),
+        F.lit(0).cast("long"))
     scored = subs.join(F.broadcast(cents),
-                       F.col("subspace") == F.col("_cs")).select(
+                       F.col("subspace") == F.col("_cs")).crossJoin(
+        F.broadcast(ncent)).select(
         id_col, "subspace", "_code",
-        F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
-                + F.lit(0.5)).cast("long").alias("_dm"))
+        (F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
+                 + F.lit(0.5)).cast("long") + cguard).alias("_dm"))
     best = scored.groupBy(id_col, "subspace").agg(
         F.min_by(
             F.struct(F.col("_code"), F.col("_dm")),

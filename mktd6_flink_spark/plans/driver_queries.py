@@ -22,6 +22,7 @@ Portability rules used throughout (verified primitive-by-primitive):
 
 from __future__ import annotations
 
+import glob as glob_mod
 import json
 import os
 from collections.abc import Callable
@@ -2080,18 +2081,30 @@ def pipeline_keep_best_dedup(spark, sf_dir):
     (tokens·1e6 + (999999 − doc_id), doc_ids < 1e6 by contract) so
     the per-cluster argmax is a single map-side-combinable MAX — no
     window, no struct-ordering portability risk — and the kept id and
-    token count unpack arithmetically. Clusters come from the same
-    LSH → connected-components path as dedup_clusters; the extra cost
-    over min-id keep is one broadcast-able join against per-doc token
-    counts."""
+    token count unpack arithmetically. The doc_id < 1e6 contract is
+    ENFORCED, not assumed: an in-plan assert_true fails the job on
+    the first out-of-range id instead of silently unpacking a wrong
+    kept_doc_id (negative-remainder semantics) at a larger sf.
+    Clusters come from the same LSH → connected-components path as
+    dedup_clusters; the extra cost over min-id keep is one
+    broadcast-able join against per-doc token counts."""
     docs = _docs2(spark, sf_dir)
     pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     cc = dd.connected_components(docs.select("doc_id"), pairs)
     toks = docs.select(
         "doc_id", F.size(tx.tokens(F.col("text"))).cast("long")
         .alias("toks"))
+    # assert_true yields NULL when the guard holds, so coalesce(.., 0)
+    # folds it into the priority as +0 — zero value change, but any
+    # doc_id >= 1e6 aborts the job loudly instead of corrupting prio.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("doc_id") < F.lit(1000000),
+            F.lit("pipeline_keep_best_dedup: doc_id >= 1e6 would break "
+                  "the packed tokens*1e6 priority")).cast("long"),
+        F.lit(0).cast("long"))
     prio = (F.col("toks") * F.lit(1000000)
-            + (F.lit(999999) - F.col("doc_id")))
+            + (F.lit(999999) - F.col("doc_id")) + guard)
     return (
         cc.join(toks, "doc_id")
         .groupBy("component")
@@ -6760,7 +6773,25 @@ def streaming_join_left_outer(spark, sf_dir, parts: str = "4"):
     is a scalar batch aggregate, not a data collect. Same
     state-scalability contract as streaming_join_interval:
     high-cardinality equality key, watermark-evictable O(interval)
-    per-key state."""
+    per-key state.
+
+    SINGLE-BATCH PRECONDITION (enforced below): the sentinel rides in
+    the micro-batch containing min event_id, so the source must land
+    ALL input in ONE AvailableNow batch — with several files (or a
+    maxFilesPerTrigger), an early sentinel batch would advance the
+    global watermark past later real events and the join would drop
+    them as late, silently. The glob must therefore resolve to
+    exactly one regular parquet file (a multi-batch-safe variant
+    would derive the sentinel's timestamp per-batch instead)."""
+    _ev_files = [p for p in glob_mod.glob(os.path.join(
+        sf_dir, "events.parquet")) if os.path.isfile(p)]
+    if len(_ev_files) != 1:
+        raise ValueError(
+            "streaming_join_left_outer requires exactly one regular "
+            f"events.parquet file in {sf_dir} (found {len(_ev_files)}): "
+            "the +3-day sentinel's watermark lift is only sound when "
+            "the whole source lands in a single AvailableNow "
+            "micro-batch")
     min_id, max_us = load(spark, sf_dir, "events").agg(
         F.min("event_id"), F.max(F.unix_micros("ts"))).collect()[0]
     sent_ts = F.timestamp_micros(F.lit(max_us + 3 * 86400000000))

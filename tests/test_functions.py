@@ -655,3 +655,35 @@ def test_round_portable_no_bigint_saturation(spark):
         f"/ 1000000.0").fetchone()[0] for v in vals]
     assert got == want, list(zip(vals, got, want))
     assert got[0] > 1e42  # genuinely unclamped
+
+
+def test_pq_codes_incomplete_codebook_fails_fast(spark):
+    """pq_codes' codebook is the first-k vectors by contract (ids
+    0..k-1 all present). With a gap the old code silently built a
+    short codebook and emitted biased codes; now the in-plan
+    assert_true aborts. Complete ids must still encode cleanly."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ok = similarity.pq_codes(df, dim=8, m=2, k=4)
+    assert ok.count() == 20 * 2
+    gappy = df.filter(F.col("vec_id") != 2)  # id 2 missing from 0..3
+    with pytest.raises(Exception, match="incomplete codebook|assert"):
+        similarity.pq_codes(gappy, dim=8, m=2, k=4).collect()
+
+
+def test_keep_best_dedup_rejects_wide_doc_ids(spark, monkeypatch):
+    """pipeline_keep_best_dedup packs priority as toks*1e6 +
+    (999999 - doc_id); a doc_id >= 1e6 would unpack to a wrong
+    kept_doc_id via negative-remainder arithmetic. The in-plan guard
+    must abort instead of returning a wrong answer."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    big = spark.createDataFrame(
+        [(1_000_001, "alpha beta gamma delta"),
+         (7, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    monkeypatch.setattr(dq, "_docs2", lambda s, d: big)
+    with pytest.raises(Exception, match="doc_id >= 1e6|assert"):
+        dq.QUERIES["pipeline_keep_best_dedup"](spark, "/unused").collect()
