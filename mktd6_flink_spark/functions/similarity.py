@@ -695,3 +695,236 @@ def sql_pq_adc_topk(table: str, query_ids: list[int], dim: int,
           FROM _adc_scored)
     WHERE rank <= {k}
     """
+
+
+# -- Trained product quantization ---------------------------------------------
+
+PQ_TRAIN_ITERS = 2
+
+
+def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(id, subspace, _sv): each vector split into its m subvectors."""
+    sub = dim // m
+    return embeddings.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("subspace"),
+                     F.slice(F.col(vec_col), j * sub + 1, sub)
+                     .alias("_sv"))
+            for j in range(m)])).alias("_e")
+    ).select(id_col, F.col("_e.subspace").alias("subspace"),
+             F.col("_e._sv").alias("_sv"))
+
+
+def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
+                         k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace Lloyd-trained PQ codebooks (Jegou 2011 §II trains
+    each subquantizer with k-means — the sampled first-k codebook in
+    ``pq_codes`` is the cheap stand-in; THIS is the real index's
+    trainer). One Lloyd loop trains ALL m subspaces simultaneously:
+    ``subspace`` simply joins the grouping key, so each iteration is
+    still one broadcast join (codebooks are a constant m*k rows) plus
+    two uniform-key shuffles — identical scale shape to
+    ``kmeans_centroids``, m-fold fewer passes than training subspaces
+    one at a time.
+
+    Determinism contract (same as the kmeans/IVF family): init = the
+    first-k vectors' subvectors; assignment = argmin of micro-quantized
+    squared L2, ties to the lower code; update = per-(subspace, code,
+    dim) integer-micros mean, so aggregation order cannot change a
+    bit. Empty codes drop out in both engines.
+
+    Returns (subspace, code, cvec) — array<double> centroids."""
+    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    cents = subs.filter(F.col(id_col) < k).select(
+        "subspace", F.col(id_col).cast("int").alias("code"),
+        F.col("_sv").alias("_cv"))
+    for _ in range(iters):
+        scored = subs.join(
+            F.broadcast(cents.withColumnRenamed("subspace", "_cs")),
+            F.col("subspace") == F.col("_cs")).select(
+            id_col, "subspace", "code", "_sv",
+            F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
+                    + F.lit(0.5)).cast("long").alias("_dm"))
+        best = scored.groupBy(id_col, "subspace").agg(
+            F.min_by(
+                F.struct(F.col("code"), F.col("_sv").alias("_v")),
+                F.struct(F.col("_dm").alias("_d"),
+                         F.col("code").alias("_c")),
+            ).alias("_b")
+        ).select("subspace", F.col("_b.code").alias("code"),
+                 F.col("_b._v").alias("_sv"))
+        means = (
+            best.select("subspace", "code",
+                        F.posexplode("_sv").alias("_d0", "_v"))
+            .groupBy("subspace", "code",
+                     (F.col("_d0") + 1).cast("int").alias("dim"))
+            .agg((F.sum(F.floor(F.col("_v").cast("double") * 1000000.0
+                                + 0.5).cast("long")).cast("double")
+                  / 1000000.0 / F.count(F.lit(1))).alias("val"))
+        )
+        cents = means.groupBy("subspace", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("_cv"))
+    return cents.select("subspace", "code", F.col("_cv").alias("cvec"))
+
+
+def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
+                             k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``pq_trained_codebooks``: the same fixed-iteration
+    per-subspace Lloyd loop unrolled into chained CTEs."""
+    sub = dim // m
+    micro_mean = ("CAST(sum(CAST(floor(CAST(sv[g.i] AS DOUBLE) "
+                  "* 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+                  "/ 1000000.0 / count(*)")
+    parts = [
+        f"_tq_sub AS (SELECT {id_col}, CAST(g.s AS INTEGER) AS subspace, "
+        f"{vec_col}[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS sv "
+        f"FROM {table}, "
+        f"(SELECT unnest(generate_series(0, {m - 1})) AS s) g)",
+        f"_tq_c0 AS (SELECT subspace, CAST({id_col} AS INTEGER) AS code, "
+        f"sv AS cv FROM _tq_sub WHERE {id_col} < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"_tq_c{it - 1}"
+        d = sql_l2sq("a.sv", "c.cv", sub)
+        parts.append(f"""_tq_a{it} AS (
+  SELECT {id_col}, subspace, code, sv FROM (
+    SELECT a.{id_col}, a.subspace, c.code, a.sv,
+           row_number() OVER (PARTITION BY a.{id_col}, a.subspace
+             ORDER BY CAST(floor(({d}) * 1000000.0 + 0.5) AS BIGINT)
+               ASC, c.code ASC) AS rn
+    FROM _tq_sub a JOIN {prev} c ON c.subspace = a.subspace)
+  WHERE rn = 1)""")
+        parts.append(
+            f"_tq_m{it} AS (SELECT subspace, code, "
+            f"CAST(g.i AS INTEGER) AS dim, {micro_mean} AS val "
+            f"FROM _tq_a{it}, "
+            f"(SELECT unnest(generate_series(1, {sub})) AS i) g "
+            f"GROUP BY 1, 2, 3)")
+        parts.append(
+            f"_tq_c{it} AS (SELECT subspace, code, "
+            f"list(val ORDER BY dim) AS cv FROM _tq_m{it} GROUP BY 1, 2)")
+    return (",\n".join(parts)
+            + f",\n_tq_cb AS (SELECT subspace, code, cv AS cvec "
+              f"FROM _tq_c{iters})")
+
+
+def pq_adc_topk_trained(embeddings: DataFrame, query_ids: list[int],
+                        dim: int, m: int = PQ_M, kcent: int = PQ_K,
+                        iters: int = PQ_TRAIN_ITERS, k: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ADC search over TRAINED PQ codebooks: train per-subspace Lloyd
+    codebooks, encode the corpus against them, precompute each query's
+    m x kcent distance table, score by lookup — the full Jegou 2011
+    index path rather than the sampled-codebook stand-in.
+
+    The trained codebook is materialized to the driver once and
+    re-created as a literal DataFrame: it is a CONSTANT-SIZE model
+    (m*k rows, here 64 x 16 doubles — the broadcast-a-trained-model
+    pattern, not a data collect); without it both the encoder join
+    and the distance-table join would re-run the whole Lloyd lineage,
+    re-scanning the corpus per consumer. Everything downstream is the
+    same shape as ``pq_adc_topk``: codes + tables broadcast, scoring
+    map-side, one (query, vector) combine shuffle."""
+    sub = dim // m
+    cb_rows = pq_trained_codebooks(
+        embeddings, dim, m, kcent, iters, id_col, vec_col).collect()
+    spark = embeddings.sparkSession
+    cb = spark.createDataFrame(
+        [(r["subspace"], r["code"], [float(x) for x in r["cvec"]])
+         for r in cb_rows],
+        "subspace int, code int, cvec array<double>")
+    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    scored0 = subs.join(
+        F.broadcast(cb.withColumnRenamed("subspace", "_cs")),
+        F.col("subspace") == F.col("_cs")).select(
+        id_col, "subspace", "code",
+        F.floor(l2sq(F.col("_sv"), F.col("cvec")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_dm"))
+    codes = scored0.groupBy(id_col, "subspace").agg(
+        F.min_by(F.struct(F.col("code"), F.col("_dm")),
+                 F.struct(F.col("_dm").alias("_d"),
+                          F.col("code").alias("_c"))).alias("_b")
+    ).select(id_col, "subspace", F.col("_b.code").alias("code"))
+    qsubs = _pq_subvectors(
+        embeddings.filter(F.col(id_col).isin(query_ids)), dim, m,
+        id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "subspace",
+        F.col("_sv").alias("_qsv"))
+    dtab = qsubs.join(
+        F.broadcast(cb.withColumnRenamed("subspace", "_cs")),
+        F.col("subspace") == F.col("_cs")).select(
+        "query_id", F.col("subspace").alias("_ts"),
+        F.col("code").alias("_tcode"),
+        F.floor(l2sq(F.col("_qsv"), F.col("cvec")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_dm"))
+    scored = (
+        codes.join(F.broadcast(dtab),
+                   (codes.subspace == dtab._ts)
+                   & (codes.code == dtab._tcode))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("_dm").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_micro",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_pq_adc_topk_trained(table: str, query_ids: list[int], dim: int,
+                            m: int = PQ_M, kcent: int = PQ_K,
+                            iters: int = PQ_TRAIN_ITERS, k: int = 5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``pq_adc_topk_trained``: trained codebook CTEs,
+    then the same encode / distance-table / lookup-sum pipeline."""
+    sub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    denc = sql_l2sq("a.sv", "c.cvec", sub)
+    dq = sql_l2sq("q.qsv", "c.cvec", sub)
+    return f"""
+    WITH {sql_pq_trained_codebooks(table, dim, m, kcent, iters,
+                                   id_col, vec_col)},
+    _tadc_codes AS (
+      SELECT {id_col}, subspace, code FROM (
+        SELECT a.{id_col}, a.subspace, c.code,
+               row_number() OVER (PARTITION BY a.{id_col}, a.subspace
+                 ORDER BY CAST(floor(({denc}) * 1000000.0 + 0.5)
+                   AS BIGINT) ASC, c.code ASC) AS rn
+        FROM _tq_sub a JOIN _tq_cb c ON c.subspace = a.subspace)
+      WHERE rn = 1),
+    _tadc_q AS (
+      SELECT {id_col} AS query_id, CAST(g.s AS INTEGER) AS subspace,
+             {vec_col}[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS qsv
+      FROM {table},
+           (SELECT unnest(generate_series(0, {m - 1})) AS s) g
+      WHERE {id_col} IN ({ids})),
+    _tadc_dtab AS (
+      SELECT q.query_id, q.subspace, c.code,
+             CAST(floor(({dq}) * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM _tadc_q q JOIN _tq_cb c ON c.subspace = q.subspace),
+    _tadc_scored AS (
+      SELECT t.query_id, x.{id_col} AS neighbor_id,
+             CAST(sum(t.dm) AS BIGINT) AS adc_micro
+      FROM _tadc_codes x
+      JOIN _tadc_dtab t ON t.subspace = x.subspace AND t.code = x.code
+      WHERE x.{id_col} <> t.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+          FROM _tadc_scored)
+    WHERE rank <= {k}
+    """

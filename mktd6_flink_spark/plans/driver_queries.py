@@ -3155,6 +3155,71 @@ def sim_pq_recall(spark, sf_dir):
     )
 
 
+@register("sim_pq_trained_recall", f"""
+WITH _tpr_q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+_tpr_exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY CAST(floor(
+               ({sim.sql_l2sq('q.qv', 'e.embedding', _EMB_DIM)})
+               * 1000000.0 + 0.5) AS BIGINT) ASC, e.vec_id ASC) AS rn
+    FROM _tpr_q q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id) WHERE rn <= 5
+),
+_tpr_adc AS ({sim.sql_pq_adc_topk_trained('embeddings', _QUERY_IDS,
+                                          _EMB_DIM, k=5)})
+SELECT x.query_id,
+       CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM _tpr_exact x LEFT JOIN _tpr_adc a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""")
+def sim_pq_trained_recall(spark, sf_dir):
+    """Recall@5 of the TRAINED-codebook PQ/ADC scan against the exact
+    L2 top-5 — the round-9 completion of the PQ family: sim_pq_recall
+    measures the deterministic-sample codebook (the IVF-style cheap
+    stand-in); this entry trains per-subspace Lloyd codebooks
+    (functions/similarity.py pq_trained_codebooks, Jegou 2011 §II)
+    with the same fixed-iteration oracle-checked loop as
+    sim_kmeans_centroids, so the reported recall reflects a REAL
+    index. Quality bar: training cuts total quantization error ~30%
+    vs the sampled codebook (monotone in iterations; pinned by
+    tests/test_functions.py::test_pq_trained_beats_sampled_on_
+    quantization_error). Recall@5 here is a 50-sample statistic, so
+    the test bounds it with slack rather than ordering the two. The
+    trained codebook is a constant-size model (m*k rows) collected
+    once and rebroadcast — the train-on-sample / broadcast-model
+    pattern, not a data collect."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv")))
+    scored = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                     F.col("embedding").alias("_cv")))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
+                              * F.lit(1000000.0) + F.lit(0.5))
+                      .cast("long").alias("_dm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dm").asc(), F.col("neighbor_id").asc())
+    exact = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).select("query_id", "neighbor_id"))
+    adc = sim.pq_adc_topk_trained(emb, _QUERY_IDS, _EMB_DIM, k=5).select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
+    return (
+        exact.join(F.broadcast(adc), (F.col("_q") == F.col("query_id"))
+                   & (F.col("_n") == F.col("neighbor_id")), "left")
+        .groupBy("query_id")
+        .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
+    )
+
+
 @register("streaming_w3_running_sum", ORACLES["w3_running_sum"])
 def streaming_w3_running_sum(spark, sf_dir):
     """W3 per-key running sum (SharePriceDataflow.java:121-122) through
@@ -7181,69 +7246,73 @@ def text_trigram_surprisal(spark, sf_dir):
 # register after the window — locally oracle-green this round, to be
 # rotated in next round together with the 15 deferred. All entries
 # still run locally via tools/check_correctness.py.
-# Round-8 window: (a) the 11 round-7 additions never driver-graded,
-# (b) the 15 entries deferred out of the r7 window (last driver row r5
-# or older), (c) the 5 round-8 additions, (d) 19 entries whose code
-# path changed this round — the events loader now decides the int64 ts
-# unit per FILE (every events-based entry reads through it; the live
-# streaming entries also rebuild their stream schema from the new
-# probe) and pipeline_curation gained Observation nodes. Everything
-# displaced here holds a green r7 driver row.
+# Round-8 window (historical): the 11 round-7 additions + 15 deferred
+# + 5 round-8 additions + 19 events-loader-changed entries — 50/50
+# green in CORRECTNESS_r08.json.
+
+# Round-9 window: GENERATED by `python tools/gate_window.py --window
+# --since d138f96` (the r8 grading commit) — the window is now
+# evidence-derived, not hand-curated. All 50 slots go to the round-8
+# additions that have never held a driver row (52 exist; the tool
+# defers the last two registered, sketch_hll_daily_merge and
+# streaming_sketch_qhist — they lead the round-10 queue together with
+# this round's new entries). The tool's changed-since fingerprint
+# (function source + oracle SQL + transitive mktd6 helper sources vs
+# the last grading commit) reported exactly the five entries touched
+# by this round's precondition guards — all five already inside the
+# never-graded set. Every entry displaced from the r8 window holds a
+# green r8 driver row.
 _GATE_PRIORITY = [
-    # --- (a) round-7 additions, never driver-graded ---
-    "sketch_hll_users",
-    "sketch_cms_user_counts",
-    "streaming_sketch_hll",
-    "streaming_sketch_cms",
-    "join_bloom_prefilter",
-    "text_trigram_surprisal",
-    "pipeline_temperature_mix",
-    "tpch_q7ish",
-    "tpch_q13ish",
-    "tpch_q14ish",
-    "tpch_q19ish",
-    # --- (b) deferred from the r7 window (driver row r5 or older) ---
-    "p02_hashtag_filter",
-    "p03_sentiment",
-    "p04_non_neutral",
-    "p05_explode_chars",
-    "p07_order_size",
-    "p08_contains",
-    "p10_influence",
-    "hash_family_check",
-    "st1_ema_per_event",
-    "st8_return_amounts",
-    "w5_median_value_per_team",
-    "streaming_st7_invest",
-    "streaming_st9_sequence",
-    "streaming_st10_delta",
-    "streaming_st4_combiner",
-    # --- (c) round-8 additions ---
-    "tpch_q2ish",
-    "tpch_q15ish",
-    "tpch_q20ish",
-    "tpch_q21ish",
-    "streaming_st8_event_time",
-    # --- (d) code path changed in round 8 ---
-    "pipeline_curation",
-    "streaming_st8_timer",
-    "streaming_st1_ema",
-    "streaming_st2_product",
-    "streaming_st3_burst",
-    "streaming_st5_settle",
-    "streaming_st6_ledger",
-    "streaming_w2_window",
-    "streaming_w3_running_sum",
-    "streaming_w4_cogroup",
-    "streaming_w6_session",
-    "streaming_join_interval",
-    "st6_trader_ledger",
-    "dataflow_market_ledger",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_daily_ohlc",
-    "asof_join_price",
-    "join_salted_skew",
+    "dedup_containment",
+    "dedup_lsh_recall",
+    "text_gopher_rules",
+    "text_line_dedup",
+    "text_dup_ngram_fraction",
+    "streaming_gopher_rules",
+    "text_length_log2_histogram",
+    "mm_dedup_content_hash",
+    "pipeline_keep_best_dedup",
+    "dedup_cluster_sizes",
+    "sim_dim_mean_report",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "pipeline_epoch_shuffle",
+    "pipeline_cdc_upsert",
+    "streaming_dedup_watermarked",
+    "streaming_join_static_dim",
+    "streaming_cdc_upsert",
+    "pipeline_dataset_diff",
+    "asof_join_next_price",
+    "sim_pq_recall",
+    "text_top_terms_per_doc",
+    "pipeline_length_quantiles",
+    "events_value_rank_report",
+    "events_markov_transitions",
+    "events_session_paths",
+    "events_page_dwell",
+    "events_rolling_7d",
+    "events_trend_slope",
+    "events_max_drawdown",
+    "events_type_correlation",
+    "events_dau_wau",
+    "events_concurrency",
+    "join_bucketed_colocated",
+    "scan_partition_pruned",
+    "join_fuzzy_names",
+    "scan_jsonl_permissive",
+    "scan_csv_permissive",
+    "scan_schema_evolution",
+    "events_anomaly_zscore",
+    "streaming_anomaly_zscore",
+    "tpch_cube",
+    "events_type_pivot",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q10ish",
+    "tpch_q11ish",
+    "streaming_join_left_outer",
+    "sketch_quantile_hist",
+    "sketch_kmv_distinct",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Generate the driver-gate window from evidence, not hand-curation.
+
+The driver grades the FIRST 50 entries of ``__spark_entry__.queries()``
+each round. This tool computes which 50 carry the highest drift risk:
+
+  1. entries NEVER driver-graded (no row in any CORRECTNESS_r*.json),
+     oldest-registered first;
+  2. entries whose code path changed since their LAST driver grading —
+     detected by fingerprinting each entry (its function source, its
+     oracle SQL, and the source of every ``alias.helper(...)`` it calls
+     into the mktd6_flink_spark helper modules) at HEAD and at a given
+     git rev (a temporary worktree; the registry is importable without
+     starting a JVM), staler-last-grading first;
+  3. fill with the stalest still-green entries if slots remain.
+
+Usage:
+  python tools/gate_window.py --dump                # fingerprint JSON
+  python tools/gate_window.py --changed-since REV   # changed entries
+  python tools/gate_window.py --window [--since REV]  # emit the window
+
+``--window`` prints a ready-to-paste Python list; _GATE_PRIORITY in
+plans/driver_queries.py is its committed output (see the r9 comment).
+
+Limitations (documented, not hidden): helper-of-helper changes are
+invisible unless they alter the generated oracle SQL (they usually do —
+the SQL twins are built from the same helpers); module-level constant
+changes fingerprint only when referenced as ``alias.NAME``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_ALIAS_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)")
+_NAME_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
+
+
+def _is_ours(mod) -> bool:
+    return (inspect.ismodule(mod)
+            and getattr(mod, "__name__", "").startswith("mktd6_flink_spark"))
+
+
+def _expand(obj, owner_mod, parts: list[str], visited: set, depth: int):
+    """Append obj's source, then recurse into the mktd6 helpers IT
+    references — alias.attr across modules, bare names within its own
+    module (pq_adc_topk -> pq_codes) — to a bounded depth."""
+    key = id(obj)
+    if key in visited or depth > 4:
+        return
+    visited.add(key)
+    if callable(obj):
+        try:
+            src = inspect.getsource(obj)
+        except (OSError, TypeError):
+            parts.append(repr(obj))
+            return
+        parts.append(src)
+    else:
+        parts.append(repr(obj))
+        return
+    scope = vars(owner_mod)
+    for alias, attr in sorted(set(_ALIAS_RE.findall(src))):
+        target = scope.get(alias)
+        if _is_ours(target):
+            child = getattr(target, attr, None)
+            if child is not None:
+                _expand(child, target, parts, visited, depth + 1)
+    for bare in sorted(set(_NAME_RE.findall(src))):
+        child = scope.get(bare)
+        if (inspect.isfunction(child)
+                and getattr(child, "__module__", "")
+                .startswith("mktd6_flink_spark")):
+            _expand(child, sys.modules.get(child.__module__, owner_mod),
+                    parts, visited, depth + 1)
+
+
+def _entry_fingerprints() -> dict[str, str]:
+    """name -> sha256 over (function source, oracle SQL, and the
+    transitively-referenced mktd6 helper sources)."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    out = {}
+    for name, fn in dq.QUERIES.items():
+        parts: list[str] = []
+        _expand(fn, dq, parts, set(), 0)
+        parts.append(dq.ORACLES.get(name, ""))
+        out[name] = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+    return out
+
+
+def _fingerprints_at(rev: str) -> dict[str, str]:
+    """Fingerprints of the registry as of ``rev`` via a temp worktree."""
+    wt = os.path.join(REPO, ".gate_window_worktree")
+    subprocess.run(["git", "worktree", "remove", "--force", wt],
+                   cwd=REPO, capture_output=True)
+    subprocess.run(["git", "worktree", "add", "--detach", wt, rev],
+                   cwd=REPO, check=True, capture_output=True)
+    try:
+        # older revs may predate this tool — always run the CURRENT
+        # fingerprint code against the old worktree's registry
+        os.makedirs(os.path.join(wt, "tools"), exist_ok=True)
+        with open(os.path.abspath(__file__)) as f_src, \
+                open(os.path.join(wt, "tools", "gate_window.py"),
+                     "w") as f_dst:
+            f_dst.write(f_src.read())
+        proc = subprocess.run(
+            [sys.executable, os.path.join("tools", "gate_window.py"),
+             "--dump"],
+            cwd=wt, capture_output=True, text=True, check=True)
+        return json.loads(proc.stdout)
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=REPO, capture_output=True)
+
+
+def _last_graded() -> dict[str, int]:
+    """name -> latest round with a driver row in CORRECTNESS_r*.json."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def changed_since(rev: str) -> list[str]:
+    cur = _entry_fingerprints()
+    old = _fingerprints_at(rev)
+    return [n for n, h in cur.items() if old.get(n) != h]
+
+
+def build_window(size: int, rev: str | None) -> tuple[list[str], dict]:
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    names = list(dq.QUERIES)
+    last = _last_graded()
+    never = [n for n in names if n not in last]
+    changed = set(changed_since(rev)) if rev else set()
+    changed_known = [n for n in names
+                     if n in changed and n in last]
+    changed_known.sort(key=lambda n: last[n])  # stalest grading first
+    window = list(never[:size])
+    for n in changed_known:
+        if len(window) >= size:
+            break
+        window.append(n)
+    stale_fill = sorted((n for n in names if n not in window),
+                        key=lambda n: last.get(n, 0))
+    while len(window) < size and stale_fill:
+        window.append(stale_fill.pop(0))
+    info = {
+        "never_graded": never,
+        "deferred_never_graded": never[size:],
+        "changed_since_rev": sorted(changed),
+        "changed_and_windowed": [n for n in changed_known if n in window],
+    }
+    return window, info
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dump", action="store_true",
+                    help="print {entry: fingerprint} JSON and exit")
+    ap.add_argument("--changed-since", metavar="REV",
+                    help="list entries whose fingerprint differs vs REV")
+    ap.add_argument("--window", action="store_true",
+                    help="emit the proposed gate window")
+    ap.add_argument("--since", metavar="REV", default=None,
+                    help="rev for --window's changed-entry detection")
+    ap.add_argument("--size", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    if args.dump:
+        print(json.dumps(_entry_fingerprints(), indent=0))
+        return 0
+    if args.changed_since:
+        for n in changed_since(args.changed_since):
+            print(n)
+        return 0
+    if args.window:
+        window, info = build_window(args.size, args.since)
+        print("# generated by tools/gate_window.py --window"
+              + (f" --since {args.since}" if args.since else ""))
+        print(f"# never-graded: {len(info['never_graded'])}"
+              f" (deferred: {info['deferred_never_graded']})")
+        if args.since:
+            print(f"# changed since {args.since} and re-windowed: "
+                  f"{info['changed_and_windowed']}")
+        print("_GATE_PRIORITY = [")
+        for n in window:
+            print(f'    "{n}",')
+        print("]")
+        return 0
+    ap.print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
