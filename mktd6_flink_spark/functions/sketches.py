@@ -275,6 +275,58 @@ def bloom_filter(big: DataFrame, key: Column, bitmap: DataFrame,
     return probed.filter(cond).drop(_ARR, *pcols)
 
 
+def bloom_filter_literal(big: DataFrame, key: Column, words: list[int],
+                         k: int = 3, bits: int = 4092) -> DataFrame:
+    """``bloom_filter`` with the bitmap embedded as a PLAN LITERAL —
+    Spark's own runtime-bloom-filter shape: the word array is CONSTANT
+    SIZE (bits/62 longs, independent of build-side row count), so
+    materializing it on the driver and inlining it turns the probe into
+    a bare scan+filter inside whole-stage codegen (no BroadcastExchange,
+    no nested-loop probe join). Same positions, same membership
+    predicate, bit-identical results (verified row-for-row vs
+    ``bloom_filter`` at sf0.1).
+
+    The md5 base hash is evaluated ONCE per row by computing it in an
+    ``F.aggregate`` zero-accumulator and reading the lambda VARIABLE in
+    the finish clause: a plain k-conjunct filter inlines the md5
+    subtree 2k times (Catalyst substitutes projected columns into
+    pushed predicates and codegen does not CSE across filter
+    conjuncts) — the round-9 isolate profile showed that repetition,
+    not the bitmap build, was join_bloom_prefilter's whole bench
+    regression (probe 1.17 s -> 0.54 s at sf0.1)."""
+    assert len(words) == bits // WORD_BITS, (len(words), bits // WORD_BITS)
+    # one true array Literal (F.lit(list) constant-folds) — a
+    # CreateArray of 66 literal children is rebuilt per evaluation and
+    # measured SLOWER than the broadcast join it replaced
+    arr = F.lit([int(w) for w in words]).cast("array<long>")
+    h = md5_long(key.cast("string"))
+
+    def _tests(hvar: Column) -> Column:
+        cond = None
+        for a, b_ in hash_params(k):
+            p = F.pmod(universal_hash(hvar, a, b_), F.lit(bits))
+            word = ((p - F.pmod(p, F.lit(WORD_BITS)))
+                    / F.lit(WORD_BITS)).cast("long")
+            # 2.0**n is exact for n in [0, 61] (a pure exponent-field
+            # double); F.shiftleft needs a literal shift and F.expr
+            # cannot name a lambda variable, so the power form is the
+            # portable in-lambda spelling of (1 << n)
+            mask = (F.lit(2.0)
+                    ** F.pmod(p, F.lit(WORD_BITS)).cast("double")
+                    ).cast("long")
+            test = F.element_at(
+                arr, (word + 1).cast("int")).bitwiseAND(mask) != 0
+            cond = test if cond is None else (cond & test)
+        return cond
+
+    cond = F.aggregate(
+        F.lit([1]),                      # one dummy element
+        F.struct(h.alias("h")),          # zero: md5 evaluated ONCE
+        lambda acc, _: acc,              # merge: pass-through
+        lambda acc: _tests(acc["h"]))    # finish: k cheap table probes
+    return big.filter(cond)
+
+
 def sql_bloom_positions(key_expr: str, k: int, bits: int) -> list[str]:
     h = sql_md5_long(f"CAST({key_expr} AS VARCHAR)")
     return [f"({sql_universal_hash(h, a, b_)} % {bits})"

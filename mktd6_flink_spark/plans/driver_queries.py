@@ -5750,6 +5750,97 @@ def join_fuzzy_names(spark, sf_dir):
                     dist.cast("long").alias("dist")))
 
 
+@register("join_fuzzy_recall", """
+WITH probes AS (
+  SELECT s_suppkey AS probe_id,
+         substr(s_name, 1, 2) || 'x' || substr(s_name, 4) AS probe_name
+  FROM supplier WHERE s_suppkey % 10 = 0),
+cg AS (
+  SELECT s_suppkey, s_name, unnest(list_distinct(list_transform(
+           generate_series(1, length(s_name) - 2),
+           i -> substr(s_name, i, 3)))) AS g
+  FROM supplier),
+rare AS (
+  SELECT g FROM cg GROUP BY g HAVING count(DISTINCT s_suppkey) <= 50),
+cr AS (SELECT s_suppkey, s_name, g FROM cg
+       WHERE g IN (SELECT g FROM rare)),
+pg AS (
+  SELECT probe_id, probe_name, unnest(list_distinct(list_transform(
+           generate_series(1, length(probe_name) - 2),
+           i -> substr(probe_name, i, 3)))) AS g
+  FROM probes),
+cand AS (
+  SELECT DISTINCT p.probe_id, p.probe_name, c.s_suppkey, c.s_name
+  FROM pg p JOIN cr c ON c.g = p.g),
+blocked AS (
+  SELECT count(*) AS n FROM cand WHERE s_suppkey = probe_id),
+matched AS (
+  SELECT count(*) AS n FROM cand
+  WHERE s_suppkey = probe_id
+    AND levenshtein(probe_name, s_name) <= 2)
+SELECT CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes,
+       CAST((SELECT n FROM blocked) AS BIGINT) AS n_blocked,
+       CAST((SELECT n FROM matched) AS BIGINT) AS n_matched,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n FROM blocked) AS DOUBLE)
+         / (SELECT count(*) FROM probes) AS blocking_recall,
+       CAST((SELECT n FROM matched) AS DOUBLE)
+         / (SELECT count(*) FROM probes) AS end2end_recall
+""")
+def join_fuzzy_recall(spark, sf_dir):
+    """Truth-set recall for the fuzzy entity-resolution join — the
+    measurement join_fuzzy_names' docstring argues in prose, made a
+    dial the way dedup_lsh_recall / sim_ivf_recall are: every probe
+    is derived from a KNOWN supplier (probe_id = its s_suppkey, edit
+    distance exactly 1), so blocking_recall = the fraction of true
+    matches the rare-gram blocking surfaces at df <= 50 (9/10 at
+    sf0.01 — 'Supplier#000000000' is all-ubiquitous-grams), and
+    end2end_recall adds the distance <= 2 verify (never drops a
+    blocked truth pair; distance is 1). n_candidates is the cost side
+    of the dial: raising the df threshold re-admits all-common-gram
+    names at more candidate pairs. Same O(candidates) plan shapes as
+    join_fuzzy_names; the five counts collapse to one row."""
+    s = load(spark, sf_dir, "supplier")
+    probes = s.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.col("s_suppkey").alias("probe_id"),
+        F.concat(F.substring("s_name", 1, 2), F.lit("x"),
+                 F.expr("substr(s_name, 4)")).alias("probe_name"))
+    grams = F.expr("array_distinct(transform("
+                   "sequence(1, length(s_name) - 2),"
+                   " i -> substring(s_name, i, 3)))")
+    cg = s.select("s_suppkey", "s_name", F.explode(grams).alias("g"))
+    rare = (cg.groupBy("g")
+            .agg(F.count_distinct("s_suppkey").alias("_df"))
+            .filter(F.col("_df") <= 50).select("g"))
+    cr = cg.join(rare, "g", "left_semi")
+    pgrams = F.expr("array_distinct(transform("
+                    "sequence(1, length(probe_name) - 2),"
+                    " i -> substring(probe_name, i, 3)))")
+    pg = probes.select("probe_id", "probe_name",
+                       F.explode(pgrams).alias("g"))
+    cand = (pg.join(cr, "g")
+            .select("probe_id", "probe_name", "s_suppkey", "s_name")
+            .distinct())
+    np_ = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    nb = (cand.filter(F.col("s_suppkey") == F.col("probe_id"))
+          .agg(F.count(F.lit(1)).alias("n_blocked")))
+    nm = (cand.filter((F.col("s_suppkey") == F.col("probe_id"))
+                      & (F.levenshtein("probe_name", "s_name") <= 2))
+          .agg(F.count(F.lit(1)).alias("n_matched")))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        np_.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nc))
+        .select("n_probes", "n_blocked", "n_matched", "n_candidates",
+                (F.col("n_blocked").cast("double")
+                 / F.col("n_probes").cast("double"))
+                .alias("blocking_recall"),
+                (F.col("n_matched").cast("double")
+                 / F.col("n_probes").cast("double"))
+                .alias("end2end_recall"))
+    )
+
+
 @register("scan_jsonl_permissive", """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -6973,10 +7064,17 @@ def join_bloom_prefilter(spark, sf_dir):
     single wrong bitmap bit flips the hash."""
     cust = load(spark, sf_dir, "customer")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING")
-    bitmap = sk.bloom_bitmap(building, F.col("c_custkey"))
+    # Runtime-filter materialization: the bitmap collapses to a
+    # CONSTANT 66-long word array (bits/62 — independent of build-side
+    # cardinality), collected once and inlined as a plan literal. This
+    # is a scalar model collect, not a data collect — and it removes
+    # the BroadcastExchange + nested-loop probe join that cost ~1.4 s
+    # of this entry's 2.2 s at sf0.1 (round-9 isolate profile; the
+    # r8 bench regression was this machinery, not the bitmap build).
+    words = sk.bloom_bitmap(building, F.col("c_custkey")).collect()[0][0]
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
-    passed = sk.bloom_filter(orders, F.col("o_custkey"), bitmap)
+    passed = sk.bloom_filter_literal(orders, F.col("o_custkey"), words)
     members = building.select("c_custkey").distinct()
     return (
         passed.join(F.broadcast(members),
