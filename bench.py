@@ -105,6 +105,12 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "events_concurrency",
     "streaming_join_left_outer",
+    # round-9 heads: the trained-PQ index path (per-subspace Lloyd +
+    # ADC — training cost is the head; the sampled-codebook scan above
+    # stays for comparison) and the rare-gram-blocked fuzzy join with
+    # its recall twin's candidate accounting
+    "sim_pq_trained_recall",
+    "join_fuzzy_recall",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -116,6 +122,7 @@ HEADLINE = [
 _R6_SET = HEADLINE[:31]
 _R7_SET = HEADLINE[:33]
 _R8_SET = HEADLINE[:38]
+_R8_FULL_SET = HEADLINE[:43]   # the 43-head panel BENCH_r08 measured
 
 
 def streaming_floor(spark, sf_dir):
@@ -208,6 +215,8 @@ def main() -> int:
                 sum(timings[n] for n in _R7_SET), 3),
             "r8_comparable_38": round(
                 sum(timings[n] for n in _R8_SET), 3),
+            "r8_comparable_43": round(
+                sum(timings[n] for n in _R8_FULL_SET), 3),
         },
     }))
     spark.stop()
