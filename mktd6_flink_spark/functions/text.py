@@ -1123,3 +1123,102 @@ def sql_temperature_mix_report(table: str = "documents",
     FROM {table} d JOIN _tm_ppm p ON p.{source_col} = d.{source_col}
     GROUP BY d.{source_col}, p._n, p._w, p._ppm
     """
+
+
+# -- DSIR importance weights (domain-targeted data selection) -----------------
+
+def dsir_weights(df: DataFrame, target_pred: Column, text: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document DSIR importance weight (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023):
+    log p_target(doc)/p_raw(doc) under bag-of-unigram models with
+    add-one smoothing, where the TARGET model trains on the rows
+    matching ``target_pred`` (the in-domain sample) and the RAW model
+    on the whole corpus. High weight = looks like the target domain —
+    the score DSIR resamples by when carving a target-like subset out
+    of a web-scale crawl.
+
+    Portability is the trigram-surprisal trick applied twice: each
+    token contributes bits_raw - bits_target where
+    bits = floor(log2((N + V) / (c + 1))) computed EXACTLY in integers
+    as bitlen((N + V) div (c + 1)) - 1, so the per-doc sum is exact
+    int64 and no float ever accumulates (log p_t/p_r = bits_r - bits_t
+    in the quantized domain). V is the RAW vocabulary for both models
+    (shared feature space, as in the paper's hashed n-gram estimator);
+    target-absent tokens smooth to c = 0.
+
+    Scale shape: tokenize + explode map-side; occurrences collapse to
+    per-(doc, token) counts BEFORE any join; both models and the two
+    scalar totals broadcast (vocabulary-bounded); one final per-doc
+    aggregation. Docs with zero tokens drop out (no feature evidence —
+    identical in both engines)."""
+    tok = df.select(
+        F.col(id_col), F.when(target_pred, 1).otherwise(0).alias("_tgt"),
+        F.explode(tokens(F.col(text))).alias("_w"))
+    tc = tok.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_k"), F.max("_tgt").alias("_tgt"))
+    raw = tc.groupBy("_w").agg(F.sum("_k").alias("_cr"))
+    tgt = (tc.filter(F.col("_tgt") == 1).groupBy("_w")
+           .agg(F.sum("_k").alias("_ct")))
+    model = raw.join(tgt, "_w", "left").select(
+        "_w", "_cr", F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"))
+    totals = model.agg(F.sum("_cr").alias("_NR"),
+                       F.sum("_ct").alias("_NT"),
+                       F.count(F.lit(1)).alias("_V"))
+    bits_r = (F.length(F.bin(F.expr("(_NR + _V) div (_cr + 1)"))) - 1)
+    bits_t = (F.length(F.bin(F.expr("(_NT + _V) div (_ct + 1)"))) - 1)
+    scored = (
+        tc.join(F.broadcast(model), "_w")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("_k"),
+                (bits_r - bits_t).cast("long").alias("_d")))
+    return scored.groupBy(id_col).agg(
+        F.sum("_k").alias("n_tokens"),
+        F.sum(F.col("_d") * F.col("_k")).cast("long")
+        .alias("dsir_weight_bits"))
+
+
+def sql_dsir_weights(table: str = "documents", target_pred: str = "",
+                     text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``dsir_weights``: same counts, same integer bits,
+    same exact int64 per-doc sums."""
+    return f"""
+    WITH _ds_tok AS (
+      SELECT {id_col},
+             CASE WHEN {target_pred} THEN 1 ELSE 0 END AS _tgt,
+             unnest({sql_tokens(text)}) AS _w
+      FROM {table}
+    ),
+    _ds_tc AS (
+      SELECT {id_col}, _w, CAST(count(*) AS BIGINT) AS _k,
+             CAST(max(_tgt) AS BIGINT) AS _tgt
+      FROM _ds_tok GROUP BY {id_col}, _w
+    ),
+    _ds_raw AS (
+      SELECT _w, CAST(sum(_k) AS BIGINT) AS _cr FROM _ds_tc GROUP BY _w
+    ),
+    _ds_tgt AS (
+      SELECT _w, CAST(sum(_k) AS BIGINT) AS _ct
+      FROM _ds_tc WHERE _tgt = 1 GROUP BY _w
+    ),
+    _ds_model AS (
+      SELECT r._w, r._cr, CAST(coalesce(t._ct, 0) AS BIGINT) AS _ct
+      FROM _ds_raw r LEFT JOIN _ds_tgt t ON t._w = r._w
+    ),
+    _ds_tot AS (
+      SELECT CAST(sum(_cr) AS BIGINT) AS _NR,
+             CAST(sum(_ct) AS BIGINT) AS _NT,
+             CAST(count(*) AS BIGINT) AS _V
+      FROM _ds_model
+    ),
+    _ds_scored AS (
+      SELECT c.{id_col}, c._k,
+             CAST((length(bin((_NR + _V) // (_cr + 1))) - 1)
+                  - (length(bin((_NT + _V) // (_ct + 1))) - 1)
+                  AS BIGINT) AS _d
+      FROM _ds_tc c JOIN _ds_model m ON m._w = c._w CROSS JOIN _ds_tot
+    )
+    SELECT {id_col}, CAST(sum(_k) AS BIGINT) AS n_tokens,
+           CAST(sum(_d * _k) AS BIGINT) AS dsir_weight_bits
+    FROM _ds_scored GROUP BY {id_col}
+    """

@@ -2349,6 +2349,109 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs
 
 
+@register("dedup_semantic", expand_round6(f"""
+WITH _sd_cent_rows AS ({sim.sql_kmeans_centroids('embeddings', _EMB_DIM)}),
+_sd_cents AS (
+  SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
+  FROM _sd_cent_rows GROUP BY 1),
+_sd_assign AS (
+  SELECT vec_id, embedding, centroid_id AS cluster, d AS dmin FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROUND6({sim.sql_l2sq('e.embedding', 'c.cvec', _EMB_DIM)}) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND6({sim.sql_l2sq('e.embedding', 'c.cvec',
+                                           _EMB_DIM)}) ASC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN _sd_cents c) WHERE rn = 1),
+_sd_pairs AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND6({sim.sql_cosine('a.embedding', 'b.embedding', _EMB_DIM)})
+           AS cosine,
+         a.dmin AS da, b.dmin AS db
+  FROM _sd_assign a JOIN _sd_assign b
+    ON b.cluster = a.cluster AND a.vec_id < b.vec_id)
+SELECT cluster, id_a, id_b, cosine,
+       CASE WHEN da > db THEN id_a WHEN db > da THEN id_b
+            ELSE least(id_a, id_b) END AS kept_id,
+       CASE WHEN da > db THEN id_b WHEN db > da THEN id_a
+            ELSE greatest(id_a, id_b) END AS dropped_id
+FROM _sd_pairs WHERE cosine >= 0.3
+"""))
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): k-means-cluster the embedding corpus (the
+    oracle-checked Lloyd trainer of sim_kmeans_centroids), then find
+    near-duplicate pairs by exact cosine WITHIN each cluster and keep
+    the member FARTHEST from its centroid (the paper's keep rule —
+    exemplars over prototypes; ties to the lower id). Clustering is
+    what makes semantic dedup tractable at 100 TB: candidate
+    generation is O(sum of cluster sizes squared), never all-pairs,
+    and the cluster count is a dial — at real scale K grows with the
+    corpus so per-cluster pair fan-out stays bounded, exactly like
+    the LSH band/row and containment max_df dials. Assignment is one
+    broadcast join + min_by (one row per vector shuffled); the pair
+    join is a cluster-keyed equi-join."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, _EMB_DIM)
+    cvec = cents.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("dim", F.col("centroid").alias("val")))),
+            lambda s: s["val"]).alias("_cv"))
+    scored = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "embedding", "centroid_id",
+        round_portable(sim.l2sq(F.col("embedding"), F.col("_cv")))
+        .alias("_d"))
+    assign = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(F.col("centroid_id"), F.col("embedding"),
+                     F.col("_d")),
+            F.struct(F.col("_d"), F.col("centroid_id")),
+        ).alias("_b")
+    ).select("vec_id", F.col("_b.centroid_id").alias("cluster"),
+             F.col("_b.embedding").alias("embedding"),
+             F.col("_b._d").alias("dmin"))
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.cluster") == F.col("a.cluster"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            round_portable(
+                sim.cosine(F.col("a.embedding"), F.col("b.embedding")))
+            .alias("cosine"),
+            F.col("a.dmin").alias("_da"), F.col("b.dmin").alias("_db"))
+        .filter(F.col("cosine") >= 0.3))
+    keep_a = F.col("_da") > F.col("_db")
+    keep_b = F.col("_db") > F.col("_da")
+    return pairs.select(
+        "cluster", "id_a", "id_b", "cosine",
+        F.when(keep_a, F.col("id_a")).when(keep_b, F.col("id_b"))
+        .otherwise(F.least("id_a", "id_b")).alias("kept_id"),
+        F.when(keep_a, F.col("id_b")).when(keep_b, F.col("id_a"))
+        .otherwise(F.greatest("id_a", "id_b")).alias("dropped_id"))
+
+
+@register("pipeline_dsir_weights",
+          tx.sql_dsir_weights("documents", "lang = 'en'"))
+def pipeline_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS 2023) over the
+    documents corpus with the English subset as the target domain —
+    the raw-multilingual-crawl -> in-domain-target setup the paper
+    selects pretraining data with. Per doc: exact-int64
+    log p_target/p_raw in the quantized integer-bits domain (the
+    trigram-surprisal portability trick applied to two add-one
+    unigram models over a shared raw vocabulary; see
+    functions/text.py:dsir_weights). Map-side tokenize/explode,
+    occurrence collapse before any join, broadcast models — the same
+    scale shape as text_trigram_surprisal."""
+    return tx.dsir_weights(load(spark, sf_dir, "documents"),
+                           F.col("lang") == "en")
+
+
 # ===========================================================================
 # The STREAMING engine under the oracle gate + extra TPC-H shapes
 # ===========================================================================
