@@ -604,3 +604,148 @@ def sql_connected_components(nodes_sql: str, edges_sql: str,
     SELECT src AS {id_col}, min(dst) AS component
     FROM reach GROUP BY src
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (local exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 16  # character k-gram length
+WINNOW_W = 8   # winnowing window (guarantee: matches >= W+K-1 chars hit)
+# k=16/w=8 (23-char ~ 4-word guarantee) and not the classic small k:
+# on a small-vocabulary corpus 8-char substrings recur corpus-wide, so
+# at sf0.1 nearly every k=8 fingerprint exceeded any sane max_df and
+# recall collapsed to zero; at k=16, 99.5% of each doc's fingerprints
+# have df <= 100 even at 10x docs (measured) — the fingerprint space
+# must out-scale the corpus for the hot cap to cost only noise.
+
+
+def winnowing_pairs(df: DataFrame, text: str = "text",
+                    id_col: str = "doc_id", k: int = WINNOW_K,
+                    w: int = WINNOW_W, threshold_pct: int = 80,
+                    max_df: int | None = 100) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every character k-gram, keep the
+    MINIMUM hash of each w-wide sliding window, and match documents on
+    shared selected fingerprints. This is the LOCAL exact-substring
+    detector the shingle-set family (Jaccard/containment) is not: any
+    shared substring of length >= w + k - 1 is GUARANTEED to surface a
+    common fingerprint regardless of how different the rest of the
+    documents are — the "Deduplicating Training Data" (Lee et al.,
+    ACL 2022) exact-substring axis, at O(selected fingerprints)
+    instead of suffix-array cost.
+
+    Portability/scale: hashes are the repo's md5_long (identical in
+    DuckDB); window minima are position-independent (a value min, so
+    tie handling cannot differ cross-engine); selection is pure
+    map-side array expressions — the k-gram hash array is computed
+    ONCE per row inside an F.aggregate zero-accumulator (HOF lambdas
+    defeat Catalyst subexpression elimination, so referencing the
+    array from two sibling expressions would re-run every md5 — the
+    bloom-probe lesson); candidates are an equi-join on fingerprint
+    with the same ``max_df`` hot-fingerprint cap as containment_pairs
+    bounding the self-join fan-out at corpus scale. Documents shorter
+    than k have no fingerprints (dropped identically in both engines);
+    documents with fewer than w k-grams contribute the min of what
+    they have (one window).
+
+    The keep verdict is RELATIVE, like containment: pairs where
+    shared fingerprints cover at least ``threshold_pct`` percent of
+    the smaller document's selected-fingerprint set (integer-domain
+    comparison; the fraction double is display-only) — an absolute
+    shared-count threshold drowns in background matches on a
+    small-vocabulary corpus where every document shares some
+    substrings with every other.
+
+    Returns (id_a, id_b, shared_fps, na, nb, match_frac)."""
+    t = F.col(text)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+        lambda i: md5_long(t.substr(i, F.lit(k))))
+    sel = F.aggregate(
+        F.lit([1]),
+        F.struct(hs.alias("hs")),         # k-gram hashes computed ONCE
+        lambda acc, _: acc,
+        lambda acc: F.array_distinct(F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(acc["hs"]) - F.lit(w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(acc["hs"], j, w)))))
+    fps = cache.maybe_persist(
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col).alias("_id"), F.explode(sel).alias("_fp")))
+    counts = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    capped = fps
+    if max_df is not None:
+        ok = (fps.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+              .filter(F.col("_df") <= max_df).select("_fp"))
+        capped = fps.join(ok, "_fp")
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a._fp") == F.col("b._fp"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"),
+                 F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed("_id", "id_a")
+                   .withColumnRenamed("_n", "na"), "id_a")
+        .join(counts.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_n", "nb"), "id_b")
+        .filter(F.lit(100) * F.col("shared_fps")
+                >= F.lit(threshold_pct) * F.least("na", "nb"))
+        .select("id_a", "id_b", "shared_fps", "na", "nb",
+                round_portable(
+                    F.col("shared_fps").cast("double")
+                    / F.least("na", "nb").cast("double"))
+                .alias("match_frac"))
+    )
+
+
+def sql_winnowing_pairs(table: str = "documents", text: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W, threshold_pct: int = 80,
+                        max_df: int | None = 100) -> str:
+    """DuckDB twin of ``winnowing_pairs``: same k-gram hashes, same
+    window minima, same hot-fingerprint cap and relative threshold."""
+    gram_hash = sql_md5_long(f"substr({text}, CAST(i AS INTEGER), {k})")
+    cap = (f"WHERE _fp IN (SELECT _fp FROM _wn_sel GROUP BY _fp "
+           f"HAVING count(*) <= {max_df})") if max_df is not None else ""
+    return f"""
+    WITH _wn_h AS (
+      SELECT {id_col} AS _id,
+             list_transform(generate_series(1, length({text}) - {k - 1}),
+                            i -> {gram_hash}) AS hs
+      FROM {table} WHERE length({text}) >= {k}
+    ),
+    _wn_sel AS (
+      SELECT _id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+               j -> list_aggregate(
+                      hs[CAST(j AS INTEGER) :
+                         CAST(j + {w - 1} AS INTEGER)], 'min')))) AS _fp
+      FROM _wn_h
+    ),
+    _wn_counts AS (
+      SELECT _id, CAST(count(*) AS BIGINT) AS _n
+      FROM _wn_sel GROUP BY _id
+    ),
+    _wn_f AS (SELECT _id, _fp FROM _wn_sel {cap}),
+    _wn_pairs AS (
+      SELECT a._id AS id_a, b._id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM _wn_f a JOIN _wn_f b
+        ON b._fp = a._fp AND a._id < b._id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.shared_fps,
+           ca._n AS na, cb._n AS nb,
+           ROUND6(CAST(p.shared_fps AS DOUBLE)
+                  / CAST(least(ca._n, cb._n) AS DOUBLE)) AS match_frac
+    FROM _wn_pairs p
+    JOIN _wn_counts ca ON ca._id = p.id_a
+    JOIN _wn_counts cb ON cb._id = p.id_b
+    WHERE 100 * p.shared_fps >= {threshold_pct} * least(ca._n, cb._n)
+    """

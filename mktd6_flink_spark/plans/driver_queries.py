@@ -2435,6 +2435,25 @@ def dedup_semantic(spark, sf_dir):
         .otherwise(F.greatest("id_a", "id_b")).alias("dropped_id"))
 
 
+@register("dedup_winnowing",
+          _with_docs2(dd.sql_winnowing_pairs("docs2")))
+def dedup_winnowing(spark, sf_dir):
+    """Winnowing/MOSS fingerprint dedup (Schleimer 2003) — the LOCAL
+    exact-substring axis of the dedup suite (Lee et al., ACL 2022
+    motivates it for training data): any shared substring of
+    w + k - 1 = 23+ characters is guaranteed to surface a shared
+    selected fingerprint, catching copied passages the set-similarity
+    detectors dilute away. The keep verdict is RELATIVE (shared
+    fingerprints >= 80% of the smaller doc's selection, integer-domain
+    compare) so the planted near-dups surface without the background
+    substring overlap a small-vocabulary corpus always has. Pure
+    map-side selection (k-gram md5 array computed once via the
+    aggregate-zero pattern — HOF lambdas defeat CSE), fingerprint
+    equi-join with the max_df hot-fingerprint cap; see
+    functions/dedup.py:winnowing_pairs."""
+    return dd.winnowing_pairs(_docs2(spark, sf_dir))
+
+
 @register("pipeline_dsir_weights",
           tx.sql_dsir_weights("documents", "lang = 'en'"))
 def pipeline_dsir_weights(spark, sf_dir):

@@ -726,3 +726,26 @@ def test_pq_trained_beats_sampled_on_quantization_error(spark):
     mean_s = sum(sampled.values()) / len(sampled)
     mean_t = sum(trained.values()) / len(trained)
     assert mean_t >= mean_s - 0.1, (mean_t, mean_s)
+
+
+def test_winnowing_finds_planted_dups_and_guarantee(spark):
+    """Winnowing must (a) surface every planted near-dup pair of the
+    registry's docs2 corpus at the 80% relative threshold, and (b)
+    honor the paper's guarantee on a constructed case: two documents
+    sharing a substring of length >= w + k - 1 share at least one
+    selected fingerprint even when everything else differs."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    got = dq.QUERIES["dedup_winnowing"](spark, "/root/testdata/sf0.01") \
+        .collect()
+    planted = {(r.id_a, r.id_b) for r in got if r.id_b == r.id_a + 10000}
+    assert len(planted) == 50, len(planted)
+
+    # guarantee check: shared 23-char substring, different surroundings
+    shared = "abcdefghijklmnopqrstuvw"  # w + k - 1 = 23 chars
+    df = spark.createDataFrame(
+        [(1, "zzzzzzzz " + shared + " yyyyyyyy"),
+         (2, "qqqqqqqq " + shared + " rrrrrrrr")],
+        "doc_id long, text string")
+    pairs = dedup.winnowing_pairs(df, threshold_pct=1, max_df=None)
+    assert pairs.filter("id_a = 1 and id_b = 2").count() == 1
