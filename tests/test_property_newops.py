@@ -112,3 +112,83 @@ def test_forward_asof_via_negation_matches_bruteforce(spark, data):
         nxt = [rt for rt in rmap if rt >= t]
         want = float(rmap[min(nxt)]) if nxt else None
         assert out[i] == want, (i, t, out[i], want)
+
+
+# -- round-9 operators -------------------------------------------------------
+
+def _py_winnow(text, k, w):
+    """Pure-python winnowing oracle: md5-based k-gram hashes, min per
+    w-window (value min — position-independent), distinct."""
+    import hashlib
+
+    if len(text) < k:
+        return set()
+    hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16)
+          for i in range(len(text) - k + 1)]
+    n_win = max(len(hs) - w + 1, 1)
+    return {min(hs[j:j + w]) for j in range(n_win)}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.text(alphabet="abcx ", min_size=0, max_size=40),
+                      min_size=2, max_size=5),
+       shared=st.text(alphabet="qrs", min_size=23, max_size=30))
+def test_winnowing_matches_bruteforce_and_guarantee(spark, texts, shared):
+    """winnowing_pairs (threshold 1%, no cap) == the brute-force
+    fingerprint-set intersection; and two docs carrying the same
+    >= w+k-1-char substring always surface as a pair (the Schleimer
+    guarantee), regardless of the random surroundings."""
+    k, w = dd.WINNOW_K, dd.WINNOW_W
+    docs = list(texts) + [texts[0] + shared, texts[1] + shared]
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.shared_fps
+           for r in dd.winnowing_pairs(
+               df, threshold_pct=1, max_df=None).collect()}
+    fsets = {i: _py_winnow(t, k, w) for i, t in enumerate(docs)}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = fsets[a] & fsets[b]
+            na, nb = len(fsets[a]), len(fsets[b])
+            if inter and 100 * len(inter) >= 1 * min(na, nb):
+                want[(a, b)] = len(inter)
+    assert got == want
+    assert (len(docs) - 2, len(docs) - 1) in got  # the guarantee pair
+
+
+def test_dsir_weight_sign_separates_domains(spark):
+    """DSIR sanity: with a target domain whose vocabulary is disjoint
+    from the rest of the raw corpus, target-vocabulary docs must score
+    strictly higher than raw-only docs, and a token balanced across
+    both contributes bits_r - bits_t exactly as the integer-bits
+    formula says (checked against a pure-python recomputation)."""
+    from mktd6_flink_spark.functions import text as tx
+
+    docs = [
+        (0, "alpha beta alpha beta", "en"),     # target domain
+        (1, "alpha alpha beta beta", "en"),     # target domain
+        (2, "gamma delta gamma delta", "fr"),   # raw-only
+        (3, "alpha gamma", "fr"),               # mixed, raw side
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.dsir_weight_bits for r in tx.dsir_weights(
+        df, F.col("lang") == "en").collect()}
+
+    # pure-python recomputation of the integer-bits model
+    toks = {i: t.split() for i, t, _ in docs}
+    raw, tgt = {}, {}
+    for i, ws in toks.items():
+        for wd in ws:
+            raw[wd] = raw.get(wd, 0) + 1
+            if i in (0, 1):
+                tgt[wd] = tgt.get(wd, 0) + 1
+    NR, NT, V = sum(raw.values()), sum(tgt.values()), len(raw)
+    def bits(n, c):
+        return ((n + V) // (c + 1)).bit_length() - 1
+    want = {i: sum(bits(NR, raw[wd]) - bits(NT, tgt.get(wd, 0))
+                   for wd in ws)
+            for i, ws in toks.items()}
+    assert got == want, (got, want)
+    assert min(got[0], got[1]) > max(got[2], got[3])
