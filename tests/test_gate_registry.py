@@ -29,3 +29,23 @@ def test_oracle_sql_uses_portable_rounding():
     offenders = [n for n, sql in dq.ORACLES.items()
                  if "ROUND6(" in sql]
     assert offenders == [], offenders
+
+
+def test_gate_window_tool_fingerprints_cover_registry():
+    """tools/gate_window.py is load-bearing (it GENERATES the gate
+    window), so its fingerprint map must cover every registered entry,
+    be deterministic across calls, and actually reflect helper source
+    (the transitive-expansion contract that caught pq_codes' consumers
+    in round 9)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gate_window", os.path.join(os.path.dirname(__file__),
+                                    "..", "tools", "gate_window.py"))
+    gw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gw)
+    fps = gw._entry_fingerprints()
+    assert set(fps) == set(dq.QUERIES)
+    assert all(len(h) == 64 for h in fps.values())
+    assert fps == gw._entry_fingerprints()  # deterministic
