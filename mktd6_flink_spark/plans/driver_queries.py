@@ -2467,6 +2467,62 @@ def dedup_winnowing(spark, sf_dir):
     return dd.winnowing_pairs(_docs2(spark, sf_dir))
 
 
+@register("text_bpe_pair_stats", f"""
+WITH _bp_wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest({tx.sql_tokens('text')}) AS w FROM documents)
+  GROUP BY w
+),
+_bp_pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, CAST(i AS INTEGER), 2)))
+           AS pair,
+         f
+  FROM _bp_wf WHERE length(w) >= 2
+),
+_bp_counts AS (
+  SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+  FROM _bp_pairs GROUP BY pair
+)
+SELECT pair, pair_count, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair ASC)
+        AS rank FROM _bp_counts)
+WHERE rank <= 20
+""")
+def text_bpe_pair_stats(spark, sf_dir):
+    """BPE merge-candidate statistics (Sennrich, Haddow, Birch, "Neural
+    Machine Translation of Rare Words with Subword Units", ACL 2016):
+    the first iteration of the BPE trainer — corpus-wide counts of
+    adjacent symbol (character) pairs weighted by word frequency, top
+    20 by count — exactly the table the trainer's merge step argmaxes
+    over. A tokenizer-training pipeline at 100 TB computes this table
+    repeatedly; the shape here is the scale-safe one: the corpus
+    collapses to the word-frequency dictionary FIRST (one shuffle
+    keyed by word, map-side combined), then pairs explode from the
+    vocabulary — which is orders of magnitude smaller than the corpus
+    — and the final top-k windows a pair table bounded by charset².
+    Intra-word pairs only (no end-of-word marker; documented choice,
+    identical both engines). Ties rank by pair text for determinism."""
+    docs = load(spark, sf_dir, "documents")
+    wf = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    # length(w) >= 2 guard on BOTH sides: Spark's sequence(1, 0) steps
+    # BACKWARDS ([1, 0]) where DuckDB's generate_series(1, 0) is empty,
+    # so unguarded single-char words leak truncated "pairs" only in
+    # Spark (caught by the oracle on first run)
+    pairs = wf.filter(F.length("w") >= 2).select(
+        "f",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> substring(w, i, 2))")).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("pair", "pair_count",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 @register("pipeline_dsir_weights",
           tx.sql_dsir_weights("documents", "lang = 'en'"))
 def pipeline_dsir_weights(spark, sf_dir):
