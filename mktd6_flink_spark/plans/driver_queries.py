@@ -2523,6 +2523,100 @@ def text_bpe_pair_stats(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
+@register("pipeline_curation_v2", f"""
+WITH _cv_gopher AS (
+  SELECT doc_id FROM ({tx.sql_gopher_rules('documents')}) WHERE keep
+),
+_cv_s1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN _cv_gopher g ON g.doc_id = d.doc_id
+),
+_cv_dsir AS ({tx.sql_dsir_weights('documents', "lang = 'en'")}),
+_cv_j AS (
+  SELECT s.doc_id, s.text, w.dsir_weight_bits AS wb
+  FROM _cv_s1 s JOIN _cv_dsir w ON w.doc_id = s.doc_id
+),
+_cv_wc AS (SELECT wb, CAST(count(*) AS BIGINT) AS c FROM _cv_j GROUP BY wb),
+_cv_med AS (
+  SELECT min(wb) AS med FROM (
+    SELECT wb, sum(c) OVER (ORDER BY wb) AS cum FROM _cv_wc)
+  WHERE cum >= ((SELECT sum(c) FROM _cv_wc) + 1) // 2
+),
+_cv_s2 AS (
+  SELECT doc_id, text FROM _cv_j
+  WHERE wb >= (SELECT med FROM _cv_med)
+),
+_cv_pairs AS ({dd.sql_winnowing_pairs('_cv_s2')}),
+_cv_drop AS (SELECT DISTINCT id_b AS doc_id FROM _cv_pairs),
+_cv_s3 AS (
+  SELECT doc_id FROM _cv_s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM _cv_drop)
+)
+SELECT '1_input' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT '2_gopher_keep',
+       CAST((SELECT count(*) FROM _cv_s1) AS BIGINT)
+UNION ALL SELECT '3_dsir_target',
+       CAST((SELECT count(*) FROM _cv_s2) AS BIGINT)
+UNION ALL SELECT '4_winnow_dedup',
+       CAST((SELECT count(*) FROM _cv_s3) AS BIGINT)
+""")
+def pipeline_curation_v2(spark, sf_dir):
+    """The round-9 curation funnel composed end to end — the staged
+    report a production corpus run publishes: Gopher rule panel (Rae
+    2021) -> DSIR target-domain selection (Xie 2023, keep docs whose
+    importance weight leans target, here English) -> winnowing
+    exact-substring dedup (Schleimer 2003; drop the higher id of each
+    surviving near-dup pair). One row per stage with the surviving doc
+    count, so the funnel's attrition is the oracle-checked artifact.
+
+    The DSIR stage keeps the TOP HALF by weight — the paper's relative
+    resampling, not an absolute cutoff (an absolute >= 0 rule proved
+    scale-brittle: integer-bits weights shift with corpus-size counts,
+    keeping 3% at sf0.01 and 100% at sf0.1). The median is the exact
+    type-1 quantile computed over the weight HISTOGRAM (weights are
+    small integers, so the cumulative window runs over a
+    bounded-cardinality table — the documented finalizer class, never
+    a corpus-sized global sort) and broadcasts as a scalar. At 100 TB
+    this is three keep-list joins over one corpus scan path, with
+    every stage's internals (broadcast models, hot-fingerprint caps,
+    map-side panels) inherited from the component entries."""
+    docs = load(spark, sf_dir, "documents")
+    gop = tx.gopher_rules(docs).filter(F.col("keep")).select("doc_id")
+    s1 = docs.join(gop, "doc_id", "left_semi")
+    wts = tx.dsir_weights(docs, F.col("lang") == "en")
+    j = s1.join(wts.select("doc_id",
+                           F.col("dsir_weight_bits").alias("_wb")),
+                "doc_id")
+    wc = j.groupBy("_wb").agg(F.count(F.lit(1)).alias("_c"))
+    cum = wc.withColumn(
+        "_cum", F.sum("_c").over(
+            Window.orderBy("_wb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    tot = wc.agg(F.sum("_c").alias("_tot"))
+    # integer ceil(tot/2): float (tot+1)/2 would demand one extra row
+    # whenever a bucket's cumulative count lands exactly on the integer
+    # rank (the oracle computes (tot+1)//2)
+    med = (cum.crossJoin(F.broadcast(tot))
+           .filter(F.col("_cum") >= F.expr("div(_tot + 1, 2)"))
+           .agg(F.min("_wb").alias("_med")))
+    s2 = (j.crossJoin(F.broadcast(med))
+          .filter(F.col("_wb") >= F.col("_med"))
+          .select("doc_id", "text"))
+    pairs = dd.winnowing_pairs(s2.select("doc_id", "text"))
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(drop, "doc_id", "left_anti")
+
+    def n(df, stage):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")) \
+            .select(F.lit(stage).alias("stage"), "n_docs")
+
+    return (n(docs, "1_input")
+            .unionByName(n(s1, "2_gopher_keep"))
+            .unionByName(n(s2, "3_dsir_target"))
+            .unionByName(n(s3, "4_winnow_dedup")))
+
+
 @register("pipeline_dsir_weights",
           tx.sql_dsir_weights("documents", "lang = 'en'"))
 def pipeline_dsir_weights(spark, sf_dir):
