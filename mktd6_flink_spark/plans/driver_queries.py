@@ -2581,6 +2581,8 @@ def pipeline_curation_v2(spark, sf_dir):
     this is three keep-list joins over one corpus scan path, with
     every stage's internals (broadcast models, hot-fingerprint caps,
     map-side panels) inherited from the component entries."""
+    from ..operators import cache
+
     docs = load(spark, sf_dir, "documents")
     gop = tx.gopher_rules(docs).filter(F.col("keep")).select("doc_id")
     s1 = docs.join(gop, "doc_id", "left_semi")
@@ -2600,9 +2602,28 @@ def pipeline_curation_v2(spark, sf_dir):
     med = (cum.crossJoin(F.broadcast(tot))
            .filter(F.col("_cum") >= F.expr("div(_tot + 1, 2)"))
            .agg(F.min("_wb").alias("_med")))
-    s2 = (j.crossJoin(F.broadcast(med))
-          .filter(F.col("_wb") >= F.col("_med"))
-          .select("doc_id", "text"))
+    # The four funnel counters are independent sinks over one shared
+    # lineage: un-persisted, each branch re-runs the whole upstream
+    # pipeline (gopher 4x, DSIR 3x, winnowing 2x). The cache registry
+    # bounds live two-phase frames to ONE, so persist exactly the
+    # most-reused frame — s2 carries the gopher+DSIR work into the
+    # winnowing stage, the s3 branch, and two counters. Forced (not
+    # size-gated): s2 is a doc-id+text frame, orders of magnitude
+    # smaller than the corpus-scale work it memoizes, and the default
+    # Catalyst estimate stays under the gate at bench SF while the
+    # recompute it avoids is 3x the whole entry.
+    _old_thr = spark.conf.get(cache.THRESHOLD_CONF, None)
+    spark.conf.set(cache.THRESHOLD_CONF, "always")
+    try:
+        s2 = cache.maybe_persist(
+            j.crossJoin(F.broadcast(med))
+            .filter(F.col("_wb") >= F.col("_med"))
+            .select("doc_id", "text"))
+    finally:
+        if _old_thr is None:
+            spark.conf.unset(cache.THRESHOLD_CONF)
+        else:
+            spark.conf.set(cache.THRESHOLD_CONF, _old_thr)
     pairs = dd.winnowing_pairs(s2.select("doc_id", "text"))
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(drop, "doc_id", "left_anti")
