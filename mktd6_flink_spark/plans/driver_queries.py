@@ -3526,6 +3526,93 @@ def sim_pq_trained_recall(spark, sf_dir):
     )
 
 
+@register("sim_truncated_recall", f"""
+WITH _tr_q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         embedding[1:16] AS qv16
+  FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+),
+_tr_c AS (
+  SELECT vec_id AS nid, embedding AS cv, embedding[1:16] AS cv16
+  FROM embeddings
+),
+_tr_exact AS (
+  SELECT query_id, nid FROM (
+    SELECT q.query_id, c.nid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY CAST(floor(
+               ({sim.sql_l2sq('q.qv', 'c.cv', _EMB_DIM)})
+               * 1000000.0 + 0.5) AS BIGINT) ASC, c.nid ASC) AS rn
+    FROM _tr_q q CROSS JOIN _tr_c c
+    WHERE c.nid <> q.query_id) WHERE rn <= 5
+),
+_tr_trunc AS (
+  SELECT query_id, nid FROM (
+    SELECT q.query_id, c.nid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY CAST(floor(
+               ({sim.sql_l2sq('q.qv16', 'c.cv16', 16)})
+               * 1000000.0 + 0.5) AS BIGINT) ASC, c.nid ASC) AS rn
+    FROM _tr_q q CROSS JOIN _tr_c c
+    WHERE c.nid <> q.query_id) WHERE rn <= 5
+)
+SELECT x.query_id,
+       CAST(count(t.nid) AS DOUBLE) / 5.0 AS recall_at_5
+FROM _tr_exact x LEFT JOIN _tr_trunc t
+  ON t.query_id = x.query_id AND t.nid = x.nid
+GROUP BY x.query_id
+""")
+def sim_truncated_recall(spark, sf_dir):
+    """Dimension-truncation retrieval quality (the Matryoshka /
+    adaptive-retrieval question — Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022): recall@5 of ranking by
+    the FIRST 16 of 64 dims against the full-dimension exact-L2
+    truth, per query. This is the dial a 100 TB vector store tunes
+    when it shortlists with truncated prefixes (4x less memory
+    traffic per candidate) and re-ranks survivors at full width —
+    alongside sim_pq_recall (code compression) and sim_ivf_recall
+    (candidate pruning) it completes the three cost axes of
+    large-scale ANN. Both rankings broadcast the query side; the
+    corpus never shuffles; micro-quantized integer distances and
+    id tie order keep the top-5 sets bit-identical cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.slice("embedding", 1, 16).alias("_qv16")))
+    c = emb.select(F.col("vec_id").alias("nid"),
+                   F.col("embedding").alias("_cv"),
+                   F.slice("embedding", 1, 16).alias("_cv16"))
+    scored = (q.crossJoin(c)
+              .filter(F.col("nid") != F.col("query_id"))
+              .select(
+                  "query_id", "nid",
+                  F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
+                          * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("long").alias("_df"),
+                  F.floor(sim.l2sq(F.col("_qv16"), F.col("_cv16"))
+                          * F.lit(1000000.0) + F.lit(0.5))
+                  .cast("long").alias("_dt")))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_df").asc(), F.col("nid").asc())
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("_dt").asc(), F.col("nid").asc())
+    exact = (scored.withColumn("rn", F.row_number().over(wf))
+             .filter(F.col("rn") <= 5).select("query_id", "nid"))
+    trunc = (scored.withColumn("rn", F.row_number().over(wt))
+             .filter(F.col("rn") <= 5)
+             .select(F.col("query_id").alias("_q"),
+                     F.col("nid").alias("_n")))
+    return (
+        exact.join(F.broadcast(trunc),
+                   (F.col("_q") == F.col("query_id"))
+                   & (F.col("_n") == F.col("nid")), "left")
+        .groupBy("query_id")
+        .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
+    )
+
+
 @register("streaming_w3_running_sum", ORACLES["w3_running_sum"])
 def streaming_w3_running_sum(spark, sf_dir):
     """W3 per-key running sum (SharePriceDataflow.java:121-122) through
