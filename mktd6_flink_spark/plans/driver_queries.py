@@ -4532,6 +4532,66 @@ def events_type_correlation(spark, sf_dir):
         .alias("pearson_r"))
 
 
+@register("events_decayed_engagement", """
+WITH mx AS (
+  SELECT CAST(max(epoch_us(ts)) // 86400000000 AS BIGINT) AS last_d
+  FROM events),
+terms AS (
+  SELECT user_id,
+         CAST(floor(
+           CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE)
+           / CAST(1 << CAST(((SELECT last_d FROM mx)
+               - epoch_us(ts) // 86400000000) // 7 AS INTEGER) AS DOUBLE)
+           * 10000.0 + 0.5) AS BIGINT) AS term_micro
+  FROM events WHERE value IS NOT NULL),
+scores AS (
+  SELECT user_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+  FROM terms GROUP BY user_id)
+SELECT user_id, score_micro, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC,
+                                   user_id ASC) AS rank
+      FROM scores)
+WHERE rank <= 20
+""")
+def events_decayed_engagement(spark, sf_dir):
+    """Time-decayed engagement score — the half-life-weighted sum
+    behind every recency-aware LTV / churn-risk leaderboard: each
+    event contributes value * 2^-(weeks since the corpus's last day),
+    top 20 users. The portability trick is choosing the EXACT
+    arithmetic: the decay exponent is an INTEGER week count, so the
+    factor 2^-k is a pure exponent-field double (exact), the cents
+    value divided by it is exact, and each term quantizes to integer
+    micros before the sum — no transcendental (pow/exp is not
+    correctly-rounded across libms, so a float half-life would flip
+    floor boundaries between engines) and no float accumulation.
+    Shape: one map-side term expression over the fact scan, one
+    partial-aggregated groupBy(user), top-k over the user-grain
+    table; the last-day scalar broadcasts."""
+    # day indexes via integer `div`, never `/`: Spark long / long is a
+    # DOUBLE division whose rounding can cross the integer boundary
+    # before the cast truncates (floor vs round-then-truncate)
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "value",
+                  F.expr("unix_micros(ts) div 86400000000").alias("_d")))
+    mx = ev.agg(F.max("_d").alias("_last_d"))
+    k = F.expr("CAST((_last_d - _d) div 7 AS INT)")
+    term = F.floor(
+        _cents(F.col("value")).cast("double")
+        / F.pow(F.lit(2.0), k.cast("double"))
+        * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    scores = (ev.crossJoin(F.broadcast(mx))
+              .select("user_id", term.alias("_tm"))
+              .groupBy("user_id")
+              .agg(F.sum("_tm").alias("score_micro")))
+    w = Window.orderBy(F.col("score_micro").desc(),
+                       F.col("user_id").asc())
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("user_id", "score_micro",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 @register("events_dau_wau", """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
