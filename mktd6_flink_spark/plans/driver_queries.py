@@ -4592,6 +4592,93 @@ def events_decayed_engagement(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
+_PAGERANK_ITERS = 2
+
+
+def _sql_pagerank(iters: int = _PAGERANK_ITERS) -> str:
+    parts = ["""_pr_e0 AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+_pr_edges AS (
+  SELECT src, dst FROM _pr_e0
+  UNION ALL SELECT dst AS src, src AS dst FROM _pr_e0),
+_pr_deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM _pr_edges GROUP BY src),
+_pr_r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM _pr_deg)"""]
+    for it in range(1, iters + 1):
+        prev = f"_pr_r{it - 1}"
+        parts.append(f"""_pr_r{it} AS (
+  SELECT d.node,
+         CAST(150000 + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS r
+  FROM _pr_deg d LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(p.r // g.deg) AS BIGINT) AS s
+    FROM _pr_edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN _pr_deg g ON g.node = e.src
+    GROUP BY e.dst) m ON m.node = d.node)""")
+    return ",\n".join(parts)
+
+
+@register("graph_pagerank_trading", f"""
+WITH {_sql_pagerank()}
+SELECT node, r AS rank_micro, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY r DESC, node ASC) AS rn
+      FROM _pr_r{_PAGERANK_ITERS})
+WHERE rn <= 20
+""")
+def graph_pagerank_trading(spark, sf_dir):
+    """PageRank (Page, Brin, Motwani, Winograd 1999) over the TPC-H
+    customer-supplier trading graph (undirected: distinct
+    who-bought-from-whom edges doubled, so no dangling mass), fixed
+    {2} iterations, top 20 nodes — the iterative-graph-ranking family
+    alongside connected components. Engine-exact by INTEGER
+    arithmetic end to end: ranks live in integer micros, each node's
+    contribution is rank div degree (identical integer division both
+    engines; the dropped remainder is part of the algorithm's
+    definition here, not error), damping is x85 div 100, and the
+    neighbor sum is an exact int64 — no float ever, so 1000 executors
+    reduce in any order bit-identically, the same rule as every money
+    sum in the repo. Scale shape per iteration: one equi-join of the
+    edge table against the (node, rank) table (both partitioned by
+    node key), one partial-aggregated groupBy(dst) — the classic
+    distributed PageRank step; the degree table is computed once.
+    Iteration count is the only sequential dimension (kmeans/CC
+    pattern)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("node", "_sn"),
+                         F.col("src") == F.col("_sn"))
+                   .join(deg.withColumnRenamed("node", "_dn")
+                         .withColumnRenamed("deg", "_sd"),
+                         F.col("src") == F.col("_dn"))
+                   .select(F.col("dst").alias("node"),
+                           F.expr("r div _sd").alias("_c"))
+                   .groupBy("node").agg(F.sum("_c").alias("_s")))
+        ranks = (deg.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(150000)
+                          + F.expr("div(85 * coalesce(_s, 0), 100)"))
+                         .cast("long").alias("r")))
+    w = Window.orderBy(F.col("r").desc(), F.col("node").asc())
+    return (ranks.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("node", F.col("r").alias("rank_micro"),
+                    F.col("rn").cast("int").alias("rank")))
+
+
 @register("events_dau_wau", """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
