@@ -4679,6 +4679,44 @@ def graph_pagerank_trading(spark, sf_dir):
                     F.col("rn").cast("int").alias("rank")))
 
 
+@register("streaming_decayed_engagement",
+          ORACLES["events_decayed_engagement"])
+def streaming_decayed_engagement(spark, sf_dir):
+    """The decayed-engagement leaderboard maintained ON THE LIVE
+    STREAMING RUNTIME — the per-user micro-quantized decay terms are
+    an incremental integer sum (complete output mode, one int64 of
+    state per user), so the recency-weighted leaderboard stays
+    current as events arrive; the batch finalize ranks the sunk user
+    table and is checked against the SAME oracle as the batch twin.
+    The reference day (the corpus's last day) is a scalar batch
+    aggregate probed up front — the anchor-probe pattern every
+    streaming twin with a corpus-relative constant uses, not a data
+    collect. Exactness story identical to the batch twin: integer
+    week exponents, power-of-two decay, int64 term sums."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    last_d = load(spark, sf_dir, "events").agg(
+        F.max(F.expr("unix_micros(ts) div 86400000000"))
+        .alias("_ld")).collect()[0][0]
+    raw = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    k = F.expr(f"CAST(({last_d} - unix_micros(ts) div 86400000000) "
+               "div 7 AS INT)")
+    term = F.floor(
+        _cents(F.col("value")).cast("double")
+        / F.pow(F.lit(2.0), k.cast("double"))
+        * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    agg = (raw.select("user_id", term.alias("_tm"))
+           .groupBy("user_id").agg(F.sum("_tm").alias("score_micro")))
+    sunk = _run_stream_to_table(spark, agg, "decay_stream",
+                                mode="complete")
+    w = Window.orderBy(F.col("score_micro").desc(),
+                       F.col("user_id").asc())
+    return (sunk.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .select("user_id", "score_micro",
+                    F.col("rn").cast("int").alias("rank")))
+
+
 @register("events_dau_wau", """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
