@@ -2638,6 +2638,49 @@ def pipeline_curation_v2(spark, sf_dir):
             .unionByName(n(s3, "4_winnow_dedup")))
 
 
+@register("dedup_winnow_recall", f"""
+WITH {_DOCS2_SQL.strip()},
+_wr_pairs AS ({dd.sql_winnowing_pairs('docs2')}),
+_wr_truth AS (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+  FROM documents WHERE doc_id < 50),
+_wr_found AS (
+  SELECT t.id_a FROM _wr_truth t
+  JOIN _wr_pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b)
+SELECT CAST((SELECT count(*) FROM _wr_truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM _wr_found) AS BIGINT) AS n_found,
+       CAST((SELECT count(*) FROM _wr_pairs) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM _wr_found) AS DOUBLE)
+         / (SELECT count(*) FROM _wr_truth) AS recall
+""")
+def dedup_winnow_recall(spark, sf_dir):
+    """Planted-pair recall for winnowing — the measured dial the
+    recall family gives every blocking scheme (dedup_lsh_recall,
+    sim_ivf_recall, sim_pq_recall, join_fuzzy_recall): the 50 planted
+    near-dups (doc_id < 50 mutated as doc_id+10000) are the truth
+    set; recall reports how many survive the k/w fingerprint
+    selection, the relative match threshold, AND the max_df hot cap
+    together — exactly the three dials the k=8 -> k=16 incident
+    showed interact at scale (SCALING.md: the cap silently zeroed
+    recall at sf0.1 until the fingerprint space out-scaled the
+    corpus). n_pairs is the cost side. Measured 50/50 at both SFs
+    with the current dials."""
+    pairs = dd.winnowing_pairs(_docs2(spark, sf_dir))
+    truth = (load(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < 50)
+             .select(F.col("doc_id").alias("_ta"),
+                     (F.col("doc_id") + 10000).alias("_tb")))
+    found = truth.join(pairs, (F.col("_ta") == F.col("id_a"))
+                       & (F.col("_tb") == F.col("id_b")), "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (nt.crossJoin(F.broadcast(nf)).crossJoin(F.broadcast(np_))
+            .select("n_truth", "n_found", "n_pairs",
+                    (F.col("n_found").cast("double")
+                     / F.col("n_truth").cast("double")).alias("recall")))
+
+
 @register("pipeline_dsir_weights",
           tx.sql_dsir_weights("documents", "lang = 'en'"))
 def pipeline_dsir_weights(spark, sf_dir):
