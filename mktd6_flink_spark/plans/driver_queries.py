@@ -4580,11 +4580,15 @@ WITH mx AS (
   SELECT CAST(max(epoch_us(ts)) // 86400000000 AS BIGINT) AS last_d
   FROM events),
 terms AS (
+  -- decay exponent capped at 40: terms underflow to 0 micros long
+  -- before 2^-40, and DuckDB's BIGINT << raises at shift 63 (the
+  -- known shift trap) if a wider-span corpus ever appears
   SELECT user_id,
          CAST(floor(
            CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE)
-           / CAST(1 << CAST(((SELECT last_d FROM mx)
-               - epoch_us(ts) // 86400000000) // 7 AS INTEGER) AS DOUBLE)
+           / CAST(1 << CAST(least(((SELECT last_d FROM mx)
+               - epoch_us(ts) // 86400000000) // 7, 40) AS INTEGER)
+             AS DOUBLE)
            * 10000.0 + 0.5) AS BIGINT) AS term_micro
   FROM events WHERE value IS NOT NULL),
 scores AS (
@@ -4618,7 +4622,9 @@ def events_decayed_engagement(spark, sf_dir):
           .select("user_id", "value",
                   F.expr("unix_micros(ts) div 86400000000").alias("_d")))
     mx = ev.agg(F.max("_d").alias("_last_d"))
-    k = F.expr("CAST((_last_d - _d) div 7 AS INT)")
+    # capped at 40 to mirror the oracle's shift-safety guard (terms are
+    # 0 micros long before 2^-40, so the cap never changes a value)
+    k = F.expr("CAST(least((_last_d - _d) div 7, 40) AS INT)")
     term = F.floor(
         _cents(F.col("value")).cast("double")
         / F.pow(F.lit(2.0), k.cast("double"))
@@ -4742,8 +4748,8 @@ def streaming_decayed_engagement(spark, sf_dir):
         F.max(F.expr("unix_micros(ts) div 86400000000"))
         .alias("_ld")).collect()[0][0]
     raw = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
-    k = F.expr(f"CAST(({last_d} - unix_micros(ts) div 86400000000) "
-               "div 7 AS INT)")
+    k = F.expr(f"CAST(least(({last_d} - unix_micros(ts) div "
+               "86400000000) div 7, 40) AS INT)")
     term = F.floor(
         _cents(F.col("value")).cast("double")
         / F.pow(F.lit(2.0), k.cast("double"))
