@@ -4766,6 +4766,43 @@ def streaming_decayed_engagement(spark, sf_dir):
                     F.col("rn").cast("int").alias("rank")))
 
 
+@register("graph_degree_stats", f"""
+WITH {_sql_pagerank(iters=0)}
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS degree_log2,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_degree,
+       CAST(max(deg) AS BIGINT) AS max_degree,
+       CAST(sum(deg) AS BIGINT) AS sum_degree
+FROM _pr_deg
+GROUP BY 1
+""")
+def graph_degree_stats(spark, sf_dir):
+    """Degree distribution of the trading graph as a log2 histogram —
+    the first diagnostic any graph job publishes before choosing a
+    partitioning strategy: the top bucket's max_degree is the hub
+    that decides whether plain node-hash partitioning survives or
+    the computation needs vertex-cut/salting (the same skew question
+    join_salted_skew answers for joins). Exact integer bucketing via
+    bit-length (the length_log2_histogram pattern), one shuffle to
+    the node grain, one to the ~30-bucket histogram grain."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    return (deg.groupBy((F.length(F.bin("deg")) - 1).cast("long")
+                        .alias("degree_log2"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("deg").alias("min_degree"),
+                 F.max("deg").alias("max_degree"),
+                 F.sum("deg").alias("sum_degree")))
+
+
 @register("events_dau_wau", """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
