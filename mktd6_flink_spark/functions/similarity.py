@@ -488,6 +488,26 @@ PQ_M = 4   # subspaces
 PQ_K = 16  # codes per subspace (4 bits)
 
 
+def _codebook_count_guard(cents: DataFrame, m: int, k: int, fn: str):
+    """The first-k-ids codebook-completeness guard shared by the
+    sampled (``pq_codes``) and trained (``pq_trained_codebooks``)
+    paths: both initialize codebooks from ``filter(id_col < k)``, so
+    with id gaps (or ids not starting at 0) the codebook is silently
+    short and every emitted code is biased. Returns (1-row count
+    frame to broadcast-crossJoin, guard column) — the guard is 0L
+    when all m*k subvector rows exist and fatal (assert_true)
+    otherwise, so folding it in as +0 leaves values unchanged while
+    making the precondition violation abort the job in-plan."""
+    ncent = cents.agg(F.count(F.lit(1)).alias("_ncent"))
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_ncent") == F.lit(m * k),
+            F.lit(f"{fn}: incomplete codebook — expected ids 0..{k - 1}"
+                  f" all present ({m * k} subvector rows)")).cast("long"),
+        F.lit(0).cast("long"))
+    return ncent, guard
+
+
 def pq_codes(embeddings: DataFrame, dim: int, m: int = PQ_M,
              k: int = PQ_K, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
@@ -536,13 +556,7 @@ def pq_codes(embeddings: DataFrame, dim: int, m: int = PQ_M,
     # Fail-fast id-contiguity guard: count the (constant-size) codebook
     # once, broadcast the 1-row count, and fold an assert_true into the
     # distance as +0 — values unchanged, incomplete codebooks fatal.
-    ncent = cents.agg(F.count(F.lit(1)).alias("_ncent"))
-    cguard = F.coalesce(
-        F.assert_true(
-            F.col("_ncent") == F.lit(m * k),
-            F.lit(f"pq_codes: incomplete codebook — expected ids 0..{k - 1}"
-                  f" all present ({m * k} subvector rows)")).cast("long"),
-        F.lit(0).cast("long"))
+    ncent, cguard = _codebook_count_guard(cents, m, k, "pq_codes")
     scored = subs.join(F.broadcast(cents),
                        F.col("subspace") == F.col("_cs")).crossJoin(
         F.broadcast(ncent)).select(
@@ -742,6 +756,12 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
     cents = subs.filter(F.col(id_col) < k).select(
         "subspace", F.col(id_col).cast("int").alias("code"),
         F.col("_sv").alias("_cv"))
+    # Same first-k-ids precondition as pq_codes, same fail-fast guard
+    # (shared helper): training from a silently-short codebook emits
+    # biased codes with no error — the exact failure the sampled
+    # path's assert was added to prevent.
+    ncent, cguard = _codebook_count_guard(cents, m, k,
+                                          "pq_trained_codebooks")
     for _ in range(iters):
         scored = subs.join(
             F.broadcast(cents.withColumnRenamed("subspace", "_cs")),
@@ -771,7 +791,10 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
                 F.array_sort(F.collect_list(F.struct("dim", "val"))),
                 lambda s: s["val"],
             ).alias("_cv"))
-    return cents.select("subspace", "code", F.col("_cv").alias("cvec"))
+    return (cents.crossJoin(F.broadcast(ncent)).select(
+        "subspace",
+        (F.col("code") + cguard).cast("int").alias("code"),
+        F.col("_cv").alias("cvec")))
 
 
 def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,

@@ -673,6 +673,28 @@ def test_pq_codes_incomplete_codebook_fails_fast(spark):
         similarity.pq_codes(gappy, dim=8, m=2, k=4).collect()
 
 
+def test_pq_trained_incomplete_codebook_fails_fast(spark):
+    """pq_trained_codebooks initializes from the SAME first-k-ids
+    contract as pq_codes; without a guard, training from a gappy id
+    space silently proceeds from a short codebook and every code it
+    emits is biased (the exact failure the pq_codes assert was added
+    for). The shared _codebook_count_guard must make it fatal on both
+    the trained codebook and the ADC path built on it."""
+    import numpy as np
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ok = similarity.pq_trained_codebooks(df, dim=8, m=2, k=4, iters=1)
+    assert ok.count() <= 2 * 4  # empty codes may drop out, never exceed
+    gappy = df.filter(F.col("vec_id") != 1)  # id 1 missing from 0..3
+    with pytest.raises(Exception, match="incomplete codebook|assert"):
+        similarity.pq_trained_codebooks(gappy, dim=8, m=2, k=4,
+                                        iters=1).collect()
+    with pytest.raises(Exception, match="incomplete codebook|assert"):
+        similarity.pq_adc_topk_trained(gappy, [0], dim=8, m=2, kcent=4,
+                                       iters=1).collect()
+
+
 def test_keep_best_dedup_rejects_wide_doc_ids(spark, monkeypatch):
     """pipeline_keep_best_dedup packs priority as toks*1e6 +
     (999999 - doc_id); a doc_id >= 1e6 would unpack to a wrong
@@ -693,11 +715,13 @@ def test_pq_trained_beats_sampled_on_quantization_error(spark):
     """The trained-PQ quality bar, pinned on the trainer's OBJECTIVE:
     Lloyd-trained per-subspace codebooks must quantize the real
     embeddings table with at most the sampled codebook's total error
-    (measured: ~30% lower, monotone in iterations). Recall@5 over the
-    registry's 10 queries x 5 neighbors is a 50-sample statistic —
-    too noisy to order two codebooks of similar quality (sampled 0.34
-    vs trained 0.28-0.30 across iteration counts while error strictly
-    improves) — so recall only guards against catastrophic loss."""
+    (measured: ~30% lower, monotone in iterations). Recall@5 is now
+    measured over the registry's 100-query truth set (500 samples) —
+    the round-9 10-query dial was too noisy to order two codebooks
+    (it measured trained BELOW sampled while error strictly
+    improved); at 100 queries the ordering resolves (sf0.01: trained
+    0.138 vs sampled 0.104; sf0.1: 0.096 vs 0.050), so the recall
+    dial itself must now rank trained >= sampled."""
     from mktd6_flink_spark.plans import driver_queries as dq
     from mktd6_flink_spark.functions.similarity import (_pq_subvectors,
                                                         l2sq)
@@ -723,9 +747,10 @@ def test_pq_trained_beats_sampled_on_quantization_error(spark):
     trained = {r.query_id: r.recall_at_5 for r in
                dq.QUERIES["sim_pq_trained_recall"](spark, sf).collect()}
     assert set(trained) == set(sampled)
+    assert len(trained) == 100
     mean_s = sum(sampled.values()) / len(sampled)
     mean_t = sum(trained.values()) / len(trained)
-    assert mean_t >= mean_s - 0.1, (mean_t, mean_s)
+    assert mean_t >= mean_s, (mean_t, mean_s)
 
 
 def test_winnowing_finds_planted_dups_and_guarantee(spark):

@@ -192,3 +192,46 @@ def test_dsir_weight_sign_separates_domains(spark):
             for i, ws in toks.items()}
     assert got == want, (got, want)
     assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+def test_semdedup_k_scales_with_corpus_and_bounds_pairs(spark):
+    """The SemDeDup pair-fan-out bound must be STRUCTURAL, not
+    documented: K = max(8, n // _SEMDEDUP_TARGET) pins average
+    cluster size, so candidate pairs (sum s_i*(s_i-1)/2 over the
+    REAL trained assignment) stay O(n * s_max) with s_max roughly
+    flat in n — checked at sf0.01 (n=500, K=8) vs sf0.1 (n=2000,
+    K=31): measured s_max 71 vs 77 while n grew 4x."""
+    from mktd6_flink_spark.functions import similarity as sim
+    from mktd6_flink_spark.functions.similarity import l2sq
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    stats = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = dq.load(spark, sf, "embeddings")
+        n = emb.count()
+        k = dq._semdedup_k(n)
+        assert k == max(8, n // dq._SEMDEDUP_TARGET)
+        cents = sim.kmeans_centroids(emb, dq._EMB_DIM, k=k)
+        cvec = cents.groupBy("centroid_id").agg(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("dim", F.col("centroid").alias("val")))),
+                lambda s: s["val"]).alias("_cv"))
+        assign = (emb.crossJoin(F.broadcast(cvec))
+                  .select("vec_id", "centroid_id",
+                          l2sq(F.col("embedding"), F.col("_cv"))
+                          .alias("_d"))
+                  .groupBy("vec_id")
+                  .agg(F.min_by("centroid_id",
+                                F.struct("_d", "centroid_id")).alias("c")))
+        sizes = [r.s for r in assign.groupBy("c")
+                 .agg(F.count(F.lit(1)).alias("s")).collect()]
+        pairs = sum(s * (s - 1) // 2 for s in sizes)
+        # the structural bound: sum s(s-1)/2 <= s_max * n / 2
+        assert pairs <= max(sizes) * n / 2
+        stats[sf] = (n, k, max(sizes), pairs)
+    (n1, k1, m1, p1), (n2, k2, m2, p2) = stats.values()
+    assert n2 > n1 and k2 > k1          # K grows with the corpus
+    assert m2 <= 2 * m1                 # cluster size ~flat, not ~n
+    # pair DENSITY (pairs / all-pairs) falls as the corpus grows —
+    # the whole point of scaling K with n
+    assert p2 / (n2 * n2) < p1 / (n1 * n1)
