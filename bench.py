@@ -7,11 +7,20 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Methodology:
 - Each query materializes fully via the no-op sink (format("noop")) so we
   measure scan → compute → shuffle without driver-collect overhead.
-- Each query runs REPEATS (3) times and reports the MEDIAN — n=1 timings
-  at this scale swing ±0.5 s with zero code change (BENCH_r03's tpch_q5ish
-  +56% regression was noise), medians make regressions attributable.
-  "value" stays the sum of medians; "total_wall" carries the raw
-  wall-clock of the whole run for the skeptical reader.
+- INTERLEAVED PASSES (round-10 protocol): the panel runs REPEATS (3)
+  full passes — pass order A, B(reversed), A — and each query reports
+  the MEDIAN of its per-pass timings. The old protocol ran each head's
+  3 reps back-to-back, so all of a head's samples shared one panel
+  position and one JVM-heap phase: round 9 measured the NO-OP floor
+  sentinel 1.24x slower and 26 unchanged heads 1.15-1.67x slower purely
+  because the panel had grown — correlated samples can't separate code
+  regressions from environment drift. Reversing the order on the middle
+  pass decorrelates panel position; the median then samples three
+  different heap/GC phases. Same total executions (heads x REPEATS).
+- Variance is REPORTED, not hidden: "spread" carries each head's
+  (max - min) across passes and "floor_per_pass" the sentinel's timing
+  in every pass — a regression claim is only credible when the delta
+  exceeds both the head's own spread and the floor drift.
 - "streaming_floor" is a SENTINEL, not an operator: file source →
   passthrough → memory sink over the same events file. It measures the
   irreducible streaming-machinery cost (source listing, planning, state
@@ -173,17 +182,28 @@ def main() -> int:
      .groupBy("l_returnflag").agg(F.sum("l_quantity"))
      .write.format("noop").mode("overwrite").save())
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # ... and the STREAMING machinery too: the round-10 trial showed the
+    # first pass's floor at 2.1 s vs 1.0 s steady-state — without this,
+    # every streaming head's first rep carries the one-time streaming
+    # runtime startup and the A/B/A median leans on the last two passes
+    # for all of them at once.
+    streaming_floor(spark, SF_DIR).count()
+    for tbl in spark.catalog.listTables():
+        if tbl.isTemporary:
+            spark.catalog.dropTempView(tbl.name)
+    spark.streams.resetTerminated()
 
     t_run0 = time.perf_counter()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = streaming_floor if name == "streaming_floor" else dq.QUERIES[name]
-        reps = []
-        for _ in range(REPEATS):
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for p in range(REPEATS):
+        order = HEADLINE if p % 2 == 0 else list(reversed(HEADLINE))
+        for name in order:
+            fn = (streaming_floor if name == "streaming_floor"
+                  else dq.QUERIES[name])
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            reps.append(time.perf_counter() - t0)
+            reps[name].append(time.perf_counter() - t0)
             # deterministic cleanup between runs: a two-phase plan may
             # have left a (size-gated) persisted frame behind, and a
             # streaming entry leaves its memory-sink temp view (driver
@@ -197,7 +217,9 @@ def main() -> int:
             # through them their memory sinks' rows) until reset —
             # without this the driver heap grows across the whole run
             spark.streams.resetTerminated()
-        timings[name] = round(statistics.median(reps), 3)
+    timings = {name: round(statistics.median(r), 3)
+               for name, r in reps.items()}
+    spread = {name: round(max(r) - min(r), 3) for name, r in reps.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -207,6 +229,9 @@ def main() -> int:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "repeats": REPEATS,
+        "protocol": "interleaved-passes-ABA",
+        "spread": spread,
+        "floor_per_pass": [round(x, 3) for x in reps["streaming_floor"]],
         "total_wall": round(time.perf_counter() - t_run0, 3),
         "subtotals": {
             "r6_comparable_31": round(

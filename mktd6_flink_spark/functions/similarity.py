@@ -951,3 +951,220 @@ def sql_pq_adc_topk_trained(table: str, query_ids: list[int], dim: int,
           FROM _tadc_scored)
     WHERE rank <= {k}
     """
+
+
+# -- IVFADC: IVF + PQ over residuals (the composed billion-scale index) ------
+
+
+def _residual(vec: Column, cvec: Column) -> Column:
+    """Element-wise residual x - c in the DOUBLE domain. Each element
+    is cast float->double BEFORE subtracting: float widening is exact
+    and double subtraction is IEEE-identical in both engines, whereas
+    a float-domain subtraction would round differently than DuckDB's
+    (which promotes on its own schedule — the FLOAT*1e6 quantization
+    trap, round 8)."""
+    return F.zip_with(vec, cvec,
+                      lambda a, b: a.cast("double") - b.cast("double"))
+
+
+def _sql_residual(vec: str, cvec: str, dim: int) -> str:
+    return (f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) - CAST({cvec}[i] AS DOUBLE))")
+
+
+def ivfpq_adc_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
+                   m: int = PQ_M, kcent: int = PQ_K,
+                   n_centroids: int = IVF_N_CENTROIDS,
+                   nprobe: int = IVF_NPROBE, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVFADC (Jegou, Douze, Schmid, TPAMI 2011 §V): the COMPOSED
+    index every billion-vector deployment actually runs — IVF coarse
+    quantization prunes the corpus to nprobe inverted lists, and PQ
+    codes encode each vector's RESIDUAL (x - coarse_centroid), so the
+    fine quantizer spends its bits on the part the coarse one missed.
+    Search: per probed centroid the query forms its own residual and
+    an m x kcent ADC lookup table; candidates in that list are scored
+    by m table lookups, never a vector read.
+
+    Scale shape — the reason this composition wins at 100 TB: the
+    centroid set and codebook are CONSTANT-size broadcasts; encoding
+    shuffles ONE row per (vector, subspace); the per-query distance
+    tables (|Q| * nprobe * m * kcent rows) broadcast so the
+    corpus-sized code lists never shuffle; candidates are
+    O(n * nprobe / n_centroids) instead of O(n); the final combine is
+    a partial-aggregated groupBy(query, neighbor).
+
+    Determinism contract (whole kmeans/IVF/PQ family): coarse
+    centroids = first-n_centroids vectors, residual codebook = first
+    kcent vectors' residual subvectors (completeness enforced by the
+    shared _codebook_count_guard), every distance micro-quantized
+    floor(d*1e6+0.5) in int64, all ties to the lower id. L2 end to
+    end (ADC approximates L2; mixing the cosine coarse metric of
+    ivf_ann_topk would make the probe ranking incoherent with the
+    lookup scores).
+
+    Returns (query_id, neighbor_id, adc_micro, rank)."""
+    sub = dim // m
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("centroid_id"),
+        F.col(vec_col).alias("_cvec"))
+    # coarse assign: argmin micro-L2, tie -> lowest centroid id
+    cscored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col, vec_col, "centroid_id", "_cvec",
+        F.floor(l2sq(F.col(vec_col), F.col("_cvec")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_cd"))
+    assigned = cscored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("centroid_id"), F.col(vec_col).alias("_v"),
+                     F.col("_cvec")),
+            F.struct(F.col("_cd"), F.col("centroid_id").alias("_c")),
+        ).alias("_b")
+    ).select(id_col, F.col("_b.centroid_id").alias("centroid_id"),
+             _residual(F.col("_b._v"), F.col("_b._cvec")).alias("_r"))
+    rsubs = assigned.select(
+        id_col, "centroid_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("subspace"),
+                     F.slice(F.col("_r"), j * sub + 1, sub).alias("_sv"))
+            for j in range(m)])).alias("_e")
+    ).select(id_col, "centroid_id",
+             F.col("_e.subspace").alias("subspace"),
+             F.col("_e._sv").alias("_sv"))
+    cb = rsubs.filter(F.col(id_col) < kcent).select(
+        F.col("subspace").alias("_cs"),
+        F.col(id_col).cast("int").alias("_code"),
+        F.col("_sv").alias("_cv"))
+    ncent, cguard = _codebook_count_guard(cb, m, kcent, "ivfpq_adc_topk")
+    enc = rsubs.join(F.broadcast(cb),
+                     F.col("subspace") == F.col("_cs")).crossJoin(
+        F.broadcast(ncent)).select(
+        id_col, "centroid_id", "subspace", "_code",
+        (F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
+                 + F.lit(0.5)).cast("long") + cguard).alias("_dm"))
+    codes = enc.groupBy(id_col, "centroid_id", "subspace").agg(
+        F.min_by(F.col("_code"),
+                 F.struct(F.col("_dm"), F.col("_code").alias("_c")))
+        .alias("code"))
+    # query side: probe nprobe nearest centroids, residual per probe
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    pscored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "_qv", "centroid_id", "_cvec",
+        F.floor(l2sq(F.col("_qv"), F.col("_cvec")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_pd"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_pd").asc(), F.col("centroid_id").asc())
+    probes = (pscored.withColumn("_rn", F.row_number().over(wp))
+              .filter(F.col("_rn") <= nprobe)
+              .select("query_id", "centroid_id",
+                      _residual(F.col("_qv"), F.col("_cvec")).alias("_qr")))
+    qsubs = probes.select(
+        "query_id", "centroid_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).cast("int").alias("subspace"),
+                     F.slice(F.col("_qr"), j * sub + 1, sub).alias("_qsv"))
+            for j in range(m)])).alias("_e")
+    ).select("query_id", F.col("centroid_id").alias("_tc"),
+             F.col("_e.subspace").alias("_ts"),
+             F.col("_e._qsv").alias("_qsv"))
+    dtab = qsubs.join(F.broadcast(cb),
+                      F.col("_ts") == F.col("_cs")).select(
+        "query_id", "_tc", "_ts",
+        F.col("_code").alias("_tcode"),
+        F.floor(l2sq(F.col("_qsv"), F.col("_cv")) * F.lit(1000000.0)
+                + F.lit(0.5)).cast("long").alias("_tdm"))
+    scored = (codes.join(F.broadcast(dtab),
+                         (F.col("centroid_id") == F.col("_tc"))
+                         & (F.col("subspace") == F.col("_ts"))
+                         & (F.col("code") == F.col("_tcode")))
+              .filter(F.col(id_col) != F.col("query_id"))
+              .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+              .agg(F.sum("_tdm").alias("adc_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_micro",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def sql_ivfpq_adc_topk(table: str, query_ids: list[int], dim: int,
+                       m: int = PQ_M, kcent: int = PQ_K,
+                       n_centroids: int = IVF_N_CENTROIDS,
+                       nprobe: int = IVF_NPROBE, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB twin of ``ivfpq_adc_topk``: identical coarse argmin,
+    residuals, codebook, encoding, probe ranking, lookup sums, ties."""
+    sub = dim // m
+    ids = ", ".join(str(i) for i in query_ids)
+    dc = sql_l2sq(f"e.{vec_col}", "c._cvec", dim)
+    denc = sql_l2sq("a.sv", "b.cv", sub)
+    dq = sql_l2sq("q.qsv", "b.cv", sub)
+    return f"""
+    WITH _ipq_cents AS (
+      SELECT CAST({id_col} AS INTEGER) AS centroid_id,
+             {vec_col} AS _cvec
+      FROM {table} WHERE {id_col} < {n_centroids}),
+    _ipq_assign AS (
+      SELECT vec_id, centroid_id,
+             {_sql_residual('_v', '_cvec', dim)} AS _r
+      FROM (
+        SELECT e.{id_col} AS vec_id, c.centroid_id,
+               e.{vec_col} AS _v, c._cvec,
+               row_number() OVER (PARTITION BY e.{id_col}
+                 ORDER BY CAST(floor(({dc}) * 1000000.0 + 0.5) AS BIGINT)
+                   ASC, c.centroid_id ASC) AS rn
+        FROM {table} e CROSS JOIN _ipq_cents c) WHERE rn = 1),
+    _ipq_rsub AS (
+      SELECT vec_id, centroid_id, CAST(g.s AS INTEGER) AS subspace,
+             _r[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS sv
+      FROM _ipq_assign,
+           (SELECT unnest(generate_series(0, {m - 1})) AS s) g),
+    _ipq_cb AS (
+      SELECT subspace, CAST(vec_id AS INTEGER) AS code, sv AS cv
+      FROM _ipq_rsub WHERE vec_id < {kcent}),
+    _ipq_codes AS (
+      SELECT vec_id, centroid_id, subspace, code FROM (
+        SELECT a.vec_id, a.centroid_id, a.subspace, b.code,
+               row_number() OVER (PARTITION BY a.vec_id, a.subspace
+                 ORDER BY CAST(floor(({denc}) * 1000000.0 + 0.5)
+                   AS BIGINT) ASC, b.code ASC) AS rn
+        FROM _ipq_rsub a JOIN _ipq_cb b ON b.subspace = a.subspace)
+      WHERE rn = 1),
+    _ipq_probes AS (
+      SELECT query_id, centroid_id,
+             {_sql_residual('_qv', '_cvec', dim)} AS _qr
+      FROM (
+        SELECT e.{id_col} AS query_id, c.centroid_id,
+               e.{vec_col} AS _qv, c._cvec,
+               row_number() OVER (PARTITION BY e.{id_col}
+                 ORDER BY CAST(floor(({sql_l2sq(f'e.{vec_col}', 'c._cvec',
+                                                dim)}) * 1000000.0 + 0.5)
+                   AS BIGINT) ASC, c.centroid_id ASC) AS rn
+        FROM {table} e CROSS JOIN _ipq_cents c
+        WHERE e.{id_col} IN ({ids})) WHERE rn <= {nprobe}),
+    _ipq_qsub AS (
+      SELECT query_id, centroid_id, CAST(g.s AS INTEGER) AS subspace,
+             _qr[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS qsv
+      FROM _ipq_probes,
+           (SELECT unnest(generate_series(0, {m - 1})) AS s) g),
+    _ipq_dtab AS (
+      SELECT q.query_id, q.centroid_id, q.subspace, b.code,
+             CAST(floor(({dq}) * 1000000.0 + 0.5) AS BIGINT) AS dm
+      FROM _ipq_qsub q JOIN _ipq_cb b ON b.subspace = q.subspace),
+    _ipq_scored AS (
+      SELECT t.query_id, x.vec_id AS neighbor_id,
+             CAST(sum(t.dm) AS BIGINT) AS adc_micro
+      FROM _ipq_codes x
+      JOIN _ipq_dtab t ON t.centroid_id = x.centroid_id
+        AND t.subspace = x.subspace AND t.code = x.code
+      WHERE x.vec_id <> t.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+          FROM _ipq_scored)
+    WHERE rank <= {k}
+    """

@@ -1023,6 +1023,91 @@ def sql_trigram_surprisal(table: str = "documents", text: str = "text",
     """
 
 
+# -- per-document character entropy (model-free gibberish signal) ------------
+
+def char_entropy(df: DataFrame, text: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution entropy in QUANTIZED INTEGER
+    BITS — the model-free complement to ``trigram_surprisal``: surprisal
+    scores a doc against a corpus LM (needs a model join), entropy
+    scores each doc against ITSELF, so it is computable in one
+    map-side pass with NO shuffle at all — the cheapest first-line
+    gibberish/boilerplate signal a 100 TB pipeline can run (repeated-
+    char spam scores ~0 bits; base64/random noise scores near
+    log2(charset)).
+
+    Exactness: per char c with count k_c of n total,
+    self-information is quantized floor(log2 n) - floor(log2 k_c) via
+    the integer bitlen spelling (length(bin(x)) - 1 — the
+    surprisal/DSIR rule), each term weighted by k_c and summed in
+    int64; only the final per-char mean divides in IEEE. No
+    transcendental, no float accumulation, bit-identical cross-engine.
+
+    Scale shape: pure per-row expression over the documents scan —
+    embarrassingly parallel, zero shuffle, zero joins; the distinct-
+    char set (<= charset size) bounds the inner loop. NULL text rows
+    keep row identity with NULL metrics (degenerate-corpus contract);
+    both engines split '' to [''] so empty docs score 0 bits.
+
+    Returns (doc_id, n_chars, n_distinct, entropy_bits,
+    avg_bits_per_char)."""
+    arr = F.split(F.col(text), "")
+    dist = F.array_distinct(arr)
+    counts = F.transform(
+        dist, lambda c: F.size(F.filter(arr, lambda x: x == c))
+        .cast("long"))
+    n = F.size(arr).cast("long")
+    bits = lambda x: (F.length(F.bin(x)) - 1).cast("long")
+    ent = F.aggregate(
+        counts, F.lit(0).cast("long"),
+        lambda acc, k: acc + k * (bits(n) - bits(k)))
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(dist).cast("long").alias("n_distinct"),
+        ent.alias("entropy_bits"),
+        round_portable(ent.cast("double") / n.cast("double"))
+        .alias("avg_bits_per_char"))
+
+
+def sql_char_entropy(table: str = "documents", text: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``char_entropy``: same split, distinct set,
+    counts, integer-bits terms, int64 sum, final IEEE mean."""
+    return f"""
+    WITH _ce_a AS (
+      SELECT {id_col}, CAST(length({text}) AS BIGINT) AS n_chars,
+             string_split({text}, '') AS arr
+      FROM {table}),
+    _ce_d AS (
+      SELECT {id_col}, n_chars, arr, list_distinct(arr) AS dist,
+             CAST(len(arr) AS BIGINT) AS n
+      FROM _ce_a),
+    _ce_c AS (
+      SELECT {id_col}, n_chars, n,
+             CAST(len(dist) AS BIGINT) AS n_distinct,
+             list_transform(dist, c ->
+               CAST(len(list_filter(arr, x -> x = c)) AS BIGINT)) AS ks
+      FROM _ce_d),
+    _ce_e AS (
+      -- NULL-text guard: list_prepend(0, NULL) fabricates [0] in
+      -- DuckDB (the round-8 fold-oracle trap), which would turn a
+      -- NULL entropy into 0 only on this side
+      SELECT {id_col}, n_chars, n_distinct, n,
+             CASE WHEN ks IS NULL THEN NULL ELSE
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ks, k -> k * CAST(
+                   (length(bin(n)) - 1) - (length(bin(k)) - 1)
+                   AS BIGINT))),
+                 (acc, x) -> acc + x) AS BIGINT) END AS entropy_bits
+      FROM _ce_c)
+    SELECT {id_col}, n_chars, n_distinct, entropy_bits,
+           ROUND6(CAST(entropy_bits AS DOUBLE) / CAST(n AS DOUBLE))
+             AS avg_bits_per_char
+    FROM _ce_e
+    """
+
+
 # -- temperature-based source mixing (data-mixing resample) -------------------
 
 def temperature_mix_report(df: DataFrame, source_col: str = "source",

@@ -3615,6 +3615,88 @@ def sim_pq_trained_recall(spark, sf_dir):
     )
 
 
+@register("sim_ivfpq_ann", expand_round6(
+    sim.sql_ivfpq_adc_topk("embeddings", _QUERY_IDS, _EMB_DIM, k=5)))
+def sim_ivfpq_ann(spark, sf_dir):
+    """IVFADC — IVF coarse pruning COMPOSED with PQ residual codes
+    (Jegou 2011 §V), the index shape billion-vector ANN actually
+    deploys: sim_ivf_ann prunes but stores full vectors (memory-bound
+    at scale), sim_pq_adc_topk compresses but scans every code
+    (compute-bound at scale); this entry does both — nprobe inverted
+    lists scanned, each candidate scored by m table lookups over
+    codes that encode the RESIDUAL x - coarse_centroid, so the 4
+    bytes of PQ code spend their precision on what the coarse
+    quantizer missed. All model artifacts (centroids, residual
+    codebook, per-query distance tables) are constant-size
+    broadcasts; the corpus shuffles once at encode time and never at
+    search time. Exact-integer determinism end to end (micro-
+    quantized L2, ties to lower ids) — see
+    functions/similarity.py ivfpq_adc_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivfpq_adc_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)
+
+
+@register("sim_ivfpq_recall", f"""
+WITH _ipr_q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in _RECALL_QUERY_IDS)})
+),
+_ipr_exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY CAST(floor(
+               ({sim.sql_l2sq('q.qv', 'e.embedding', _EMB_DIM)})
+               * 1000000.0 + 0.5) AS BIGINT) ASC, e.vec_id ASC) AS rn
+    FROM _ipr_q q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id) WHERE rn <= 5
+),
+_ipr_adc AS ({sim.sql_ivfpq_adc_topk('embeddings', _RECALL_QUERY_IDS,
+                                     _EMB_DIM, k=5)})
+SELECT x.query_id,
+       CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM _ipr_exact x LEFT JOIN _ipr_adc a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+""")
+def sim_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the composed IVFADC index against the exact L2
+    top-5 over the 100-query truth set — the dial that separates the
+    TWO loss sources the composition stacks: vs sim_pq_recall (flat
+    PQ, no pruning) it reads off residual-coding gain against nprobe
+    shortlist cost. Measured at sf0.01: IVFADC 0.144 vs flat
+    sampled-PQ 0.104 — the residual codes' lower quantization error
+    MORE than pays for scanning only 2/32 of the lists, which is
+    precisely Jegou's §V argument for composing rather than choosing.
+    nprobe is the runtime dial (more probes = more candidates =
+    higher recall, linearly more cost). Truth set stays
+    query-side-broadcast like every recall dial."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv")))
+    scored = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                     F.col("embedding").alias("_cv")))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
+                              * F.lit(1000000.0) + F.lit(0.5))
+                      .cast("long").alias("_dm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dm").asc(), F.col("neighbor_id").asc())
+    exact = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).select("query_id", "neighbor_id"))
+    adc = sim.ivfpq_adc_topk(emb, _RECALL_QUERY_IDS, _EMB_DIM, k=5).select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
+    return (
+        exact.join(F.broadcast(adc), (F.col("_q") == F.col("query_id"))
+                   & (F.col("_n") == F.col("neighbor_id")), "left")
+        .groupBy("query_id")
+        .agg((F.count("_n").cast("double") / 5.0).alias("recall_at_5"))
+    )
+
+
 @register("sim_truncated_recall", f"""
 WITH _tr_q AS (
   SELECT vec_id AS query_id, embedding AS qv,
@@ -8048,6 +8130,20 @@ def text_trigram_surprisal(spark, sf_dir):
     the perplexity axis of a curation pipeline, alongside
     text_quality and text_repetition."""
     return tx.trigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+@register("text_char_entropy", tx.sql_char_entropy("documents"))
+def text_char_entropy(spark, sf_dir):
+    """Per-doc character-distribution entropy in quantized integer
+    bits — the MODEL-FREE gibberish/boilerplate signal (repeated-char
+    spam ~0 bits, base64 noise ~log2 charset) complementing
+    text_trigram_surprisal's corpus-LM axis. The scale story is the
+    headline: a pure per-row HOF expression over the documents scan —
+    zero shuffle, zero joins, zero model state — so it costs one map
+    pass no matter the corpus size; the cheapest filter a 100 TB
+    curation funnel should run FIRST. Exact-integer bits spelling
+    shared with surprisal/DSIR (functions/text.py char_entropy)."""
+    return tx.char_entropy(load(spark, sf_dir, "documents"))
 
 
 # ===========================================================================

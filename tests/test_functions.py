@@ -774,3 +774,62 @@ def test_winnowing_finds_planted_dups_and_guarantee(spark):
         "doc_id long, text string")
     pairs = dedup.winnowing_pairs(df, threshold_pct=1, max_df=None)
     assert pairs.filter("id_a = 1 and id_b = 2").count() == 1
+
+
+def test_ivfpq_neighbors_come_from_probed_lists_and_guard(spark):
+    """IVFADC structural contract: (a) every returned neighbor lives
+    in one of its query's nprobe probed inverted lists (the pruning
+    invariant that makes candidates O(n*nprobe/n_centroids)); (b) the
+    shared codebook guard makes gappy first-k ids fatal rather than
+    silently training a short residual codebook."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.randn(16).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.ivfpq_adc_topk(
+        df, [0, 7, 33], dim=16, m=2, kcent=8, n_centroids=8, nprobe=2,
+        k=3).collect()
+    assert got, "no neighbors returned"
+    # recompute coarse assignment + probes exactly as the index does
+    cents = {r.vec_id: r.embedding for r in df.filter(
+        F.col("vec_id") < 8).collect()}
+    vecs = {r.vec_id: r.embedding for r in df.collect()}
+
+    def dm(a, b):
+        d = sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+        import math
+        return math.floor(d * 1e6 + 0.5)
+
+    def assign(v):
+        return min(cents, key=lambda c: (dm(vecs[v], cents[c]), c))
+
+    def probes(qid):
+        order = sorted(cents, key=lambda c: (dm(vecs[qid], cents[c]), c))
+        return set(order[:2])
+
+    for r in got:
+        assert assign(r.neighbor_id) in probes(r.query_id), r
+    gappy = df.filter(F.col("vec_id") != 3)
+    with pytest.raises(Exception, match="incomplete codebook|assert"):
+        similarity.ivfpq_adc_topk(
+            gappy, [0], dim=16, m=2, kcent=8, n_centroids=8,
+            nprobe=2, k=3).collect()
+
+
+def test_char_entropy_exact_integer_bits(spark):
+    """Hand-checked quantized-entropy values: floor-log2 bits per
+    char, weighted by count. 'aaaa' = 0 (one symbol), 'abab' =
+    2*(2-1)+2*(2-1) = 4, 'abcd' = 4*(2-0) = 8; empty text splits to
+    [''] in BOTH engines (one symbol -> 0 bits); NULL text keeps the
+    row with NULL metrics."""
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in text.char_entropy(df).collect()}
+    assert got[1].entropy_bits == 0
+    assert got[2].entropy_bits == 4
+    assert got[3].entropy_bits == 8
+    assert got[3].avg_bits_per_char == 2.0
+    assert got[4].entropy_bits == 0 and got[4].n_chars == 0
+    assert got[5].entropy_bits is None and got[5].n_distinct is None
+    assert got[2].n_distinct == 2 and got[3].n_distinct == 4
