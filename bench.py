@@ -120,6 +120,11 @@ HEADLINE = [
     # its recall twin's candidate accounting
     "sim_pq_trained_recall",
     "join_fuzzy_recall",
+    # round-10 heads: the composed IVFADC index (coarse pruning + ADC
+    # over residual codes — encode cost dominates) and the zero-shuffle
+    # per-row char-entropy filter (the map-pass floor for text ops)
+    "sim_ivfpq_ann",
+    "text_char_entropy",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -132,6 +137,7 @@ _R6_SET = HEADLINE[:31]
 _R7_SET = HEADLINE[:33]
 _R8_SET = HEADLINE[:38]
 _R8_FULL_SET = HEADLINE[:43]   # the 43-head panel BENCH_r08 measured
+_R9_SET = HEADLINE[:45]        # the 45-head panel BENCH_r09 measured
 
 
 def streaming_floor(spark, sf_dir):
@@ -220,6 +226,12 @@ def main() -> int:
     timings = {name: round(statistics.median(r), 3)
                for name, r in reps.items()}
     spread = {name: round(max(r) - min(r), 3) for name, r in reps.items()}
+    # min-of-passes: biased optimistic as an absolute number, but the
+    # most contention-robust cross-round comparison channel — GC/heap
+    # interference from panel growth only ever ADDS time, so the min
+    # tracks the plan's true cost while the median still reflects
+    # typical shared-JVM conditions
+    tmin = {name: round(min(r), 3) for name, r in reps.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -242,7 +254,16 @@ def main() -> int:
                 sum(timings[n] for n in _R8_SET), 3),
             "r8_comparable_43": round(
                 sum(timings[n] for n in _R8_FULL_SET), 3),
+            "r9_comparable_45": round(
+                sum(timings[n] for n in _R9_SET), 3),
         },
+        "subtotals_min": {
+            "r8_comparable_43": round(
+                sum(tmin[n] for n in _R8_FULL_SET), 3),
+            "r9_comparable_45": round(
+                sum(tmin[n] for n in _R9_SET), 3),
+        },
+        "queries_min": tmin,
     }))
     spark.stop()
     return 0

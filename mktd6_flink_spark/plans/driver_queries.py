@@ -5992,7 +5992,6 @@ def _run_stream_update_latest(spark, agg, prefix: str,
     is identical either way (one row per key in the state store) —
     only what crosses the sink changes."""
     import tempfile
-    import uuid as _uuid
 
     out_dir = tempfile.mkdtemp(prefix=f"{prefix}_upd_")
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
@@ -6820,6 +6819,40 @@ def scan_schema_evolution(spark, sf_dir):
              F.sum(F.coalesce(F.col("quality"), F.lit(0)))
              .alias("quality_sum"))
     )
+
+
+@register("scan_orc_roundtrip", f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY source
+""")
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip — the second columnar lake format a Spark
+    engine must speak (Hive-era tables are ORC; a migration pipeline
+    reads both sides): write the documents table as
+    snappy-compressed ORC, read it back, aggregate per source. The
+    oracle computes the SAME aggregate from the canonical parquet, so
+    a hash match proves the ORC writer/reader preserved every row,
+    every string byte, and every null — format fidelity checked by
+    value, not by row count. Scale note: ORC reads get the same
+    vectorized reader + predicate pushdown machinery as parquet
+    (spark.sql.orc.impl=native is the default); partitioning
+    discipline transfers unchanged, so format choice is a
+    compatibility decision, not a plan-shape one."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="orc_rt_")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars")
+    docs.write.option("compression", "snappy").orc(f"{base}/docs")
+    back = spark.read.orc(f"{base}/docs")
+    return (back.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+                 F.sum(F.length("text").cast("long"))
+                 .alias("sum_text_len")))
 
 
 @register("events_anomaly_zscore", """
@@ -8189,69 +8222,77 @@ def text_char_entropy(spark, sf_dir):
 # + 5 round-8 additions + 19 events-loader-changed entries — 50/50
 # green in CORRECTNESS_r08.json.
 
-# Round-9 window: GENERATED by `python tools/gate_window.py --window
-# --since d138f96` (the r8 grading commit) — the window is now
-# evidence-derived, not hand-curated. All 50 slots go to the round-8
-# additions that have never held a driver row (52 exist; the tool
-# defers the last two registered, sketch_hll_daily_merge and
-# streaming_sketch_qhist — they lead the round-10 queue together with
-# this round's new entries). The tool's changed-since fingerprint
-# (function source + oracle SQL + transitive mktd6 helper sources vs
-# the last grading commit) reported exactly the five entries touched
-# by this round's precondition guards — all five already inside the
-# never-graded set. Every entry displaced from the r8 window holds a
-# green r8 driver row.
+# Round-9 window (historical): generated by gate_window.py --since
+# d138f96; all 50 slots to the never-graded round-8 additions — 50/50
+# green in CORRECTNESS_r09.json.
+
+# Round-10 window: GENERATED by `python tools/gate_window.py --window
+# --since aaf7b42` (the r9 grading commit), regenerated AFTER the
+# round's last operator change (the round-9 advice: the r9 window was
+# cut before the bloom-probe rewrite landed and missed it). 19
+# never-graded entries front the window (the 15 round-9 additions +
+# this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
+# scan_orc_roundtrip), then the 3 entries whose code path changed
+# since the r9 grading per the transitive fingerprint (sim_pq_codes /
+# sim_pq_adc_topk via the shared codebook-guard refactor,
+# sim_pq_recall via the 100-query truth set), then ONE manual add the
+# fingerprint cannot see: join_bloom_prefilter — its probe path was
+# rewritten AFTER its last driver grading (r8) but BEFORE the r9
+# grading commit, so --since aaf7b42 misses it (the exact drift class
+# the round-9 advice flagged). Stalest-green fill (r6-graded rows)
+# completes the 50. With this window every registered entry has been
+# driver-graded at least once.
 _GATE_PRIORITY = [
-    "dedup_containment",
-    "dedup_lsh_recall",
-    "text_gopher_rules",
-    "text_line_dedup",
-    "text_dup_ngram_fraction",
-    "streaming_gopher_rules",
-    "text_length_log2_histogram",
-    "mm_dedup_content_hash",
-    "pipeline_keep_best_dedup",
-    "dedup_cluster_sizes",
-    "sim_dim_mean_report",
+    "dedup_semantic",
+    "dedup_winnowing",
+    "text_bpe_pair_stats",
+    "pipeline_curation_v2",
+    "dedup_winnow_recall",
+    "pipeline_dsir_weights",
+    "sim_pq_trained_recall",
+    "sim_ivfpq_ann",
+    "sim_ivfpq_recall",
+    "sim_truncated_recall",
+    "events_decayed_engagement",
+    "graph_pagerank_trading",
+    "streaming_decayed_engagement",
+    "graph_degree_stats",
+    "join_fuzzy_recall",
+    "scan_orc_roundtrip",
+    "sketch_hll_daily_merge",
+    "streaming_sketch_qhist",
+    "text_char_entropy",
     "sim_pq_codes",
     "sim_pq_adc_topk",
-    "pipeline_epoch_shuffle",
-    "pipeline_cdc_upsert",
-    "streaming_dedup_watermarked",
-    "streaming_join_static_dim",
-    "streaming_cdc_upsert",
-    "pipeline_dataset_diff",
-    "asof_join_next_price",
     "sim_pq_recall",
-    "text_top_terms_per_doc",
-    "pipeline_length_quantiles",
-    "events_value_rank_report",
-    "events_markov_transitions",
-    "events_session_paths",
-    "events_page_dwell",
-    "events_rolling_7d",
-    "events_trend_slope",
-    "events_max_drawdown",
-    "events_type_correlation",
-    "events_dau_wau",
-    "events_concurrency",
-    "join_bucketed_colocated",
-    "scan_partition_pruned",
-    "join_fuzzy_names",
-    "scan_jsonl_permissive",
-    "scan_csv_permissive",
-    "scan_schema_evolution",
-    "events_anomaly_zscore",
-    "streaming_anomaly_zscore",
-    "tpch_cube",
-    "events_type_pivot",
-    "tpch_q8ish",
-    "tpch_q9ish",
-    "tpch_q10ish",
-    "tpch_q11ish",
-    "streaming_join_left_outer",
-    "sketch_quantile_hist",
-    "sketch_kmv_distinct",
+    "join_bloom_prefilter",
+    "p01_buy_sell",
+    "p06_parse_orders",
+    "p06b_invalid_orders",
+    "p09_hype_words",
+    "p12_updaters",
+    "p13_p15_projections",
+    "p14_accepted",
+    "p16_self_trades",
+    "p17_positive_balance",
+    "p19_tweet_extract",
+    "r1_r2_split_union",
+    "r3_tagged_union",
+    "w2_tumbling_sum",
+    "w3_running_sum",
+    "w5_avg_per_minute",
+    "w5_sum_per_team",
+    "w5_top5_traders",
+    "st1_ema",
+    "st2_product",
+    "st7_running_investment",
+    "st9_txn_sequence",
+    "st5_order_buffering",
+    "st10_price_delta",
+    "st4_ema_combiner",
+    "dataflow_hype_influence",
+    "st3_bubble_burst",
+    "w4_cogroup_latest",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

@@ -49,3 +49,34 @@ def test_gate_window_tool_fingerprints_cover_registry():
     assert set(fps) == set(dq.QUERIES)
     assert all(len(h) == 64 for h in fps.values())
     assert fps == gw._entry_fingerprints()  # deterministic
+
+
+def test_audit_covers_registry():
+    """The committed plan-audit snapshot (AUDIT_r*.txt, highest round)
+    must carry a row for EVERY registered entry. Round 9's audit was
+    snapshotted mid-round, so the 9 entries registered afterwards had
+    no audit row — and one of them (graph_pagerank_trading) hid the
+    round's only genuine plan defect, a single-partition global sort
+    the audit's detector would have flagged. The audit gates the final
+    commit now; this test is the structural enforcement."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    audits = sorted(glob.glob(os.path.join(root, "AUDIT_r*.txt")))
+    assert audits, "no AUDIT_r*.txt snapshot committed"
+    latest = audits[-1]
+    # rows look like: "name   pushed=N bhj=N smj=N codegen=N arrow=N ..."
+    # (search, not match: live progress bars sometimes prefix a row
+    # with carriage-return junk in the captured snapshot)
+    rows = set()
+    with open(latest) as f:
+        for line in f:
+            m = re.search(r"([A-Za-z_]\w*)\s+pushed=\d+", line)
+            if m:
+                rows.add(m.group(1))
+    missing = sorted(set(dq.QUERIES) - rows)
+    assert missing == [], (
+        f"{os.path.basename(latest)} lacks audit rows for {missing}; "
+        "re-run tools/explain_audit.py and commit the snapshot")
