@@ -235,3 +235,49 @@ def test_semdedup_k_scales_with_corpus_and_bounds_pairs(spark):
     # pair DENSITY (pairs / all-pairs) falls as the corpus grows —
     # the whole point of scaling K with n
     assert p2 / (n2 * n2) < p1 / (n1 * n1)
+
+
+_entropy_alphabet = st.sampled_from(list("ab ") + ["é", "中"])
+_entropy_doc = st.one_of(
+    st.none(),
+    st.text(alphabet=_entropy_alphabet, min_size=0, max_size=40),
+    st.text(min_size=0, max_size=25))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(_entropy_doc, min_size=1, max_size=8))
+def test_char_entropy_matches_bruteforce(spark, docs):
+    """char_entropy's sort + run-length fold == the definitional
+    per-distinct-char computation, over random text including runs,
+    multi-byte chars, empty strings, and NULLs. Pins the exact
+    integer-bits contract (sum k*(bitlen(n)-bitlen(k))) and the
+    portable mean (floor(x*1e6+0.5)/1e6 in IEEE doubles), so any
+    future respelling of the fold must stay bit-identical."""
+    import math
+    from collections import Counter
+
+    from mktd6_flink_spark.functions import text as tx
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.char_entropy(df).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, d in enumerate(docs):
+        r = got[i]
+        if d is None:
+            assert (r.n_chars is None and r.n_distinct is None
+                    and r.entropy_bits is None
+                    and r.avg_bits_per_char is None)
+            continue
+        arr = list(d) if d else [""]
+        n = len(arr)
+        counts = Counter(arr)
+        bl = lambda x: x.bit_length() - 1
+        ent = sum(k * (bl(n) - bl(k)) for k in counts.values())
+        x = ent / n * 1e6 + 0.5
+        avg = (x - math.fmod(x, 1.0)) / 1e6
+        assert r.n_chars == len(d), (d, r)
+        assert r.n_distinct == len(counts), (d, r)
+        assert r.entropy_bits == ent, (d, r)
+        assert r.avg_bits_per_char == avg, (d, r)
