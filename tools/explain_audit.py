@@ -21,6 +21,13 @@ def main(selected):
 
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # The audit reads the STATIC physical plan; under AQE every explain
+    # is wrapped in AdaptiveSparkPlan, which carries NO WholeStageCodegen
+    # annotations until runtime — the codegen counter silently read 0 for
+    # every entry. Join/exchange/pushdown decisions in the initial plan
+    # are identical either way (AQE only upgrades them at runtime), so
+    # the audit disables AQE to make codegen spans visible again.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     names = selected or list(dq.QUERIES)
     for name in names:
         import contextlib, io
@@ -32,7 +39,7 @@ def main(selected):
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
-        wsc = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+        wsc = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
         single = plan.count("SinglePartition")
         rowudf = plan.count("BatchEvalPython")
         arrow = plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas") + plan.count("MapInPandas")
