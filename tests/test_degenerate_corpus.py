@@ -95,3 +95,27 @@ def test_degenerate_documents_cross_engine(spark, degenerate_dir, name):
     assert got_df.columns and sorted(got_df.columns) == sorted(cols), (
         name, got_df.columns, cols)
     assert got == want, (name, got[:3], want[:3])
+
+
+def test_orc_roundtrip_degenerate_fidelity(spark, degenerate_dir):
+    """ORC write/read must preserve the pathological corpus byte-for-
+    byte — NULL text AND NULL lang/n_chars, empty string (distinct
+    from NULL), whitespace-only, multi-byte-free punctuation soup, a
+    2000-char repeated-token giant. scan_orc_roundtrip checks format
+    fidelity by aggregate at the gate; this pins it row-by-row on the
+    values most likely to diverge (NULL vs '' is exactly the class a
+    format shim gets wrong). Unicode is exercised too."""
+    import tempfile
+
+    src = spark.read.parquet(
+        os.path.join(degenerate_dir, "documents.parquet"))
+    extra = spark.createDataFrame(
+        [(9, "héllo wörld 中文 🙂", "und", "wiki", 17)], src.schema)
+    df = src.unionByName(extra)
+    base = tempfile.mkdtemp(prefix="orc_degen_")
+    df.write.option("compression", "snappy").orc(f"{base}/docs")
+    back = spark.read.orc(f"{base}/docs")
+    assert back.schema == df.schema
+    want = sorted(tuple(r) for r in df.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == want

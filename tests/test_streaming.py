@@ -725,3 +725,53 @@ def test_multi_chunk_key_folds_in_order(spark, tmp_path, monkeypatch):
         assert sorted(r.running_sum for r in got) == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_update_mode_latest_survives_restart(spark, tmp_path):
+    """The UPDATE-mode finalize contract (_run_stream_update_latest,
+    the production emission mode for unbounded key spaces) across a
+    cold restart: run 1 emits only the keys it touched, run 2 (new
+    query, same checkpoint) folds new rows into the RESTORED per-key
+    state and again emits only touched keys — an untouched key must
+    NOT re-cross the sink (that is the entire point of update mode vs
+    complete). Per-key latest emission across both runs equals the
+    batch aggregate; batch ids keep incrementing across the restart,
+    so one `_batch DESC` window finalizes the whole history."""
+    schema = "team string, v long"
+    in_dir = str(tmp_path / "upd_in")
+    ckpt = str(tmp_path / "upd_ckpt")
+    out_dir = str(tmp_path / "upd_out")
+
+    def run():
+        stream = sources.file_stream_source(spark, in_dir, schema)
+        agg = stream.groupBy("team").agg(F.sum("v").alias("sum_v"))
+        q = (agg.writeStream.outputMode("update")
+             .foreachBatch(
+                 lambda b, bid: b.withColumn("_batch", F.lit(int(bid)))
+                 .write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    sources.write_stream_input(
+        spark, in_dir, [("red", 1), ("red", 2), ("blue", 10)], schema)
+    sunk1 = run()
+    assert {(r.team, r.sum_v) for r in sunk1.collect()} == {
+        ("red", 3), ("blue", 10)}
+    run1_max_batch = sunk1.agg(F.max("_batch")).collect()[0][0]
+
+    sources.write_stream_input(
+        spark, in_dir, [("red", 4), ("green", 7)], schema)
+    sunk2 = run()
+    late = sunk2.filter(F.col("_batch") > run1_max_batch)
+    # restart emits only the touched keys — blue stays in state, not
+    # in the sink
+    assert {r.team for r in late.select("team").distinct().collect()} == {
+        "red", "green"}
+    from pyspark.sql import Window
+    w = Window.partitionBy("team").orderBy(F.col("_batch").desc())
+    final = (sunk2.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1))
+    assert {(r.team, r.sum_v) for r in final.collect()} == {
+        ("red", 7), ("blue", 10), ("green", 7)}
