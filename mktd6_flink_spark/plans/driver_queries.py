@@ -4932,6 +4932,106 @@ def graph_degree_stats(spark, sf_dir):
                  F.sum("deg").alias("sum_degree")))
 
 
+@register("graph_triangles_copurchase", expand_round6("""
+WITH pt AS (SELECT p_partkey AS pk FROM part WHERE p_size <= 15),
+li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+       FROM lineitem l JOIN pt ON pt.pk = l.l_partkey),
+e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+ed AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+                 AS src,
+              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+                 AS dst,
+              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+                 AS dd
+       FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+w AS (SELECT x.dst AS src, y.dst AS dst
+      FROM ed x JOIN ed y ON x.src = y.src
+      WHERE (x.dd, x.dst) < (y.dd, y.dst)),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM w JOIN ed ON ed.src = w.src AND ed.dst = w.dst),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        FROM deg),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT tot.n_nodes, ne.n_edges, tot.n_wedges, tri.t AS n_triangles,
+       ROUND6(CAST(3 * tri.t AS DOUBLE) / nullif(tot.n_wedges, 0))
+         AS clustering_coeff
+FROM tot, ne, tri
+"""))
+def graph_triangles_copurchase(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts linked when one order contains both;
+    p_size <= 15 selects the catalog segment), via DEGREE-ORDERED edge
+    orientation (Schank & Wagner 2005; the MapReduce formulation is
+    Suri & Vassilvitskii 2011): orient every edge from its
+    lower-(degree, id) endpoint, enumerate wedges only at each edge's
+    SOURCE, and close them with one equi-join back to the oriented
+    edge set. Every triangle has exactly one vertex that is the
+    orientation-minimum of its two incident edges, so each is counted
+    once — no post-hoc /3, no duplicate elimination.
+
+    Why this is THE scale shape for triangles: wedge generation at a
+    node costs out-degree², and orientation bounds every out-degree by
+    O(sqrt(m)) REGARDLESS of the raw degree distribution — a celebrity
+    hub with a million neighbors contributes million² wedges to the
+    naive enumeration but only O(m) after orientation (its million
+    low-degree neighbors each orient TOWARD the hub and enumerate
+    nothing across it). Total work is O(m^1.5), the arboricity bound,
+    with no hot-key cap needed — the orientation IS the skew defense.
+    Edge construction is per-order blocking with a bounded block
+    (TPC-H orders hold <= 7 lines); the closing join is a plain
+    (src, dst) equi-join that shuffles, never broadcasts, at real
+    scale. All counts exact integers; only the final clustering ratio
+    (3*triangles / wedges) divides, ROUND6-portable. Degree lookups
+    join un-hinted so AQE broadcasts them locally while a 1000-executor
+    plan keeps them as shuffle equi-joins (deg is O(nodes) — never a
+    literal/broadcast model)."""
+    pt = (load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+          .select(F.col("p_partkey").alias("pk")))
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+          .join(pt, "pk").select("ok", "pk").distinct())
+    e = (li.alias("a").join(li.alias("b"), "ok")
+         .filter(F.col("a.pk") < F.col("b.pk"))
+         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n"))
+           .unionByName(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    lo = (F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+          < F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+    ed = (e.join(deg.select(F.col("n").alias("u"),
+                            F.col("d").alias("du")), "u")
+          .join(deg.select(F.col("n").alias("v"),
+                           F.col("d").alias("dv")), "v")
+          .select(F.when(lo, F.col("u")).otherwise(F.col("v")).alias("src"),
+                  F.when(lo, F.col("v")).otherwise(F.col("u")).alias("dst"),
+                  F.when(lo, F.col("dv")).otherwise(F.col("du")).alias("dd")))
+    w = (ed.select("src", F.col("dst").alias("_a"), F.col("dd").alias("_da"))
+         .join(ed.select("src", F.col("dst").alias("_b"),
+                         F.col("dd").alias("_db")), "src")
+         .filter(F.struct(F.col("_da"), F.col("_a"))
+                 < F.struct(F.col("_db"), F.col("_b")))
+         .select(F.col("_a").alias("src"), F.col("_b").alias("dst")))
+    tri = (w.join(ed.select("src", "dst"), ["src", "dst"])
+           .agg(F.count(F.lit(1)).alias("t")))
+    tot = deg.agg(F.count(F.lit(1)).alias("n_nodes"),
+                  F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (tot.crossJoin(ne).crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_wedges",
+                    F.col("t").alias("n_triangles"),
+                    round_portable(
+                        F.lit(3.0) * F.col("t").cast("double")
+                        / F.expr("nullif(n_wedges, 0)").cast("double"))
+                    .alias("clustering_coeff")))
+
+
 @register("events_dau_wau", """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
@@ -8232,7 +8332,8 @@ def text_char_entropy(spark, sf_dir):
 # cut before the bloom-probe rewrite landed and missed it). 19
 # never-graded entries front the window (the 15 round-9 additions +
 # this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
-# scan_orc_roundtrip), then the 3 entries whose code path changed
+# scan_orc_roundtrip, plus graph_triangles_copurchase added late in
+# the round — 20 never-graded in all), then the 3 entries whose code path changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8262,6 +8363,7 @@ _GATE_PRIORITY = [
     "sketch_hll_daily_merge",
     "streaming_sketch_qhist",
     "text_char_entropy",
+    "graph_triangles_copurchase",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8292,7 +8394,6 @@ _GATE_PRIORITY = [
     "st4_ema_combiner",
     "dataflow_hype_influence",
     "st3_bubble_burst",
-    "w4_cogroup_latest",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
