@@ -2568,6 +2568,166 @@ def text_bpe_pair_stats(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
+def _bpe_sql_iter(k: int, apply_merge: bool) -> str:
+    """One unrolled BPE-trainer iteration for the DuckDB oracle: pair
+    counts from _bt_s{k-1}, argmax merge _bt_b{k}, and (when
+    apply_merge) the merged vocab _bt_s{k} via the RUN-PARITY window
+    spelling of greedy leftmost non-overlapping matching: consecutive
+    matching positions can only chain when the pair is (a, a), and
+    greedy selection within such a run takes its 1st, 3rd, 5th...
+    member — i.e. odd index-in-run, a gaps-and-islands window. A
+    position is dropped iff its predecessor was selected (consumed)."""
+    prev = f"_bt_s{k - 1}"
+    parts = [f"""_bt_p{k} AS (
+  SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+             i -> s[CAST(i AS INTEGER)])) AS a,
+           unnest(list_transform(generate_series(1, len(s) - 1),
+             i -> s[CAST(i AS INTEGER) + 1])) AS b,
+           f
+    FROM {prev} WHERE len(s) >= 2)
+  GROUP BY a, b)""",
+             f"""_bt_b{k} AS (
+  SELECT a, b, a || b AS m, cnt FROM _bt_p{k}
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""]
+    if apply_merge:
+        parts.append(f"""_bt_x{k} AS (
+  SELECT w, f, CAST(i AS INTEGER) AS i, s[CAST(i AS INTEGER)] AS sym,
+         CASE WHEN CAST(i AS INTEGER) < len(s)
+               AND s[CAST(i AS INTEGER)] = (SELECT a FROM _bt_b{k})
+               AND s[CAST(i AS INTEGER) + 1] = (SELECT b FROM _bt_b{k})
+              THEN 1 ELSE 0 END AS mt
+  FROM (SELECT w, f, s, unnest(generate_series(1, len(s))) AS i
+        FROM {prev}))""")
+        parts.append(f"""_bt_sel{k} AS (
+  SELECT w, f, i, sym,
+         CASE WHEN mt = 1 AND (row_number() OVER
+                (PARTITION BY w, grp ORDER BY i)) % 2 = 1
+              THEN 1 ELSE 0 END AS sel
+  FROM (SELECT *, CASE WHEN mt = 1 THEN i - row_number() OVER
+               (PARTITION BY w, mt ORDER BY i) END AS grp
+        FROM _bt_x{k}))""")
+        parts.append(f"""_bt_s{k} AS (
+  SELECT w, f,
+         list(CASE WHEN sel = 1 THEN (SELECT m FROM _bt_b{k})
+                   ELSE sym END ORDER BY i) AS s
+  FROM (SELECT *, lag(sel, 1, 0) OVER (PARTITION BY w ORDER BY i)
+          AS psel FROM _bt_sel{k})
+  WHERE psel = 0
+  GROUP BY w, f)""")
+    return ",\n".join(parts)
+
+
+@register("pipeline_bpe_train", f"""
+WITH _bt_wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest({tx.sql_tokens('text')}) AS w FROM documents)
+  GROUP BY w
+),
+_bt_s0 AS (
+  SELECT w, f,
+         list_transform(generate_series(1, length(w)),
+                        i -> substr(w, CAST(i AS INTEGER), 1)) AS s
+  FROM _bt_wf
+),
+{_bpe_sql_iter(1, True)},
+{_bpe_sql_iter(2, True)},
+{_bpe_sql_iter(3, False)}
+SELECT CAST(1 AS INTEGER) AS rank, a AS pair_a, b AS pair_b,
+       m AS merged, cnt AS pair_count FROM _bt_b1
+UNION ALL SELECT CAST(2 AS INTEGER), a, b, m, cnt FROM _bt_b2
+UNION ALL SELECT CAST(3 AS INTEGER), a, b, m, cnt FROM _bt_b3
+""")
+def pipeline_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING — the first three merge rules (Sennrich
+    2016 §3.2), not just the first pair table (text_bpe_pair_stats is
+    iteration 1's counting step): per iteration, count adjacent symbol
+    pairs weighted by word frequency, argmax by (count, pair) —
+    deterministic tie-break — then apply the merge greedily
+    (leftmost, non-overlapping) to every word and recount. Output is
+    the learned merge table (rank, pair, merged symbol, count), i.e.
+    the artifact a tokenizer ships.
+
+    Scale shape (the reason BPE training is feasible at 100 TB): the
+    corpus collapses ONCE to the word-frequency vocabulary (one
+    map-side-combined shuffle — the same table every subsequent
+    iteration reuses), so each merge iteration is vocabulary-sized,
+    not corpus-sized: a pair-explode bounded by total vocab chars, a
+    partial-agg groupBy bounded by symbol-alphabet², a 1-row
+    TakeOrdered argmax broadcast back, and a ZERO-shuffle per-row
+    merge fold. Nothing in the loop ever rescans the documents table.
+
+    The merge itself is one F.aggregate fold per word (greedy
+    left-to-right with a skip flag over the ORIGINAL symbols — a
+    merged pair cannot re-match within the same iteration since the
+    new symbol differs from both halves). The oracle spells the same
+    greedy semantics relationally: runs of consecutive matches (only
+    possible for (a, a) pairs) select odd index-in-run members via a
+    gaps-and-islands window, and a position is dropped iff its
+    predecessor was selected. Cross-engine equality of the two
+    spellings is exactly the greedy == run-parity equivalence.
+    Empty-pair corpora yield zero rows on both sides (TakeOrdered of
+    an empty table vs LIMIT 1 of an empty CTE)."""
+    docs = load(spark, sf_dir, "documents")
+    wf = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    cur = wf.select("w", "f", F.split("w", "").alias("s"))
+
+    def pair_counts(sdf):
+        pr = sdf.filter(F.size("s") >= 2).select(
+            "f",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("s") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("s"), i).alias("a"),
+                    F.element_at(F.col("s"), i + F.lit(1)).alias("b"))))
+            .alias("p"))
+        return (pr.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("f").alias("cnt")))
+
+    def apply_merge(sdf, best):
+        j = sdf.crossJoin(F.broadcast(best.select("a", "b", "m")))
+        zero = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"))
+
+        def step(acc, i):
+            cur_s = F.element_at(F.col("s"), i)
+            hit = ((i < F.size(F.col("s")))
+                   & (cur_s == F.col("a"))
+                   & (F.element_at(F.col("s"), i + F.lit(1))
+                      == F.col("b")))
+            keep = acc.getField("out")
+            return (F.when(acc.getField("skip"), F.struct(
+                        keep.alias("out"), F.lit(False).alias("skip")))
+                    .when(hit, F.struct(
+                        F.array_append(keep, F.col("m")).alias("out"),
+                        F.lit(True).alias("skip")))
+                    .otherwise(F.struct(
+                        F.array_append(keep, cur_s).alias("out"),
+                        F.lit(False).alias("skip"))))
+
+        return j.select(
+            "w", "f",
+            F.aggregate(F.sequence(F.lit(1), F.size("s")), zero, step,
+                        lambda acc: acc.getField("out")).alias("s"))
+
+    out = []
+    for rank in (1, 2, 3):
+        counts = pair_counts(cur)
+        best = (counts.orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                               F.col("b").asc())
+                .limit(1)
+                .select("a", "b", F.concat("a", "b").alias("m"), "cnt"))
+        out.append(best.select(
+            F.lit(rank).cast("int").alias("rank"),
+            F.col("a").alias("pair_a"), F.col("b").alias("pair_b"),
+            F.col("m").alias("merged"), F.col("cnt").alias("pair_count")))
+        if rank < 3:
+            cur = apply_merge(cur, best)
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
 @register("pipeline_curation_v2", f"""
 WITH _cv_gopher AS (
   SELECT doc_id FROM ({tx.sql_gopher_rules('documents')}) WHERE keep
@@ -8364,6 +8524,7 @@ _GATE_PRIORITY = [
     "streaming_sketch_qhist",
     "text_char_entropy",
     "graph_triangles_copurchase",
+    "pipeline_bpe_train",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8393,7 +8554,6 @@ _GATE_PRIORITY = [
     "st10_price_delta",
     "st4_ema_combiner",
     "dataflow_hype_influence",
-    "st3_bubble_burst",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
