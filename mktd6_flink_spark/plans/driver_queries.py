@@ -8627,8 +8627,9 @@ def text_char_entropy(spark, sf_dir):
 # cut before the bloom-probe rewrite landed and missed it). 19
 # never-graded entries front the window (the 15 round-9 additions +
 # this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
-# scan_orc_roundtrip, plus graph_triangles_copurchase added late in
-# the round — 20 never-graded in all), then the 3 entries whose code path changed
+# scan_orc_roundtrip, plus graph_triangles_copurchase /
+# pipeline_bpe_train / sim_sq_recall added late in the round — 22
+# never-graded in all), then the 3 entries whose code path changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8660,6 +8661,7 @@ _GATE_PRIORITY = [
     "text_char_entropy",
     "graph_triangles_copurchase",
     "pipeline_bpe_train",
+    "sim_sq_recall",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8688,7 +8690,6 @@ _GATE_PRIORITY = [
     "st5_order_buffering",
     "st10_price_delta",
     "st4_ema_combiner",
-    "dataflow_hype_influence",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
