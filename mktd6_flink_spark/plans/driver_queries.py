@@ -5227,6 +5227,98 @@ def graph_degree_stats(spark, sf_dir):
                  F.sum("deg").alias("sum_degree")))
 
 
+_LPA_ITERS = 3
+
+
+def _sql_lpa(iters: int = _LPA_ITERS) -> str:
+    parts = [_sql_pagerank(iters=0),
+             "_lpa_l0 AS (SELECT node, node AS lbl FROM _pr_deg)"]
+    for it in range(1, iters + 1):
+        prev = f"_lpa_l{it - 1}"
+        parts.append(f"""_lpa_v{it} AS (
+  SELECT node, lbl, CAST(sum(c) AS BIGINT) AS cnt FROM (
+    SELECT e.dst AS node, p.lbl, CAST(count(*) AS BIGINT) AS c
+    FROM _pr_edges e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst, p.lbl
+    UNION ALL SELECT node, lbl, CAST(1 AS BIGINT) FROM {prev})
+  GROUP BY node, lbl),
+_lpa_l{it} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM _lpa_v{it}) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+@register("graph_label_propagation", f"""
+WITH {_sql_lpa()},
+_lpa_sizes AS (
+  SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+  FROM _lpa_l{_LPA_ITERS} GROUP BY lbl)
+SELECT community, n_members, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n_members DESC,
+                                   community ASC) AS rn
+      FROM _lpa_sizes)
+WHERE rn <= 20
+""")
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert, Kumara 2007) over the customer-supplier trading graph —
+    the clustering member of the graph family next to PageRank
+    (ranking), connected components (reachability), and triangles
+    (cohesion). Each of the {_LPA_ITERS} fixed iterations every node
+    adopts the most frequent label among its neighbors plus itself
+    (the self-vote damps the bipartite-graph oscillation the
+    synchronous variant is known for), ties broken by SMALLEST label
+    — with fixed iteration count and total tie order the algorithm is
+    fully deterministic, so the DuckDB twin replays it exactly.
+    Output: the 20 largest communities.
+
+    Scale shape per iteration: one equi-join of the edge table
+    against the (node, label) table — both sides hash-partitioned on
+    the join key, the same key every iteration, so a real cluster
+    co-locates them after the first shuffle — then a
+    PARTIAL-AGGREGATED groupBy(node, label) vote count (a hub's
+    million identical votes combine map-side before they travel) and
+    a min_by argmax per node (no sort, no window over data). Label
+    payloads are node ids, never grow, and the vote table is bounded
+    by the edge count. Iteration count is the only sequential
+    dimension (the kmeans/CC/PageRank pattern). Finisher is the
+    TakeOrdered top-k, never a global sort. Integer counts end to
+    end; string labels compare bytewise identically in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl")))
+    for _ in range(_LPA_ITERS):
+        votes = (edges
+                 .join(labels.select(F.col("node").alias("_sn"), "lbl"),
+                       F.col("src") == F.col("_sn"))
+                 .select(F.col("dst").alias("node"), "lbl")
+                 .groupBy("node", "lbl")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .unionByName(labels.select(
+                     "node", "lbl", F.lit(1).cast("long").alias("c")))
+                 .groupBy("node", "lbl").agg(F.sum("c").alias("cnt")))
+        # argmax by (cnt DESC, lbl ASC) == min over the (-cnt, lbl) key
+        labels = votes.groupBy("node").agg(
+            F.min_by("lbl", F.struct((-F.col("cnt")).alias("a"),
+                                     F.col("lbl").alias("b"))).alias("lbl"))
+    sizes = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (_topk_ranked(sizes, [F.col("n_members").desc(),
+                                 F.col("community").asc()], 20, "rn")
+            .select("community", "n_members",
+                    F.col("rn").cast("int").alias("rank")))
+
+
 @register("graph_triangles_copurchase", expand_round6("""
 WITH pt AS (SELECT p_partkey AS pk FROM part WHERE p_size <= 15),
 li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
@@ -8628,8 +8720,9 @@ def text_char_entropy(spark, sf_dir):
 # never-graded entries front the window (the 15 round-9 additions +
 # this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
 # scan_orc_roundtrip, plus graph_triangles_copurchase /
-# pipeline_bpe_train / sim_sq_recall added late in the round — 22
-# never-graded in all), then the 3 entries whose code path changed
+# pipeline_bpe_train / sim_sq_recall / graph_label_propagation added
+# late in the round — 23 never-graded in all), then the 3 entries
+# whose code path changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8662,6 +8755,7 @@ _GATE_PRIORITY = [
     "graph_triangles_copurchase",
     "pipeline_bpe_train",
     "sim_sq_recall",
+    "graph_label_propagation",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8689,7 +8783,6 @@ _GATE_PRIORITY = [
     "st9_txn_sequence",
     "st5_order_buffering",
     "st10_price_delta",
-    "st4_ema_combiner",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

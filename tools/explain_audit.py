@@ -48,12 +48,17 @@ def main(selected):
         # EFFECTIVE single partition the SinglePartition counter can't
         # see — every row hashes to the same value: the constant-key
         # "FOO" trap. Mixed keys like (_k, _pid) spread fine and are
-        # not flagged.
+        # not flagged. The token right before AS must be the WHOLE
+        # expression: "CASE WHEN ... END AS src#1L" previously matched
+        # with group(1)="END" (no '#'), misclassifying every
+        # CASE-projection alias as a literal and false-flagging
+        # genuinely keyed exchanges (caught on graph_triangles'
+        # degree-orientation CASE keys, round 10).
         lit_ids = {
             m.group(2)
             for m in re.finditer(r"(?<![\w#.(])([\w.\"]+) AS (\w+#\d+L?)",
                                  plan)
-            if "#" not in m.group(1)
+            if "#" not in m.group(1) and m.group(1) != "END"
         }
 
         def _split_top(s):
