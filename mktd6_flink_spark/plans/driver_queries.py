@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dedup as dd
+from ..functions import graph as gr
 from ..functions import multimodal as mm
 from ..functions import similarity as sim
 from ..functions import text as tx
@@ -5295,22 +5296,7 @@ def graph_label_propagation(spark, sf_dir):
           .distinct())
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("lbl")))
-    for _ in range(_LPA_ITERS):
-        votes = (edges
-                 .join(labels.select(F.col("node").alias("_sn"), "lbl"),
-                       F.col("src") == F.col("_sn"))
-                 .select(F.col("dst").alias("node"), "lbl")
-                 .groupBy("node", "lbl")
-                 .agg(F.count(F.lit(1)).alias("c"))
-                 .unionByName(labels.select(
-                     "node", "lbl", F.lit(1).cast("long").alias("c")))
-                 .groupBy("node", "lbl").agg(F.sum("c").alias("cnt")))
-        # argmax by (cnt DESC, lbl ASC) == min over the (-cnt, lbl) key
-        labels = votes.groupBy("node").agg(
-            F.min_by("lbl", F.struct((-F.col("cnt")).alias("a"),
-                                     F.col("lbl").alias("b"))).alias("lbl"))
+    labels = gr.lpa_labels(edges, _LPA_ITERS)
     sizes = labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"))
     return (_topk_ranked(sizes, [F.col("n_members").desc(),

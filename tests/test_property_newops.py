@@ -281,3 +281,42 @@ def test_char_entropy_matches_bruteforce(spark, docs):
         assert r.n_distinct == len(counts), (d, r)
         assert r.entropy_bits == ent, (d, r)
         assert r.avg_bits_per_char == avg, (d, r)
+
+
+_lpa_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda e: e[0] != e[1]),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(raw=_lpa_edges, iters=st.integers(1, 3))
+def test_lpa_matches_bruteforce(spark, raw, iters):
+    """lpa_labels == the definitional synchronous update on random
+    small directed graphs: every node simultaneously adopts the most
+    frequent label among {in-neighbors} + {self}, smallest label on
+    ties. Validates the min_by-over-(-cnt, lbl) argmax spelling and
+    the self-vote union against a direct Counter-based oracle,
+    including multi-edges (the operator counts them as multiple
+    votes, as does the oracle) and asymmetric edges."""
+    from collections import Counter
+
+    from mktd6_flink_spark.functions import graph as gr
+
+    labels = ["n%d" % a for a in range(8)]
+    edges = [("n%d" % a, "n%d" % b) for a, b in raw]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.lbl for r in gr.lpa_labels(df, iters).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    lbl = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            votes = Counter(lbl[s] for s, d in edges if d == n)
+            votes[lbl[n]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[n] = best[0]
+        lbl = nxt
+    assert got == lbl
