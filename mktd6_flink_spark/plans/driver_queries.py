@@ -2619,8 +2619,81 @@ def _bpe_sql_iter(k: int, apply_merge: bool) -> str:
     return ",\n".join(parts)
 
 
-@register("pipeline_bpe_train", f"""
-WITH _bt_wf AS (
+def _bpe_pair_counts(sdf):
+    """Adjacent-symbol pair counts weighted by word frequency — the
+    table each BPE iteration argmaxes over. Vocab-sized input, pair
+    table bounded by symbol-alphabet²."""
+    pr = sdf.filter(F.size("s") >= 2).select(
+        "f",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("s"), i).alias("a"),
+                F.element_at(F.col("s"), i + F.lit(1)).alias("b"))))
+        .alias("p"))
+    return (pr.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("cnt")))
+
+
+def _bpe_apply_merge(sdf, best):
+    """Apply one merge rule greedily (leftmost, non-overlapping) to
+    every word's symbol list — a zero-shuffle F.aggregate fold with a
+    skip flag. `best` is collapsed through min-aggregates so an EMPTY
+    merge frame (a corpus with no pairs left) becomes one all-NULL
+    row: the hit predicate goes NULL, every symbol copies through,
+    and the vocab passes unchanged — exactly the oracle's
+    NULL-scalar-subquery behavior (a bare crossJoin against an empty
+    frame would instead silently delete the whole vocabulary)."""
+    safe = best.agg(F.min("a").alias("a"), F.min("b").alias("b"),
+                    F.min("m").alias("m"))
+    j = sdf.crossJoin(F.broadcast(safe))
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("skip"))
+
+    def step(acc, i):
+        cur_s = F.element_at(F.col("s"), i)
+        hit = ((i < F.size(F.col("s")))
+               & (cur_s == F.col("a"))
+               & (F.element_at(F.col("s"), i + F.lit(1))
+                  == F.col("b")))
+        keep = acc.getField("out")
+        return (F.when(acc.getField("skip"), F.struct(
+                    keep.alias("out"), F.lit(False).alias("skip")))
+                .when(hit, F.struct(
+                    F.array_append(keep, F.col("m")).alias("out"),
+                    F.lit(True).alias("skip")))
+                .otherwise(F.struct(
+                    F.array_append(keep, cur_s).alias("out"),
+                    F.lit(False).alias("skip"))))
+
+    return j.select(
+        "w", "f",
+        F.aggregate(F.sequence(F.lit(1), F.size("s")), zero, step,
+                    lambda acc: acc.getField("out")).alias("s"))
+
+
+def _bpe_train(docs, n_merges, apply_last):
+    """Shared BPE trainer: collapse the corpus to the word-frequency
+    vocab once, then n_merges vocab-sized iterations. Returns
+    (final vocab frame (w, f, s), list of per-rank merge frames)."""
+    wf = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    cur = wf.select("w", "f", F.split("w", "").alias("s"))
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = _bpe_pair_counts(cur)
+        best = (counts.orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                               F.col("b").asc())
+                .limit(1)
+                .select("a", "b", F.concat("a", "b").alias("m"), "cnt"))
+        merges.append(best)
+        if rank < n_merges or apply_last:
+            cur = _bpe_apply_merge(cur, best)
+    return cur, merges
+
+
+_BPE_SQL_PRELUDE = f"""_bt_wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
     SELECT unnest({tx.sql_tokens('text')}) AS w FROM documents)
   GROUP BY w
@@ -2630,7 +2703,11 @@ _bt_s0 AS (
          list_transform(generate_series(1, length(w)),
                         i -> substr(w, CAST(i AS INTEGER), 1)) AS s
   FROM _bt_wf
-),
+)"""
+
+
+@register("pipeline_bpe_train", f"""
+WITH {_BPE_SQL_PRELUDE},
 {_bpe_sql_iter(1, True)},
 {_bpe_sql_iter(2, True)},
 {_bpe_sql_iter(3, False)}
@@ -2670,63 +2747,64 @@ def pipeline_bpe_train(spark, sf_dir):
     Empty-pair corpora yield zero rows on both sides (TakeOrdered of
     an empty table vs LIMIT 1 of an empty CTE)."""
     docs = load(spark, sf_dir, "documents")
-    wf = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
-          .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
-    cur = wf.select("w", "f", F.split("w", "").alias("s"))
-
-    def pair_counts(sdf):
-        pr = sdf.filter(F.size("s") >= 2).select(
-            "f",
-            F.explode(F.transform(
-                F.sequence(F.lit(1), F.size("s") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("s"), i).alias("a"),
-                    F.element_at(F.col("s"), i + F.lit(1)).alias("b"))))
-            .alias("p"))
-        return (pr.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("f").alias("cnt")))
-
-    def apply_merge(sdf, best):
-        j = sdf.crossJoin(F.broadcast(best.select("a", "b", "m")))
-        zero = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(False).alias("skip"))
-
-        def step(acc, i):
-            cur_s = F.element_at(F.col("s"), i)
-            hit = ((i < F.size(F.col("s")))
-                   & (cur_s == F.col("a"))
-                   & (F.element_at(F.col("s"), i + F.lit(1))
-                      == F.col("b")))
-            keep = acc.getField("out")
-            return (F.when(acc.getField("skip"), F.struct(
-                        keep.alias("out"), F.lit(False).alias("skip")))
-                    .when(hit, F.struct(
-                        F.array_append(keep, F.col("m")).alias("out"),
-                        F.lit(True).alias("skip")))
-                    .otherwise(F.struct(
-                        F.array_append(keep, cur_s).alias("out"),
-                        F.lit(False).alias("skip"))))
-
-        return j.select(
-            "w", "f",
-            F.aggregate(F.sequence(F.lit(1), F.size("s")), zero, step,
-                        lambda acc: acc.getField("out")).alias("s"))
-
-    out = []
-    for rank in (1, 2, 3):
-        counts = pair_counts(cur)
-        best = (counts.orderBy(F.col("cnt").desc(), F.col("a").asc(),
-                               F.col("b").asc())
-                .limit(1)
-                .select("a", "b", F.concat("a", "b").alias("m"), "cnt"))
-        out.append(best.select(
-            F.lit(rank).cast("int").alias("rank"),
-            F.col("a").alias("pair_a"), F.col("b").alias("pair_b"),
-            F.col("m").alias("merged"), F.col("cnt").alias("pair_count")))
-        if rank < 3:
-            cur = apply_merge(cur, best)
+    _, merges = _bpe_train(docs, 3, apply_last=False)
+    out = [best.select(
+        F.lit(rank).cast("int").alias("rank"),
+        F.col("a").alias("pair_a"), F.col("b").alias("pair_b"),
+        F.col("m").alias("merged"), F.col("cnt").alias("pair_count"))
+        for rank, best in enumerate(merges, start=1)]
     return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+@register("pipeline_bpe_encode", expand_round6(f"""
+WITH {_BPE_SQL_PRELUDE},
+{_bpe_sql_iter(1, True)},
+{_bpe_sql_iter(2, True)},
+{_bpe_sql_iter(3, True)},
+_be_dw AS (
+  SELECT doc_id, unnest({tx.sql_tokens('text')}) AS w FROM documents),
+_be_j AS (
+  SELECT d.doc_id, CAST(len(v.s) AS BIGINT) AS tl,
+         CAST(length(d.w) AS BIGINT) AS wl
+  FROM _be_dw d JOIN _bt_s3 v ON v.w = d.w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(tl) AS BIGINT) AS n_tokens,
+       CAST(sum(wl) AS BIGINT) AS n_chars,
+       ROUND6(CAST(sum(wl) AS DOUBLE) / sum(tl)) AS chars_per_token
+FROM _be_j GROUP BY doc_id
+"""))
+def pipeline_bpe_encode(spark, sf_dir):
+    """ENCODE with the trained tokenizer — the apply half of the BPE
+    loop (pipeline_bpe_train learns the merge table; this entry runs
+    the resulting tokenizer over the corpus and reports per-doc token
+    counts, the number every training-data budget is denominated in).
+    Train exactly as the trainer does (3 merges), apply ALL of them
+    to the vocabulary, then the per-doc stats come from joining the
+    exploded corpus words to the (word -> token count) vocabulary —
+    the corpus is scanned once and never carries symbol lists, so at
+    100 TB the expensive artifact (the encoded vocab) stays
+    vocab-sized and the per-doc aggregation is one
+    partial-aggregated groupBy(doc_id). chars_per_token is the
+    compression dial tokenizer evaluations publish (ROUND6-portable;
+    every word has >= 1 token so the divisor is never 0; docs with
+    no tokens drop from the join on both engines). The empty-merge
+    guard in _bpe_apply_merge keeps vocab intact when a degenerate
+    corpus runs out of pairs before rank 3 (the oracle's NULL scalar
+    subquery does the same)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(docs, 3, apply_last=True)
+    dw = docs.select("doc_id", F.explode(tx.tokens(F.col("text")))
+                     .alias("w"))
+    j = dw.join(vocab.select("w", F.size("s").cast("long").alias("_tl")),
+                "w")
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("_tl").alias("n_tokens"),
+                 F.sum(F.length("w").cast("long")).alias("n_chars"))
+            .select("doc_id", "n_words", "n_tokens", "n_chars",
+                    round_portable(F.col("n_chars").cast("double")
+                                   / F.col("n_tokens"))
+                    .alias("chars_per_token")))
 
 
 @register("pipeline_curation_v2", f"""
@@ -8706,9 +8784,9 @@ def text_char_entropy(spark, sf_dir):
 # never-graded entries front the window (the 15 round-9 additions +
 # this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
 # scan_orc_roundtrip, plus graph_triangles_copurchase /
-# pipeline_bpe_train / sim_sq_recall / graph_label_propagation added
-# late in the round — 23 never-graded in all), then the 3 entries
-# whose code path changed
+# pipeline_bpe_train / sim_sq_recall / graph_label_propagation /
+# pipeline_bpe_encode added late in the round — 24 never-graded in
+# all), then the 3 entries whose code path changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8742,6 +8820,7 @@ _GATE_PRIORITY = [
     "pipeline_bpe_train",
     "sim_sq_recall",
     "graph_label_propagation",
+    "pipeline_bpe_encode",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8768,7 +8847,6 @@ _GATE_PRIORITY = [
     "st7_running_investment",
     "st9_txn_sequence",
     "st5_order_buffering",
-    "st10_price_delta",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
