@@ -833,3 +833,25 @@ def test_char_entropy_exact_integer_bits(spark):
     assert got[4].entropy_bits == 0 and got[4].n_chars == 0
     assert got[5].entropy_bits is None and got[5].n_distinct is None
     assert got[2].n_distinct == 2 and got[3].n_distinct == 4
+
+
+def test_bpe_merge_exhaustion_keeps_vocab(spark):
+    """A corpus whose pair supply runs out before the requested merge
+    count must pass the vocabulary through the remaining iterations
+    UNCHANGED: _bpe_apply_merge collapses the merge frame through
+    min-aggregates, so an empty best-pair frame becomes one all-NULL
+    row whose hit predicate is never true — the oracle's NULL scalar
+    subquery does the same. A bare crossJoin against the empty frame
+    would instead silently delete every word (zero output rows from
+    pipeline_bpe_encode), which no sf corpus can catch because real
+    corpora never exhaust pairs in 3 merges."""
+    from mktd6_flink_spark.plans.driver_queries import _bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab")], "doc_id long, text string")
+    vocab, merges = _bpe_train(docs, 3, apply_last=True)
+    rows = {r.w: list(r.s) for r in vocab.collect()}
+    # rank 1 merges (a, b); ranks 2-3 find no pairs and must no-op
+    assert rows == {"ab": ["ab"]}
+    got = [r.asDict() for b in merges for r in b.collect()]
+    assert len(got) == 1 and got[0]["m"] == "ab"
