@@ -3547,6 +3547,90 @@ def asof_join_next_price(spark, sf_dir):
              F.col("asof_price").alias("next_price"))
 
 
+@register("asof_join_nearest_price", f"""
+WITH {EV_SQL},
+l AS (SELECT trader, time_ms, event_id, otype, shares
+      FROM ev WHERE otype IN ('BUY', 'SELL')),
+r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
+      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms),
+b AS (SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
+             r.price AS bp, r.time_ms AS brt
+      FROM l ASOF LEFT JOIN r
+        ON l.trader = r.trader AND l.time_ms >= r.time_ms),
+f AS (SELECT l.event_id AS fe, r.price AS fp, r.time_ms AS frt
+      FROM l ASOF LEFT JOIN r
+        ON l.trader = r.trader AND l.time_ms <= r.time_ms)
+SELECT b.trader, b.time_ms, b.event_id, b.otype, b.shares,
+       CASE WHEN brt IS NULL THEN fp
+            WHEN frt IS NULL THEN bp
+            WHEN (b.time_ms - brt) <= (frt - b.time_ms) THEN bp
+            ELSE fp END AS nearest_price,
+       CASE WHEN brt IS NULL AND frt IS NULL THEN NULL
+            WHEN brt IS NULL THEN 'fwd'
+            WHEN frt IS NULL THEN 'back'
+            WHEN (b.time_ms - brt) <= (frt - b.time_ms) THEN 'back'
+            ELSE 'fwd' END AS direction
+FROM b JOIN f ON f.fe = b.event_id
+""")
+def asof_join_nearest_price(spark, sf_dir):
+    """NEAREST as-of join — the third direction of the family
+    (pandas merge_asof's direction='nearest'): each BUY/SELL order is
+    enriched with the price whose timestamp is CLOSEST in either
+    direction, ties resolved to the earlier (backward) match, the
+    standard convention. Composed from the two verified directions —
+    the backward fill and the time-negated forward fill
+    (operators/asof.py, one shuffle + one sort each) joined on the
+    unique event id — then one exact-integer millisecond-delta
+    comparison picks the winner; `direction` records which side won
+    so the dial is auditable. NULL-side handling: an order before the
+    first price takes the forward match, after the last takes the
+    backward one, and a trader with no prices at all keeps NULL. The
+    oracle replays the same composition over DuckDB's native ASOF
+    LEFT JOIN in both inequalities. At scale this is two
+    union-window passes over the same (trader, time) partitioning
+    plus one equi-join on a unique key — no per-key product
+    anywhere."""
+    ev = events_enriched(spark, sf_dir)
+    left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
+        "trader", "time_ms", "event_id", "otype", "shares")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("trader", "time_ms")
+        .agg(F.max_by("value", "event_id").alias("price"))
+    )
+    rb = right.select("trader", "time_ms",
+                      F.col("price").alias("bp"),
+                      F.col("time_ms").alias("brt"))
+    back = asof.asof_join(
+        left, rb, on=["trader"], left_time="time_ms",
+        right_time="time_ms", value_cols=["bp", "brt"],
+        fallback="null")
+    lf = left.select("trader", "event_id",
+                     (-F.col("time_ms")).alias("_negt"))
+    rf = right.select("trader", (-F.col("time_ms")).alias("_negt"),
+                      F.col("price").alias("fp"),
+                      F.col("time_ms").alias("frt"))
+    fwd = asof.asof_join(
+        lf, rf, on=["trader"], left_time="_negt", right_time="_negt",
+        value_cols=["fp", "frt"], fallback="null"
+    ).select(F.col("event_id").alias("_fe"), "asof_fp", "asof_frt")
+    j = back.join(fwd, F.col("event_id") == F.col("_fe"))
+    db = F.col("time_ms") - F.col("asof_brt")
+    df_ = F.col("asof_frt") - F.col("time_ms")
+    take_back = (F.col("asof_brt").isNotNull()
+                 & (F.col("asof_frt").isNull() | (db <= df_)))
+    return j.select(
+        "trader", "time_ms", "event_id", "otype", "shares",
+        F.when(F.col("asof_brt").isNull(), F.col("asof_fp"))
+        .when(take_back, F.col("asof_bp"))
+        .otherwise(F.col("asof_fp")).alias("nearest_price"),
+        F.when(F.col("asof_brt").isNull() & F.col("asof_frt").isNull(),
+               F.lit(None).cast("string"))
+        .when(F.col("asof_brt").isNull(), F.lit("fwd"))
+        .when(take_back, F.lit("back"))
+        .otherwise(F.lit("fwd")).alias("direction"))
+
+
 @register("streaming_st6_ledger", ORACLES["st6_per_event_ledger"])
 def streaming_st6_ledger(spark, sf_dir):
     """The ST6 settlement ledger through the REAL Structured Streaming
@@ -8785,8 +8869,9 @@ def text_char_entropy(spark, sf_dir):
 # this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
 # scan_orc_roundtrip, plus graph_triangles_copurchase /
 # pipeline_bpe_train / sim_sq_recall / graph_label_propagation /
-# pipeline_bpe_encode added late in the round — 24 never-graded in
-# all), then the 3 entries whose code path changed
+# pipeline_bpe_encode / asof_join_nearest_price added late in the
+# round — 25 never-graded in all), then the 3 entries whose code
+# path changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8821,6 +8906,7 @@ _GATE_PRIORITY = [
     "sim_sq_recall",
     "graph_label_propagation",
     "pipeline_bpe_encode",
+    "asof_join_nearest_price",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8846,7 +8932,6 @@ _GATE_PRIORITY = [
     "st2_product",
     "st7_running_investment",
     "st9_txn_sequence",
-    "st5_order_buffering",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
