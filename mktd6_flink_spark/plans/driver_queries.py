@@ -3105,6 +3105,93 @@ def text_chunking(spark, sf_dir):
     return tx.chunk(load(spark, sf_dir, "documents"))
 
 
+_Z_BITS = 5
+
+
+def _z_interleave(u: str, d: str, div: str) -> str:
+    """Morton/z-order bit interleave of two _Z_BITS-bit ints as a pure
+    literal-arithmetic expression (bit i of u -> position 2i+1, of d
+    -> 2i): (x div 2^i) % 2 scaled by a literal power of two — exact
+    int64, no shift operators, so the SAME generator serves Spark
+    (`div`) and DuckDB (`//`)."""
+    return " + ".join(
+        f"(({u} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + (({d} {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(_Z_BITS))
+
+
+@register("pipeline_zorder_layout", f"""
+WITH _zl_base AS (
+  SELECT user_id % {1 << _Z_BITS} AS u,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+           - (SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT)
+              FROM events) AS d
+  FROM events),
+_zl_k AS (
+  SELECT u, d,
+         ({_z_interleave('u', 'd', '//')}) // 64 AS zbucket,
+         (u * {1 << _Z_BITS} + d) // 64 AS lbucket
+  FROM _zl_base),
+_zl_both AS (
+  SELECT 'zorder' AS layout, zbucket AS bucket, u, d FROM _zl_k
+  UNION ALL
+  SELECT 'linear', lbucket, u, d FROM _zl_k)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(u) AS BIGINT) AS min_u, CAST(max(u) AS BIGINT) AS max_u,
+       CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d,
+       CAST((max(u) - min(u) + 1) * (max(d) - min(d) + 1) AS BIGINT)
+         AS span_area
+FROM _zl_both GROUP BY layout, bucket
+""")
+def pipeline_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering report — the DATA-LAYOUT axis of
+    the 100 TB design space (Delta OPTIMIZE ZORDER BY / Iceberg
+    sort-order compaction): file skipping works off per-file min/max
+    column stats, so what matters is how tightly a layout's buckets
+    bound EVERY filter column at once. This entry buckets the events
+    fact two ways — interleaved-bit z-values of (user % 32, day
+    index) vs the naive linear (user-major) sort key — and publishes
+    each bucket's min/max span per dimension plus the span area, the
+    exact quantity a stats-based pruner reads. The measured story:
+    z-order buckets bound BOTH dims at ~tile width (spans 8x8-ish),
+    while linear buckets bound only the leading dim (u-span 2, d-span
+    the whole month) — a day-filter scans every linear bucket but
+    ~1/4 of the z-order ones. The interleave is pure
+    literal-power-of-two arithmetic (exact int64, one shared
+    generator for both engines — no shift operators, whose literal
+    restrictions and INT32 traps both engines spell differently);
+    the day anchor is the usual broadcast scalar; one map pass + one
+    bounded groupBy(layout, bucket). Zero floats anywhere."""
+    ev = load(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.expr("unix_micros(ts) div 86400000000"))
+                .alias("_mind"))
+    base = (ev.crossJoin(F.broadcast(mn))
+            .select((F.col("user_id") % (1 << _Z_BITS)).alias("u"),
+                    (F.expr("unix_micros(ts) div 86400000000")
+                     - F.col("_mind")).alias("d")))
+    k = base.select(
+        "u", "d",
+        F.expr(f"({_z_interleave('u', 'd', 'div')}) div 64")
+        .alias("zbucket"),
+        F.expr(f"(u * {1 << _Z_BITS} + d) div 64").alias("lbucket"))
+    both = (k.select(F.lit("zorder").alias("layout"),
+                     F.col("zbucket").alias("bucket"), "u", "d")
+            .unionByName(k.select(F.lit("linear").alias("layout"),
+                                  F.col("lbucket").alias("bucket"),
+                                  "u", "d")))
+    return (both.groupBy("layout", F.col("bucket").cast("long")
+                         .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("u").alias("min_u"), F.max("u").alias("max_u"),
+                 F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+            .select("layout", "bucket", "n_rows",
+                    "min_u", "max_u", "min_d", "max_d",
+                    ((F.col("max_u") - F.col("min_u") + 1)
+                     * (F.col("max_d") - F.col("min_d") + 1))
+                    .cast("long").alias("span_area")))
+
+
 @register("pipeline_epoch_shuffle", """
 WITH h AS (
   SELECT doc_id, md5(concat('epoch1:', CAST(doc_id AS VARCHAR))) AS _h
@@ -8869,9 +8956,9 @@ def text_char_entropy(spark, sf_dir):
 # this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
 # scan_orc_roundtrip, plus graph_triangles_copurchase /
 # pipeline_bpe_train / sim_sq_recall / graph_label_propagation /
-# pipeline_bpe_encode / asof_join_nearest_price added late in the
-# round — 25 never-graded in all), then the 3 entries whose code
-# path changed
+# pipeline_bpe_encode / asof_join_nearest_price /
+# pipeline_zorder_layout added late in the round — 26 never-graded
+# in all), then the 3 entries whose code path changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8907,6 +8994,7 @@ _GATE_PRIORITY = [
     "graph_label_propagation",
     "pipeline_bpe_encode",
     "asof_join_nearest_price",
+    "pipeline_zorder_layout",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -8931,7 +9019,6 @@ _GATE_PRIORITY = [
     "st1_ema",
     "st2_product",
     "st7_running_investment",
-    "st9_txn_sequence",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
