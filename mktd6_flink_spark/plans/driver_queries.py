@@ -5654,6 +5654,53 @@ def graph_triangles_copurchase(spark, sf_dir):
                     .alias("clustering_coeff")))
 
 
+@register("events_streaks", """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events),
+isl AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+           AS island
+  FROM du),
+st AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(streak_len) AS BIGINT) AS active_days
+FROM st GROUP BY user_id
+""")
+def events_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands batch shape (day − row_number is constant within
+    a consecutive run, so the difference IS the island id) every
+    engagement/retention dashboard ships. The distributed story: the
+    fact collapses to the DISTINCT (user, day) grain first (one
+    map-side-combined shuffle — the same bounded intermediate
+    events_dau_wau persists), and the row_number window partitions BY
+    USER, so no single task ever sees more than one user's ~bounded
+    day list — a per-key window over the deduped grain, never a
+    global sort. Everything stays exact integers (day indexes via
+    unix_micros div, counts via int64)."""
+    ev = load(spark, sf_dir, "events")
+    du = (ev.select("user_id",
+                    F.expr("unix_micros(ts) div 86400000000").alias("d"))
+          .distinct())
+    isl = du.select(
+        "user_id", "d",
+        (F.col("d") - F.row_number().over(
+            Window.partitionBy("user_id").orderBy("d"))).alias("island"))
+    st = (isl.groupBy("user_id", "island")
+          .agg(F.count(F.lit(1)).alias("streak_len")))
+    return (st.groupBy("user_id")
+            .agg(F.max("streak_len").alias("longest_streak"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.sum("streak_len").alias("active_days")))
+
+
 @register("events_dau_wau", """
 WITH du AS (
   SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
@@ -8957,8 +9004,9 @@ def text_char_entropy(spark, sf_dir):
 # scan_orc_roundtrip, plus graph_triangles_copurchase /
 # pipeline_bpe_train / sim_sq_recall / graph_label_propagation /
 # pipeline_bpe_encode / asof_join_nearest_price /
-# pipeline_zorder_layout added late in the round — 26 never-graded
-# in all), then the 3 entries whose code path changed
+# pipeline_zorder_layout / events_streaks added late in the round —
+# 27 never-graded in all), then the 3 entries whose code path
+# changed
 # since the r9 grading per the transitive fingerprint (sim_pq_codes /
 # sim_pq_adc_topk via the shared codebook-guard refactor,
 # sim_pq_recall via the 100-query truth set), then ONE manual add the
@@ -8995,6 +9043,7 @@ _GATE_PRIORITY = [
     "pipeline_bpe_encode",
     "asof_join_nearest_price",
     "pipeline_zorder_layout",
+    "events_streaks",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -9018,7 +9067,6 @@ _GATE_PRIORITY = [
     "w5_top5_traders",
     "st1_ema",
     "st2_product",
-    "st7_running_investment",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
