@@ -8948,6 +8948,342 @@ def text_char_entropy(spark, sf_dir):
     return tx.char_entropy(load(spark, sf_dir, "documents"))
 
 
+# SQL spelling of the deduped (day, user) grain and the trailing-7-day
+# range join, shared by the sliding-HLL oracle's sketch and exact halves.
+_SLIDE7_SQL = (
+    "(SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d0,"
+    " user_id FROM events) e JOIN"
+    " (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d"
+    " FROM events) dd ON e.d0 BETWEEN dd.d - 6 AND dd.d")
+
+
+@register("events_sliding_hll_uniques", f"""
+WITH _sl AS (
+{sk.sql_hll_distinct("SELECT dd.d AS g, e.user_id FROM " + _SLIDE7_SQL,
+                     ["g"], "user_id")}
+),
+_ex AS (
+  SELECT dd.d AS g, CAST(count(DISTINCT e.user_id) AS BIGINT)
+           AS exact_uniques_7d
+  FROM {_SLIDE7_SQL}
+  GROUP BY dd.d)
+SELECT _sl.g AS day_idx, _sl.hll_est AS hll_uniques_7d,
+       _sl.hll_empty_buckets, _ex.exact_uniques_7d
+FROM _sl JOIN _ex ON _ex.g = _sl.g
+""")
+def events_sliding_hll_uniques(spark, sf_dir):
+    """Trailing-7-day distinct users per day from MERGED DAILY HLL
+    SKETCHES — the sliding-window twin of sketch_hll_daily_merge and
+    the sketch twin of events_dau_wau's exact WAU. This is the reason
+    mergeable sketches exist in an analytics engine: the fact is
+    scanned ONCE into per-day register tables (day x 64 rows, the
+    shard-grain artifact a 100 TB pipeline stores), and every window
+    position is answered by re-maxing 7 register sets — cost
+    days x 7 x 64 rows, independent of user cardinality, where the
+    exact path re-joins the deduped (day, user) table x7 per window.
+    Each day's registers fan out to the <= 7 corpus days they serve
+    (explode of a 7-element sequence, semi-joined to real days so
+    trailing windows past the corpus end never materialize), then
+    groupBy(day, bucket) max. Merge-of-shards == sketch-of-union must
+    hold REGISTER-FOR-REGISTER: the oracle sketches each window's
+    union directly, so the gate fails on any drift in the merge path.
+    The exact count rides alongside as the self-audit column, same
+    contract as sketch_kmv_distinct."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("long")
+    regs_daily = sk.hll_registers(ev.withColumn("_day", day), ["_day"],
+                                  F.col("user_id"))
+    days = ev.select(day.alias("g")).distinct()
+    merged = (regs_daily
+              .select(F.explode(F.sequence(F.col("_day"),
+                                           F.col("_day") + F.lit(6)))
+                      .alias("g"), "_bucket", "_M")
+              .join(days, "g")
+              .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
+    est = sk.hll_finalize(merged, ["g"])
+    du = ev.select(day.alias("d0"), "user_id").distinct()
+    exact = (days.join(du, (F.col("d0") >= F.col("g") - 6)
+                       & (F.col("d0") <= F.col("g")))
+             .groupBy("g")
+             .agg(F.count_distinct("user_id").alias("exact_uniques_7d")))
+    return (est.join(exact, "g")
+            .select(F.col("g").alias("day_idx"),
+                    F.col("hll_est").alias("hll_uniques_7d"),
+                    "hll_empty_buckets", "exact_uniques_7d"))
+
+
+@register("sketch_kmv_jaccard", f"""
+WITH _tu AS (SELECT DISTINCT event_type, user_id FROM events),
+_th AS (SELECT DISTINCT event_type,
+               {sql_md5_long("CAST(user_id AS VARCHAR)")} AS _h
+        FROM events),
+_m AS (SELECT event_type, _h FROM (
+         SELECT event_type, _h,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY _h) AS _rn
+         FROM _th) WHERE _rn <= {sk.KMV_K}),
+_ty AS (SELECT DISTINCT event_type FROM events),
+_pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM _ty a JOIN _ty b ON a.event_type < b.event_type),
+_u AS (SELECT type_a, type_b, _h, CAST(count(*) AS INT) AS _sides
+       FROM (SELECT p.type_a, p.type_b, m._h
+             FROM _pr p JOIN _m m ON m.event_type = p.type_a
+             UNION ALL
+             SELECT p.type_a, p.type_b, m._h
+             FROM _pr p JOIN _m m ON m.event_type = p.type_b)
+       GROUP BY 1, 2, 3),
+_uk AS (SELECT * FROM (
+          SELECT type_a, type_b, _h, _sides,
+                 row_number() OVER (PARTITION BY type_a, type_b
+                                    ORDER BY _h) AS _rn
+          FROM _u) WHERE _rn <= {sk.KMV_K}),
+_ag AS (SELECT type_a, type_b,
+               CAST(count(*) AS BIGINT) AS union_k_used,
+               max(_h) AS _kth,
+               CAST(sum(CASE WHEN _sides = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS inter_in_sketch
+        FROM _uk GROUP BY 1, 2),
+_es AS (SELECT type_a, type_b, union_k_used, inter_in_sketch,
+               CAST(CASE WHEN union_k_used < {sk.KMV_K}
+                    THEN union_k_used
+                    ELSE {sk.KMV_SPACE}
+                         // greatest(_kth // {sk.KMV_K - 1}, 1)
+                    END AS BIGINT) AS union_est
+        FROM _ag),
+_ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM _tu x JOIN _tu y
+          ON y.user_id = x.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2),
+_ct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS _n
+        FROM _tu GROUP BY 1)
+SELECT e.type_a, e.type_b, e.union_k_used, e.union_est,
+       e.inter_in_sketch,
+       CAST(e.inter_in_sketch * (e.union_est // e.union_k_used)
+            + (e.inter_in_sketch * (e.union_est % e.union_k_used))
+              // e.union_k_used AS BIGINT) AS inter_est,
+       CAST(e.inter_in_sketch * 1000000 // e.union_k_used AS BIGINT)
+         AS jaccard_micro,
+       CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       CAST(ca._n + cb._n - COALESCE(x.exact_inter, 0) AS BIGINT)
+         AS exact_union,
+       CAST(COALESCE(x.exact_inter, 0) * 1000000
+            // (ca._n + cb._n - COALESCE(x.exact_inter, 0)) AS BIGINT)
+         AS exact_jaccard_micro
+FROM _es e
+LEFT JOIN _ex x ON x.type_a = e.type_a AND x.type_b = e.type_b
+JOIN _ct ca ON ca.event_type = e.type_a
+JOIN _ct cb ON cb.event_type = e.type_b
+""")
+def sketch_kmv_jaccard(spark, sf_dir):
+    """KMV/Theta-sketch SET ALGEBRA (Beyer 2007 §4; the DataSketches
+    ThetaSketch union/intersection trick) — the capability
+    sketch_kmv_distinct's docstring promises and HLL registers cannot
+    deliver: estimated union, intersection, and Jaccard for every
+    event-type pair of user sets, from the same k=64 bottom-k sketches.
+    The union of two bottom-k sketches IS the bottom-k of the union
+    (any hash among the union's k smallest is among its own set's k
+    smallest), so merging sketches loses nothing; a union-sketch hash
+    present in BOTH input sketches is a uniform sample of the
+    intersection below the union's kth hash, giving
+    jaccard ~ |both| / k_used and inter ~ jaccard x union_est. Every
+    estimator is exact int64: the Beyer two-floor-division union
+    estimate, and inter_est via the split-division identity
+    i*(u div k) + (i*(u mod k)) div k == (i*u) div k — algebraically
+    exact, never overflowing (i <= k, so the first term is <= u and
+    the second < k^2), where the naive i*u product can exceed 2^63.
+    Pairs with fewer than k distinct union hashes are EXACT by
+    construction. Scale shape: sketches are built once (the
+    kmv_bottomk three-stage bound), and everything after is
+    sketch-sized — the pair merge window sees <= 2k rows per pair BY
+    CONSTRUCTION (two k-row sketches), never data-sized. The exact
+    intersection/union/Jaccard ride alongside as self-audit columns;
+    exact_inter costs one self-join of the deduped (type, user) grain
+    on user_id, bounded per user by (types-per-user choose 2) — the
+    per-order blocking bound, with type cardinality ~5 constant."""
+    ev = load(spark, sf_dir, "events")
+    mins = sk.kmv_bottomk(ev, ["event_type"], F.col("user_id"))
+    ta = mins.select(F.col("event_type").alias("type_a"), "_h")
+    tb = mins.select(F.col("event_type").alias("type_b"), "_h")
+    types = ev.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("type_a"))
+             .join(types.select(F.col("event_type").alias("type_b")),
+                   F.col("type_a") < F.col("type_b")))
+    u = (pairs.join(ta, "type_a").select("type_a", "type_b", "_h")
+         .unionByName(pairs.join(tb, "type_b")
+                      .select("type_a", "type_b", "_h"))
+         .groupBy("type_a", "type_b", "_h")
+         .agg((F.count(F.lit(1)) == 2).cast("int").alias("_both")))
+    wg = Window.partitionBy("type_a", "type_b").orderBy("_h")
+    uk = (u.withColumn("_rn", F.row_number().over(wg))
+          .filter(F.col("_rn") <= sk.KMV_K))
+    agg = uk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("union_k_used"),
+        F.max("_h").alias("_kth"),
+        F.sum("_both").cast("long").alias("inter_in_sketch"))
+    union_est = F.when(
+        F.col("union_k_used") < sk.KMV_K, F.col("union_k_used")
+    ).otherwise(F.expr(
+        f"div(CAST({sk.KMV_SPACE} AS BIGINT), "
+        f"greatest(div(_kth, {sk.KMV_K - 1}), CAST(1 AS BIGINT)))"))
+    est = (agg.select("type_a", "type_b", "union_k_used",
+                      "inter_in_sketch",
+                      union_est.cast("long").alias("union_est"))
+           .withColumn(
+               "inter_est",
+               F.expr("inter_in_sketch * div(union_est, union_k_used)"
+                      " + div(inter_in_sketch"
+                      " * (union_est % union_k_used), union_k_used)")
+               .cast("long"))
+           .withColumn(
+               "jaccard_micro",
+               F.expr("div(inter_in_sketch * 1000000, union_k_used)")
+               .cast("long")))
+    tu = ev.select("event_type", "user_id").distinct()
+    ex = (tu.alias("x").join(tu.alias("y"), "user_id")
+          .filter(F.col("x.event_type") < F.col("y.event_type"))
+          .groupBy(F.col("x.event_type").alias("type_a"),
+                   F.col("y.event_type").alias("type_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("exact_inter")))
+    cnt = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    return (est.join(ex, ["type_a", "type_b"], "left")
+            .join(cnt.select(F.col("event_type").alias("type_a"),
+                             F.col("_n").alias("_na")), "type_a")
+            .join(cnt.select(F.col("event_type").alias("type_b"),
+                             F.col("_n").alias("_nb")), "type_b")
+            .withColumn("exact_inter",
+                        F.coalesce("exact_inter", F.lit(0)).cast("long"))
+            .withColumn("exact_union",
+                        (F.col("_na") + F.col("_nb")
+                         - F.col("exact_inter")).cast("long"))
+            .withColumn("exact_jaccard_micro",
+                        F.expr("div(exact_inter * 1000000, exact_union)")
+                        .cast("long"))
+            .select("type_a", "type_b", "union_k_used", "union_est",
+                    "inter_in_sketch", "inter_est", "jaccard_micro",
+                    "exact_inter", "exact_union", "exact_jaccard_micro"))
+
+
+@register("basket_lift_pairs", expand_round6("""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+ct AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY pk),
+pr AS (SELECT a.pk AS part_a, b.pk AS part_b,
+              CAST(count(*) AS BIGINT) AS support
+       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       GROUP BY 1, 2),
+sc AS (SELECT p.part_a, p.part_b, p.support,
+              ca.n AS n_a, cb.n AS n_b,
+              CAST(p.support * 1000000 // ca.n AS BIGINT)
+                AS conf_a_to_b_micro,
+              CAST(p.support * 1000000 // cb.n AS BIGINT)
+                AS conf_b_to_a_micro,
+              ROUND6(CAST(p.support AS DOUBLE)
+                     * CAST((SELECT n_orders FROM n) AS DOUBLE)
+                     / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)))
+                AS lift
+       FROM pr p JOIN ct ca ON ca.pk = p.part_a
+                 JOIN ct cb ON cb.pk = p.part_b)
+SELECT part_a, part_b, support, n_a, n_b, conf_a_to_b_micro,
+       conf_b_to_a_micro, lift, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY support DESC, part_a,
+                                   part_b) AS rn
+      FROM sc)
+WHERE rn <= 20
+"""))
+def basket_lift_pairs(spark, sf_dir):
+    """Market-basket association rules (Agrawal & Srikant, VLDB 1994
+    reduced to pair itemsets) over TPC-H orders: the top-20 part
+    pairs by co-purchase support, with both directional confidences
+    and lift — the frequent-itemset / recommendation axis no entry
+    covered. The scale story is PER-BASKET BLOCKING, the same bound
+    the triangle edge build and sketch_kmv_jaccard's exact-intersect
+    rely on: candidate pairs are enumerated only WITHIN an order
+    (TPC-H baskets hold <= 7 lines, so <= 21 pairs per basket; total
+    work is sum |basket|^2, never catalog^2), then one partial-agg
+    groupBy collapses them to (pair, support). Confidences are exact
+    integer micros (support * 1e6 // n_x, safe: support <= n_x so the
+    product stays under 2^63 for any n_x < 9.2e12); lift is the one
+    final double ratio, ROUND6-portable, support x N / (n_a x n_b),
+    computed in the identical operation order on both engines. The
+    top-20 finisher is _topk_ranked (TakeOrderedAndProject), ties
+    broken by (part_a, part_b) for an engine-exact total order."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+          .distinct())
+    n = li.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
+    ct = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pr = (li.alias("a").join(li.alias("b"), "ok")
+          .filter(F.col("a.pk") < F.col("b.pk"))
+          .groupBy(F.col("a.pk").alias("part_a"),
+                   F.col("b.pk").alias("part_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("support")))
+    sc = (pr.join(ct.select(F.col("pk").alias("part_a"),
+                            F.col("n").alias("n_a")), "part_a")
+          .join(ct.select(F.col("pk").alias("part_b"),
+                          F.col("n").alias("n_b")), "part_b")
+          .crossJoin(n)
+          .withColumn("conf_a_to_b_micro",
+                      F.expr("div(support * 1000000, n_a)").cast("long"))
+          .withColumn("conf_b_to_a_micro",
+                      F.expr("div(support * 1000000, n_b)").cast("long"))
+          .withColumn("lift", round_portable(
+              F.col("support").cast("double")
+              * F.col("n_orders").cast("double")
+              / (F.col("n_a").cast("double")
+                 * F.col("n_b").cast("double")))))
+    return (_topk_ranked(sc, [F.col("support").desc(), F.col("part_a"),
+                              F.col("part_b")], 20, "rank")
+            .select("part_a", "part_b", "support", "n_a", "n_b",
+                    "conf_a_to_b_micro", "conf_b_to_a_micro", "lift",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+@register("streaming_sketch_kmv", ORACLES["sketch_kmv_distinct"])
+def streaming_sketch_kmv(spark, sf_dir):
+    """The KMV bottom-k sketch maintained ON THE LIVE STREAMING
+    RUNTIME — the one streaming sketch (unlike HLL's max and CMS's
+    sum) that is NOT a built-in aggregation shape, so it exercises the
+    custom-bounded-state path: applyInPandasWithState holds at most k
+    int64 hashes per event type (stateful.kmv_sketch_step), merging
+    each micro-batch's hashes losslessly by the KMV union theorem —
+    the final state provably equals the batch-built sketch under ANY
+    micro-batching. Hashing stays JVM-side (the portable md5_long
+    projection feeds the stateful operator), Python only merges
+    k-sized sorted lists per Arrow batch. Each batch emits the current
+    sketch with a monotone seq; the finalize keeps each key's last
+    emission (per-KEY window, never global), explodes it back to
+    (group, hash) grain, and runs the SAME Beyer estimator + exact
+    join — checked against the SAME oracle as the batch twin
+    sketch_kmv_distinct: sketching on a stream must lose nothing vs
+    the batch scan. Completes the streaming sketch family
+    (hll / cms / qhist / kmv)."""
+    from ..streaming import stateful
+
+    raw = _events_stream(spark, sf_dir)
+    src = raw.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string")).alias("_h"))
+    out = stateful.apply_per_event_stream(
+        src, ["event_type"], ["_h"], stateful.kmv_sketch_step,
+        "event_type string, seq long, hashes array<long>",
+        "hashes array<long>, seq long",
+        pack=lambda s: (s[0], s[1]),
+        unpack=lambda r: (list(r[0]), int(r[1])))
+    sunk = _run_stream_to_table(spark, out, "kmv_stream")
+    w = Window.partitionBy("event_type").orderBy(F.col("seq").desc())
+    last = (sunk.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    mins = last.select("event_type", F.explode("hashes").alias("_h"))
+    est = sk.kmv_estimate(mins, ["event_type"])
+    exact = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "event_type")
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================

@@ -107,6 +107,32 @@ def running_cents_step(cents_col: str = "_c",
     return step
 
 
+def kmv_sketch_step(k: int = 64):
+    """Bounded-state streaming KMV sketch (per key): state is the
+    bottom-k of every DISTINCT hash seen so far — at most k int64s, the
+    constant-size state that makes a streaming cardinality sketch
+    viable where exact distinct would hold the whole id universe. The
+    incremental merge is LOSSLESS by the KMV union theorem (any hash
+    among the bottom-k of old ∪ batch is among the bottom-k of its own
+    side), so the final state equals the batch-built sketch no matter
+    how the stream was micro-batched. One row per (key, micro-batch)
+    emits the current sketch array plus a monotone seq so the batch
+    finalize can keep each key's LAST emission (the applyInPandas
+    append-mode analogue of update-mode latest)."""
+    def step(state, row):  # pragma: no cover - vectorized path used
+        raise NotImplementedError
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        cur, seq = (list(state[0]), int(state[1])) if state else ([], 0)
+        merged = sorted(set(cur).union(
+            int(h) for h in pdf["_h"].tolist()))[:k]
+        seq += 1
+        return ({"seq": [seq], "hashes": [merged]}, (merged, seq))
+
+    step.vectorized = vectorized
+    return step
+
+
 def trader_ledger_step():
     """ST6 — TraderStateUpdater.update() (java:115-139) emitting a
     TxnResult per update: deltas → auto-bailout on the new state →
