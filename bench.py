@@ -125,6 +125,16 @@ HEADLINE = [
     # per-row char-entropy filter (the map-pass floor for text ops)
     "sim_ivfpq_ann",
     "text_char_entropy",
+    # late round-10 heads: the KMV pair set-algebra (sketch-sized merge
+    # after one fact shuffle), the daily-register sliding-HLL window
+    # (mergeable-sketch window cost, independent of user cardinality),
+    # the per-basket-blocked association-rule miner, and the custom
+    # bounded-state streaming sketch (applyInPandasWithState path, vs
+    # the floor like every streaming entry)
+    "sketch_kmv_jaccard",
+    "events_sliding_hll_uniques",
+    "basket_lift_pairs",
+    "streaming_sketch_kmv",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -138,6 +148,7 @@ _R7_SET = HEADLINE[:33]
 _R8_SET = HEADLINE[:38]
 _R8_FULL_SET = HEADLINE[:43]   # the 43-head panel BENCH_r08 measured
 _R9_SET = HEADLINE[:45]        # the 45-head panel BENCH_r09 measured
+_R10_SET = HEADLINE[:47]       # the 47-head panel before the late-r10 adds
 
 
 def streaming_floor(spark, sf_dir):
@@ -256,12 +267,16 @@ def main() -> int:
                 sum(timings[n] for n in _R8_FULL_SET), 3),
             "r9_comparable_45": round(
                 sum(timings[n] for n in _R9_SET), 3),
+            "r10_comparable_47": round(
+                sum(timings[n] for n in _R10_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
                 sum(tmin[n] for n in _R8_FULL_SET), 3),
             "r9_comparable_45": round(
                 sum(tmin[n] for n in _R9_SET), 3),
+            "r10_comparable_47": round(
+                sum(tmin[n] for n in _R10_SET), 3),
         },
         "queries_min": tmin,
     }))

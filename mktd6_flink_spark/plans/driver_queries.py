@@ -3634,6 +3634,131 @@ def asof_join_next_price(spark, sf_dir):
              F.col("asof_price").alias("next_price"))
 
 
+@register("asof_join_tolerance", f"""
+WITH {EV_SQL},
+l AS (SELECT trader, time_ms, event_id, otype, shares
+      FROM ev WHERE otype IN ('BUY', 'SELL')),
+r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
+      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms),
+b AS (SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
+             r.price AS bp, r.time_ms AS brt
+      FROM l ASOF LEFT JOIN r
+        ON l.trader = r.trader AND l.time_ms >= r.time_ms)
+SELECT trader, time_ms, event_id, otype, shares,
+       CASE WHEN brt IS NOT NULL AND time_ms - brt <= 60000
+            THEN bp END AS price_1m,
+       CASE WHEN brt IS NOT NULL AND time_ms - brt <= 60000
+            THEN CAST(time_ms - brt AS BIGINT) END AS lag_ms
+FROM b
+""")
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=`` parameter, the third dial after direction): the
+    latest price at-or-before each order counts only if it is at most
+    60 s stale — orders whose best backward match is older get NULL,
+    the semantics of \"use the quote only if it's fresh\" in any
+    market-data or sensor-fusion enrichment. No new operator code:
+    the verified backward fill (operators/asof.py) also carries the
+    MATCHED RIGHT TIMESTAMP as a value column, and tolerance is one
+    exact-integer millisecond comparison on top — match staleness
+    becomes data (lag_ms), not silently-accepted staleness. The
+    filter must run AFTER the fill, not on the right side before it:
+    pre-filtering old quotes would promote the next-older quote into
+    range. Same one-shuffle-one-sort scale shape as asof_join_price;
+    DuckDB oracle replays tolerance over its native ASOF LEFT JOIN."""
+    ev = events_enriched(spark, sf_dir)
+    left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
+        "trader", "time_ms", "event_id", "otype", "shares")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("trader", "time_ms")
+        .agg(F.max_by("value", "event_id").alias("price"))
+        .select("trader", "time_ms", F.col("time_ms").alias("rt"),
+                "price")
+    )
+    filled = asof.asof_join(
+        left, right, on=["trader"], left_time="time_ms",
+        right_time="time_ms", value_cols=["price", "rt"],
+        fallback="null",
+    )
+    ok = (F.col("asof_rt").isNotNull()
+          & ((F.col("time_ms") - F.col("asof_rt")) <= 60000))
+    return filled.select(
+        "trader", "time_ms", "event_id", "otype", "shares",
+        F.when(ok, F.col("asof_price")).alias("price_1m"),
+        F.when(ok, (F.col("time_ms") - F.col("asof_rt")).cast("long"))
+        .alias("lag_ms"))
+
+
+@register("events_gini_concentration", """
+WITH u AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2),
+rk AS (SELECT event_type, rev,
+              CAST(row_number() OVER (PARTITION BY event_type
+                                      ORDER BY rev, user_id) AS BIGINT)
+                AS rnk
+       FROM u),
+a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(rev) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(rnk AS HUGEINT) * rev) AS HUGEINT) AS srx
+      FROM rk GROUP BY 1)
+SELECT event_type, n_users, total_cents,
+       CASE WHEN n_users * CAST(total_cents AS HUGEINT) = 0 THEN NULL
+            ELSE CAST(2 * srx - (n_users + 1)
+                      * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                 / CAST(n_users * CAST(total_cents AS HUGEINT) AS DOUBLE)
+       END AS gini
+FROM a
+""")
+def events_gini_concentration(spark, sf_dir):
+    """Gini coefficient of per-user revenue within each event type —
+    the concentration/inequality metric (how much of a segment's
+    revenue sits in its whale users) every monetization dashboard
+    reports, and the third distribution diagnostic next to the
+    quantile histogram (shape) and the log2 length histogram (spread).
+    The Gini needs each user's RANK by revenue within its type —
+    the classic global-sort trap, since a type's user population is
+    unbounded. Here the rank IS a prefix count, so it rides the
+    two-phase prefix sum (windows.running_sum_scalable over value 1,
+    ordered by (rev, user_id) — a deterministic total order):
+    equal-width revenue blocks fill in parallel, the only sequential
+    step is the #partitions-row offset table. Everything else is
+    exact integers: per-user cents, HUGEINT/decimal(38) rank x
+    revenue products (rank·rev sums overflow int64 at ~1e9 users),
+    the standard G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) as an exact
+    integer numerator and denominator with ONE final double division
+    (identical IEEE op both engines). Zero-total types are NULL
+    (guarded, not an ANSI crash); users with only NULL-value events
+    carry no revenue information and are excluded on both engines —
+    the fold/stat input contract."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = (ev.groupBy("event_type", "user_id")
+         .agg(F.sum(_cents(F.col("value"))).alias("rev")))
+    ranked = windows.running_sum_scalable(
+        u.withColumn("_one", F.lit(1).cast("long")),
+        ["event_type"], ["rev", "user_id"], "_one", out="rnk")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    a = (ranked.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+              F.sum("rev").alias("total_cents"),
+              F.sum(dec(F.col("rnk")) * dec(F.col("rev"))).alias("srx")))
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("srx")
+           - (dec(F.col("n_users")) + F.lit(1))
+           * dec(F.col("total_cents")))
+    den = dec(F.col("n_users")) * dec(F.col("total_cents"))
+    return a.select(
+        "event_type", "n_users",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("gini"))
+
+
 @register("asof_join_nearest_price", f"""
 WITH {EV_SQL},
 l AS (SELECT trader, time_ms, event_id, otype, shares
@@ -9282,6 +9407,142 @@ def streaming_sketch_kmv(spark, sf_dir):
     exact = load(spark, sf_dir, "events").groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct"))
     return est.join(exact, "event_type")
+
+
+@register("events_autocorr_daily", """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.rev) AS BIGINT) AS sa,
+         CAST(sum(b.rev) AS BIGINT) AS sb,
+         CAST(sum(CAST(a.rev AS HUGEINT) * b.rev) AS HUGEINT) AS sab,
+         CAST(sum(CAST(a.rev AS HUGEINT) * a.rev) AS HUGEINT) AS saa,
+         CAST(sum(CAST(b.rev AS HUGEINT) * b.rev) AS HUGEINT) AS sbb
+  FROM d a JOIN d b ON b.event_type = a.event_type
+                   AND b.day_idx = a.day_idx + 1
+  GROUP BY 1),
+t AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN p.n_pairs * p.saa - CAST(p.sa AS HUGEINT) * p.sa = 0
+              OR p.n_pairs * p.sbb - CAST(p.sb AS HUGEINT) * p.sb = 0
+            THEN NULL
+            ELSE CAST(p.n_pairs * p.sab
+                      - CAST(p.sa AS HUGEINT) * p.sb AS DOUBLE)
+                 / sqrt(CAST(p.n_pairs * p.saa
+                             - CAST(p.sa AS HUGEINT) * p.sa AS DOUBLE))
+                 / sqrt(CAST(p.n_pairs * p.sbb
+                             - CAST(p.sb AS HUGEINT) * p.sb AS DOUBLE))
+       END AS autocorr_lag1
+FROM t LEFT JOIN p ON p.event_type = t.event_type
+""")
+def events_autocorr_daily(spark, sf_dir):
+    """Lag-1 autocorrelation of each type's DAILY revenue series —
+    the temporal-dependence diagnostic next to events_type_correlation
+    (cross-series co-movement) and events_trend_slope (drift): is
+    today's revenue informative about tomorrow's, per segment? Pairs
+    are CONSECUTIVE calendar days only (b.day = a.day + 1, an
+    equi-join on the tiny per-type day series — a gap day contributes
+    no pair, matching the statistical definition over an irregular
+    series rather than fabricating adjacency across holes). Identical
+    exactness story to the correlation entry: the fact collapses to
+    (type, day) integer-cents revenue first, moments are exact
+    decimal(38)/HUGEINT products, and floats appear only in the final
+    divide-and-sqrt (three correctly-rounded IEEE ops, both engines).
+    Zero-variance series (constant revenue, or a single pair) yield
+    NULL — guarded, never an ANSI crash; types with no consecutive
+    days keep a row with n_pairs = 0 and NULL autocorrelation."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.select("event_type",
+                   F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                   .cast("long").alias("day_idx"),
+                   _cents(F.col("value")).alias("_c"))
+         .groupBy("event_type", "day_idx")
+         .agg(F.sum("_c").alias("rev")))
+    a = d.select(F.col("event_type").alias("_ta"),
+                 F.col("day_idx").alias("_da"),
+                 F.col("rev").alias("_ra"))
+    b = d.select(F.col("event_type").alias("_tb"),
+                 F.col("day_idx").alias("_db"),
+                 F.col("rev").alias("_rb"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    p = (a.join(b, (F.col("_ta") == F.col("_tb"))
+                & (F.col("_db") == F.col("_da") + 1))
+         .groupBy(F.col("_ta").alias("event_type"))
+         .agg(F.count(F.lit(1)).alias("_np"),
+              F.sum("_ra").alias("sa"), F.sum("_rb").alias("sb"),
+              F.sum(dec(F.col("_ra")) * dec(F.col("_rb"))).alias("sab"),
+              F.sum(dec(F.col("_ra")) * dec(F.col("_ra"))).alias("saa"),
+              F.sum(dec(F.col("_rb")) * dec(F.col("_rb"))).alias("sbb")))
+    t = ev.select("event_type").distinct()
+    nD = dec(F.col("_np"))
+    cov = nD * F.col("sab") - dec(F.col("sa")) * dec(F.col("sb"))
+    va = nD * F.col("saa") - dec(F.col("sa")) * dec(F.col("sa"))
+    vb = nD * F.col("sbb") - dec(F.col("sb")) * dec(F.col("sb"))
+    return (t.join(p, "event_type", "left")
+            .select("event_type",
+                    F.coalesce("_np", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.when((va == 0) | (vb == 0),
+                           F.lit(None).cast("double"))
+                    .otherwise(cov.cast("double")
+                               / F.sqrt(va.cast("double"))
+                               / F.sqrt(vb.cast("double")))
+                    .alias("autocorr_lag1")))
+
+
+@register("events_seasonality_dow", """
+WITH d AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total_n
+      FROM d GROUP BY 1)
+SELECT d.event_type, d.dow_idx, d.n_events,
+       CAST(COALESCE(d.rev_cents, 0) AS BIGINT) AS rev_cents,
+       CAST(d.n_events * 7000000 // t.total_n - 1000000 AS BIGINT)
+         AS dev_micro
+FROM d JOIN t ON t.event_type = d.event_type
+""")
+def events_seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonality profile per event type — the weekly
+    periodicity fingerprint (weekend dips, Monday spikes) every
+    traffic dashboard publishes, and the companion diagnostic to
+    events_autocorr_daily's lag view. dow_idx is the portable
+    epoch-day mod 7 (0 = Thursday; an INDEX, deliberately not a
+    locale-dependent weekday name — both engines compute it from the
+    same integer day). dev_micro is the relative deviation from a
+    uniform week in integer MICROS: n_dow * 7e6 div n_total - 1e6,
+    exact int64 (numerator nonnegative, so DuckDB floor-div ==
+    Spark div; safe below ~1.3e12 events per type). NULL-value rows
+    still count traffic but add no revenue (sum skips NULL in both
+    engines; an all-NULL bucket coalesces to 0 cents). Scale shape:
+    one map-side-combined shuffle to the (type, dow) grain — 7 rows
+    per type regardless of fact size — then a broadcast-sized join
+    against the per-type totals."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000) % 7").cast("long")
+        .alias("dow_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(_cents(F.col("value"))).alias("rev_cents")))
+    t = d.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("total_n"))
+    return (d.join(t, "event_type")
+            .select("event_type", "dow_idx", "n_events",
+                    F.coalesce("rev_cents", F.lit(0)).cast("long")
+                    .alias("rev_cents"),
+                    F.expr("div(n_events * 7000000, total_n) - 1000000")
+                    .cast("long").alias("dev_micro")))
 
 
 # ===========================================================================
