@@ -1343,3 +1343,119 @@ def sql_dsir_weights(table: str = "documents", target_pred: str = "",
            CAST(sum(_d * _k) AS BIGINT) AS dsir_weight_bits
     FROM _ds_scored GROUP BY {id_col}
     """
+
+
+def quality_nb_report(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Model-based quality filter: a bag-of-unigrams Naive Bayes
+    classifier trained to reproduce the Gopher rule panel's keep
+    verdict — the CCNet/LLaMA-style "learned quality classifier"
+    axis (there a fastText model trained on Wikipedia-vs-crawl; here
+    the same linear-in-token-log-ratios family, trained on the rule
+    labels so the whole loop is self-contained and oracle-checkable).
+    Deterministic half-split by doc id parity: even ids train, odd
+    ids are scored, and the output is the test-half confusion matrix
+    (actual keep x predicted keep, with doc counts and the exact
+    summed score per cell) — the generalization report a pipeline
+    reads before trusting the model on unlabeled data.
+
+    Exactness is the DSIR/trigram-surprisal trick a third time: each
+    token's class log-ratio lives in quantized integer BITS,
+    bits_reject - bits_keep where bits = floor(log2((N + V)/(c + 1)))
+    computed as bitlen((N + V) div (c + 1)) - 1 — add-one smoothing
+    over the shared training vocabulary V, per-doc scores exact
+    int64, predict keep iff score > 0 (ties to reject). No float
+    exists anywhere, so 1000 executors agree bit-for-bit.
+
+    Scale shape: tokenize/explode map-side; occurrences collapse to
+    (doc, token) counts before any join; BOTH class counts come from
+    ONE groupBy over the training half (conditional sums — no
+    per-class scan); model + totals broadcast (vocabulary-bounded);
+    one per-doc aggregation and a 4-row confusion groupBy. Test
+    tokens outside the training vocabulary carry no evidence and are
+    skipped (inner join — identical in both engines), as are docs
+    with no in-vocabulary tokens."""
+    labels = gopher_rules(df, text=text, id_col=id_col).select(
+        F.col(id_col), F.col("keep").cast("int").alias("_y"))
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text))).alias("_w"))
+    tc = (tok.groupBy(id_col, "_w")
+          .agg(F.count(F.lit(1)).alias("_k"))
+          .join(labels, id_col))
+    train = tc.filter(F.col(id_col) % 2 == 0)
+    model = train.groupBy("_w").agg(
+        F.sum(F.when(F.col("_y") == 1, F.col("_k")).otherwise(0))
+        .cast("long").alias("_ck"),
+        F.sum(F.when(F.col("_y") == 0, F.col("_k")).otherwise(0))
+        .cast("long").alias("_cj"))
+    totals = model.agg(F.sum("_ck").alias("_NK"),
+                       F.sum("_cj").alias("_NJ"),
+                       F.count(F.lit(1)).alias("_V"))
+    bits_k = (F.length(F.bin(F.expr("(_NK + _V) div (_ck + 1)"))) - 1)
+    bits_j = (F.length(F.bin(F.expr("(_NJ + _V) div (_cj + 1)"))) - 1)
+    scored = (
+        tc.filter(F.col(id_col) % 2 == 1)
+        .join(F.broadcast(model), "_w")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("_y"),
+                (F.col("_k") * (bits_j - bits_k)).cast("long")
+                .alias("_s")))
+    per_doc = scored.groupBy(id_col, "_y").agg(
+        F.sum("_s").alias("_score"))
+    return (per_doc.groupBy(
+        F.col("_y").alias("actual_keep"),
+        (F.col("_score") > 0).cast("int").alias("pred_keep"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("_score").cast("long").alias("sum_score_bits")))
+
+
+def sql_quality_nb(table: str = "documents", text: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`quality_nb_report`: same labels, same
+    one-pass conditional class counts, same integer bits, same
+    parity split and tie-to-reject prediction."""
+    return f"""
+    WITH _nb_lab AS (
+      SELECT {id_col}, CASE WHEN keep THEN 1 ELSE 0 END AS _y
+      FROM ({sql_gopher_rules(table, text, id_col)})
+    ),
+    _nb_tok AS (
+      SELECT {id_col}, unnest({sql_tokens(text)}) AS _w FROM {table}
+    ),
+    _nb_tc AS (
+      SELECT t.{id_col}, t._w, CAST(count(*) AS BIGINT) AS _k,
+             CAST(max(l._y) AS BIGINT) AS _y
+      FROM _nb_tok t JOIN _nb_lab l ON l.{id_col} = t.{id_col}
+      GROUP BY t.{id_col}, t._w
+    ),
+    _nb_model AS (
+      SELECT _w,
+             CAST(sum(CASE WHEN _y = 1 THEN _k ELSE 0 END) AS BIGINT)
+               AS _ck,
+             CAST(sum(CASE WHEN _y = 0 THEN _k ELSE 0 END) AS BIGINT)
+               AS _cj
+      FROM _nb_tc WHERE {id_col} % 2 = 0 GROUP BY _w
+    ),
+    _nb_tot AS (
+      SELECT CAST(sum(_ck) AS BIGINT) AS _NK,
+             CAST(sum(_cj) AS BIGINT) AS _NJ,
+             CAST(count(*) AS BIGINT) AS _V
+      FROM _nb_model
+    ),
+    _nb_doc AS (
+      SELECT c.{id_col}, c._y,
+             CAST(sum(c._k *
+               ((length(bin((_NJ + _V) // (_cj + 1))) - 1)
+                - (length(bin((_NK + _V) // (_ck + 1))) - 1)))
+               AS BIGINT) AS _score
+      FROM _nb_tc c JOIN _nb_model m ON m._w = c._w CROSS JOIN _nb_tot
+      WHERE c.{id_col} % 2 = 1
+      GROUP BY c.{id_col}, c._y
+    )
+    SELECT CAST(_y AS INTEGER) AS actual_keep,
+           CAST(CASE WHEN _score > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS pred_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(_score) AS BIGINT) AS sum_score_bits
+    FROM _nb_doc GROUP BY 1, 2
+    """

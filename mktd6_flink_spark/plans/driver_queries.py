@@ -9545,6 +9545,99 @@ def events_seasonality_dow(spark, sf_dir):
                     .cast("long").alias("dev_micro")))
 
 
+@register("events_cusum_changepoint", """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+p AS (
+  SELECT event_type, day_idx,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY day_idx) AS BIGINT) AS t,
+         CAST(sum(rev) OVER (PARTITION BY event_type ORDER BY day_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM d),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(rev) AS BIGINT) AS sn
+        FROM d GROUP BY 1),
+dev AS (
+  SELECT p.event_type, p.day_idx, tot.n_days,
+         abs(CAST(tot.n_days AS HUGEINT) * p.s
+             - CAST(p.t AS HUGEINT) * tot.sn) AS dd
+  FROM p JOIN tot ON tot.event_type = p.event_type)
+SELECT event_type, n_days, day_idx AS cp_day_idx,
+       CAST(dd AS DOUBLE) AS cp_dev
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dd DESC, day_idx ASC) AS rn
+      FROM dev)
+WHERE rn = 1
+""")
+def events_cusum_changepoint(spark, sf_dir):
+    """Offline changepoint detection per event type — the CUSUM-style
+    maximum prefix deviation (Page 1954's statistic in its offline
+    split form): the day t maximizing |N·S_t − t·S_N|, i.e. where the
+    series' prefix mean diverges most from its global mean — the
+    first question after events_trend_slope says "something drifted":
+    WHEN did it shift? Everything is exact integers: daily revenue in
+    cents, the prefix sum S_t, and the deviation as a decimal(38)/
+    HUGEINT product (N·S_t overflows int64 at multi-year spans of
+    high-revenue types); the one double is the final CAST of the
+    exact winning deviation. The argmax is deterministic (deviation
+    DESC, day ASC — earliest day wins ties). Scale shape: the fact
+    collapses to the (type, day) series FIRST (map-side-combined
+    shuffle); prefix sum, totals, and argmax all run over the tiny
+    series table — the documented bounded-cardinality window class
+    (partition by year for multi-century tables). Rows with NULL
+    value carry no revenue evidence and are excluded on both engines
+    (the fold/stat input contract)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = (ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("long")
+        .alias("day_idx"))
+        .agg(F.sum(_cents(F.col("value"))).alias("rev")))
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = d.select("event_type", "day_idx",
+                 F.row_number().over(wo).cast("long").alias("t"),
+                 F.sum("rev").over(wc).alias("s"))
+    tot = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev").alias("sn"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    dev = (p.join(tot, "event_type")
+           .select("event_type", "day_idx", "n_days",
+                   F.abs(dec(F.col("n_days")) * dec(F.col("s"))
+                         - dec(F.col("t")) * dec(F.col("sn")))
+                   .alias("dd")))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("dd").desc(), F.col("day_idx").asc())
+    return (dev.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("event_type", "n_days",
+                    F.col("day_idx").alias("cp_day_idx"),
+                    F.col("dd").cast("double").alias("cp_dev")))
+
+
+@register("pipeline_quality_classifier", tx.sql_quality_nb("documents"))
+def pipeline_quality_classifier(spark, sf_dir):
+    """Learned quality filter: a bag-of-unigrams Naive Bayes
+    classifier trained (even doc ids) to reproduce the Gopher rule
+    panel's keep verdict and evaluated on the held-out odd half —
+    the CCNet/LLaMA "model-based quality classifier" axis, with the
+    test-half confusion matrix (+ exact summed scores) as the
+    checkable artifact. Token class log-ratios live in quantized
+    integer bits (the DSIR/trigram-surprisal trick), per-doc scores
+    are exact int64, prediction is score > 0 with ties to reject —
+    no float anywhere, bit-identical on any cluster. One groupBy
+    over the training half yields both class counts (conditional
+    sums); model + totals broadcast; see
+    functions/text.py:quality_nb_report for the full scale story."""
+    return tx.quality_nb_report(load(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================
