@@ -9621,6 +9621,172 @@ def events_cusum_changepoint(spark, sf_dir):
                     F.col("dd").cast("double").alias("cp_dev")))
 
 
+_MMR_SHORTLIST = 16
+_MMR_K = 8
+
+
+def _sql_mmr() -> str:
+    """Generate the iterative MMR oracle (the _sql_pagerank pattern:
+    a fixed greedy-step count unrolled into chained CTEs)."""
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    cos_qc = sim.sql_cosine("q.qv", "c.cv", _EMB_DIM)
+    cos_ab = sim.sql_cosine("x.cv", "y.cv", _EMB_DIM)
+    parts = [f"""q AS (SELECT vec_id AS qid, embedding AS qv
+       FROM embeddings WHERE vec_id IN ({ids})),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+srt AS MATERIALIZED (SELECT * FROM (
+  SELECT qid, cid, relm, cv,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY relm DESC, cid ASC) AS rn
+  FROM (SELECT q.qid, c.cid,
+               CAST(floor(({cos_qc}) * 1000000.0 + 0.5) AS BIGINT)
+                 AS relm, c.cv
+        FROM q CROSS JOIN c WHERE q.qid <> c.cid)
+  WHERE relm IS NOT NULL) WHERE rn <= {_MMR_SHORTLIST}),
+ps AS MATERIALIZED (SELECT x.qid, x.cid AS a, y.cid AS b,
+              CAST(floor(({cos_ab}) * 1000000.0 + 0.5) AS BIGINT)
+                AS simm
+       FROM srt x JOIN srt y ON y.qid = x.qid AND x.cid <> y.cid),
+sel1 AS (SELECT qid, cid, relm, relm AS mmrm, 1 AS rank
+         FROM srt WHERE rn = 1),
+selall1 AS MATERIALIZED (SELECT qid, cid FROM sel1)"""]
+    for i in range(2, _MMR_K + 1):
+        parts.append(f"""cand{i} AS MATERIALIZED (
+  SELECT s.qid, s.cid, s.relm, s.relm - max(p.simm) AS mmrm
+  FROM srt s
+  JOIN ps p ON p.qid = s.qid AND p.a = s.cid
+  JOIN selall{i - 1} t ON t.qid = p.qid AND t.cid = p.b
+  WHERE NOT EXISTS (SELECT 1 FROM selall{i - 1} z
+                    WHERE z.qid = s.qid AND z.cid = s.cid)
+  GROUP BY s.qid, s.cid, s.relm),
+sel{i} AS MATERIALIZED (SELECT qid, cid, relm, mmrm, {i} AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY mmrm DESC, cid ASC) AS rnn FROM cand{i})
+  WHERE rnn = 1),
+selall{i} AS MATERIALIZED (SELECT qid, cid FROM selall{i - 1}
+              UNION ALL SELECT qid, cid FROM sel{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, cid, relm, mmrm, rank FROM sel{i}"
+        for i in range(1, _MMR_K + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT qid AS query_id, cid AS vec_id, relm AS rel_micro,
+       mmrm AS mmr_micro, CAST(rank AS INTEGER) AS sel_rank
+FROM ({union})""")
+
+
+@register("sim_mmr_rerank", _sql_mmr())
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — DIVERSIFIED retrieval, the post-ANN step that keeps
+    a near-duplicate-heavy corpus from returning ten copies of the
+    same document: greedily pick the candidate maximizing
+    lambda*rel - (1-lambda)*max_sim_to_already_selected (lambda=1/2,
+    so the exact-integer objective is rel_micro - max_sim_micro; the
+    first pick has no penalty term). The 100 TB shape is
+    SHORTLIST-THEN-RERANK, the same cheap-filter/exact-verify dial as
+    Matryoshka truncation: one corpus scan builds the per-query
+    top-{_MMR_SHORTLIST} shortlist (broadcast queries, corpus never
+    shuffles — the cosine_topk shape), pairwise candidate sims are
+    precomputed ONCE on the shortlist (|Q| x {_MMR_SHORTLIST}^2
+    rows), and the {_MMR_K}-step greedy selection — sequential PER
+    QUERY by definition — runs inside ONE Arrow-batched applyInPandas
+    over the per-query pair group (a constant shortlist^2 rows of
+    int64s), so a million queries re-rank in parallel with zero
+    driver involvement. A first cut expressed the loop as 8 chained
+    DataFrame iterations; each step referenced the previous twice
+    (anti-join + penalty join), DOUBLING the logical plan per step —
+    2^8 copies of the shortlist subtree OOM'd Catalyst before any
+    data moved. The greedy recurrence is data-tiny but
+    lineage-hostile: per-group Python over the precomputed integer
+    pair matrix is the honest shape. All scores are quantized micros
+    (floor(cos*1e6+0.5)), so every comparison and tie (mmr DESC, id
+    ASC) is engine-exact; zero-norm vectors drop at the shortlist
+    (NULL cosine); a candidate with no computable sim to the selected
+    set is skipped, matching the oracle's join semantics. The oracle
+    unrolls the greedy loop into chained CTEs (the _sql_pagerank
+    pattern — with every iteration CTE MATERIALIZED: DuckDB inlines
+    CTEs by default, and each step referencing the previous twice
+    re-created the same 2^K blowup as the DataFrame version, as a
+    planner hang instead of an OOM). Plan note: the shortlist
+    self-join and the pair-group join are equi-joins on qid — the
+    SAME key the applyInPandas groupBy shuffles on, so the audit's
+    SMJ-only flag is the intended co-located chain at large |Q|;
+    AQE upgrades them to broadcast when |Q| is gate-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("cv"))
+    relm = F.floor(sim.cosine(F.col("qv"), F.col("cv"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("relm").desc(), F.col("cid").asc())
+    srt = (q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+           .select("qid", "cid", relm.alias("relm"), "cv")
+           .filter(F.col("relm").isNotNull())
+           .withColumn("rn", F.row_number().over(wq))
+           .filter(F.col("rn") <= _MMR_SHORTLIST))
+    simm = F.floor(sim.cosine(F.col("_av"), F.col("_bv"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ps = (srt.select("qid", F.col("cid").alias("a"),
+                     F.col("cv").alias("_av"))
+          .join(srt.select(F.col("qid").alias("_q2"),
+                           F.col("cid").alias("b"),
+                           F.col("cv").alias("_bv")),
+                (F.col("qid") == F.col("_q2"))
+                & (F.col("a") != F.col("b")))
+          .select("qid", "a", "b", simm.alias("simm")))
+    pairs = (srt.select("qid", "cid", "relm")
+             .join(ps.select(F.col("qid").alias("_pq"),
+                             F.col("a").alias("_pa"), "b", "simm"),
+                   (F.col("qid") == F.col("_pq"))
+                   & (F.col("cid") == F.col("_pa")), "left")
+             .select("qid", "cid", "relm", "b", "simm"))
+    k = _MMR_K
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        qid = int(pdf["qid"].iloc[0])
+        rel = {}
+        simd = {}
+        for r in pdf.itertuples(index=False):
+            c = int(r.cid)
+            rel[c] = int(r.relm)
+            if pd.notna(r.b):
+                simd[(c, int(r.b))] = int(r.simm)
+        first = min(rel.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = [(qid, first[0], first[1], first[1], 1)]
+        sel = [first[0]]
+        for i in range(2, k + 1):
+            best = None
+            for c, rc in sorted(rel.items()):
+                if c in sel:
+                    continue
+                sims = [simd[(c, s)] for s in sel if (c, s) in simd]
+                if not sims:
+                    continue
+                m = rc - max(sims)
+                if best is None or m > best[1] or (m == best[1]
+                                                  and c < best[0]):
+                    best = (c, m)
+            if best is None:
+                break
+            rows.append((qid, best[0], rel[best[0]], best[1], i))
+            sel.append(best[0])
+        return pd.DataFrame(rows, columns=[
+            "query_id", "vec_id", "rel_micro", "mmr_micro", "sel_rank"])
+
+    return (pairs.groupBy("qid").applyInPandas(
+        _greedy,
+        "query_id long, vec_id long, rel_micro long, mmr_micro long, "
+        "sel_rank int"))
+
+
 @register("pipeline_quality_classifier", tx.sql_quality_nb("documents"))
 def pipeline_quality_classifier(spark, sf_dir):
     """Learned quality filter: a bag-of-unigrams Naive Bayes
