@@ -9854,24 +9854,28 @@ def pipeline_quality_classifier(spark, sf_dir):
 # Round-10 window: GENERATED by `python tools/gate_window.py --window
 # --since aaf7b42` (the r9 grading commit), regenerated AFTER the
 # round's last operator change (the round-9 advice: the r9 window was
-# cut before the bloom-probe rewrite landed and missed it). 19
-# never-graded entries front the window (the 15 round-9 additions +
-# this round's sim_ivfpq_ann / sim_ivfpq_recall / text_char_entropy /
-# scan_orc_roundtrip, plus graph_triangles_copurchase /
-# pipeline_bpe_train / sim_sq_recall / graph_label_propagation /
-# pipeline_bpe_encode / asof_join_nearest_price /
-# pipeline_zorder_layout / events_streaks added late in the round —
-# 27 never-graded in all), then the 3 entries whose code path
-# changed
-# since the r9 grading per the transitive fingerprint (sim_pq_codes /
-# sim_pq_adc_topk via the shared codebook-guard refactor,
-# sim_pq_recall via the 100-query truth set), then ONE manual add the
-# fingerprint cannot see: join_bloom_prefilter — its probe path was
-# rewritten AFTER its last driver grading (r8) but BEFORE the r9
-# grading commit, so --since aaf7b42 misses it (the exact drift class
-# the round-9 advice flagged). Stalest-green fill (r6-graded rows)
-# completes the 50. With this window every registered entry has been
-# driver-graded at least once.
+# cut before the bloom-probe rewrite landed and missed it). 38
+# never-graded entries front the window — the 15 round-9 additions,
+# the 12 early-round-10 additions (sim_ivfpq_ann / sim_ivfpq_recall /
+# text_char_entropy / scan_orc_roundtrip /
+# graph_triangles_copurchase / pipeline_bpe_train / sim_sq_recall /
+# graph_label_propagation / pipeline_bpe_encode /
+# asof_join_nearest_price / pipeline_zorder_layout / events_streaks),
+# and the 11 late-round-10 additions (asof_join_tolerance /
+# events_gini_concentration / events_sliding_hll_uniques /
+# sketch_kmv_jaccard / basket_lift_pairs / streaming_sketch_kmv /
+# events_autocorr_daily / events_seasonality_dow /
+# events_cusum_changepoint / sim_mmr_rerank /
+# pipeline_quality_classifier) — then the 3 entries whose code path
+# changed since the r9 grading per the transitive fingerprint
+# (sim_pq_codes / sim_pq_adc_topk via the shared codebook-guard
+# refactor, sim_pq_recall via the 100-query truth set), then ONE
+# manual add the fingerprint cannot see: join_bloom_prefilter — its
+# probe path was rewritten AFTER its last driver grading (r8) but
+# BEFORE the r9 grading commit, so --since aaf7b42 misses it (the
+# exact drift class the round-9 advice flagged). Stalest-green fill
+# (r6-graded rows) completes the 50. With this window every
+# registered entry has been driver-graded at least once.
 _GATE_PRIORITY = [
     "dedup_semantic",
     "dedup_winnowing",
@@ -9900,6 +9904,17 @@ _GATE_PRIORITY = [
     "asof_join_nearest_price",
     "pipeline_zorder_layout",
     "events_streaks",
+    "asof_join_tolerance",
+    "events_gini_concentration",
+    "events_sliding_hll_uniques",
+    "sketch_kmv_jaccard",
+    "basket_lift_pairs",
+    "streaming_sketch_kmv",
+    "events_autocorr_daily",
+    "events_seasonality_dow",
+    "events_cusum_changepoint",
+    "sim_mmr_rerank",
+    "pipeline_quality_classifier",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
@@ -9912,17 +9927,6 @@ _GATE_PRIORITY = [
     "p13_p15_projections",
     "p14_accepted",
     "p16_self_trades",
-    "p17_positive_balance",
-    "p19_tweet_extract",
-    "r1_r2_split_union",
-    "r3_tagged_union",
-    "w2_tumbling_sum",
-    "w3_running_sum",
-    "w5_avg_per_minute",
-    "w5_sum_per_team",
-    "w5_top5_traders",
-    "st1_ema",
-    "st2_product",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
