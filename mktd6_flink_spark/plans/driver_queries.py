@@ -9625,9 +9625,9 @@ _MMR_SHORTLIST = 16
 _MMR_K = 8
 
 
-def _sql_mmr() -> str:
-    """Generate the iterative MMR oracle (the _sql_pagerank pattern:
-    a fixed greedy-step count unrolled into chained CTEs)."""
+def _sql_mmr_parts() -> str:
+    """Shared CTE prefix for the MMR oracles (the _sql_pagerank
+    pattern: a fixed greedy-step count unrolled into chained CTEs)."""
     ids = ", ".join(str(i) for i in _QUERY_IDS)
     cos_qc = sim.sql_cosine("q.qv", "c.cv", _EMB_DIM)
     cos_ab = sim.sql_cosine("x.cv", "y.cv", _EMB_DIM)
@@ -9668,12 +9668,79 @@ selall{i} AS MATERIALIZED (SELECT qid, cid FROM selall{i - 1}
     union = "\nUNION ALL\n".join(
         f"SELECT qid, cid, relm, mmrm, rank FROM sel{i}"
         for i in range(1, _MMR_K + 1))
-    return (
-        "WITH " + ",\n".join(parts)
-        + f"""
+    return "WITH " + ",\n".join(parts) + f",\nmmsel AS ({union})"
+
+
+def _sql_mmr() -> str:
+    return (_sql_mmr_parts() + """
 SELECT qid AS query_id, cid AS vec_id, relm AS rel_micro,
        mmrm AS mmr_micro, CAST(rank AS INTEGER) AS sel_rank
-FROM ({union})""")
+FROM mmsel""")
+
+
+def _sql_mmr_diversity() -> str:
+    return (_sql_mmr_parts() + f""",
+tk AS (SELECT qid, cid, relm FROM srt WHERE rn <= {_MMR_K}),
+tkr AS (SELECT qid, CAST(sum(relm) AS BIGINT) AS rs,
+               CAST(count(*) AS BIGINT) AS ns FROM tk GROUP BY qid),
+mmr2 AS (SELECT qid, CAST(sum(relm) AS BIGINT) AS rs,
+                CAST(count(*) AS BIGINT) AS ns FROM mmsel GROUP BY qid),
+tkp AS (SELECT p.qid, CAST(sum(p.simm) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS np
+        FROM ps p
+        JOIN tk x ON x.qid = p.qid AND x.cid = p.a
+        JOIN tk y ON y.qid = p.qid AND y.cid = p.b
+        WHERE p.a < p.b GROUP BY p.qid),
+mmp AS (SELECT p.qid, CAST(sum(p.simm) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS np
+        FROM ps p
+        JOIN mmsel x ON x.qid = p.qid AND x.cid = p.a
+        JOIN mmsel y ON y.qid = p.qid AND y.cid = p.b
+        WHERE p.a < p.b GROUP BY p.qid)
+SELECT tkr.qid AS query_id,
+       tkr.ns AS n_topk, tkr.rs AS topk_rel_sum,
+       CAST(COALESCE(tkp.np, 0) AS BIGINT) AS n_topk_pairs,
+       CAST(COALESCE(tkp.ss, 0) AS BIGINT) AS topk_pairsim_sum,
+       mmr2.ns AS n_mmr, mmr2.rs AS mmr_rel_sum,
+       CAST(COALESCE(mmp.np, 0) AS BIGINT) AS n_mmr_pairs,
+       CAST(COALESCE(mmp.ss, 0) AS BIGINT) AS mmr_pairsim_sum
+FROM tkr JOIN mmr2 ON mmr2.qid = tkr.qid
+LEFT JOIN tkp ON tkp.qid = tkr.qid
+LEFT JOIN mmp ON mmp.qid = tkr.qid""")
+
+
+def _mmr_frames(spark, sf_dir):
+    """The distributed halves of MMR: the per-query top-shortlist
+    (srt: qid, cid, relm, cv, rn) and the within-shortlist pair sims
+    (ps: qid, a, b, simm), shared by sim_mmr_rerank and
+    sim_mmr_diversity."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv")))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("cv"))
+    relm = F.floor(sim.cosine(F.col("qv"), F.col("cv"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("relm").desc(), F.col("cid").asc())
+    srt = (q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+           .select("qid", "cid", relm.alias("relm"), "cv")
+           .filter(F.col("relm").isNotNull())
+           .withColumn("rn", F.row_number().over(wq))
+           .filter(F.col("rn") <= _MMR_SHORTLIST))
+    simm = F.floor(sim.cosine(F.col("_av"), F.col("_bv"))
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ps = (srt.select("qid", F.col("cid").alias("a"),
+                     F.col("cv").alias("_av"))
+          .join(srt.select(F.col("qid").alias("_q2"),
+                           F.col("cid").alias("b"),
+                           F.col("cv").alias("_bv")),
+                (F.col("qid") == F.col("_q2"))
+                & (F.col("a") != F.col("b")))
+          .select("qid", "a", "b", simm.alias("simm")))
+    return srt, ps
 
 
 @register("sim_mmr_rerank", _sql_mmr())
@@ -9714,32 +9781,7 @@ def sim_mmr_rerank(spark, sf_dir):
     SAME key the applyInPandas groupBy shuffles on, so the audit's
     SMJ-only flag is the intended co-located chain at large |Q|;
     AQE upgrades them to broadcast when |Q| is gate-sized."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        emb.filter(F.col("vec_id").isin(_QUERY_IDS))
-        .select(F.col("vec_id").alias("qid"),
-                F.col("embedding").alias("qv")))
-    c = emb.select(F.col("vec_id").alias("cid"),
-                   F.col("embedding").alias("cv"))
-    relm = F.floor(sim.cosine(F.col("qv"), F.col("cv"))
-                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("relm").desc(), F.col("cid").asc())
-    srt = (q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
-           .select("qid", "cid", relm.alias("relm"), "cv")
-           .filter(F.col("relm").isNotNull())
-           .withColumn("rn", F.row_number().over(wq))
-           .filter(F.col("rn") <= _MMR_SHORTLIST))
-    simm = F.floor(sim.cosine(F.col("_av"), F.col("_bv"))
-                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-    ps = (srt.select("qid", F.col("cid").alias("a"),
-                     F.col("cv").alias("_av"))
-          .join(srt.select(F.col("qid").alias("_q2"),
-                           F.col("cid").alias("b"),
-                           F.col("cv").alias("_bv")),
-                (F.col("qid") == F.col("_q2"))
-                & (F.col("a") != F.col("b")))
-          .select("qid", "a", "b", simm.alias("simm")))
+    srt, ps = _mmr_frames(spark, sf_dir)
     pairs = (srt.select("qid", "cid", "relm")
              .join(ps.select(F.col("qid").alias("_pq"),
                              F.col("a").alias("_pa"), "b", "simm"),
@@ -9785,6 +9827,64 @@ def sim_mmr_rerank(spark, sf_dir):
         _greedy,
         "query_id long, vec_id long, rel_micro long, mmr_micro long, "
         "sel_rank int"))
+
+
+@register("sim_mmr_diversity", _sql_mmr_diversity())
+def sim_mmr_diversity(spark, sf_dir):
+    """What MMR BUYS, measured — the dial entry for sim_mmr_rerank,
+    the same contract as the ANN recall dials: per query, the exact
+    relevance sum and intra-list pairwise-similarity sum of the MMR
+    selection vs the plain top-{_MMR_K}-by-relevance selection. The
+    trade MMR makes is visible as data: mmr_pairsim_sum <
+    topk_pairsim_sum (the selection is more diverse) at the cost of
+    mmr_rel_sum <= topk_rel_sum (slightly less relevant) — a
+    diversification knob you can't trust until it's measured, the
+    sim_pq_trained_recall lesson. All sums are exact int64 micros
+    over the same precomputed shortlist/pair frames as the rerank
+    entry (shared _mmr_frames), so the comparison adds two
+    sketch-sized joins and NO new corpus work; pair sums count each
+    unordered pair once (a < b)."""
+    srt, ps = _mmr_frames(spark, sf_dir)
+    picks = QUERIES["sim_mmr_rerank"](spark, sf_dir).select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("cid"),
+        F.col("rel_micro").alias("relm"))
+    tk = srt.filter(F.col("rn") <= _MMR_K).select("qid", "cid", "relm")
+
+    def relsum(s, pfx):
+        return s.groupBy("qid").agg(
+            F.sum("relm").cast("long").alias(f"{pfx}_rel_sum"),
+            F.count(F.lit(1)).cast("long").alias(f"n_{pfx}"))
+
+    def pairsum(s, pfx):
+        m = s.select(F.col("qid").alias("_mq"),
+                     F.col("cid").alias("_mc"))
+        n = s.select(F.col("qid").alias("_nq"),
+                     F.col("cid").alias("_nc"))
+        return (ps.filter(F.col("a") < F.col("b"))
+                .join(m, (F.col("qid") == F.col("_mq"))
+                      & (F.col("a") == F.col("_mc")))
+                .join(n, (F.col("qid") == F.col("_nq"))
+                      & (F.col("b") == F.col("_nc")))
+                .groupBy("qid")
+                .agg(F.sum("simm").cast("long")
+                     .alias(f"{pfx}_pairsim_sum"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias(f"n_{pfx}_pairs")))
+
+    return (relsum(tk, "topk").join(relsum(picks, "mmr"), "qid")
+            .join(pairsum(tk, "topk"), "qid", "left")
+            .join(pairsum(picks, "mmr"), "qid", "left")
+            .select(F.col("qid").alias("query_id"),
+                    "n_topk", "topk_rel_sum",
+                    F.coalesce("n_topk_pairs", F.lit(0)).cast("long")
+                    .alias("n_topk_pairs"),
+                    F.coalesce("topk_pairsim_sum", F.lit(0))
+                    .cast("long").alias("topk_pairsim_sum"),
+                    "n_mmr", "mmr_rel_sum",
+                    F.coalesce("n_mmr_pairs", F.lit(0)).cast("long")
+                    .alias("n_mmr_pairs"),
+                    F.coalesce("mmr_pairsim_sum", F.lit(0))
+                    .cast("long").alias("mmr_pairsim_sum")))
 
 
 @register("pipeline_quality_classifier", tx.sql_quality_nb("documents"))
@@ -9873,7 +9973,8 @@ def pipeline_quality_classifier(spark, sf_dir):
 # manual add the fingerprint cannot see: join_bloom_prefilter — its
 # probe path was rewritten AFTER its last driver grading (r8) but
 # BEFORE the r9 grading commit, so --since aaf7b42 misses it (the
-# exact drift class the round-9 advice flagged). Stalest-green fill
+# exact drift class the round-9 advice flagged), and sim_mmr_diversity
+# (registered after the rotation commit). Stalest-green fill
 # (r6-graded rows) completes the 50. With this window every
 # registered entry has been driver-graded at least once.
 _GATE_PRIORITY = [
@@ -9914,6 +10015,7 @@ _GATE_PRIORITY = [
     "events_seasonality_dow",
     "events_cusum_changepoint",
     "sim_mmr_rerank",
+    "sim_mmr_diversity",
     "pipeline_quality_classifier",
     "sim_pq_codes",
     "sim_pq_adc_topk",
@@ -9926,7 +10028,6 @@ _GATE_PRIORITY = [
     "p12_updaters",
     "p13_p15_projections",
     "p14_accepted",
-    "p16_self_trades",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

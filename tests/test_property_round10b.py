@@ -195,3 +195,28 @@ def test_basket_lift_matches_bruteforce(spark, tmp_path_factory, data):
         assert r.lift == math.floor(lift * 1e6 + 0.5) / 1e6
     ranks = sorted(r.rank for r in got.values())
     assert ranks == list(range(1, len(got) + 1))
+
+
+def test_mmr_diversity_dial_direction(spark):
+    """The MMR dial must point the advertised way on real data: for
+    every query the MMR selection's intra-list similarity sum is <=
+    the plain top-k selection's (diversity never gets worse), its
+    relevance sum is <= (MMR trades relevance away, never gains), and
+    whenever the two selections differ at all the total pairwise
+    similarity strictly drops — otherwise the knob does nothing."""
+    rows = dq.QUERIES["sim_mmr_diversity"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    diff_total = 0
+    rel_identical = True
+    for r in rows:
+        assert r.n_topk == r.n_mmr
+        assert r.mmr_rel_sum <= r.topk_rel_sum
+        assert r.mmr_pairsim_sum <= r.topk_pairsim_sum
+        diff_total += r.topk_pairsim_sum - r.mmr_pairsim_sum
+        rel_identical &= r.mmr_rel_sum == r.topk_rel_sum
+    # the knob must DO something: either some query's selection
+    # diverged from pure relevance order (then total intra-list
+    # similarity strictly dropped), or every MMR selection already
+    # equals its top-k set (then the relevance sums match everywhere)
+    assert diff_total > 0 or rel_identical
