@@ -9137,6 +9137,51 @@ def events_sliding_hll_uniques(spark, sf_dir):
                     "hll_empty_buckets", "exact_uniques_7d"))
 
 
+@register("streaming_sliding_hll_uniques",
+          ORACLES["events_sliding_hll_uniques"])
+def streaming_sliding_hll_uniques(spark, sf_dir):
+    """The sliding-window distinct-user dashboard maintained ON THE
+    LIVE STREAMING RUNTIME: the DAILY register table is an
+    incremental aggregation (complete mode, days x 64 ints of state —
+    the same bounded-groups contract as streaming_sketch_hll), so the
+    mergeable shard-grain artifact stays current as events arrive;
+    the trailing-7-day merge (explode to served days, re-max,
+    finalize, exact join) happens batch-side on the sunk registers,
+    checked against the SAME oracle as the batch twin
+    events_sliding_hll_uniques. This is the production split for
+    sliding sketch windows: the STREAM maintains only the per-day
+    registers (never windowed state — a window that re-keyed the
+    stream by 7 target days would multiply state x7 for nothing),
+    and any window geometry is derived downstream by register
+    algebra, re-answerable for new window sizes without touching the
+    stream."""
+    raw = _events_stream(spark, sf_dir)
+    dayc = F.floor(F.unix_micros("ts")
+                   / F.lit(86400000000.0)).cast("long")
+    regs_stream = sk.hll_registers(
+        raw.withColumn("_day", dayc), ["_day"], F.col("user_id"))
+    regs = _run_stream_to_table(spark, regs_stream, "slide_regs",
+                                mode="complete")
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(dayc.alias("g")).distinct()
+    merged = (regs
+              .select(F.explode(F.sequence(F.col("_day"),
+                                           F.col("_day") + F.lit(6)))
+                      .alias("g"), "_bucket", "_M")
+              .join(days, "g")
+              .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
+    est = sk.hll_finalize(merged, ["g"])
+    du = ev.select(dayc.alias("d0"), "user_id").distinct()
+    exact = (days.join(du, (F.col("d0") >= F.col("g") - 6)
+                       & (F.col("d0") <= F.col("g")))
+             .groupBy("g")
+             .agg(F.count_distinct("user_id").alias("exact_uniques_7d")))
+    return (est.join(exact, "g")
+            .select(F.col("g").alias("day_idx"),
+                    F.col("hll_est").alias("hll_uniques_7d"),
+                    "hll_empty_buckets", "exact_uniques_7d"))
+
+
 @register("sketch_kmv_jaccard", f"""
 WITH _tu AS (SELECT DISTINCT event_type, user_id FROM events),
 _th AS (SELECT DISTINCT event_type,
@@ -10008,6 +10053,7 @@ _GATE_PRIORITY = [
     "asof_join_tolerance",
     "events_gini_concentration",
     "events_sliding_hll_uniques",
+    "streaming_sliding_hll_uniques",
     "sketch_kmv_jaccard",
     "basket_lift_pairs",
     "streaming_sketch_kmv",
@@ -10027,7 +10073,6 @@ _GATE_PRIORITY = [
     "p09_hype_words",
     "p12_updaters",
     "p13_p15_projections",
-    "p14_accepted",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
