@@ -9412,6 +9412,66 @@ def basket_lift_pairs(spark, sf_dir):
                     F.col("rank").cast("int").alias("rank")))
 
 
+@register("streaming_basket_pairs", ORACLES["basket_lift_pairs"])
+def streaming_basket_pairs(spark, sf_dir):
+    """Association-rule mining ON THE LIVE STREAMING RUNTIME: basket
+    pairs are generated INCREMENTALLY as order lines arrive —
+    applyInPandasWithState keeps each basket's distinct item set
+    (bounded by basket size, the batch miner's own bound) and emits
+    exactly the pairs each micro-batch's NEW items create (new x seen
+    + new x new), so every (a < b) pair is emitted once, by the batch
+    in which its second item arrives, under ANY micro-batching
+    (stateful.basket_pair_step; property-tested over random
+    chunkings). No basket ever waits for 'completion' — the open
+    problem a windowed formulation would have (orders have no close
+    event) simply doesn't arise when the pair, not the basket, is the
+    emission unit. Support counts aggregate downstream on the sunk
+    pairs; confidence/lift denominators and the TakeOrdered top-20
+    finisher are the batch plan verbatim, checked against the SAME
+    oracle as basket_lift_pairs: mining on a stream must lose nothing
+    vs the batch scan."""
+    from ..streaming import stateful
+
+    raw = (spark.readStream.schema("l_orderkey long, l_partkey long")
+           .option("pathGlobFilter", "lineitem.parquet").parquet(sf_dir)
+           .select(F.col("l_orderkey").alias("ok"),
+                   F.col("l_partkey").alias("pk")))
+    out = stateful.apply_per_event_stream(
+        raw, ["ok"], ["pk"], stateful.basket_pair_step,
+        "ok long, part_a long, part_b long",
+        "items array<long>",
+        pack=lambda s: (s[0],),
+        unpack=lambda r: (list(r[0]),))
+    sunk = _run_stream_to_table(spark, out, "basket_stream")
+    pr = (sunk.groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("support")))
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+          .distinct())
+    n = li.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
+    ct = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = (pr.join(ct.select(F.col("pk").alias("part_a"),
+                            F.col("n").alias("n_a")), "part_a")
+          .join(ct.select(F.col("pk").alias("part_b"),
+                          F.col("n").alias("n_b")), "part_b")
+          .crossJoin(n)
+          .withColumn("conf_a_to_b_micro",
+                      F.expr("div(support * 1000000, n_a)").cast("long"))
+          .withColumn("conf_b_to_a_micro",
+                      F.expr("div(support * 1000000, n_b)").cast("long"))
+          .withColumn("lift", round_portable(
+              F.col("support").cast("double")
+              * F.col("n_orders").cast("double")
+              / (F.col("n_a").cast("double")
+                 * F.col("n_b").cast("double")))))
+    return (_topk_ranked(sc, [F.col("support").desc(), F.col("part_a"),
+                              F.col("part_b")], 20, "rank")
+            .select("part_a", "part_b", "support", "n_a", "n_b",
+                    "conf_a_to_b_micro", "conf_b_to_a_micro", "lift",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 @register("streaming_sketch_kmv", ORACLES["sketch_kmv_distinct"])
 def streaming_sketch_kmv(spark, sf_dir):
     """The KMV bottom-k sketch maintained ON THE LIVE STREAMING
@@ -10056,6 +10116,7 @@ _GATE_PRIORITY = [
     "streaming_sliding_hll_uniques",
     "sketch_kmv_jaccard",
     "basket_lift_pairs",
+    "streaming_basket_pairs",
     "streaming_sketch_kmv",
     "events_autocorr_daily",
     "events_seasonality_dow",
@@ -10072,7 +10133,6 @@ _GATE_PRIORITY = [
     "p06b_invalid_orders",
     "p09_hype_words",
     "p12_updaters",
-    "p13_p15_projections",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)

@@ -133,6 +133,42 @@ def kmv_sketch_step(k: int = 64):
     return step
 
 
+def basket_pair_step():
+    """Incremental market-basket pair generation (per basket key):
+    state is the basket's DISTINCT item set — bounded by basket size,
+    the same per-basket bound the batch miner relies on — and each
+    micro-batch emits exactly the (a < b) pairs its NEW items create:
+    new x already-seen plus new x new. The union of emissions over
+    ANY micro-batching equals the batch pair set (each pair is
+    emitted exactly once, by the batch in which its second item
+    arrives), so downstream support counts match the batch plan
+    bit-for-bit. This is the streaming half of association-rule
+    mining: pairs stream out as baskets grow, counts aggregate
+    downstream, no basket ever waits for 'completion'."""
+    def step(state, row):  # pragma: no cover - vectorized path used
+        raise NotImplementedError
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        cur = set(state[0]) if state else set()
+        new = sorted({int(x) for x in pdf["pk"].tolist()} - cur)
+        snap = sorted(cur)
+        rows_a: list[int] = []
+        rows_b: list[int] = []
+        for i, x in enumerate(new):
+            for y in snap:
+                a, b = (x, y) if x < y else (y, x)
+                rows_a.append(a)
+                rows_b.append(b)
+            for y in new[i + 1:]:
+                rows_a.append(x)
+                rows_b.append(y)
+        cur |= set(new)
+        return ({"part_a": rows_a, "part_b": rows_b}, (sorted(cur),))
+
+    step.vectorized = vectorized
+    return step
+
+
 def trader_ledger_step():
     """ST6 — TraderStateUpdater.update() (java:115-139) emitting a
     TxnResult per update: deltas → auto-bailout on the new state →

@@ -220,3 +220,31 @@ def test_mmr_diversity_dial_direction(spark):
     # similarity strictly dropped), or every MMR selection already
     # equals its top-k set (then the relevance sums match everywhere)
     assert diff_total > 0 or rel_identical
+
+
+@settings(max_examples=20, deadline=None)
+@given(chunks=st.lists(st.lists(st.integers(0, 9), min_size=0,
+                                max_size=8),
+                       min_size=1, max_size=5))
+def test_basket_pair_step_chunking_invariant(chunks):
+    """The incremental pair generator must emit every (a < b) pair of
+    the basket's distinct item set EXACTLY ONCE, under any
+    micro-batching — the claim streaming_basket_pairs' support counts
+    rest on."""
+    import pandas as pd
+
+    from mktd6_flink_spark.streaming import stateful
+
+    step = stateful.basket_pair_step()
+    state = None
+    emitted = []
+    for ch in chunks:
+        if not ch:
+            continue
+        out, state = step.vectorized(pd.DataFrame({"pk": ch}), state)
+        emitted.extend(zip(out["part_a"], out["part_b"]))
+    items = sorted({x for ch in chunks for x in ch})
+    want = {(a, b) for i, a in enumerate(items) for b in items[i + 1:]}
+    assert len(emitted) == len(set(emitted)), "pair emitted twice"
+    assert set(emitted) == want
+    assert state is None or list(state[0]) == items
