@@ -1083,7 +1083,8 @@ def st9_txn_sequence(spark, sf_dir):
 _PRICES_SQL = """
 prices AS (
   SELECT ts AS pts, max(value) AS price
-  FROM ev WHERE event_type = 'purchase' GROUP BY ts
+  FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY ts
 )
 """
 
@@ -1091,7 +1092,8 @@ prices AS (
 def _prices(spark, sf_dir):
     ev = events_enriched(spark, sf_dir)
     return (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
         .groupBy(F.col("ts").alias("pts"))
         .agg(F.max("value").alias("price"))
     )
@@ -3569,7 +3571,8 @@ WITH {EV_SQL},
 l AS (SELECT trader, time_ms, event_id, otype, shares
       FROM ev WHERE otype IN ('BUY', 'SELL')),
 r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
-      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms)
+      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY trader, time_ms)
 SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
        r.price AS asof_price
 FROM l ASOF LEFT JOIN r ON l.trader = r.trader AND l.time_ms >= r.time_ms
@@ -3586,7 +3589,8 @@ def asof_join_price(spark, sf_dir):
     left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
         "trader", "time_ms", "event_id", "otype", "shares")
     right = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
         .groupBy("trader", "time_ms")
         .agg(F.max_by("value", "event_id").alias("price"))
     )
@@ -3601,7 +3605,8 @@ WITH {EV_SQL},
 l AS (SELECT trader, time_ms, event_id, otype, shares
       FROM ev WHERE otype IN ('BUY', 'SELL')),
 r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
-      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms)
+      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY trader, time_ms)
 SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
        r.price AS next_price
 FROM l ASOF LEFT JOIN r ON l.trader = r.trader AND l.time_ms <= r.time_ms
@@ -3622,7 +3627,8 @@ def asof_join_next_price(spark, sf_dir):
         "trader", "time_ms", "event_id", "otype", "shares",
         (-F.col("time_ms")).alias("_negt"))
     right = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
         .groupBy("trader", "time_ms")
         .agg(F.max_by("value", "event_id").alias("price"))
         .select("trader", (-F.col("time_ms")).alias("_negt"), "price")
@@ -3639,7 +3645,8 @@ WITH {EV_SQL},
 l AS (SELECT trader, time_ms, event_id, otype, shares
       FROM ev WHERE otype IN ('BUY', 'SELL')),
 r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
-      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms),
+      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY trader, time_ms),
 b AS (SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
              r.price AS bp, r.time_ms AS brt
       FROM l ASOF LEFT JOIN r
@@ -3670,7 +3677,8 @@ def asof_join_tolerance(spark, sf_dir):
     left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
         "trader", "time_ms", "event_id", "otype", "shares")
     right = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
         .groupBy("trader", "time_ms")
         .agg(F.max_by("value", "event_id").alias("price"))
         .select("trader", "time_ms", F.col("time_ms").alias("rt"),
@@ -3764,7 +3772,8 @@ WITH {EV_SQL},
 l AS (SELECT trader, time_ms, event_id, otype, shares
       FROM ev WHERE otype IN ('BUY', 'SELL')),
 r AS (SELECT trader, time_ms, max_by(value, event_id) AS price
-      FROM ev WHERE event_type = 'purchase' GROUP BY trader, time_ms),
+      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY trader, time_ms),
 b AS (SELECT l.trader, l.time_ms, l.event_id, l.otype, l.shares,
              r.price AS bp, r.time_ms AS brt
       FROM l ASOF LEFT JOIN r
@@ -3806,7 +3815,8 @@ def asof_join_nearest_price(spark, sf_dir):
     left = ev.filter(F.col("otype").isin("BUY", "SELL")).select(
         "trader", "time_ms", "event_id", "otype", "shares")
     right = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull())
         .groupBy("trader", "time_ms")
         .agg(F.max_by("value", "event_id").alias("price"))
     )
@@ -6697,7 +6707,10 @@ def streaming_st5_settle(spark, sf_dir):
         F.lit(1).alias("shares"),
         F.lit(None).cast("double").alias("price"))
     # same per-ts max price dedup as the batch twin's _prices
-    prices = ev.filter(F.col("event_type") == "purchase").select(
+    # (incl. its NULL-value exclusion: a NULL-value purchase carries
+    # no price and must not enter the settle state)
+    prices = ev.filter((F.col("event_type") == "purchase")
+                       & F.col("value").isNotNull()).select(
         F.lit("FOO").alias("key"), "time_ms",
         F.lit("R").alias("_side"),
         F.lit(None).cast("string").alias("txnId"),
@@ -6972,7 +6985,8 @@ def streaming_st10_delta(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.lit("FOO").alias("key"), "ts", "event_id",
         F.lit("L").alias("_side"), F.col("value").alias("v"))
-    prices = ev.filter(F.col("event_type") == "purchase").select(
+    prices = ev.filter((F.col("event_type") == "purchase")
+                       & F.col("value").isNotNull()).select(
         F.lit("FOO").alias("key"), "ts", "event_id",
         F.lit("R").alias("_side"), F.col("value").alias("v"))
     tagged = (clicks.unionByName(prices)
@@ -9082,6 +9096,32 @@ _SLIDE7_SQL = (
     " FROM events) dd ON e.d0 BETWEEN dd.d - 6 AND dd.d")
 
 
+def _slide7_finalize(regs_daily, ev, dayc):
+    """Trailing-7-day register merge + finalize + exact self-audit,
+    shared by the batch and streaming sliding-HLL entries (one copy —
+    a geometry fix applied to one twin cannot silently miss the
+    other): explode each day's registers to the <= 7 corpus days they
+    serve, re-max per (day, bucket), finalize, join the exact
+    range-join count."""
+    days = ev.select(dayc.alias("g")).distinct()
+    merged = (regs_daily
+              .select(F.explode(F.sequence(F.col("_day"),
+                                           F.col("_day") + F.lit(6)))
+                      .alias("g"), "_bucket", "_M")
+              .join(days, "g")
+              .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
+    est = sk.hll_finalize(merged, ["g"])
+    du = ev.select(dayc.alias("d0"), "user_id").distinct()
+    exact = (days.join(du, (F.col("d0") >= F.col("g") - 6)
+                       & (F.col("d0") <= F.col("g")))
+             .groupBy("g")
+             .agg(F.count_distinct("user_id").alias("exact_uniques_7d")))
+    return (est.join(exact, "g")
+            .select(F.col("g").alias("day_idx"),
+                    F.col("hll_est").alias("hll_uniques_7d"),
+                    "hll_empty_buckets", "exact_uniques_7d"))
+
+
 @register("events_sliding_hll_uniques", f"""
 WITH _sl AS (
 {sk.sql_hll_distinct("SELECT dd.d AS g, e.user_id FROM " + _SLIDE7_SQL,
@@ -9118,23 +9158,7 @@ def events_sliding_hll_uniques(spark, sf_dir):
     day = F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("long")
     regs_daily = sk.hll_registers(ev.withColumn("_day", day), ["_day"],
                                   F.col("user_id"))
-    days = ev.select(day.alias("g")).distinct()
-    merged = (regs_daily
-              .select(F.explode(F.sequence(F.col("_day"),
-                                           F.col("_day") + F.lit(6)))
-                      .alias("g"), "_bucket", "_M")
-              .join(days, "g")
-              .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
-    est = sk.hll_finalize(merged, ["g"])
-    du = ev.select(day.alias("d0"), "user_id").distinct()
-    exact = (days.join(du, (F.col("d0") >= F.col("g") - 6)
-                       & (F.col("d0") <= F.col("g")))
-             .groupBy("g")
-             .agg(F.count_distinct("user_id").alias("exact_uniques_7d")))
-    return (est.join(exact, "g")
-            .select(F.col("g").alias("day_idx"),
-                    F.col("hll_est").alias("hll_uniques_7d"),
-                    "hll_empty_buckets", "exact_uniques_7d"))
+    return _slide7_finalize(regs_daily, ev, day)
 
 
 @register("streaming_sliding_hll_uniques",
@@ -9162,24 +9186,7 @@ def streaming_sliding_hll_uniques(spark, sf_dir):
         raw.withColumn("_day", dayc), ["_day"], F.col("user_id"))
     regs = _run_stream_to_table(spark, regs_stream, "slide_regs",
                                 mode="complete")
-    ev = load(spark, sf_dir, "events")
-    days = ev.select(dayc.alias("g")).distinct()
-    merged = (regs
-              .select(F.explode(F.sequence(F.col("_day"),
-                                           F.col("_day") + F.lit(6)))
-                      .alias("g"), "_bucket", "_M")
-              .join(days, "g")
-              .groupBy("g", "_bucket").agg(F.max("_M").alias("_M")))
-    est = sk.hll_finalize(merged, ["g"])
-    du = ev.select(dayc.alias("d0"), "user_id").distinct()
-    exact = (days.join(du, (F.col("d0") >= F.col("g") - 6)
-                       & (F.col("d0") <= F.col("g")))
-             .groupBy("g")
-             .agg(F.count_distinct("user_id").alias("exact_uniques_7d")))
-    return (est.join(exact, "g")
-            .select(F.col("g").alias("day_idx"),
-                    F.col("hll_est").alias("hll_uniques_7d"),
-                    "hll_empty_buckets", "exact_uniques_7d"))
+    return _slide7_finalize(regs, load(spark, sf_dir, "events"), dayc)
 
 
 @register("sketch_kmv_jaccard", f"""
@@ -9335,6 +9342,34 @@ def sketch_kmv_jaccard(spark, sf_dir):
                     "exact_inter", "exact_union", "exact_jaccard_micro"))
 
 
+def _basket_finish(pr, li):
+    """Confidence / lift / top-20 finisher over a (part_a, part_b,
+    support) pair table — shared by the batch and streaming basket
+    miners (one copy: both check against the same oracle, so a
+    tie-break or operation-order edit must hit both at once)."""
+    n = li.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
+    ct = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = (pr.join(ct.select(F.col("pk").alias("part_a"),
+                            F.col("n").alias("n_a")), "part_a")
+          .join(ct.select(F.col("pk").alias("part_b"),
+                          F.col("n").alias("n_b")), "part_b")
+          .crossJoin(n)
+          .withColumn("conf_a_to_b_micro",
+                      F.expr("div(support * 1000000, n_a)").cast("long"))
+          .withColumn("conf_b_to_a_micro",
+                      F.expr("div(support * 1000000, n_b)").cast("long"))
+          .withColumn("lift", round_portable(
+              F.col("support").cast("double")
+              * F.col("n_orders").cast("double")
+              / (F.col("n_a").cast("double")
+                 * F.col("n_b").cast("double")))))
+    return (_topk_ranked(sc, [F.col("support").desc(), F.col("part_a"),
+                              F.col("part_b")], 20, "rank")
+            .select("part_a", "part_b", "support", "n_a", "n_b",
+                    "conf_a_to_b_micro", "conf_b_to_a_micro", "lift",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 @register("basket_lift_pairs", expand_round6("""
 WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
             FROM lineitem),
@@ -9384,32 +9419,12 @@ def basket_lift_pairs(spark, sf_dir):
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pk"))
           .distinct())
-    n = li.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
-    ct = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
     pr = (li.alias("a").join(li.alias("b"), "ok")
           .filter(F.col("a.pk") < F.col("b.pk"))
           .groupBy(F.col("a.pk").alias("part_a"),
                    F.col("b.pk").alias("part_b"))
           .agg(F.count(F.lit(1)).cast("long").alias("support")))
-    sc = (pr.join(ct.select(F.col("pk").alias("part_a"),
-                            F.col("n").alias("n_a")), "part_a")
-          .join(ct.select(F.col("pk").alias("part_b"),
-                          F.col("n").alias("n_b")), "part_b")
-          .crossJoin(n)
-          .withColumn("conf_a_to_b_micro",
-                      F.expr("div(support * 1000000, n_a)").cast("long"))
-          .withColumn("conf_b_to_a_micro",
-                      F.expr("div(support * 1000000, n_b)").cast("long"))
-          .withColumn("lift", round_portable(
-              F.col("support").cast("double")
-              * F.col("n_orders").cast("double")
-              / (F.col("n_a").cast("double")
-                 * F.col("n_b").cast("double")))))
-    return (_topk_ranked(sc, [F.col("support").desc(), F.col("part_a"),
-                              F.col("part_b")], 20, "rank")
-            .select("part_a", "part_b", "support", "n_a", "n_b",
-                    "conf_a_to_b_micro", "conf_b_to_a_micro", "lift",
-                    F.col("rank").cast("int").alias("rank")))
+    return _basket_finish(pr, li)
 
 
 @register("streaming_basket_pairs", ORACLES["basket_lift_pairs"])
@@ -9449,27 +9464,7 @@ def streaming_basket_pairs(spark, sf_dir):
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pk"))
           .distinct())
-    n = li.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
-    ct = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    sc = (pr.join(ct.select(F.col("pk").alias("part_a"),
-                            F.col("n").alias("n_a")), "part_a")
-          .join(ct.select(F.col("pk").alias("part_b"),
-                          F.col("n").alias("n_b")), "part_b")
-          .crossJoin(n)
-          .withColumn("conf_a_to_b_micro",
-                      F.expr("div(support * 1000000, n_a)").cast("long"))
-          .withColumn("conf_b_to_a_micro",
-                      F.expr("div(support * 1000000, n_b)").cast("long"))
-          .withColumn("lift", round_portable(
-              F.col("support").cast("double")
-              * F.col("n_orders").cast("double")
-              / (F.col("n_a").cast("double")
-                 * F.col("n_b").cast("double")))))
-    return (_topk_ranked(sc, [F.col("support").desc(), F.col("part_a"),
-                              F.col("part_b")], 20, "rank")
-            .select("part_a", "part_b", "support", "n_a", "n_b",
-                    "conf_a_to_b_micro", "conf_b_to_a_micro", "lift",
-                    F.col("rank").cast("int").alias("rank")))
+    return _basket_finish(pr, li)
 
 
 @register("streaming_sketch_kmv", ORACLES["sketch_kmv_distinct"])
@@ -9887,6 +9882,14 @@ def sim_mmr_rerank(spark, sf_dir):
     SMJ-only flag is the intended co-located chain at large |Q|;
     AQE upgrades them to broadcast when |Q| is gate-sized."""
     srt, ps = _mmr_frames(spark, sf_dir)
+    return _mmr_greedy_select(srt, ps)
+
+
+def _mmr_greedy_select(srt, ps):
+    """The greedy-selection half of MMR over already-built shortlist/
+    pair frames — shared by sim_mmr_rerank and sim_mmr_diversity so
+    the corpus scan and pair self-join are built ONCE per consumer
+    plan, never per entry-composition."""
     pairs = (srt.select("qid", "cid", "relm")
              .join(ps.select(F.col("qid").alias("_pq"),
                              F.col("a").alias("_pa"), "b", "simm"),
@@ -9950,7 +9953,7 @@ def sim_mmr_diversity(spark, sf_dir):
     sketch-sized joins and NO new corpus work; pair sums count each
     unordered pair once (a < b)."""
     srt, ps = _mmr_frames(spark, sf_dir)
-    picks = QUERIES["sim_mmr_rerank"](spark, sf_dir).select(
+    picks = _mmr_greedy_select(srt, ps).select(
         F.col("query_id").alias("qid"), F.col("vec_id").alias("cid"),
         F.col("rel_micro").alias("relm"))
     tk = srt.filter(F.col("rn") <= _MMR_K).select("qid", "cid", "relm")
@@ -10059,18 +10062,19 @@ def pipeline_quality_classifier(spark, sf_dir):
 # Round-10 window: GENERATED by `python tools/gate_window.py --window
 # --since aaf7b42` (the r9 grading commit), regenerated AFTER the
 # round's last operator change (the round-9 advice: the r9 window was
-# cut before the bloom-probe rewrite landed and missed it). 38
+# cut before the bloom-probe rewrite landed and missed it). 41
 # never-graded entries front the window — the 15 round-9 additions,
 # the 12 early-round-10 additions (sim_ivfpq_ann / sim_ivfpq_recall /
 # text_char_entropy / scan_orc_roundtrip /
 # graph_triangles_copurchase / pipeline_bpe_train / sim_sq_recall /
 # graph_label_propagation / pipeline_bpe_encode /
 # asof_join_nearest_price / pipeline_zorder_layout / events_streaks),
-# and the 11 late-round-10 additions (asof_join_tolerance /
+# and the 14 late-round-10 additions (asof_join_tolerance /
 # events_gini_concentration / events_sliding_hll_uniques /
 # sketch_kmv_jaccard / basket_lift_pairs / streaming_sketch_kmv /
 # events_autocorr_daily / events_seasonality_dow /
-# events_cusum_changepoint / sim_mmr_rerank /
+# events_cusum_changepoint / sim_mmr_rerank / sim_mmr_diversity /
+# streaming_sliding_hll_uniques / streaming_basket_pairs /
 # pipeline_quality_classifier) — then the 3 entries whose code path
 # changed since the r9 grading per the transitive fingerprint
 # (sim_pq_codes / sim_pq_adc_topk via the shared codebook-guard
@@ -10078,10 +10082,9 @@ def pipeline_quality_classifier(spark, sf_dir):
 # manual add the fingerprint cannot see: join_bloom_prefilter — its
 # probe path was rewritten AFTER its last driver grading (r8) but
 # BEFORE the r9 grading commit, so --since aaf7b42 misses it (the
-# exact drift class the round-9 advice flagged), and sim_mmr_diversity
-# (registered after the rotation commit). Stalest-green fill
-# (r6-graded rows) completes the 50. With this window every
-# registered entry has been driver-graded at least once.
+# exact drift class the round-9 advice flagged). Five stalest-green
+# fills (r6-graded rows) complete the 50 (41 + 3 + 1 + 5). With this
+# window every registered entry has been driver-graded at least once.
 _GATE_PRIORITY = [
     "dedup_semantic",
     "dedup_winnowing",

@@ -50,6 +50,13 @@ EVENTS = [
     (8, _ts(86400 + 10), 1, "view", 5.5, '{"k": 5}'),
     (9, _ts(86400 + 11), 5, "click", None, None),
     (10, _ts(86400 + 12), 5, "purchase", 42.0, '{"k": 6}'),
+    # a NULL-value PURCHASE: a quote that carries no price. Spark's
+    # as-of fill (last ignorenulls) would skip it while DuckDB's ASOF
+    # JOIN matches it and emits NULL — the engines diverge unless the
+    # quote side excludes valueless purchases (the fix this row locks
+    # in: asof_join_* / _PRICES / streaming st5+st10 price sides all
+    # filter value IS NOT NULL).
+    (11, _ts(86400 + 13), 1, "purchase", None, '{"k": 7}'),
 ]
 
 
