@@ -10012,6 +10012,409 @@ def pipeline_quality_classifier(spark, sf_dir):
     return tx.quality_nb_report(load(spark, sf_dir, "documents"))
 
 
+@register("events_ab_test", f"""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         ({sql_md5_long("CAST(user_id AS VARCHAR)")}) % 2 AS bucket
+  FROM events),
+tot AS (
+  SELECT CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u),
+tu AS (
+  SELECT DISTINCT event_type, user_id,
+         ({sql_md5_long("CAST(user_id AS VARCHAR)")}) % 2 AS bucket
+  FROM events),
+xs AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+  FROM tu GROUP BY event_type)
+SELECT event_type, xa AS users_a, xb AS users_b,
+       na AS n_users_a, nb AS n_users_b,
+       CASE WHEN na = 0 OR nb = 0 OR xa + xb = 0 OR xa + xb = na + nb
+            THEN NULL
+            ELSE ROUND6(
+              (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / sqrt(CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                     * (1.0 - CAST(xa + xb AS DOUBLE)
+                        / CAST(na + nb AS DOUBLE))
+                     * (1.0 / CAST(na AS DOUBLE)
+                        + 1.0 / CAST(nb AS DOUBLE))))
+       END AS z_score
+FROM xs, tot
+""")
+def events_ab_test(spark, sf_dir):
+    """A/B experiment readout: users are deterministically split into
+    two arms by a content-keyed hash of user_id (the same portable
+    md5-60-bit primitive every sampling entry uses — never Spark's
+    xxhash64, which DuckDB can't reproduce), and each event_type gets
+    a two-proportion z-statistic for "did the user do this at least
+    once" between the arms — the experimentation primitive behind
+    every feature-launch dashboard. Counts are exact distinct-user
+    integers (one shuffle to the (type, user) grain with map-side
+    combine, one to the type grain); the 2-row arm-totals table
+    broadcasts. The z-value itself is pure IEEE double arithmetic
+    with an identical operation tree on both engines (division and
+    sqrt are correctly rounded, so the result is bit-identical),
+    quantized to 6 places; degenerate arms (an empty bucket, zero or
+    total conversion — pooled variance 0) yield NULL rather than an
+    ANSI divide-by-zero crash. Scale: the distinct is the only
+    O(events) shuffle; everything after is |types| rows."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2))
+    u = ev.select("user_id").distinct().select(bucket.alias("bucket"))
+    tot = u.agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("long").alias("nb"))
+    tu = (ev.select("event_type", "user_id").distinct()
+          .select("event_type", bucket.alias("bucket")))
+    xs = tu.groupBy("event_type").agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long").alias("xa"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("long").alias("xb"))
+    d = lambda c: F.col(c).cast("double")
+    p = (F.col("xa") + F.col("xb")).cast("double") \
+        / (F.col("na") + F.col("nb")).cast("double")
+    z = ((d("xa") / d("na") - d("xb") / d("nb"))
+         / F.sqrt(p * (F.lit(1.0) - p)
+                  * (F.lit(1.0) / d("na") + F.lit(1.0) / d("nb"))))
+    guard = ((F.col("na") == 0) | (F.col("nb") == 0)
+             | (F.col("xa") + F.col("xb") == 0)
+             | (F.col("xa") + F.col("xb") == F.col("na") + F.col("nb")))
+    return (xs.crossJoin(F.broadcast(tot))
+            .select("event_type",
+                    F.col("xa").alias("users_a"),
+                    F.col("xb").alias("users_b"),
+                    F.col("na").alias("n_users_a"),
+                    F.col("nb").alias("n_users_b"),
+                    F.when(guard, F.lit(None).cast("double"))
+                    .otherwise(round_portable(z)).alias("z_score")))
+
+
+@register("events_mad_anomaly", """
+WITH dx AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2),
+med AS (
+  SELECT event_type,
+         CAST(floor(2.0 * quantile_cont(day_cents, 0.5) + 0.5) AS BIGINT)
+           AS med2
+  FROM dx GROUP BY event_type),
+dev AS (
+  SELECT dx.event_type, dx.day_idx, dx.day_cents,
+         abs(2 * dx.day_cents - m.med2) AS dev2
+  FROM dx JOIN med m ON m.event_type = dx.event_type),
+mad AS (
+  SELECT event_type,
+         CAST(floor(2.0 * quantile_cont(dev2, 0.5) + 0.5) AS BIGINT) AS m4
+  FROM dev GROUP BY event_type)
+SELECT d.event_type, d.day_idx, d.day_cents,
+       CAST(20000 AS HUGEINT) * d.dev2
+         > CAST(44478 AS HUGEINT) * m.m4 AS is_outlier
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+""")
+def events_mad_anomaly(spark, sf_dir):
+    """Robust daily-revenue anomaly flags via median absolute
+    deviation — the outlier detector that survives what breaks the
+    z-score (events_anomaly_zscore): a single huge day inflates
+    μ and σ enough to mask itself, while the median/MAD pair has a
+    50% breakdown point. Per (event_type, day) the cents total is
+    exact int64; the per-type median and MAD live in DOUBLED integer
+    domains (2·median of ints and 2·median of the integer deviations
+    are always exact integers, interpolation included — Spark
+    percentile == DuckDB quantile_cont, the established w5 parity),
+    and the flag |x−med| > 3·1.4826·MAD cross-multiplies to
+    20000·dev2 > 44478·m4 in decimal/HUGEINT — no float comparison
+    ever, so boundary days can't flip between engines. Scale shape:
+    one map-side-combined shuffle to the (type, day) grain, two
+    |types|-row aggregate tables broadcast back; single-day types
+    degenerate to dev2 = m4 = 0 → false."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dx = (ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+          .agg(F.sum(_cents(F.col("value"))).alias("day_cents")))
+    med = dx.groupBy("event_type").agg(
+        F.floor(F.lit(2.0) * F.percentile("day_cents", F.lit(0.5))
+                + F.lit(0.5)).cast("long").alias("med2"))
+    dev = (dx.join(F.broadcast(med), "event_type")
+           .select("event_type", "day_idx", "day_cents",
+                   F.abs(F.lit(2) * F.col("day_cents") - F.col("med2"))
+                   .alias("dev2")))
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.lit(2.0) * F.percentile("dev2", F.lit(0.5))
+                + F.lit(0.5)).cast("long").alias("m4"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .select("event_type", "day_idx", "day_cents",
+                    (dec(F.lit(20000)) * dec(F.col("dev2"))
+                     > dec(F.lit(44478)) * dec(F.col("m4")))
+                    .alias("is_outlier")))
+
+
+@register("events_tv_drift", """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+mid AS (
+  SELECT (min(d) + max(d)) // 2 AS mid_d FROM base),
+bucketed AS (
+  SELECT event_type,
+         CASE WHEN d <= (SELECT mid_d FROM mid) THEN 0 ELSE 1 END AS half,
+         CASE WHEN x = 0 THEN CAST(0 AS BIGINT)
+              WHEN x > 0 THEN CAST(length(bin(x)) AS BIGINT)
+              ELSE -CAST(length(bin(-x)) AS BIGINT)
+         END AS bucket
+  FROM base),
+cb AS (
+  SELECT event_type, bucket,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM bucketed GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb
+  FROM cb GROUP BY event_type),
+num AS (
+  SELECT c.event_type, t.na, t.nb,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         sum(abs(CAST(c.ca AS HUGEINT) * t.nb
+                 - CAST(c.cb AS HUGEINT) * t.na)) AS num
+  FROM cb c JOIN tot t ON t.event_type = c.event_type
+  GROUP BY 1, 2, 3)
+SELECT event_type, na AS n_first_half, nb AS n_second_half, n_buckets,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL
+            ELSE CAST(floor(CAST(num AS DOUBLE) * 1000000.0
+                            / (2.0 * CAST(na AS DOUBLE)
+                               * CAST(nb AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS tv_micro
+FROM num
+""")
+def events_tv_drift(spark, sf_dir):
+    """Distribution-drift monitor: per event_type, the total-variation
+    distance between the value distributions of the corpus's first and
+    second half (split at the midpoint day), over exact signed-log2
+    cent buckets — the drift check a training-data pipeline runs
+    before trusting that yesterday's data looks like last month's.
+    TV = ½·Σ|p_i − q_i| is chosen over PSI/KL deliberately: it needs
+    no logarithm, so the numerator Σ|ca·nb − cb·na| is EXACT integer
+    arithmetic (decimal/HUGEINT-widened — counts at petabyte scale
+    overflow an int64 product) and only the final normalization
+    touches a double, quantized to micros with an identical operation
+    tree on both engines. Buckets via bit-length (the
+    degree_stats/length_log2 pattern), sign-split so negative cents
+    never reach bin()'s two's-complement form. Scale shape: one
+    map-side-combined shuffle to the (type, bucket) grain (~60 rows
+    per type), the per-type totals derived from it — the fact table
+    is scanned once; the midpoint-day scalar broadcasts. An empty
+    half (single-day corpus) yields NULL, not a crash."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        _cents(F.col("value")).alias("x"))
+    mid = base.agg(
+        F.expr("(min(d) + max(d)) div 2").alias("mid_d"))
+    x = F.col("x")
+    bucket = (F.when(x == 0, F.lit(0).cast("long"))
+              .when(x > 0, F.length(F.bin(x)).cast("long"))
+              .otherwise(-F.length(F.bin(-x)).cast("long")))
+    bucketed = (base.crossJoin(F.broadcast(mid))
+                .select("event_type",
+                        F.when(F.col("d") <= F.col("mid_d"), 0)
+                        .otherwise(1).alias("half"),
+                        bucket.alias("bucket")))
+    cb = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("cb"))
+    tot = cb.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    num = (cb.join(F.broadcast(tot), "event_type")
+           .groupBy("event_type", "na", "nb")
+           .agg(F.count(F.lit(1)).alias("n_buckets"),
+                F.sum(F.abs(dec(F.col("ca")) * dec(F.col("nb"))
+                            - dec(F.col("cb")) * dec(F.col("na"))))
+                .alias("num")))
+    tv = F.floor(F.col("num").cast("double") * F.lit(1000000.0)
+                 / (F.lit(2.0) * F.col("na").cast("double")
+                    * F.col("nb").cast("double"))
+                 + F.lit(0.5)).cast("long")
+    return num.select(
+        "event_type",
+        F.col("na").alias("n_first_half"),
+        F.col("nb").alias("n_second_half"),
+        "n_buckets",
+        F.when((F.col("na") == 0) | (F.col("nb") == 0),
+               F.lit(None).cast("long")).otherwise(tv).alias("tv_micro"))
+
+
+_KHOP_HOPS = 3
+_KHOP_SEEDS = 3
+
+
+def _sql_khop(hops: int = _KHOP_HOPS, seeds: int = _KHOP_SEEDS) -> str:
+    # AS MATERIALIZED throughout: each visited set is referenced twice
+    # per hop (frontier anti-join + union), and DuckDB's default CTE
+    # inlining doubles the plan per reference (the exponential-plan
+    # trap sim_mmr_rerank hit)
+    parts = [_sql_pagerank(iters=0), f"""_kh_seeds AS MATERIALIZED (
+  SELECT node AS seed FROM _pr_deg
+  ORDER BY deg DESC, node ASC LIMIT {seeds}),
+_kh_v0 AS MATERIALIZED (SELECT seed, seed AS node FROM _kh_seeds)"""]
+    for h in range(1, hops + 1):
+        parts.append(f"""_kh_f{h} AS MATERIALIZED (
+  SELECT v.seed, e.dst AS node
+  FROM _kh_f{h - 1} v JOIN _pr_edges e ON e.src = v.node
+  EXCEPT SELECT seed, node FROM _kh_v{h - 1})""".replace(
+            "_kh_f0 v", "_kh_v0 v"))
+        parts.append(f"""_kh_v{h} AS MATERIALIZED (
+  SELECT seed, node FROM _kh_v{h - 1}
+  UNION SELECT seed, node FROM _kh_f{h})""")
+    selects = [f"SELECT seed, CAST(0 AS BIGINT) AS hop, "
+               f"CAST(1 AS BIGINT) AS n_new FROM _kh_seeds"]
+    for h in range(1, hops + 1):
+        selects.append(f"SELECT seed, CAST({h} AS BIGINT) AS hop, "
+                       f"CAST(count(*) AS BIGINT) AS n_new "
+                       f"FROM _kh_f{h} GROUP BY seed")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+@register("graph_khop_reach", _sql_khop())
+def graph_khop_reach(spark, sf_dir):
+    """Multi-source k-hop reachability (breadth-first frontier
+    expansion) over the customer–supplier trading graph: from the 3
+    highest-degree hubs, how many NEW nodes become reachable at each
+    of 3 hops — the blast-radius / influence-propagation primitive
+    (and the building block of distributed shortest-path). Each hop
+    is the Pregel step expressed in DataFrames: frontier ⋈ edges on
+    the node key (equi-join, both sides partitioned by node),
+    distinct to collapse parallel paths, anti-join against the
+    visited set — all O(frontier·degree) with no global structure,
+    the same shape at 3 hops on 1000 executors as here. Hop counts
+    are exact set cardinalities (integers), so the result is
+    engine-exact; seed choice is deterministic via the TakeOrdered
+    top-k with a (degree, node) total order. The visited set is
+    referenced twice per hop, so the logical plan doubles per
+    iteration — bounded here by the fixed hop count (the DuckDB twin
+    needs AS MATERIALIZED for the same reason, the sim_mmr_rerank
+    lesson); an unbounded-depth variant would checkpoint per
+    iteration like connected_components does."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    seeds = (_topk_ranked(deg, [F.col("deg").desc(), F.col("node").asc()],
+                          _KHOP_SEEDS, "rn")
+             .select(F.col("node").alias("seed")))
+    visited = seeds.select("seed", F.col("seed").alias("node"))
+    frontier = visited
+    out = seeds.select("seed", F.lit(0).cast("long").alias("hop"),
+                       F.lit(1).cast("long").alias("n_new"))
+    for h in range(1, _KHOP_HOPS + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .select("seed", F.col("dst").alias("node"))
+               .distinct())
+        new = nxt.join(visited, ["seed", "node"], "left_anti")
+        out = out.unionByName(
+            new.groupBy("seed")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+            .select("seed", F.lit(h).cast("long").alias("hop"), "n_new"))
+        visited = visited.unionByName(new)
+        frontier = new
+    return out
+
+
+@register("pipeline_incremental_dedup", f"""
+WITH pairs AS ({dd.sql_minhash_lsh_pairs('documents')}),
+newd AS (SELECT doc_id, md5(text) AS h FROM documents
+         WHERE doc_id % 10 = 9),
+corp AS (SELECT doc_id, md5(text) AS h FROM documents
+         WHERE doc_id % 10 <> 9),
+exact_ids AS (
+  SELECT DISTINCT n.doc_id FROM newd n
+  JOIN corp c ON c.h = n.h),
+near_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT p.id_a AS doc_id FROM pairs p
+    WHERE p.est_jaccard >= 0.5 AND p.id_a % 10 = 9 AND p.id_b % 10 <> 9
+    UNION ALL
+    SELECT p.id_b AS doc_id FROM pairs p
+    WHERE p.est_jaccard >= 0.5 AND p.id_b % 10 = 9 AND p.id_a % 10 <> 9)
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_ids))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM newd) AS n_new,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact_ids)
+         AS n_exact_dropped,
+       (SELECT CAST(count(*) AS BIGINT) FROM near_ids)
+         AS n_near_dropped,
+       (SELECT CAST(count(*) AS BIGINT) FROM newd)
+         - (SELECT CAST(count(*) AS BIGINT) FROM exact_ids)
+         - (SELECT CAST(count(*) AS BIGINT) FROM near_ids) AS n_kept
+""")
+def pipeline_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup: a NEW ingest batch (docs
+    with doc_id ≡ 9 mod 10 — a deterministic stand-in for "this
+    week's crawl") is deduped against the EXISTING corpus, the
+    production shape where re-deduping the full corpus per ingest is
+    unaffordable: (1) exact drops via content-hash semi-join against
+    the corpus hash set; (2) near drops via MinHash-LSH candidate
+    pairs (est_jaccard ≥ 0.5) that straddle the snapshot boundary —
+    intra-batch duplicates are deliberately NOT dropped here (that is
+    the dedup_* family's job; this entry isolates the cross-snapshot
+    axis). Returns the one-row ingest report (new / exact-dropped /
+    near-dropped / kept). Scale: the hash semi-join and the banded
+    LSH join are both equi-joins keyed on uniform digests — the new
+    batch is typically ≪ corpus, so both broadcast the batch side;
+    NULL-text docs carry no content hash and are kept (md5(NULL)
+    propagates NULL in both engines — the '||'-vs-concat contract)."""
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 9
+    newd = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    corp = docs.filter(~is_new).select(F.md5("text").alias("h"))
+    exact_ids = (newd.join(corp, "h", "semi")
+                 .select("doc_id").distinct())
+    pairs = dd.minhash_lsh_pairs(docs.select("doc_id", "text")).filter(
+        F.col("est_jaccard") >= 0.5)
+    new_a = (pairs.filter((F.pmod(F.col("id_a"), F.lit(10)) == 9)
+                          & (F.pmod(F.col("id_b"), F.lit(10)) != 9))
+             .select(F.col("id_a").alias("doc_id")))
+    new_b = (pairs.filter((F.pmod(F.col("id_b"), F.lit(10)) == 9)
+                          & (F.pmod(F.col("id_a"), F.lit(10)) != 9))
+             .select(F.col("id_b").alias("doc_id")))
+    near_ids = (new_a.unionByName(new_b).distinct()
+                .join(exact_ids, "doc_id", "left_anti"))
+    a = newd.agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    b = exact_ids.agg(F.count(F.lit(1)).cast("long")
+                      .alias("n_exact_dropped"))
+    c = near_ids.agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_near_dropped"))
+    return (a.crossJoin(b).crossJoin(c)
+            .select("n_new", "n_exact_dropped", "n_near_dropped",
+                    (F.col("n_new") - F.col("n_exact_dropped")
+                     - F.col("n_near_dropped")).alias("n_kept")))
+
+
 # ===========================================================================
 # Gate-window ordering
 # ===========================================================================
@@ -10085,6 +10488,10 @@ def pipeline_quality_classifier(spark, sf_dir):
 # exact drift class the round-9 advice flagged). Five stalest-green
 # fills (r6-graded rows) complete the 50 (41 + 3 + 1 + 5). With this
 # window every registered entry has been driver-graded at least once.
+# Registered AFTER the window freeze (never-graded; auto-front the r11
+# window): events_ab_test, events_mad_anomaly, events_tv_drift,
+# graph_khop_reach, pipeline_incremental_dedup — each locally
+# oracle-green at sf0.01 AND sf0.1 and carried in AUDIT_r10.txt.
 _GATE_PRIORITY = [
     "dedup_semantic",
     "dedup_winnowing",
