@@ -149,6 +149,7 @@ _R8_SET = HEADLINE[:38]
 _R8_FULL_SET = HEADLINE[:43]   # the 43-head panel BENCH_r08 measured
 _R9_SET = HEADLINE[:45]        # the 45-head panel BENCH_r09 measured
 _R10_SET = HEADLINE[:47]       # the 47-head panel before the late-r10 adds
+_R10_LATE_SET = HEADLINE[:51]  # the full 51-head panel BENCH_r10 ran
 
 
 def streaming_floor(spark, sf_dir):
@@ -245,12 +246,13 @@ def main() -> int:
     tmin = {name: round(min(r), 3) for name, r in reps.items()}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "headline_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_from_dir(SF_DIR),
+    # STDOUT gets ONE COMPACT line with only the driver-contract fields:
+    # the driver's log captures a bounded tail of this process's output
+    # and parses the last JSON line out of it — round 10's line carried
+    # per-head spread/min/subtotal diagnostics for 51 heads, overflowed
+    # that capture window, and the round was recorded as parsed:null.
+    # Full diagnostics now go to BENCH_DETAIL.json next to this script.
+    detail = {
         "repeats": REPEATS,
         "protocol": "interleaved-passes-ABA",
         "spread": spread,
@@ -269,6 +271,8 @@ def main() -> int:
                 sum(timings[n] for n in _R9_SET), 3),
             "r10_comparable_47": round(
                 sum(timings[n] for n in _R10_SET), 3),
+            "r10_comparable_51": round(
+                sum(timings[n] for n in _R10_LATE_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -277,9 +281,22 @@ def main() -> int:
                 sum(tmin[n] for n in _R9_SET), 3),
             "r10_comparable_47": round(
                 sum(tmin[n] for n in _R10_SET), 3),
+            "r10_comparable_51": round(
+                sum(tmin[n] for n in _R10_LATE_SET), 3),
         },
         "queries_min": tmin,
-    }))
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }, separators=(",", ":")))
     spark.stop()
     return 0
 

@@ -9515,7 +9515,7 @@ WITH d AS (
          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
            AS rev
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 p AS (
   SELECT a.event_type,
          CAST(count(*) AS BIGINT) AS n_pairs,
@@ -9558,10 +9558,15 @@ def events_autocorr_daily(spark, sf_dir):
     NULL — guarded, never an ANSI crash; types with no consecutive
     days keep a row with n_pairs = 0 and NULL autocorrelation."""
     ev = load(spark, sf_dir, "events")
-    d = (ev.select("event_type",
-                   F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
-                   .cast("long").alias("day_idx"),
-                   _cents(F.col("value")).alias("_c"))
+    # fold/stat input contract (matches events_cusum_changepoint): a
+    # NULL value carries no revenue — filtered on BOTH engines so an
+    # all-NULL (type, day) can't enter the pair join with rev=NULL and
+    # count toward n_pairs while the moment sums skip it
+    d = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                 .cast("long").alias("day_idx"),
+                 _cents(F.col("value")).alias("_c"))
          .groupBy("event_type", "day_idx")
          .agg(F.sum("_c").alias("rev")))
     a = d.select(F.col("event_type").alias("_ta"),
@@ -9631,7 +9636,13 @@ def events_seasonality_dow(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     d = (ev.groupBy(
         "event_type",
-        F.expr("(unix_micros(ts) div 86400000000) % 7").cast("long")
+        # floor spelling (not `div`): DuckDB's // floors while Spark's
+        # div truncates toward zero, so pre-1970 timestamps would skew
+        # day_idx between the engines; the residue stays `%` (both
+        # engines take the dividend's sign, so it matches given equal
+        # day_idx)
+        (F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+         .cast("long") % F.lit(7)).cast("long")
         .alias("dow_idx"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
              F.sum(_cents(F.col("value"))).alias("rev_cents")))
@@ -9907,7 +9918,12 @@ def _mmr_greedy_select(srt, ps):
         for r in pdf.itertuples(index=False):
             c = int(r.cid)
             rel[c] = int(r.relm)
-            if pd.notna(r.b):
+            # both guards: the shortlist join currently can't emit a
+            # non-NULL b with NULL simm (srt filters relm.isNotNull()),
+            # but int(NaN) raising inside the executor is the wrong way
+            # to learn that invariant loosened — skip like the oracle's
+            # NULL-skipping max()
+            if pd.notna(r.b) and pd.notna(r.simm):
                 simd[(c, int(r.b))] = int(r.simm)
         first = min(rel.items(), key=lambda kv: (-kv[1], kv[0]))
         rows = [(qid, first[0], first[1], first[1], 1)]
@@ -10141,7 +10157,10 @@ def events_mad_anomaly(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     dx = (ev.groupBy(
             "event_type",
-            F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+            # floor spelling, not `div` — matches the oracle's // on
+            # pre-1970 (negative-micros) timestamps
+            F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+            .cast("long").alias("day_idx"))
           .agg(F.sum(_cents(F.col("value"))).alias("day_cents")))
     med = dx.groupBy("event_type").agg(
         F.floor(F.lit(2.0) * F.percentile("day_cents", F.lit(0.5))
@@ -10222,10 +10241,15 @@ def events_tv_drift(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     base = ev.select(
         "event_type",
-        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        # floor spelling, not `div` — matches the oracle's // on
+        # pre-1970 (negative-micros) timestamps; same for the midpoint
+        # (day indices are far inside double-exact integer range)
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("long").alias("d"),
         _cents(F.col("value")).alias("x"))
     mid = base.agg(
-        F.expr("(min(d) + max(d)) div 2").alias("mid_d"))
+        F.floor((F.min("d") + F.max("d")) / F.lit(2.0))
+        .cast("long").alias("mid_d"))
     x = F.col("x")
     bucket = (F.when(x == 0, F.lit(0).cast("long"))
               .when(x > 0, F.length(F.bin(x)).cast("long"))
