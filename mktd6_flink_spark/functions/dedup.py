@@ -749,3 +749,154 @@ def sql_winnowing_pairs(table: str = "documents", text: str = "text",
     JOIN _wn_counts cb ON cb._id = p.id_b
     WHERE 100 * p.shared_fps >= {threshold_pct} * least(ca._n, cb._n)
     """
+
+
+# -- exact duplicated-span masking (ExactSubstr axis) -------------------------
+
+SPAN_K = 5  # token k-gram width for duplicated-span detection
+
+
+def span_dedup_report(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id", k: int = SPAN_K,
+                      min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-span report — the ExactSubstr operation
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., ACL 2022): find every maximal token span covered by a
+    k-token gram that occurs at least ``min_count`` times in the WHOLE
+    corpus (other documents or elsewhere in the same one), and report
+    how much of each document is duplicated text. Where the pair
+    detectors (minhash/jaccard/winnowing) answer "which documents are
+    near-copies", this answers the span-level question their verdicts
+    can't: "which PARTS of this document are boilerplate the corpus
+    already contains" — the signal ExactSubstr uses to CUT spans
+    rather than drop documents.
+
+    Scale design (why this needs no suffix array): the (doc, pos,
+    gram-hash) table is linear in corpus tokens and built map-side;
+    the duplicated-gram set is one groupBy on a uniform 64-bit hash;
+    membership is a semi-join that can only SHRINK the gram table
+    (each position matches at most once — no fan-out, unlike the
+    pair-join detectors, so no hot-gram cap is needed); the interval
+    merge (classic gaps-and-islands) runs in a per-document window
+    bounded by document length. One scan, two bounded shuffles.
+
+    A span's tokens are the UNION of its covering k-gram intervals
+    [p, p+k): grams chain while the next start is <= the running max
+    end, so each island's coverage is exactly (max end - min start).
+    Documents shorter than k tokens (and NULL/empty texts) report
+    zeros. Returns (doc_id, n_tokens, dup_tokens, n_spans)."""
+    t = F.col(text)
+    # report side: cheap per-doc token count for EVERY document
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.coalesce(F.size(tokens(t)), F.lit(0))
+                     .alias("n_tokens"))
+    # gram side: the token array is bound ONCE inside the
+    # aggregate-zero accumulator (HOF lambdas defeat Catalyst CSE —
+    # the winnowing/bloom lesson: slicing a re-derived split() inside
+    # the transform lambda would re-split per position, O(n²)/doc).
+    # Docs shorter than k yield NULL (no otherwise branch) and explode
+    # drops them — which also sidesteps Spark's backwards
+    # sequence(1, 0) trap.
+    gs = F.aggregate(
+        F.lit([1]),
+        F.struct(tokens(t).alias("tk")),
+        lambda acc, _: acc,
+        lambda acc: F.when(
+            F.size(acc["tk"]) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(acc["tk"]) - F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("p"),
+                    md5_long(F.array_join(F.slice(acc["tk"], i, k), " "))
+                    .alias("g")))))
+    grams = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(gs).alias("_u"))
+             .select("_id", F.col("_u.p").alias("p"),
+                     F.col("_u.g").alias("g")))
+    grams = cache.maybe_persist(grams)
+    dup = (grams.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .filter(F.col("_c") >= min_count).select("g"))
+    hits = grams.join(dup, "g", "left_semi").select("_id", "p")
+    w_prev = (Window.partitionBy("_id").orderBy("p")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("_id").orderBy("p")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    marked = hits.withColumn(
+        "_pe", F.max(F.col("p") + F.lit(k)).over(w_prev))
+    isl = (marked.withColumn(
+        "_st", F.when(F.col("_pe").isNull()
+                      | (F.col("p") > F.col("_pe")), 1).otherwise(0))
+        .withColumn("_isl", F.sum("_st").over(w_run)))
+    spans = (isl.groupBy("_id", "_isl")
+             .agg(F.min("p").alias("_s"),
+                  F.max(F.col("p") + F.lit(k)).alias("_e")))
+    agg = (spans.groupBy("_id")
+           .agg(F.sum(F.col("_e") - F.col("_s")).cast("long")
+                .alias("dup_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_spans")))
+    return (base.select("_id", "n_tokens")
+            .join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans")))
+
+
+def sql_span_dedup_report(table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id", k: int = SPAN_K,
+                          min_count: int = 2) -> str:
+    """DuckDB twin of ``span_dedup_report``: same tokenizer, same
+    md5-hashed token k-grams, same corpus-count threshold and
+    gaps-and-islands interval merge."""
+    toks = sql_tokens(text)
+    gram_hash = sql_md5_long(
+        f"array_to_string(tk[CAST(i AS INTEGER)"
+        f" : CAST(i + {k - 1} AS INTEGER)], ' ')")
+    return f"""
+    WITH _sp_base AS (
+      SELECT {id_col} AS _id, coalesce(len({toks}), 0) AS n_tokens,
+             {toks} AS tk
+      FROM {table}
+    ),
+    _sp_grams AS (
+      SELECT _id,
+             unnest(generate_series(1, len(tk) - {k - 1})) AS p,
+             unnest(list_transform(generate_series(1, len(tk) - {k - 1}),
+                                   i -> {gram_hash})) AS g
+      FROM _sp_base WHERE n_tokens >= {k}
+    ),
+    _sp_hits AS (
+      SELECT _id, p FROM _sp_grams
+      WHERE g IN (SELECT g FROM _sp_grams
+                  GROUP BY g HAVING count(*) >= {min_count})
+    ),
+    _sp_marked AS (
+      SELECT _id, p,
+             max(p + {k}) OVER (PARTITION BY _id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _pe
+      FROM _sp_hits
+    ),
+    _sp_isl AS (
+      SELECT _id, p,
+             sum(CASE WHEN _pe IS NULL OR p > _pe THEN 1 ELSE 0 END)
+               OVER (PARTITION BY _id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS _isl
+      FROM _sp_marked
+    ),
+    _sp_spans AS (
+      SELECT _id, _isl, min(p) AS _s, max(p + {k}) AS _e
+      FROM _sp_isl GROUP BY 1, 2
+    ),
+    _sp_agg AS (
+      SELECT _id, CAST(sum(_e - _s) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM _sp_spans GROUP BY 1
+    )
+    SELECT b._id AS {id_col}, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(a.dup_tokens, 0) AS dup_tokens,
+           coalesce(a.n_spans, 0) AS n_spans
+    FROM _sp_base b LEFT JOIN _sp_agg a ON a._id = b._id
+    """

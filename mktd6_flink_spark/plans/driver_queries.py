@@ -2515,6 +2515,27 @@ def dedup_winnowing(spark, sf_dir):
     return dd.winnowing_pairs(_docs2(spark, sf_dir))
 
 
+@register("dedup_span_exact", dd.sql_span_dedup_report("documents"))
+def dedup_span_exact(spark, sf_dir):
+    """ExactSubstr duplicated-span report (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    span-LEVEL dedup axis the pair detectors don't cover: for each
+    document, how many of its tokens sit inside a maximal span whose
+    5-token grams occur >= 2 times in the whole corpus (another doc or
+    elsewhere in the same one). This is the signal ExactSubstr uses to
+    CUT boilerplate spans rather than drop whole documents — on a
+    100 TB web corpus most duplication is partial (headers, footers,
+    quoted passages), invisible to document-granularity verdicts.
+
+    100 TB shape (no suffix array needed): linear map-side gram table,
+    one groupBy on a uniform md5-64 gram hash, a semi-join that can
+    only SHRINK the gram table (each position matches at most once —
+    no pair fan-out, hence no hot-gram cap), and a gaps-and-islands
+    interval merge in a per-DOCUMENT window (bounded by doc length,
+    never a global sort). See functions/dedup.py:span_dedup_report."""
+    return dd.span_dedup_report(load(spark, sf_dir, "documents"))
+
+
 @register("text_bpe_pair_stats", f"""
 WITH _bp_wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
