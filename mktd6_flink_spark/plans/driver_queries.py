@@ -6005,6 +6005,128 @@ def events_funnel(spark, sf_dir):
     return out
 
 
+# CEP pattern window: full signup->click->purchase match must span
+# <= 24h (sf0.01 data: 125 matches across 77 users with ~1.9k
+# out-of-window purchases, so both the match and reject paths carry
+# load)
+_CEP_W_US = 86_400_000_000
+
+# The fold's state list: [s_last, c_s, start1, end1, start2, end2, ...]
+# with -1 sentinels — the same two-monotone-timestamp automaton as
+# stateful.cep_step (see its docstring for why this is faithful to
+# Flink's followedBy().within(W) + skipPastLastEvent while a
+# single-anchor automaton is not).
+_CEP_SQL = f"""
+WITH {EV_SQL},
+e2 AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 END AS ty
+  FROM ev
+  WHERE event_type IN ('signup', 'click', 'purchase')),
+folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend([CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)],
+                        list([t, CAST(ty AS BIGINT)]
+                             ORDER BY t, event_id)),
+           (acc, e) -> CASE
+             WHEN e[2] = 1
+               THEN list_concat([e[1], acc[2]], acc[3:])
+             WHEN e[2] = 2
+               THEN list_concat(
+                      [acc[1],
+                       CASE WHEN acc[1] >= 0 THEN acc[1]
+                            ELSE acc[2] END],
+                      acc[3:])
+             WHEN e[2] = 3 AND acc[2] >= 0
+                  AND e[1] - acc[2] <= {_CEP_W_US}
+               THEN list_concat([CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)],
+                                list_concat(acc[3:], [acc[2], e[1]]))
+             ELSE acc
+           END) AS st
+  FROM e2 GROUP BY user_id),
+m AS (SELECT user_id, st[3:] AS pairs FROM folded)
+SELECT user_id,
+       CAST(unnest(generate_series(1, len(pairs) // 2)) AS INTEGER)
+         AS match_n,
+       unnest(list_transform(generate_series(1, len(pairs) // 2),
+                             i -> pairs[CAST(2 * i - 1 AS INTEGER)]))
+         AS start_us,
+       unnest(list_transform(generate_series(1, len(pairs) // 2),
+                             i -> pairs[CAST(2 * i AS INTEGER)]))
+         AS end_us
+FROM m
+"""
+
+
+def _cep_input(ev: DataFrame) -> DataFrame:
+    """Shared CEP input projection for the batch/streaming twins: the
+    three pattern event types (the filter reaches the scan — irrelevant
+    types never shuffle; dropping them is semantics-preserving because
+    a skipped event's only effect, the expiry reset, happens identically
+    at the next relevant event), encoded 1/2/3, with the microsecond
+    ordering key."""
+    return (ev.filter(F.col("event_type")
+                      .isin("signup", "click", "purchase"))
+            .select("user_id", F.unix_micros("ts").alias("t_us"),
+                    "event_id",
+                    F.when(F.col("event_type") == "signup", 1)
+                    .when(F.col("event_type") == "click", 2)
+                    .otherwise(3).alias("ty")))
+
+
+@register("events_cep_pattern", _CEP_SQL)
+def events_cep_pattern(spark, sf_dir):
+    """Flink-CEP sequence-pattern matching as a keyed per-event fold
+    (the capability Flink ships as the CEP library — Pattern
+    .begin('signup').followedBy('click').followedBy('purchase')
+    .within(Time.hours(24)) with skipPastLastEvent): one row per
+    completed non-overlapping match, (user_id, match_n, start_us,
+    end_us), earliest-ending match first, deterministic over
+    (ts, event_id) order. Faithful NFA semantics (a fresher signup
+    seen mid-partial can anchor the match) with CONSTANT per-key
+    state — two monotone timestamps; see stateful.cep_step.
+
+    100 TB shape: ONE shuffle keyed by user_id after a scan-level
+    filter to the three pattern types; per-key state is three
+    integers, per-key work is linear in that user's events — the same
+    bounded profile as the ST6 ledger. The DuckDB twin folds the
+    identical automaton with list_reduce, so every transition
+    (including all ~1.9k out-of-window rejects) is pinned
+    cross-engine."""
+    from ..streaming import stateful
+
+    d = _cep_input(load(spark, sf_dir, "events"))
+    return stateful.apply_per_event_batch(
+        d, ["user_id"], ["t_us", "event_id"],
+        lambda: stateful.cep_step(_CEP_W_US),
+        "user_id long, match_n int, start_us long, end_us long")
+
+
+@register("streaming_cep_pattern", _CEP_SQL)
+def streaming_cep_pattern(spark, sf_dir):
+    """events_cep_pattern through the LIVE streaming runtime
+    (applyInPandasWithState): the same ``cep_step`` automaton with
+    constant three-integer keyed state — Flink-CEP's within-window
+    sequence detection is exactly the shape Structured Streaming's
+    arbitrary-stateful operator is for. Matches stream out in append
+    mode as they complete; same oracle as the batch twin."""
+    from ..streaming import stateful
+
+    d = _cep_input(_events_stream(spark, sf_dir))
+    out = stateful.apply_per_event_stream(
+        d, ["user_id"], ["t_us", "event_id"],
+        lambda: stateful.cep_step(_CEP_W_US),
+        "user_id long, match_n int, start_us long, end_us long",
+        "step int, t0 long, n long",
+        lambda s: (int(s[0]), int(s[1]), int(s[2])),
+        lambda r: (int(r[0]), int(r[1]), int(r[2])))
+    emitted = _run_stream_to_table(spark, out, "cep_stream")
+    return emitted.select("user_id", F.col("match_n").cast("int"),
+                          "start_us", "end_us")
+
+
 @register("events_retention_cohorts", f"""
 WITH {EV_SQL},
 w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM ev),

@@ -283,6 +283,45 @@ def latest_side_value_step(id_col: str | None = None):
     return step
 
 
+def cep_step(window_us: int, id_col: str = "user_id"):
+    """CEP sequence matcher — Flink's ``Pattern.begin('signup')
+    .followedBy('click').followedBy('purchase').within(W)`` with
+    ``AfterMatchSkipStrategy.skipPastLastEvent()``, as a keyed
+    per-event fold with CONSTANT state (event types encoded
+    1 -> 2 -> 3 in ``ty``).
+
+    A naive single-anchor automaton (lock onto the first signup,
+    expire, retry) MISSES matches Flink's NFA emits: a fresher signup
+    arriving while a partial match is active can anchor a within-window
+    match after the stale anchor expires. Faithful semantics need only
+    two timestamps per key, because both are monotone: ``s_last`` (the
+    latest signup seen) and ``c_s`` (the best — i.e. latest — signup
+    anchor among clicks seen so far; stamped from ``s_last`` when a
+    click arrives). A purchase at t completes the EARLIEST-ENDING
+    match iff ``t - c_s <= window_us``; skip-past-last-event then
+    discards both partial anchors. Non-matching events never clear
+    state (followedBy is relaxed contiguity). Emits one row per
+    completed match: (match_n, start_us, end_us) where start is the
+    matched signup's ts."""
+    def step(state, row):
+        s_last, c_s, n = (-1, -1, 0) if state is None else state
+        t = int(row["t_us"])
+        ty = int(row["ty"])
+        out = None
+        if ty == 1:
+            s_last = t
+        elif ty == 2:
+            if s_last >= 0:
+                c_s = s_last
+        elif ty == 3:
+            if c_s >= 0 and t - c_s <= window_us:
+                n += 1
+                out = {"match_n": n, "start_us": c_s, "end_us": t}
+                s_last, c_s = -1, -1
+        return (s_last, c_s, n), out
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Engines
 # ---------------------------------------------------------------------------

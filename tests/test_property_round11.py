@@ -1,0 +1,122 @@
+"""Brute-force property tests for the round-11 operators.
+
+The cross-engine gate already pins Spark == DuckDB; these pin the
+operator == an INDEPENDENT textbook formulation:
+
+* cep_step (events_cep_pattern / streaming_cep_pattern) == a recursive
+  "earliest-ending match, then skip past it" scan with an O(n^3)
+  eligibility search — the definitional form of Flink's
+  followedBy().within(W) + skipPastLastEvent, with none of the
+  operator's two-monotone-timestamp compression;
+* span_dedup_report's island arithmetic == a direct position-set union
+  over duplicated k-gram intervals in Python.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mktd6_flink_spark.streaming.stateful import cep_step
+
+CEP_W = 15
+
+
+def _fold_cep(seq, w=CEP_W):
+    """Run the operator's fold over [(t, ty)] rows."""
+    step = cep_step(w)
+    state, out = None, []
+    for t, ty in seq:
+        state, o = step(state, {"t_us": t, "ty": ty})
+        if o is not None:
+            out.append((o["start_us"], o["end_us"]))
+    return out
+
+
+def _brute_cep(seq, w=CEP_W):
+    """Independent reference: repeatedly find the EARLIEST purchase
+    completing signup < click < purchase with t_p - t_s <= w using
+    events at index >= i, emit (latest eligible in-window signup,
+    purchase), then continue strictly after the purchase."""
+    out, i, n = [], 0, len(seq)
+    while i < n:
+        found = None
+        for p in range(i, n):
+            if seq[p][1] != 3:
+                continue
+            cand = [seq[s][0]
+                    for s in range(i, p)
+                    for c in range(s + 1, p)
+                    if seq[s][1] == 1 and seq[c][1] == 2
+                    and seq[p][0] - seq[s][0] <= w]
+            if cand:
+                found = (p, max(cand))
+                break
+        if found is None:
+            break
+        p, start = found
+        out.append((start, seq[p][0]))
+        i = p + 1
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(1, 6)),
+                max_size=40))
+def test_cep_step_matches_bruteforce(tys_gaps):
+    t, seq = 0, []
+    for ty, gap in tys_gaps:
+        t += gap  # strictly increasing ts: no tie ambiguity
+        seq.append((t, ty))
+    assert _fold_cep(seq) == _brute_cep(seq)
+
+
+def test_cep_fresher_signup_case():
+    """The case a single-anchor automaton gets wrong: S1, then S2 while
+    S1's partial is 'active', C, P — P is in S2's window but not S1's.
+    Flink's NFA (and this operator) emit the S2 match."""
+    seq = [(0, 1), (10, 1), (12, 2), (20, 3)]
+    assert _fold_cep(seq) == [(10, 20)]
+
+
+def _brute_spans(token_lists, k=3, min_count=2):
+    """Position-set union reference for span_dedup_report."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = []
+    for toks in token_lists:
+        gs = [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        per_doc.append(gs)
+        grams.update(gs)
+    out = []
+    for toks, gs in zip(token_lists, per_doc):
+        covered = set()
+        for i, g in enumerate(gs):
+            if grams[g] >= min_count:
+                covered.update(range(i, i + k))
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        out.append((len(toks), len(covered), spans))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=st.lists(
+    st.lists(st.sampled_from("ab"), max_size=12),
+    min_size=1, max_size=6))
+def test_span_dedup_matches_position_set_union(spark, token_lists):
+    from mktd6_flink_spark.functions.dedup import span_dedup_report
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"])
+           for r in span_dedup_report(df, k=3).collect()}
+    want = dict(enumerate(_brute_spans(token_lists, k=3)))
+    assert got == want
