@@ -6809,6 +6809,90 @@ def text_bm25_search(spark, sf_dir):
     return tx.bm25_topk(docs, _BM25_QUERY, k=25)
 
 
+_RRF_C = 60          # the standard RRF smoothing constant (Cormack 2009)
+_RRF_QUERY_VEC = 7   # dense-query vector id; the lexical query is _BM25_QUERY
+_RRF_DEPTH = 50      # per-retriever candidate depth
+_RRF_TOPK = 10
+
+
+def _sql_hybrid_rrf() -> str:
+    lex = tx.sql_bm25_topk("documents", _BM25_QUERY, k=_RRF_DEPTH)
+    den = sim.sql_cosine_topk("embeddings", [_RRF_QUERY_VEC], _EMB_DIM,
+                              k=_RRF_DEPTH)
+    return f"""
+WITH lexq AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INTEGER) AS lex_rank
+  FROM ({lex})
+),
+denq AS (
+  SELECT neighbor_id AS doc_id, dense_rank FROM
+    (SELECT neighbor_id, rank AS dense_rank FROM ({den}))
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         coalesce(CAST(floor(1000000.0 / ({_RRF_C} + l.lex_rank))
+                       AS BIGINT), 0)
+         + coalesce(CAST(floor(1000000.0 / ({_RRF_C} + d.dense_rank))
+                         AS BIGINT), 0) AS rrf_micros
+  FROM lexq l FULL JOIN denq d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_micros,
+       CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM fused ORDER BY rrf_micros DESC, doc_id ASC LIMIT {_RRF_TOPK}
+"""
+
+
+@register("sim_hybrid_rrf", _sql_hybrid_rrf())
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke,
+    Büttcher, SIGIR 2009) — the RAG-stack staple that merges a lexical
+    ranking (BM25 over the query terms) with a dense ranking (exact
+    cosine for the query vector) WITHOUT score calibration: fused
+    score = Σ 1/(60 + rank), summed as exact integer micros so the
+    fusion is order-independent and cross-engine exact. Documents in
+    only one list contribute only that list's term (standard RRF over
+    the candidate union).
+
+    100 TB shape: both retrievers are already scale-shaped (BM25
+    filters term postings before any shuffle; the dense side
+    broadcasts the query, one corpus pass) and each emits a
+    CONSTANT-size candidate list (depth 50), so the fusion join and
+    the top-10 finisher are driver-trivial — the expensive work stays
+    in the retrievers, which is the point of fusing by rank instead
+    of re-scoring. doc_id and vec_id share an id space (TESTDATA.md),
+    standing in for a corpus with text + embedding per document."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = _topk_ranked(
+        tx.bm25_topk(docs, _BM25_QUERY, k=_RRF_DEPTH),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        _RRF_DEPTH, "lex_rank").select(
+        F.col("doc_id").alias("_lid"),
+        F.col("lex_rank").cast("int").alias("lex_rank"))
+    den = (sim.cosine_topk(emb, [_RRF_QUERY_VEC], k=_RRF_DEPTH)
+           .select(F.col("neighbor_id").alias("_did"),
+                   F.col("rank").cast("int").alias("dense_rank")))
+    fused = (lex.join(den, F.col("_lid") == F.col("_did"), "full_outer")
+             .select(
+                 F.coalesce("_lid", "_did").alias("doc_id"),
+                 "lex_rank", "dense_rank",
+                 (F.coalesce(
+                     F.floor(F.lit(1000000.0)
+                             / (F.lit(_RRF_C) + F.col("lex_rank"))),
+                     F.lit(0))
+                  + F.coalesce(
+                     F.floor(F.lit(1000000.0)
+                             / (F.lit(_RRF_C) + F.col("dense_rank"))),
+                     F.lit(0))).cast("long").alias("rrf_micros")))
+    return _topk_ranked(
+        fused, [F.col("rrf_micros").desc(), F.col("doc_id").asc()],
+        _RRF_TOPK, "rank")
+
+
 @register("sim_kmeans_centroids",
           sim.sql_kmeans_centroids("embeddings", _EMB_DIM))
 def sim_kmeans_centroids(spark, sf_dir):
