@@ -5810,6 +5810,98 @@ def graph_triangles_copurchase(spark, sf_dir):
                     .alias("clustering_coeff")))
 
 
+# Adamic-Adar hot-node cap: a common neighbor of degree d generates
+# d*(d-1)/2 candidate pairs, so unbounded hubs are the quadratic
+# blow-up (the wedge skew orientation fixes for COUNTING can't help
+# here — AA needs every common-neighbor pair enumerated). Hubs carry
+# the least AA weight anyway (1/ln d), so capping them is the standard
+# defense — the max_df analog for graphs. 48 binds on the sf corpus
+# (max degree 56 at sf0.01), so the cap path is exercised, not
+# decorative.
+_AA_MAX_DEG = 48
+
+_AA_SQL = """
+WITH pt AS (SELECT p_partkey AS pk FROM part WHERE p_size <= 15),
+li AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+       FROM lineitem l JOIN pt ON pt.pk = l.l_partkey),
+e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+adj AS (SELECT u AS z, v AS n FROM e
+        UNION ALL SELECT v AS z, u AS n FROM e),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY z),
+wz AS (SELECT z, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5)
+                      AS BIGINT) AS w
+       FROM deg WHERE d >= 2 AND d <= {cap}),
+cand AS (
+  SELECT a.n AS pa, b.n AS pb, CAST(sum(w.w) AS BIGINT) AS score_micros,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM adj a JOIN adj b ON b.z = a.z AND a.n < b.n
+  JOIN wz w ON w.z = a.z
+  GROUP BY 1, 2),
+nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN e ON e.u = c.pa AND e.v = c.pb
+  WHERE e.u IS NULL)
+SELECT pa, pb, score_micros, n_common,
+       CAST(row_number() OVER (ORDER BY score_micros DESC, pa, pb)
+            AS INTEGER) AS rank
+FROM nonedge
+ORDER BY score_micros DESC, pa, pb LIMIT 20
+""".format(cap=_AA_MAX_DEG)
+
+
+@register("graph_adamic_adar", _AA_SQL)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (Adamic & Adar, "Friends and
+    neighbors on the Web", 2003) over the part co-purchase graph: the
+    top-20 NOT-yet-connected part pairs most likely to be co-purchased
+    next, scored sum(1/ln(deg(z))) over common neighbors z — the
+    classic recommender/graph-completion primitive next to the
+    counting entries (triangles) and ranking entries (PageRank).
+
+    Exactness: the per-neighbor weight is quantized to integer micros
+    BEFORE summation, so the score is shuffle-order independent and
+    cross-engine exact; ranking ties break on the pair ids. Scale
+    shape: candidate pairs enumerate per common neighbor via a
+    self-equi-join on z — quadratic in z's degree, which is exactly
+    why the ``_AA_MAX_DEG`` hot-node cap exists (see its comment; it
+    BINDS at the test SFs). The existing-edge anti-join and the final
+    top-20 ride the usual bounded finishers (left-anti equi-join,
+    TakeOrdered + constant-k rank)."""
+    pt = (load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+          .select(F.col("p_partkey").alias("pk")))
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+          .join(pt, "pk").select("ok", "pk").distinct())
+    e = (li.alias("a").join(li.alias("b"), "ok")
+         .filter(F.col("a.pk") < F.col("b.pk"))
+         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+         .distinct())
+    adj = (e.select(F.col("u").alias("z"), F.col("v").alias("n"))
+           .unionByName(e.select(F.col("v").alias("z"),
+                                 F.col("u").alias("n"))))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    wz = (deg.filter((F.col("d") >= 2) & (F.col("d") <= _AA_MAX_DEG))
+          .select("z", F.floor(F.lit(1000000.0)
+                               / F.log(F.col("d").cast("double"))
+                               + F.lit(0.5)).cast("long").alias("w")))
+    cand = (adj.select(F.col("z"), F.col("n").alias("pa"))
+            .join(adj.select(F.col("z"), F.col("n").alias("pb")), "z")
+            .filter(F.col("pa") < F.col("pb"))
+            .join(wz, "z")
+            .groupBy("pa", "pb")
+            .agg(F.sum("w").cast("long").alias("score_micros"),
+                 F.count(F.lit(1)).cast("long").alias("n_common")))
+    nonedge = cand.join(
+        e, (e["u"] == cand["pa"]) & (e["v"] == cand["pb"]), "left_anti")
+    return _topk_ranked(
+        nonedge,
+        [F.col("score_micros").desc(), F.col("pa").asc(),
+         F.col("pb").asc()],
+        20, "rank")
+
+
 @register("events_streaks", """
 WITH du AS (
   SELECT DISTINCT user_id,
