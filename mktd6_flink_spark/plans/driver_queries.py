@@ -10805,87 +10805,66 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # d138f96; all 50 slots to the never-graded round-8 additions — 50/50
 # green in CORRECTNESS_r09.json.
 
-# Round-10 window: GENERATED by `python tools/gate_window.py --window
-# --since aaf7b42` (the r9 grading commit), regenerated AFTER the
-# round's last operator change (the round-9 advice: the r9 window was
-# cut before the bloom-probe rewrite landed and missed it). 41
-# never-graded entries front the window — the 15 round-9 additions,
-# the 12 early-round-10 additions (sim_ivfpq_ann / sim_ivfpq_recall /
-# text_char_entropy / scan_orc_roundtrip /
-# graph_triangles_copurchase / pipeline_bpe_train / sim_sq_recall /
-# graph_label_propagation / pipeline_bpe_encode /
-# asof_join_nearest_price / pipeline_zorder_layout / events_streaks),
-# and the 14 late-round-10 additions (asof_join_tolerance /
-# events_gini_concentration / events_sliding_hll_uniques /
-# sketch_kmv_jaccard / basket_lift_pairs / streaming_sketch_kmv /
-# events_autocorr_daily / events_seasonality_dow /
-# events_cusum_changepoint / sim_mmr_rerank / sim_mmr_diversity /
-# streaming_sliding_hll_uniques / streaming_basket_pairs /
-# pipeline_quality_classifier) — then the 3 entries whose code path
-# changed since the r9 grading per the transitive fingerprint
-# (sim_pq_codes / sim_pq_adc_topk via the shared codebook-guard
-# refactor, sim_pq_recall via the 100-query truth set), then ONE
-# manual add the fingerprint cannot see: join_bloom_prefilter — its
-# probe path was rewritten AFTER its last driver grading (r8) but
-# BEFORE the r9 grading commit, so --since aaf7b42 misses it (the
-# exact drift class the round-9 advice flagged). Five stalest-green
-# fills (r6-graded rows) complete the 50 (41 + 3 + 1 + 5). With this
-# window every registered entry has been driver-graded at least once.
-# Registered AFTER the window freeze (never-graded; auto-front the r11
-# window): events_ab_test, events_mad_anomaly, events_tv_drift,
-# graph_khop_reach, pipeline_incremental_dedup — each locally
-# oracle-green at sf0.01 AND sf0.1 and carried in AUDIT_r10.txt.
+# r11 gate window = `gate_window.py --window --since dbdef8c` verbatim:
+# the 10 never-driver-graded entries front it (5 registered after the
+# r10 window froze + this round's dedup_span_exact, graph_adamic_adar,
+# events_cep_pattern, streaming_cep_pattern, sim_hybrid_rrf), then the
+# 4 fingerprint-changed-since-grading entries (the round-10 ADVICE
+# fixes: autocorr NULL contract, seasonality floor day_idx, the MMR
+# NaN guard shared by both MMR entries; mad_anomaly/tv_drift also
+# changed but are in the never-graded front), then stalest-green
+# (r6-graded) fills to 50. Rehearsed with check_correctness --gate.
 _GATE_PRIORITY = [
-    "dedup_semantic",
-    "dedup_winnowing",
-    "text_bpe_pair_stats",
-    "pipeline_curation_v2",
-    "dedup_winnow_recall",
-    "pipeline_dsir_weights",
-    "sim_pq_trained_recall",
-    "sim_ivfpq_ann",
-    "sim_ivfpq_recall",
-    "sim_truncated_recall",
-    "events_decayed_engagement",
-    "graph_pagerank_trading",
-    "streaming_decayed_engagement",
-    "graph_degree_stats",
-    "join_fuzzy_recall",
-    "scan_orc_roundtrip",
-    "sketch_hll_daily_merge",
-    "streaming_sketch_qhist",
-    "text_char_entropy",
-    "graph_triangles_copurchase",
-    "pipeline_bpe_train",
-    "sim_sq_recall",
-    "graph_label_propagation",
-    "pipeline_bpe_encode",
-    "asof_join_nearest_price",
-    "pipeline_zorder_layout",
-    "events_streaks",
-    "asof_join_tolerance",
-    "events_gini_concentration",
-    "events_sliding_hll_uniques",
-    "streaming_sliding_hll_uniques",
-    "sketch_kmv_jaccard",
-    "basket_lift_pairs",
-    "streaming_basket_pairs",
-    "streaming_sketch_kmv",
+    "dedup_span_exact",
+    "graph_adamic_adar",
+    "events_cep_pattern",
+    "streaming_cep_pattern",
+    "sim_hybrid_rrf",
+    "events_ab_test",
+    "events_mad_anomaly",
+    "events_tv_drift",
+    "graph_khop_reach",
+    "pipeline_incremental_dedup",
     "events_autocorr_daily",
     "events_seasonality_dow",
-    "events_cusum_changepoint",
     "sim_mmr_rerank",
     "sim_mmr_diversity",
-    "pipeline_quality_classifier",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_pq_recall",
-    "join_bloom_prefilter",
-    "p01_buy_sell",
-    "p06_parse_orders",
-    "p06b_invalid_orders",
-    "p09_hype_words",
-    "p12_updaters",
+    "p13_p15_projections",
+    "p14_accepted",
+    "p16_self_trades",
+    "p17_positive_balance",
+    "p19_tweet_extract",
+    "r1_r2_split_union",
+    "r3_tagged_union",
+    "w2_tumbling_sum",
+    "w3_running_sum",
+    "w5_avg_per_minute",
+    "w5_sum_per_team",
+    "w5_top5_traders",
+    "st1_ema",
+    "st2_product",
+    "st7_running_investment",
+    "st9_txn_sequence",
+    "st5_order_buffering",
+    "st10_price_delta",
+    "st4_ema_combiner",
+    "dataflow_hype_influence",
+    "st3_bubble_burst",
+    "w4_cogroup_latest",
+    "w5_sum_team_trader",
+    "st6_per_event_ledger",
+    "w5_distinct_users_per_team",
+    "w6_session_window",
+    "w7_sliding_window",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5ish",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
