@@ -756,40 +756,19 @@ def sql_winnowing_pairs(table: str = "documents", text: str = "text",
 SPAN_K = 5  # token k-gram width for duplicated-span detection
 
 
-def span_dedup_report(df: DataFrame, text: str = "text",
-                      id_col: str = "doc_id", k: int = SPAN_K,
-                      min_count: int = 2) -> DataFrame:
-    """Per-document duplicated-span report — the ExactSubstr operation
-    of "Deduplicating Training Data Makes Language Models Better"
-    (Lee et al., ACL 2022): find every maximal token span covered by a
-    k-token gram that occurs at least ``min_count`` times in the WHOLE
-    corpus (other documents or elsewhere in the same one), and report
-    how much of each document is duplicated text. Where the pair
-    detectors (minhash/jaccard/winnowing) answer "which documents are
-    near-copies", this answers the span-level question their verdicts
-    can't: "which PARTS of this document are boilerplate the corpus
-    already contains" — the signal ExactSubstr uses to CUT spans
-    rather than drop documents.
-
-    Scale design (why this needs no suffix array): the (doc, pos,
-    gram-hash) table is linear in corpus tokens and built map-side;
-    the duplicated-gram set is one groupBy on a uniform 64-bit hash;
-    membership is a semi-join that can only SHRINK the gram table
-    (each position matches at most once — no fan-out, unlike the
-    pair-join detectors, so no hot-gram cap is needed); the interval
-    merge (classic gaps-and-islands) runs in a per-document window
-    bounded by document length. One scan, two bounded shuffles.
-
-    A span's tokens are the UNION of its covering k-gram intervals
-    [p, p+k): grams chain while the next start is <= the running max
-    end, so each island's coverage is exactly (max end - min start).
-    Documents shorter than k tokens (and NULL/empty texts) report
-    zeros. Returns (doc_id, n_tokens, dup_tokens, n_spans)."""
+def span_islands(df: DataFrame, text: str = "text",
+                 id_col: str = "doc_id", k: int = SPAN_K,
+                 min_count: int = 2) -> DataFrame:
+    """The shared ExactSubstr core: maximal duplicated token spans per
+    document as (_id, _s, _e) with 1-based token positions, end
+    exclusive — a span is the union of the [p, p+k) intervals of every
+    k-gram occurring >= min_count times corpus-wide, merged by the
+    gaps-and-islands chain (grams overlap/touch while the next start
+    is <= the running max end, so each island's coverage is
+    contiguous). Consumed by span_dedup_report (the measurement) and
+    span_scrub (the cut); both twins' finishers MUST share this core
+    or a one-sided edit could silently split them."""
     t = F.col(text)
-    # report side: cheap per-doc token count for EVERY document
-    base = df.select(F.col(id_col).alias("_id"),
-                     F.coalesce(F.size(tokens(t)), F.lit(0))
-                     .alias("n_tokens"))
     # gram side: the token array is bound ONCE inside the
     # aggregate-zero accumulator (HOF lambdas defeat Catalyst CSE —
     # the winnowing/bloom lesson: slicing a re-derived split() inside
@@ -828,35 +807,23 @@ def span_dedup_report(df: DataFrame, text: str = "text",
         "_st", F.when(F.col("_pe").isNull()
                       | (F.col("p") > F.col("_pe")), 1).otherwise(0))
         .withColumn("_isl", F.sum("_st").over(w_run)))
-    spans = (isl.groupBy("_id", "_isl")
-             .agg(F.min("p").alias("_s"),
-                  F.max(F.col("p") + F.lit(k)).alias("_e")))
-    agg = (spans.groupBy("_id")
-           .agg(F.sum(F.col("_e") - F.col("_s")).cast("long")
-                .alias("dup_tokens"),
-                F.count(F.lit(1)).cast("long").alias("n_spans")))
-    return (base.select("_id", "n_tokens")
-            .join(agg, "_id", "left")
-            .select(F.col("_id").alias(id_col),
-                    F.col("n_tokens").cast("long").alias("n_tokens"),
-                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
-                    .alias("dup_tokens"),
-                    F.coalesce("n_spans", F.lit(0)).cast("long")
-                    .alias("n_spans")))
+    return (isl.groupBy("_id", "_isl")
+            .agg(F.min("p").alias("_s"),
+                 F.max(F.col("p") + F.lit(k)).alias("_e"))
+            .select("_id", "_s", "_e"))
 
 
-def sql_span_dedup_report(table: str = "documents", text: str = "text",
-                          id_col: str = "doc_id", k: int = SPAN_K,
-                          min_count: int = 2) -> str:
-    """DuckDB twin of ``span_dedup_report``: same tokenizer, same
-    md5-hashed token k-grams, same corpus-count threshold and
-    gaps-and-islands interval merge."""
+def _sql_span_islands(table: str, text: str, id_col: str, k: int,
+                      min_count: int) -> str:
+    """DuckDB twin of span_islands, as WITH-clause bodies ending in
+    _sp_spans(_id, _s, _e); _sp_base(_id, n_tokens, tk) is also
+    exposed for the consumers' all-documents joins."""
     toks = sql_tokens(text)
     gram_hash = sql_md5_long(
         f"array_to_string(tk[CAST(i AS INTEGER)"
         f" : CAST(i + {k - 1} AS INTEGER)], ' ')")
     return f"""
-    WITH _sp_base AS (
+    _sp_base AS (
       SELECT {id_col} AS _id, coalesce(len({toks}), 0) AS n_tokens,
              {toks} AS tk
       FROM {table}
@@ -889,7 +856,66 @@ def sql_span_dedup_report(table: str = "documents", text: str = "text",
     _sp_spans AS (
       SELECT _id, _isl, min(p) AS _s, max(p + {k}) AS _e
       FROM _sp_isl GROUP BY 1, 2
-    ),
+    )"""
+
+
+def span_dedup_report(df: DataFrame, text: str = "text",
+                      id_col: str = "doc_id", k: int = SPAN_K,
+                      min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-span report — the ExactSubstr operation
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., ACL 2022): find every maximal token span covered by a
+    k-token gram that occurs at least ``min_count`` times in the WHOLE
+    corpus (other documents or elsewhere in the same one), and report
+    how much of each document is duplicated text. Where the pair
+    detectors (minhash/jaccard/winnowing) answer "which documents are
+    near-copies", this answers the span-level question their verdicts
+    can't: "which PARTS of this document are boilerplate the corpus
+    already contains" — the signal ExactSubstr uses to CUT spans
+    rather than drop documents.
+
+    Scale design (why this needs no suffix array): the (doc, pos,
+    gram-hash) table is linear in corpus tokens and built map-side;
+    the duplicated-gram set is one groupBy on a uniform 64-bit hash;
+    membership is a semi-join that can only SHRINK the gram table
+    (each position matches at most once — no fan-out, unlike the
+    pair-join detectors, so no hot-gram cap is needed); the interval
+    merge (classic gaps-and-islands) runs in a per-document window
+    bounded by document length. One scan, two bounded shuffles.
+
+    A span's tokens are the UNION of its covering k-gram intervals
+    [p, p+k): grams chain while the next start is <= the running max
+    end, so each island's coverage is exactly (max end - min start).
+    Documents shorter than k tokens (and NULL/empty texts) report
+    zeros. Returns (doc_id, n_tokens, dup_tokens, n_spans)."""
+    t = F.col(text)
+    # report side: cheap per-doc token count for EVERY document
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.coalesce(F.size(tokens(t)), F.lit(0))
+                     .alias("n_tokens"))
+    spans = span_islands(df, text, id_col, k, min_count)
+    agg = (spans.groupBy("_id")
+           .agg(F.sum(F.col("_e") - F.col("_s")).cast("long")
+                .alias("dup_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_spans")))
+    return (base.select("_id", "n_tokens")
+            .join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans")))
+
+
+def sql_span_dedup_report(table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id", k: int = SPAN_K,
+                          min_count: int = 2) -> str:
+    """DuckDB twin of ``span_dedup_report``: same tokenizer, same
+    md5-hashed token k-grams, same corpus-count threshold and
+    gaps-and-islands interval merge (shared via _sql_span_islands)."""
+    return f"""
+    WITH {_sql_span_islands(table, text, id_col, k, min_count)},
     _sp_agg AS (
       SELECT _id, CAST(sum(_e - _s) AS BIGINT) AS dup_tokens,
              CAST(count(*) AS BIGINT) AS n_spans
@@ -899,4 +925,81 @@ def sql_span_dedup_report(table: str = "documents", text: str = "text",
            coalesce(a.dup_tokens, 0) AS dup_tokens,
            coalesce(a.n_spans, 0) AS n_spans
     FROM _sp_base b LEFT JOIN _sp_agg a ON a._id = b._id
+    """
+
+
+def span_scrub(df: DataFrame, text: str = "text",
+               id_col: str = "doc_id", k: int = SPAN_K,
+               min_count: int = 2) -> DataFrame:
+    """The ExactSubstr CUT (Lee et al., ACL 2022 §4.2): rebuild each
+    document with every duplicated span removed, reported as the
+    retained-token count plus an md5 of the scrubbed text so the gate
+    can hash-compare the actual reconstruction, not just its size.
+    Tokens keep their original order; docs with nothing duplicated
+    hash their full canonical-token join; fully-duplicated docs hash
+    the empty string (both engines agg empty to '').
+
+    Scale shape on top of span_islands: positions explode map-side
+    (linear in corpus tokens), the span-membership join is per-doc
+    against DISJOINT intervals (<= 1 match per token — no fan-out),
+    and the rebuild is one per-doc groupBy with an order-pinned
+    string agg. Returns (doc_id, n_tokens, kept_tokens, scrub_md5)."""
+    t = F.col(text)
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.coalesce(F.size(tokens(t)), F.lit(0))
+                     .alias("n_tokens"))
+    pos = (df.select(F.col(id_col).alias("_id"),
+                     F.posexplode(tokens(t)).alias("_p0", "tok"))
+           .select("_id", (F.col("_p0") + F.lit(1)).alias("p"), "tok"))
+    spans = span_islands(df, text, id_col, k, min_count)
+    kept = (pos.alias("x")
+            .join(spans.alias("s"),
+                  (F.col("x._id") == F.col("s._id"))
+                  & (F.col("x.p") >= F.col("s._s"))
+                  & (F.col("x.p") < F.col("s._e")), "left_anti"))
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+                    F.md5(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("p", "tok"))),
+                            lambda x: x["tok"]), " ")).alias("scrub_md5")))
+    return (base.join(rebuilt, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("kept_tokens", F.lit(0)).cast("long")
+                    .alias("kept_tokens"),
+                    F.coalesce("scrub_md5", F.md5(F.lit("")))
+                    .alias("scrub_md5")))
+
+
+def sql_span_scrub(table: str = "documents", text: str = "text",
+                   id_col: str = "doc_id", k: int = SPAN_K,
+                   min_count: int = 2) -> str:
+    """DuckDB twin of ``span_scrub`` over the same _sql_span_islands
+    core: WITH-ORDINALITY-substitute position explode, disjoint-span
+    anti-join, order-pinned string_agg, md5 of the rebuilt text."""
+    return f"""
+    WITH {_sql_span_islands(table, text, id_col, k, min_count)},
+    _sc_pos AS (
+      SELECT _id,
+             unnest(generate_series(1, len(tk))) AS p,
+             unnest(tk) AS tok
+      FROM _sp_base WHERE n_tokens > 0
+    ),
+    _sc_kept AS (
+      SELECT x._id, x.p, x.tok FROM _sc_pos x
+      WHERE NOT EXISTS (SELECT 1 FROM _sp_spans s
+                        WHERE s._id = x._id
+                          AND x.p >= s._s AND x.p < s._e)
+    ),
+    _sc_built AS (
+      SELECT _id, CAST(count(*) AS BIGINT) AS kept_tokens,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS scrub_md5
+      FROM _sc_kept GROUP BY _id
+    )
+    SELECT b._id AS {id_col}, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(r.kept_tokens, 0) AS kept_tokens,
+           coalesce(r.scrub_md5, md5('')) AS scrub_md5
+    FROM _sp_base b LEFT JOIN _sc_built r ON r._id = b._id
     """

@@ -2536,6 +2536,22 @@ def dedup_span_exact(spark, sf_dir):
     return dd.span_dedup_report(load(spark, sf_dir, "documents"))
 
 
+@register("pipeline_span_scrub", dd.sql_span_scrub("documents"))
+def pipeline_span_scrub(spark, sf_dir):
+    """The ExactSubstr CUT that dedup_span_exact only measures (Lee et
+    al., ACL 2022 §4.2): every duplicated span removed from every
+    document, verified by HASH of the reconstructed text — the
+    actionable operator a training-data pipeline actually runs, and
+    the strictest oracle form short of shipping the strings (the md5
+    pins token identity AND order cross-engine). Shares the
+    span_islands core with the report twin, so the two entries cannot
+    drift apart. Position explode is map-side; span membership is a
+    per-doc anti-join against DISJOINT intervals (<= 1 match per
+    token, no fan-out); the rebuild is one per-doc groupBy with an
+    order-pinned aggregation. See functions/dedup.py:span_scrub."""
+    return dd.span_scrub(load(spark, sf_dir, "documents"))
+
+
 @register("text_bpe_pair_stats", f"""
 WITH _bp_wf AS (
   SELECT w, CAST(count(*) AS BIGINT) AS f FROM (

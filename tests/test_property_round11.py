@@ -120,3 +120,33 @@ def test_span_dedup_matches_position_set_union(spark, token_lists):
            for r in span_dedup_report(df, k=3).collect()}
     want = dict(enumerate(_brute_spans(token_lists, k=3)))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(token_lists=st.lists(
+    st.lists(st.sampled_from("ab"), max_size=12),
+    min_size=1, max_size=5))
+def test_span_scrub_rebuilds_uncovered_text(spark, token_lists):
+    import hashlib
+
+    from collections import Counter
+
+    from mktd6_flink_spark.functions.dedup import span_scrub
+
+    k = 3
+    grams = Counter(tuple(toks[i:i + k])
+                    for toks in token_lists
+                    for i in range(len(toks) - k + 1))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["kept_tokens"], r["scrub_md5"])
+           for r in span_scrub(df, k=k).collect()}
+    for i, toks in enumerate(token_lists):
+        covered = {p for j in range(len(toks) - k + 1)
+                   if grams[tuple(toks[j:j + k])] >= 2
+                   for p in range(j, j + k)}
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[i] == (len(kept), md5), (i, toks)
