@@ -6273,6 +6273,106 @@ def events_retention_cohorts(spark, sf_dir):
     )
 
 
+_RFM_SQL = f"""
+WITH {EV_SQL},
+mx AS (SELECT max(epoch_us(ts)) AS m_us FROM ev),
+u AS (
+  SELECT user_id,
+         CAST(((SELECT m_us FROM mx) - max(epoch_us(ts)))
+              // 86400000000 AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS f_n,
+         CAST(coalesce(sum(CASE WHEN value IS NOT NULL THEN
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0)
+              AS BIGINT) AS m_cents
+  FROM ev GROUP BY user_id),
+q AS (
+  SELECT
+    CAST(floor(4.0 * quantile_cont(r_days, 0.25) + 0.5) AS BIGINT) AS r1,
+    CAST(floor(4.0 * quantile_cont(r_days, 0.50) + 0.5) AS BIGINT) AS r2,
+    CAST(floor(4.0 * quantile_cont(r_days, 0.75) + 0.5) AS BIGINT) AS r3,
+    CAST(floor(4.0 * quantile_cont(f_n, 0.25) + 0.5) AS BIGINT) AS f1,
+    CAST(floor(4.0 * quantile_cont(f_n, 0.50) + 0.5) AS BIGINT) AS f2,
+    CAST(floor(4.0 * quantile_cont(f_n, 0.75) + 0.5) AS BIGINT) AS f3,
+    CAST(floor(4.0 * quantile_cont(m_cents, 0.25) + 0.5) AS BIGINT) AS m1,
+    CAST(floor(4.0 * quantile_cont(m_cents, 0.50) + 0.5) AS BIGINT) AS m2,
+    CAST(floor(4.0 * quantile_cont(m_cents, 0.75) + 0.5) AS BIGINT) AS m3
+  FROM u),
+b AS (
+  SELECT CAST(1 + CAST(4 * r_days > q.r1 AS INTEGER)
+                + CAST(4 * r_days > q.r2 AS INTEGER)
+                + CAST(4 * r_days > q.r3 AS INTEGER) AS INTEGER)
+           AS r_bucket,
+         CAST(1 + CAST(4 * f_n > q.f1 AS INTEGER)
+                + CAST(4 * f_n > q.f2 AS INTEGER)
+                + CAST(4 * f_n > q.f3 AS INTEGER) AS INTEGER)
+           AS f_bucket,
+         CAST(1 + CAST(4 * m_cents > q.m1 AS INTEGER)
+                + CAST(4 * m_cents > q.m2 AS INTEGER)
+                + CAST(4 * m_cents > q.m3 AS INTEGER) AS INTEGER)
+           AS m_bucket
+  FROM u, q)
+SELECT r_bucket, f_bucket, m_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM b GROUP BY 1, 2, 3
+"""
+
+
+@register("events_rfm_segments", _RFM_SQL)
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartile
+    buckets), the classic customer-value grid: per user, days since
+    last activity, event count, and exact-cents spend; each metric cut
+    at its quartiles into buckets 1-4 (ascending — r_bucket 1 = most
+    recent, m_bucket 4 = biggest spenders); output is the occupied
+    cells of the 4x4x4 grid with user counts.
+
+    Cross-engine exactness uses the MAD-entry parity trick one step
+    further: quartile interpolation lands on quarter fractions, so
+    4*quantile of an integer metric is ALWAYS an exact integer
+    (Spark percentile == DuckDB quantile_cont), and every bucket
+    verdict compares 4*x against that integer — no float boundary can
+    flip a user between engines. Recency divides non-negative micros
+    (global max >= user max) so `div` == floor. 100 TB shape: one
+    map-side-combined shuffle to the per-user grain, one 9-number
+    threshold row broadcast back, one bounded (<=64-row) group-by;
+    the fact table is scanned once."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(us).alias("_last_us"),
+              F.count(F.lit(1)).cast("long").alias("f_n"),
+              F.coalesce(F.sum(F.when(F.col("value").isNotNull(),
+                                      _cents(F.col("value")))),
+                         F.lit(0)).cast("long").alias("m_cents")))
+    mx = ev.agg(F.max(us).alias("_m_us"))
+    u = (u.crossJoin(F.broadcast(mx))
+         .select("user_id",
+                 F.expr("(_m_us - _last_us) div 86400000000")
+                 .cast("long").alias("r_days"),
+                 "f_n", "m_cents"))
+
+    def q4(col, p, name):
+        return F.floor(F.lit(4.0) * F.percentile(col, F.lit(p))
+                       + F.lit(0.5)).cast("long").alias(name)
+
+    q = u.agg(*[q4(F.col(c), p, f"{c[0]}{i}")
+                for c in ("r_days", "f_n", "m_cents")
+                for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))])
+
+    def bucket(col, pre):
+        gt = lambda th: F.when(  # noqa: E731
+            F.lit(4) * F.col(col) > F.col(th), 1).otherwise(0)
+        return (F.lit(1) + gt(f"{pre}1") + gt(f"{pre}2")
+                + gt(f"{pre}3")).cast("int")
+
+    b = (u.crossJoin(F.broadcast(q))
+         .select(bucket("r_days", "r").alias("r_bucket"),
+                 bucket("f_n", "f").alias("f_bucket"),
+                 bucket("m_cents", "m").alias("m_bucket")))
+    return (b.groupBy("r_bucket", "f_bucket", "m_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
 @register("sim_label_centroids", f"""
 SELECT label, CAST(g.i AS INTEGER) AS dim,
        CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0
