@@ -135,6 +135,17 @@ HEADLINE = [
     "events_sliding_hll_uniques",
     "basket_lift_pairs",
     "streaming_sketch_kmv",
+    # round-11 heads: the ExactSubstr pair (span-report shuffle-light
+    # gram semi-join + the scrub's position anti-join rebuild), the
+    # CEP automaton on both engines (batch applyInPandas fold vs the
+    # live stateful runtime, vs the floor), the two-retriever RRF
+    # fusion, and the common-neighbor self-join under the degree cap
+    "dedup_span_exact",
+    "pipeline_span_scrub",
+    "events_cep_pattern",
+    "streaming_cep_pattern",
+    "sim_hybrid_rrf",
+    "graph_adamic_adar",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -150,6 +161,7 @@ _R8_FULL_SET = HEADLINE[:43]   # the 43-head panel BENCH_r08 measured
 _R9_SET = HEADLINE[:45]        # the 45-head panel BENCH_r09 measured
 _R10_SET = HEADLINE[:47]       # the 47-head panel before the late-r10 adds
 _R10_LATE_SET = HEADLINE[:51]  # the full 51-head panel BENCH_r10 ran
+_R11_SET = HEADLINE[:57]       # + the six round-11 heads
 
 
 def streaming_floor(spark, sf_dir):
@@ -273,6 +285,8 @@ def main() -> int:
                 sum(timings[n] for n in _R10_SET), 3),
             "r10_comparable_51": round(
                 sum(timings[n] for n in _R10_LATE_SET), 3),
+            "r11_comparable_57": round(
+                sum(timings[n] for n in _R11_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -283,6 +297,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R10_SET), 3),
             "r10_comparable_51": round(
                 sum(tmin[n] for n in _R10_LATE_SET), 3),
+            "r11_comparable_57": round(
+                sum(tmin[n] for n in _R11_SET), 3),
         },
         "queries_min": tmin,
     }

@@ -6285,32 +6285,47 @@ u AS (
                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) END), 0)
               AS BIGINT) AS m_cents
   FROM ev GROUP BY user_id),
-q AS (
-  SELECT
-    CAST(floor(4.0 * quantile_cont(r_days, 0.25) + 0.5) AS BIGINT) AS r1,
-    CAST(floor(4.0 * quantile_cont(r_days, 0.50) + 0.5) AS BIGINT) AS r2,
-    CAST(floor(4.0 * quantile_cont(r_days, 0.75) + 0.5) AS BIGINT) AS r3,
-    CAST(floor(4.0 * quantile_cont(f_n, 0.25) + 0.5) AS BIGINT) AS f1,
-    CAST(floor(4.0 * quantile_cont(f_n, 0.50) + 0.5) AS BIGINT) AS f2,
-    CAST(floor(4.0 * quantile_cont(f_n, 0.75) + 0.5) AS BIGINT) AS f3,
-    CAST(floor(4.0 * quantile_cont(m_cents, 0.25) + 0.5) AS BIGINT) AS m1,
-    CAST(floor(4.0 * quantile_cont(m_cents, 0.50) + 0.5) AS BIGINT) AS m2,
-    CAST(floor(4.0 * quantile_cont(m_cents, 0.75) + 0.5) AS BIGINT) AS m3
-  FROM u),
+nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+mlong AS (
+  SELECT 'r' AS metric, r_days AS v FROM u
+  UNION ALL SELECT 'f', f_n FROM u
+  UNION ALL SELECT 'm', m_cents FROM u),
+cv AS (SELECT metric, v, CAST(count(*) AS BIGINT) AS c
+       FROM mlong GROUP BY 1, 2),
+cum AS (SELECT metric, v,
+               sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum
+        FROM cv),
+thr AS (
+  SELECT metric,
+         min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t1,
+         min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS t2,
+         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t3
+  FROM cum, nrow GROUP BY metric),
+tw AS (
+  SELECT max(CASE WHEN metric = 'r' THEN t1 END) AS r1,
+         max(CASE WHEN metric = 'r' THEN t2 END) AS r2,
+         max(CASE WHEN metric = 'r' THEN t3 END) AS r3,
+         max(CASE WHEN metric = 'f' THEN t1 END) AS f1,
+         max(CASE WHEN metric = 'f' THEN t2 END) AS f2,
+         max(CASE WHEN metric = 'f' THEN t3 END) AS f3,
+         max(CASE WHEN metric = 'm' THEN t1 END) AS m1,
+         max(CASE WHEN metric = 'm' THEN t2 END) AS m2,
+         max(CASE WHEN metric = 'm' THEN t3 END) AS m3
+  FROM thr),
 b AS (
-  SELECT CAST(1 + CAST(4 * r_days > q.r1 AS INTEGER)
-                + CAST(4 * r_days > q.r2 AS INTEGER)
-                + CAST(4 * r_days > q.r3 AS INTEGER) AS INTEGER)
+  SELECT CAST(1 + CAST(r_days > tw.r1 AS INTEGER)
+                + CAST(r_days > tw.r2 AS INTEGER)
+                + CAST(r_days > tw.r3 AS INTEGER) AS INTEGER)
            AS r_bucket,
-         CAST(1 + CAST(4 * f_n > q.f1 AS INTEGER)
-                + CAST(4 * f_n > q.f2 AS INTEGER)
-                + CAST(4 * f_n > q.f3 AS INTEGER) AS INTEGER)
+         CAST(1 + CAST(f_n > tw.f1 AS INTEGER)
+                + CAST(f_n > tw.f2 AS INTEGER)
+                + CAST(f_n > tw.f3 AS INTEGER) AS INTEGER)
            AS f_bucket,
-         CAST(1 + CAST(4 * m_cents > q.m1 AS INTEGER)
-                + CAST(4 * m_cents > q.m2 AS INTEGER)
-                + CAST(4 * m_cents > q.m3 AS INTEGER) AS INTEGER)
+         CAST(1 + CAST(m_cents > tw.m1 AS INTEGER)
+                + CAST(m_cents > tw.m2 AS INTEGER)
+                + CAST(m_cents > tw.m3 AS INTEGER) AS INTEGER)
            AS m_bucket
-  FROM u, q)
+  FROM u, tw)
 SELECT r_bucket, f_bucket, m_bucket,
        CAST(count(*) AS BIGINT) AS n_users
 FROM b GROUP BY 1, 2, 3
@@ -6326,16 +6341,28 @@ def events_rfm_segments(spark, sf_dir):
     recent, m_bucket 4 = biggest spenders); output is the occupied
     cells of the 4x4x4 grid with user counts.
 
-    Cross-engine exactness uses the MAD-entry parity trick one step
-    further: quartile interpolation lands on quarter fractions, so
-    4*quantile of an integer metric is ALWAYS an exact integer
-    (Spark percentile == DuckDB quantile_cont), and every bucket
-    verdict compares 4*x against that integer — no float boundary can
-    flip a user between engines. Recency divides non-negative micros
-    (global max >= user max) so `div` == floor. 100 TB shape: one
-    map-side-combined shuffle to the per-user grain, one 9-number
-    threshold row broadcast back, one bounded (<=64-row) group-by;
-    the fact table is scanned once."""
+    Quartiles are TYPE-1 DISCRETE (smallest value whose cumulative
+    user count reaches ceil(p*n)) so every threshold is an actual
+    corpus value and every bucket verdict an integer compare — no
+    interpolation, no float boundary, bit-equal cross-engine. And
+    they're computed WITHOUT a global quantile aggregate: a global
+    percentile() buffers one row per user through one task — the
+    100 TB funnel — while count-by-value + the two-phase prefix sum
+    (running_sum_scalable, the Gini rank pattern) shuffles only
+    DISTINCT metric values and keeps the sequential step at
+    #partitions rows. Recency divides non-negative micros (global
+    max >= user max) so `div` == floor. One fact scan, one shuffle to
+    the user grain, a 9-number threshold row broadcast back, a
+    bounded (<=64-row) group-by.
+
+    Audit note: the single-part flags are the two scalar aggregates
+    (global max ts, user count) and the 3-row->1-row threshold pivot —
+    all partial-aggregated map-side, so each moves O(partitions) rows;
+    the const-key flag is the 3-literal-metric threshold group-by,
+    same bound. The per-USER funnel a naive percentile() would have is
+    exactly what the count-by-value + two-phase design removes."""
+    from ..operators import cache
+
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     u = (ev.groupBy("user_id")
@@ -6350,22 +6377,39 @@ def events_rfm_segments(spark, sf_dir):
                  F.expr("(_m_us - _last_us) div 86400000000")
                  .cast("long").alias("r_days"),
                  "f_n", "m_cents"))
-
-    def q4(col, p, name):
-        return F.floor(F.lit(4.0) * F.percentile(col, F.lit(p))
-                       + F.lit(0.5)).cast("long").alias(name)
-
-    q = u.agg(*[q4(F.col(c), p, f"{c[0]}{i}")
-                for c in ("r_days", "f_n", "m_cents")
-                for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))])
+    # consumed by the metric unpivot (3x), the user count, and the
+    # final bucket pass — size-gated persist so the fact shuffle to
+    # the user grain isn't re-paid five times at corpus scale
+    u = cache.maybe_persist(u)
+    mlong = None
+    for name, col in (("r", "r_days"), ("f", "f_n"), ("m", "m_cents")):
+        part = u.select(F.lit(name).alias("metric"),
+                        F.col(col).alias("v"))
+        mlong = part if mlong is None else mlong.unionByName(part)
+    cv = mlong.groupBy("metric", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = windows.running_sum_scalable(cv, ["metric"], ["v"], "c",
+                                       out="cum")
+    nrow = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    thr = (cum.crossJoin(F.broadcast(nrow))
+           .groupBy("metric")
+           .agg(F.min(F.when(F.col("cum") >= F.expr("(n + 3) div 4"),
+                             F.col("v"))).alias("t1"),
+                F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"),
+                             F.col("v"))).alias("t2"),
+                F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"),
+                             F.col("v"))).alias("t3")))
+    tw = thr.agg(*[
+        F.max(F.when(F.col("metric") == m, F.col(t)))
+        .alias(f"{m}{t[1]}")
+        for m in ("r", "f", "m") for t in ("t1", "t2", "t3")])
 
     def bucket(col, pre):
         gt = lambda th: F.when(  # noqa: E731
-            F.lit(4) * F.col(col) > F.col(th), 1).otherwise(0)
+            F.col(col) > F.col(th), 1).otherwise(0)
         return (F.lit(1) + gt(f"{pre}1") + gt(f"{pre}2")
                 + gt(f"{pre}3")).cast("int")
 
-    b = (u.crossJoin(F.broadcast(q))
+    b = (u.crossJoin(F.broadcast(tw))
          .select(bucket("r_days", "r").alias("r_bucket"),
                  bucket("f_n", "f").alias("f_bucket"),
                  bucket("m_cents", "m").alias("m_bucket")))
@@ -10922,14 +10966,16 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # green in CORRECTNESS_r09.json.
 
 # r11 gate window = `gate_window.py --window --since dbdef8c` verbatim:
-# the 10 never-driver-graded entries front it (5 registered after the
-# r10 window froze + this round's dedup_span_exact, graph_adamic_adar,
-# events_cep_pattern, streaming_cep_pattern, sim_hybrid_rrf), then the
-# 4 fingerprint-changed-since-grading entries (the round-10 ADVICE
-# fixes: autocorr NULL contract, seasonality floor day_idx, the MMR
-# NaN guard shared by both MMR entries; mad_anomaly/tv_drift also
-# changed but are in the never-graded front), then stalest-green
-# (r6-graded) fills to 50. Rehearsed with check_correctness --gate.
+# the 12 never-driver-graded entries front it (5 registered after the
+# r10 window froze + this round's 7: dedup_span_exact,
+# pipeline_span_scrub, events_cep_pattern, streaming_cep_pattern,
+# sim_hybrid_rrf, graph_adamic_adar, events_rfm_segments), then the 4
+# fingerprint-changed-since-grading entries (the round-10 ADVICE fixes:
+# autocorr NULL contract, seasonality floor day_idx, the MMR NaN guard
+# shared by both MMR entries; mad_anomaly/tv_drift also changed but sit
+# in the never-graded front), then stalest-green (r6-graded) fills to
+# 50. Rehearsed with check_correctness --gate; every entry is also
+# sf0.1-oracle-green this round (233/233 sweep + rfm checked solo).
 _GATE_PRIORITY = [
     "dedup_span_exact",
     "graph_adamic_adar",
@@ -10941,6 +10987,8 @@ _GATE_PRIORITY = [
     "events_tv_drift",
     "graph_khop_reach",
     "pipeline_incremental_dedup",
+    "pipeline_span_scrub",
+    "events_rfm_segments",
     "events_autocorr_daily",
     "events_seasonality_dow",
     "sim_mmr_rerank",
@@ -10979,8 +11027,6 @@ _GATE_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "sim_cosine_topk",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
