@@ -352,29 +352,81 @@ def _fold_pdf(pdf: "pd.DataFrame", step, state, key_dict: dict) -> tuple:
 def apply_per_event_batch(df: DataFrame, key_cols: list[str],
                           order_cols: list[str], step_factory: Callable,
                           out_schema: StructType | str) -> DataFrame:
-    """Batch twin: per-key history sort + per-event fold via
-    ``applyInPandas`` (one shuffle on the key; Arrow both ways)."""
+    """Batch twin: per-key history sort + per-event fold, as ONE
+    Python call per Arrow chunk rather than one per key.
 
-    def fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    The obvious spelling — ``groupBy(keys).applyInPandas`` — pays a
+    fixed ~2 ms of Arrow/schema/function overhead PER GROUP, which is
+    invisible on the trader-keyed folds (tens of keys) and dominated
+    everything on the user-keyed CEP entry (1 500 keys cost ~3 s of a
+    4 s run at sf0.1; at real user cardinality it is the whole job).
+    Instead: repartition on the key (same shuffle the groupBy did),
+    ``sortWithinPartitions(keys + order)`` so each key's history is
+    CONTIGUOUS AND ORDERED (the sort happens JVM-side, replacing the
+    per-group pandas mergesort), then ``mapInPandas`` folds straight
+    through each chunk, detecting key boundaries with a vectorized
+    neighbor-compare. Python overhead is per CHUNK (~10k rows), so
+    throughput is independent of key cardinality — the property that
+    matters at 100 TB.
+
+    A key that spans a chunk boundary carries (step, state) into the
+    next chunk — legal because the partition-wide sort already
+    guarantees cross-chunk order (the same drain-then-fold contract
+    apply_per_event_stream enforces by concatenating). Vectorized
+    steps already take (chunk, state) and return carried state — the
+    streaming contract — so they run per contiguous key-slice
+    unchanged. Key columns are NOT NULL by every caller's contract
+    (trader/user ids); order_cols must be tie-broken, as before."""
+    fields = (out_schema.fieldNames() if isinstance(out_schema, StructType)
+              else StructType.fromDDL(out_schema).fieldNames())
+    rep = (df.repartition(*key_cols)
+           .sortWithinPartitions(*key_cols, *order_cols))
+
+    def fn(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        key_dict = dict(zip(key_cols, key))
-        step = step_factory()
-        vec = getattr(step, "vectorized", None)
-        if vec is not None:
-            out_cols, _ = vec(pdf, None)
-            out = pd.DataFrame(out_cols)
-            for kc, kv in key_dict.items():
-                out[kc] = kv
-            return out
-        rows, _ = _fold_pdf(pdf, step, None, key_dict)
-        cols = (out_schema.fieldNames()
-                if isinstance(out_schema, StructType) else None)
-        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
-            columns=cols or [])
+        cur_key = None
+        step = None
+        state = None
+        for pdf in pdfs:
+            n = len(pdf)
+            if not n:
+                continue
+            keys = [pdf[c].to_numpy() for c in key_cols]
+            starts = np.zeros(n, dtype=bool)
+            starts[0] = True
+            for a in keys:
+                starts[1:] |= a[1:] != a[:-1]
+            bounds = np.flatnonzero(starts).tolist() + [n]
+            rows: list[dict] = []
+            vec_out: dict[str, list] = {}
+            for i, j in zip(bounds, bounds[1:]):
+                key = tuple(a[i] for a in keys)
+                if key != cur_key:
+                    cur_key = key
+                    step = step_factory()
+                    state = None
+                sl = pdf.iloc[i:j]
+                key_dict = dict(zip(key_cols, key))
+                vec = getattr(step, "vectorized", None)
+                if vec is not None:
+                    out_cols, state = vec(sl, state)
+                    m = len(next(iter(out_cols.values()))) if out_cols else 0
+                    if m:
+                        for c, vals in out_cols.items():
+                            vec_out.setdefault(c, []).extend(vals)
+                        for kc, kv in key_dict.items():
+                            vec_out.setdefault(kc, []).extend([kv] * m)
+                else:
+                    out_rows, state = _fold_pdf(sl, step, state, key_dict)
+                    rows.extend(out_rows)
+            if vec_out:
+                yield pd.DataFrame(vec_out, columns=fields)
+            if rows:
+                yield pd.DataFrame(rows, columns=fields)
 
-    return df.groupBy(*key_cols).applyInPandas(fn, out_schema)
+    return rep.mapInPandas(fn, out_schema)
 
 
 def apply_per_event_stream(df: DataFrame, key_cols: list[str],

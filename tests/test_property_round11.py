@@ -150,3 +150,57 @@ def test_span_scrub_rebuilds_uncovered_text(spark, token_lists):
         kept = [t for p, t in enumerate(toks) if p not in covered]
         md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert got[i] == (len(kept), md5), (i, toks)
+
+
+def test_batch_engine_folds_across_arrow_chunks(spark):
+    """apply_per_event_batch rides mapInPandas over partition-sorted
+    chunks (round 11); a key spanning SEVERAL Arrow chunks must carry
+    (step, state) across the boundary — the exact bug class the
+    streaming engine hit at round 8 (per-chunk folds silently broke
+    order-sensitive state). Force tiny chunks and check both the
+    scalar fold and the vectorized path against a sequential
+    reference, interleaving two keys so boundaries land mid-key."""
+    from mktd6_flink_spark.streaming.stateful import (
+        apply_per_event_batch, running_cents_step)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        rows = [(f"k{i % 2}", i, i, (i * 7) % 50 - 10)
+                for i in range(1000)]
+        df = spark.createDataFrame(
+            rows, "key string, ts long, event_id long, _c long"
+        ).coalesce(1)
+        out = apply_per_event_batch(
+            df, ["key"], ["ts", "event_id"], running_cents_step,
+            "key string, event_id long, running_sum double")
+        got = {(r["key"], r["event_id"]): r["running_sum"]
+               for r in out.collect()}
+        acc = {}
+        want = {}
+        for key, ts, eid, c in rows:  # already in (ts, event_id) order
+            acc[key] = acc.get(key, 0) + c
+            want[(key, eid)] = acc[key] / 100.0
+        assert got == want
+        # scalar-fold path: the CEP automaton's state (not vectorized)
+        # must survive the same mid-key chunk boundaries
+        ty_rows = [(f"k{i % 2}", i * 3, i, 1 + (i // 2) % 3)
+                   for i in range(600)]
+        tdf = spark.createDataFrame(
+            ty_rows, "key string, t_us long, event_id long, ty int")
+        out2 = apply_per_event_batch(
+            tdf, ["key"], ["t_us", "event_id"],
+            lambda: cep_step(10 ** 9),
+            "key string, match_n int, start_us long, end_us long")
+        got2 = sorted((r["key"], r["match_n"], r["start_us"], r["end_us"])
+                      for r in out2.collect())
+        want2 = []
+        for key in ("k0", "k1"):
+            seq = sorted((t, ty) for k2, t, _, ty in ty_rows
+                         if k2 == key)
+            for n, (s, e) in enumerate(_fold_cep(seq, 10 ** 9), 1):
+                want2.append((key, n, s, e))
+        assert got2 == sorted(want2)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)
