@@ -777,20 +777,23 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
             ).alias("_b")
         ).select("subspace", F.col("_b.code").alias("code"),
                  F.col("_b._v").alias("_sv"))
-        means = (
-            best.select("subspace", "code",
-                        F.posexplode("_sv").alias("_d0", "_v"))
-            .groupBy("subspace", "code",
-                     (F.col("_d0") + 1).cast("int").alias("dim"))
-            .agg((F.sum(F.floor(F.col("_v").cast("double") * 1000000.0
-                                + 0.5).cast("long")).cast("double")
-                  / 1000000.0 / F.count(F.lit(1))).alias("val"))
-        )
-        cents = means.groupBy("subspace", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "val"))),
-                lambda s: s["val"],
-            ).alias("_cv"))
+        # per-dim means in ONE shuffle: sub per-dim sum aggregates +
+        # an array() rebuild, instead of posexplode -> per-(code,dim)
+        # groupBy -> collect_list -> sort (two shuffles per iteration).
+        # Arithmetic is IDENTICAL (sum of per-dim floored micros /1e6
+        # /count), so the trained codebook — and every oracle hash
+        # downstream — is bit-unchanged; only the plan shrinks.
+        sub_d = dim // m
+        means_exprs = [
+            (F.sum(F.floor(F.element_at(F.col("_sv"), d + 1)
+                           .cast("double") * 1000000.0 + 0.5)
+                   .cast("long")).cast("double")
+             / 1000000.0 / F.count(F.lit(1))).alias(f"_m{d}")
+            for d in range(sub_d)]
+        cents = (best.groupBy("subspace", "code").agg(*means_exprs)
+                 .select("subspace", "code",
+                         F.array(*[F.col(f"_m{d}")
+                                   for d in range(sub_d)]).alias("_cv")))
     return (cents.crossJoin(F.broadcast(ncent)).select(
         "subspace",
         (F.col("code") + cguard).cast("int").alias("code"),
