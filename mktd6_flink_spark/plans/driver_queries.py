@@ -10965,17 +10965,15 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # d138f96; all 50 slots to the never-graded round-8 additions — 50/50
 # green in CORRECTNESS_r09.json.
 
-# r11 gate window = `gate_window.py --window --since dbdef8c` verbatim:
-# the 12 never-driver-graded entries front it (5 registered after the
-# r10 window froze + this round's 7: dedup_span_exact,
-# pipeline_span_scrub, events_cep_pattern, streaming_cep_pattern,
-# sim_hybrid_rrf, graph_adamic_adar, events_rfm_segments), then the 4
-# fingerprint-changed-since-grading entries (the round-10 ADVICE fixes:
-# autocorr NULL contract, seasonality floor day_idx, the MMR NaN guard
-# shared by both MMR entries; mad_anomaly/tv_drift also changed but sit
-# in the never-graded front), then stalest-green (r6-graded) fills to
-# 50. Rehearsed with check_correctness --gate; every entry is also
-# sf0.1-oracle-green this round (233/233 sweep + rfm checked solo).
+# r11 gate window (final) = `gate_window.py --window --since dbdef8c`
+# + TWO manual adds the fingerprint cannot see (st1_ema_per_event,
+# st6_per_event_ledger import streaming.stateful INSIDE the function
+# body, so the round-11 apply_per_event_batch engine rewrite did not
+# change their transitive fingerprint — the known manual-add drift
+# class). Front: 12 never-graded (5 deferred from late r10 + 7 new
+# this round), then the changed-since-grading set (ADVICE fixes, the
+# PQ means fusion, the engine rewrite consumers), then stalest-green
+# fills. Rehearsed 50/50; every entry also sf0.1-oracle-green.
 _GATE_PRIORITY = [
     "dedup_span_exact",
     "graph_adamic_adar",
@@ -10993,6 +10991,14 @@ _GATE_PRIORITY = [
     "events_seasonality_dow",
     "sim_mmr_rerank",
     "sim_mmr_diversity",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_pq_recall",
+    "sim_pq_trained_recall",
+    "sim_ivfpq_ann",
+    "sim_ivfpq_recall",
+    "st1_ema_per_event",
+    "st6_per_event_ledger",
     "p13_p15_projections",
     "p14_accepted",
     "p16_self_trades",
@@ -11016,17 +11022,9 @@ _GATE_PRIORITY = [
     "st3_bubble_burst",
     "w4_cogroup_latest",
     "w5_sum_team_trader",
-    "st6_per_event_ledger",
     "w5_distinct_users_per_team",
     "w6_session_window",
     "w7_sliding_window",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q5ish",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
