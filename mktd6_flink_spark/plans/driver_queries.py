@@ -3203,12 +3203,14 @@ def pipeline_zorder_layout(spark, sf_dir):
     the day anchor is the usual broadcast scalar; one map pass + one
     bounded groupBy(layout, bucket). Zero floats anywhere."""
     ev = load(spark, sf_dir, "events")
-    mn = ev.agg(F.min(F.expr("unix_micros(ts) div 86400000000"))
-                .alias("_mind"))
+    # floor spelling, not `div` — matches the oracle's // on pre-1970
+    # (negative-micros) timestamps; the d = day - min_day difference is
+    # then non-negative, so the downstream `div`s floor identically
+    day = F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("long")
+    mn = ev.agg(F.min(day).alias("_mind"))
     base = (ev.crossJoin(F.broadcast(mn))
             .select((F.col("user_id") % (1 << _Z_BITS)).alias("u"),
-                    (F.expr("unix_micros(ts) div 86400000000")
-                     - F.col("_mind")).alias("d")))
+                    (day - F.col("_mind")).alias("d")))
     k = base.select(
         "u", "d",
         F.expr(f"({_z_interleave('u', 'd', 'div')}) div 64")
@@ -5461,13 +5463,15 @@ def events_decayed_engagement(spark, sf_dir):
     Shape: one map-side term expression over the fact scan, one
     partial-aggregated groupBy(user), top-k over the user-grain
     table; the last-day scalar broadcasts."""
-    # day indexes via integer `div`, never `/`: Spark long / long is a
-    # DOUBLE division whose rounding can cross the integer boundary
-    # before the cast truncates (floor vs round-then-truncate)
+    # day index via the floor spelling (matches the oracle's // on
+    # pre-1970 negative micros, where `div` truncates toward zero);
+    # the (last_d - _d) difference is non-negative, so its `div 7`
+    # floors identically on both engines
     ev = (load(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
           .select("user_id", "value",
-                  F.expr("unix_micros(ts) div 86400000000").alias("_d")))
+                  F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                  .cast("long").alias("_d")))
     mx = ev.agg(F.max("_d").alias("_last_d"))
     # capped at 40 to mirror the oracle's shift-safety guard (terms are
     # 0 micros long before 2^-40, so the cap never changes a value)
@@ -5592,12 +5596,14 @@ def streaming_decayed_engagement(spark, sf_dir):
     week exponents, power-of-two decay, int64 term sums."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # floor spelling like the batch twin (pre-1970 `div` truncation)
     last_d = load(spark, sf_dir, "events").agg(
-        F.max(F.expr("unix_micros(ts) div 86400000000"))
+        F.max(F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+              .cast("long"))
         .alias("_ld")).collect()[0][0]
     raw = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
-    k = F.expr(f"CAST(least(({last_d} - unix_micros(ts) div "
-               "86400000000) div 7, 40) AS INT)")
+    k = F.expr(f"CAST(least(({last_d} - CAST(floor(unix_micros(ts)"
+               " / 86400000000.0) AS BIGINT)) div 7, 40) AS INT)")
     term = F.floor(
         _cents(F.col("value")).cast("double")
         / F.pow(F.lit(2.0), k.cast("double"))
@@ -5951,7 +5957,8 @@ def events_streaks(spark, sf_dir):
     unix_micros div, counts via int64)."""
     ev = load(spark, sf_dir, "events")
     du = (ev.select("user_id",
-                    F.expr("unix_micros(ts) div 86400000000").alias("d"))
+                    F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                    .cast("long").alias("d"))
           .distinct())
     isl = du.select(
         "user_id", "d",
