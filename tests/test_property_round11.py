@@ -204,3 +204,58 @@ def test_batch_engine_folds_across_arrow_chunks(spark):
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_parse_p5_is_a_real_netpbm_parser():
+    """_parse_p5 must parse a P5 file built BY HAND (not by our own
+    generator), and reject malformed payloads instead of fabricating
+    output."""
+    import numpy as np
+    import pytest
+
+    from mktd6_flink_spark.functions.multimodal import _parse_p5
+
+    raster = bytes(range(12))
+    w, h, arr = _parse_p5(b"P5\n4 3\n255\n" + raster)
+    assert (w, h) == (4, 3)
+    assert arr.tolist() == list(range(12))
+    # comments-free whitespace variants the spec allows
+    w, h, arr = _parse_p5(b"P5 4\n3 255\t" + raster)
+    assert (w, h, arr.sum()) == (4, 3, sum(range(12)))
+    with pytest.raises(ValueError):
+        _parse_p5(b"P6\n4 3\n255\n" + raster)          # wrong magic
+    with pytest.raises(ValueError):
+        _parse_p5(b"P5\n4 3\n255\n" + raster[:5])       # truncated
+    with pytest.raises(ValueError):
+        _parse_p5(b"P5\n4 3\n65535\n" + raster)         # wide maxval
+    del np
+
+
+def test_pgm_roundtrip_features_and_resize(spark):
+    """Generator -> REAL parse -> features/resize equals a direct
+    numpy reference computed from the cleaned text bytes."""
+    import numpy as np
+
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    texts = ["hello world 123", "", None, "Z!@#", "a" * 200]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    media = mm.pgm_media_from_documents(df)
+    dec = {r["media_id"]: r for r in mm.decode_pgm(media).collect()}
+    rez = {r["media_id"]: r for r in mm.resize_pgm(media).collect()}
+    for i, t in enumerate(texts):
+        clean = "".join(ch for ch in (t or "").lower()
+                        if ch.isascii() and (ch.isalnum() or ch == " "))
+        n = len(clean)
+        h = max(-(-n // 64), 1)
+        raster = np.zeros(64 * h, dtype=np.int64)
+        raster[:n] = [ord(c) for c in clean]
+        band = 64 * h // 8
+        feats = [int(raster[b * band:(b + 1) * band].sum())
+                 * 1_000_000 // band for b in range(8)]
+        assert dec[i]["height"] == h and dec[i]["feat_micros"] == feats
+        img = raster.reshape(h, 64)
+        rows = (np.arange(16) * h) // 16
+        cols = (np.arange(16) * 64) // 16
+        assert rez[i]["checksum"] == int(img[np.ix_(rows, cols)].sum())
