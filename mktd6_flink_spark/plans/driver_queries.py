@@ -11011,10 +11011,11 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # st6_per_event_ledger import streaming.stateful INSIDE the function
 # body, so the round-11 apply_per_event_batch engine rewrite did not
 # change their transitive fingerprint — the known manual-add drift
-# class). Front: 12 never-graded (5 deferred from late r10 + 7 new
-# this round), then the changed-since-grading set (ADVICE fixes, the
-# PQ means fusion, the engine rewrite consumers), then stalest-green
-# fills. Rehearsed 50/50; every entry also sf0.1-oracle-green.
+# class). Front: 14 never-graded (5 deferred from late r10 + 9 new
+# this round incl. the real-PGM pair), then the changed-since-grading
+# set (ADVICE fixes, the PQ means fusion, the floor day-idx sweep,
+# engine consumers), then stalest-green fills. Rehearsed 50/50; every
+# pre-PGM entry also sf0.1-oracle-green this round.
 _GATE_PRIORITY = [
     "dedup_span_exact",
     "graph_adamic_adar",
@@ -11028,6 +11029,8 @@ _GATE_PRIORITY = [
     "pipeline_incremental_dedup",
     "pipeline_span_scrub",
     "events_rfm_segments",
+    "mm_decode_pgm",
+    "mm_resize_pgm",
     "events_autocorr_daily",
     "events_seasonality_dow",
     "sim_mmr_rerank",
@@ -11040,6 +11043,10 @@ _GATE_PRIORITY = [
     "sim_ivfpq_recall",
     "st1_ema_per_event",
     "st6_per_event_ledger",
+    "pipeline_zorder_layout",
+    "events_decayed_engagement",
+    "streaming_decayed_engagement",
+    "events_streaks",
     "p13_p15_projections",
     "p14_accepted",
     "p16_self_trades",
@@ -11060,12 +11067,6 @@ _GATE_PRIORITY = [
     "st10_price_delta",
     "st4_ema_combiner",
     "dataflow_hype_influence",
-    "st3_bubble_burst",
-    "w4_cogroup_latest",
-    "w5_sum_team_trader",
-    "w5_distinct_users_per_team",
-    "w6_session_window",
-    "w7_sliding_window",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
