@@ -6276,6 +6276,94 @@ def streaming_cep_pattern(spark, sf_dir):
                           "start_us", "end_us")
 
 
+# notFollowedBy fold state: [pend, s1,o1,r1, s2,o2,r2, ...] — pending
+# signup ts (-1 = none) then resolved (signup, outcome 1|2, resolve)
+# triples. The corpus-end sentinel (ty 0 at the global max ts, ordered
+# LAST among equal-ts events) deterministically churns trailing
+# pendings whose window has closed; still-open ones emit nothing.
+_CEP_ABS_EXP = f"(acc[1] >= 0 AND e[1] - acc[1] > {_CEP_W_US})"
+_CEP_ABS_P = f"(CASE WHEN {_CEP_ABS_EXP} THEN CAST(-1 AS BIGINT) " \
+             f"ELSE acc[1] END)"
+_CEP_ABS_TAIL = (f"(CASE WHEN {_CEP_ABS_EXP} THEN list_concat(acc[2:], "
+                 f"[acc[1], 2, acc[1] + {_CEP_W_US}]) ELSE acc[2:] END)")
+
+_CEP_ABS_SQL = f"""
+WITH {EV_SQL},
+f AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE event_type WHEN 'signup' THEN 1 ELSE 3 END AS ty
+  FROM ev WHERE event_type IN ('signup', 'purchase')
+  UNION ALL
+  SELECT user_id, (SELECT max(epoch_us(ts)) FROM ev) AS t,
+         4611686018427387904 AS event_id, 0 AS ty
+  FROM (SELECT DISTINCT user_id FROM ev)),
+folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend([CAST(-1 AS BIGINT)],
+                        list([t, CAST(ty AS BIGINT)]
+                             ORDER BY t, event_id)),
+           (acc, e) -> CASE
+             WHEN e[2] = 1 AND {_CEP_ABS_P} < 0
+               THEN list_concat([e[1]], {_CEP_ABS_TAIL})
+             WHEN e[2] = 3 AND {_CEP_ABS_P} >= 0
+               THEN list_concat([CAST(-1 AS BIGINT)],
+                                list_concat({_CEP_ABS_TAIL},
+                                            [{_CEP_ABS_P}, 1, e[1]]))
+             ELSE list_concat([{_CEP_ABS_P}], {_CEP_ABS_TAIL})
+           END) AS st
+  FROM f GROUP BY user_id),
+m AS (SELECT user_id, st[2:] AS tri FROM folded)
+SELECT user_id,
+       unnest(list_transform(generate_series(1, len(tri) // 3),
+                             i -> tri[CAST(3 * i - 2 AS INTEGER)]))
+         AS signup_us,
+       unnest(list_transform(generate_series(1, len(tri) // 3),
+         i -> CASE tri[CAST(3 * i - 1 AS INTEGER)]
+              WHEN 1 THEN 'converted' ELSE 'churned' END)) AS outcome,
+       unnest(list_transform(generate_series(1, len(tri) // 3),
+                             i -> tri[CAST(3 * i AS INTEGER)]))
+         AS resolve_us
+FROM m
+"""
+
+
+@register("events_cep_absence", _CEP_ABS_SQL)
+def events_cep_absence(spark, sf_dir):
+    """CEP ABSENCE pattern — Flink's Pattern.begin('signup')
+    .notFollowedBy('purchase').within(24h), the churn detector: one
+    row per tracked signup with outcome 'converted' (a purchase landed
+    inside the window, resolve_us = its ts) or 'churned' (the window
+    elapsed first, resolve_us = the deadline). Absence patterns are
+    the hard CEP case because the interesting outcome fires on the
+    passage of TIME, not an event; here expiry is checked on every
+    subsequent event plus one end-of-corpus sentinel per user (global
+    max ts, ordered last), so trailing signups resolve exactly when
+    their deadline precedes corpus end and stay silently OPEN
+    otherwise — deterministic on both engines by construction. One
+    pending anchor per user (one timestamp of state); same bounded
+    shape as events_cep_pattern. See stateful.cep_absence_step."""
+    from ..streaming import stateful
+
+    ev = load(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isin("signup", "purchase"))
+            .select("user_id", F.unix_micros("ts").alias("t_us"),
+                    "event_id",
+                    F.when(F.col("event_type") == "signup", 1)
+                    .otherwise(3).alias("ty")))
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("_m_us"))
+    sent = (ev.select("user_id").distinct()
+            .crossJoin(F.broadcast(mx))
+            .select("user_id", F.col("_m_us").alias("t_us"),
+                    F.lit(4611686018427387904).alias("event_id"),
+                    F.lit(0).alias("ty")))
+    d = base.unionByName(sent)
+    return stateful.apply_per_event_batch(
+        d, ["user_id"], ["t_us", "event_id"],
+        lambda: stateful.cep_absence_step(_CEP_W_US),
+        "user_id long, signup_us long, outcome string, resolve_us long")
+
+
 @register("events_retention_cohorts", f"""
 WITH {EV_SQL},
 w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM ev),

@@ -322,6 +322,44 @@ def cep_step(window_us: int, id_col: str = "user_id"):
     return step
 
 
+def cep_absence_step(window_us: int):
+    """CEP ABSENCE detection — Flink's ``Pattern.begin('signup')
+    .notFollowedBy('purchase').within(W)``: emit each tracked signup's
+    outcome, 'converted' if any purchase lands within the window,
+    'churned' when the window elapses without one. Timeout emission is
+    the notoriously hard part of absence patterns (nothing "arrives"
+    to trigger it); here the expiry check runs on every subsequent
+    event, and callers append ONE end-of-corpus sentinel row per key
+    (ty = 0 at the global max ts) so trailing pending signups resolve
+    deterministically — a signup still inside its window at corpus end
+    stays OPEN and emits nothing (both engines agree by construction).
+    One pending signup per key (a signup while one is pending is
+    ignored — skip-till-next on the anchor), so state is one
+    timestamp. Emits (signup_us, outcome, resolve_us) per resolved
+    anchor; resolve_us is the purchase ts or the churn deadline
+    t0 + W."""
+    def step(state, row):
+        pend, = (-1,) if state is None else state
+        t = int(row["t_us"])
+        ty = int(row["ty"])
+        out = None
+        if pend >= 0 and t - pend > window_us:
+            out = {"signup_us": pend, "outcome": "churned",
+                   "resolve_us": pend + window_us}
+            pend = -1
+        if ty == 1:
+            if pend < 0:
+                pend = t
+        elif ty == 3:
+            if pend >= 0:
+                # within the window: the expiry branch above ran first
+                out = {"signup_us": pend, "outcome": "converted",
+                       "resolve_us": t}
+                pend = -1
+        return (pend,), out
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Engines
 # ---------------------------------------------------------------------------

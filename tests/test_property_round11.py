@@ -259,3 +259,53 @@ def test_pgm_roundtrip_features_and_resize(spark):
         rows = (np.arange(16) * h) // 16
         cols = (np.arange(16) * 64) // 16
         assert rez[i]["checksum"] == int(img[np.ix_(rows, cols)].sum())
+
+
+def _fold_absence(seq, w=CEP_W):
+    from mktd6_flink_spark.streaming.stateful import cep_absence_step
+
+    step = cep_absence_step(w)
+    state, out = None, []
+    for t, ty in seq:
+        state, o = step(state, {"t_us": t, "ty": ty})
+        if o is not None:
+            out.append((o["signup_us"], o["outcome"], o["resolve_us"]))
+    return out
+
+
+def _brute_absence(seq, w=CEP_W):
+    """Independent reference: scan signups in order; a signup is
+    TRACKED iff no earlier tracked signup is still pending at its ts;
+    a tracked signup converts on the first purchase within (t0, t0+w]
+    ... i.e. strictly after it in sequence with t - t0 <= w, else
+    churns at t0 + w PROVIDED some later event (incl. the sentinel)
+    proves the deadline passed."""
+    out, pend = [], None
+    for idx, (t, ty) in enumerate(seq):
+        if pend is not None and t - pend > w:
+            out.append((pend, "churned", pend + w))
+            pend = None
+        if ty == 1 and pend is None:
+            pend = t
+        elif ty == 3 and pend is not None:
+            out.append((pend, "converted", t))
+            pend = None
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from([0, 1, 3]), st.integers(1, 6)),
+                max_size=40))
+def test_cep_absence_matches_reference(tys_gaps):
+    t, seq = 0, []
+    for ty, gap in tys_gaps:
+        t += gap
+        seq.append((t, ty))
+    seq.append((t + 1, 0))  # corpus-end sentinel, like the entry
+    got = _fold_absence(seq)
+    want = _brute_absence(seq)
+    assert got == want
+    # invariants: one outcome per tracked signup, churn deadline exact
+    for s, o, r in got:
+        assert (o == "churned" and r == s + CEP_W) or \
+               (o == "converted" and 0 < r - s <= CEP_W)
