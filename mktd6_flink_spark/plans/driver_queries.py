@@ -11098,12 +11098,13 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # + TWO manual adds the fingerprint cannot see (st1_ema_per_event,
 # st6_per_event_ledger import streaming.stateful INSIDE the function
 # body, so the round-11 apply_per_event_batch engine rewrite did not
-# change their transitive fingerprint — the known manual-add drift
-# class). Front: 14 never-graded (5 deferred from late r10 + 9 new
-# this round incl. the real-PGM pair), then the changed-since-grading
-# set (ADVICE fixes, the PQ means fusion, the floor day-idx sweep,
-# engine consumers), then stalest-green fills. Rehearsed 50/50; every
-# pre-PGM entry also sf0.1-oracle-green this round.
+# move their transitive fingerprint — the known manual-add drift
+# class). Front: 15 never-graded (5 deferred from late r10 + 10 new
+# this round: the ExactSubstr pair, the CEP trio incl. the absence
+# pattern, RRF, Adamic-Adar, RFM, the real-PGM pair), then the
+# changed-since-grading set (ADVICE fixes, PQ means fusion, floor
+# day-idx sweep), then stalest-green fills. Rehearsed 50/50; all
+# pre-absence entries also sf0.1-oracle-green this round.
 _GATE_PRIORITY = [
     "dedup_span_exact",
     "graph_adamic_adar",
@@ -11119,6 +11120,7 @@ _GATE_PRIORITY = [
     "events_rfm_segments",
     "mm_decode_pgm",
     "mm_resize_pgm",
+    "events_cep_absence",
     "events_autocorr_daily",
     "events_seasonality_dow",
     "sim_mmr_rerank",
@@ -11129,12 +11131,12 @@ _GATE_PRIORITY = [
     "sim_pq_trained_recall",
     "sim_ivfpq_ann",
     "sim_ivfpq_recall",
-    "st1_ema_per_event",
-    "st6_per_event_ledger",
     "pipeline_zorder_layout",
     "events_decayed_engagement",
     "streaming_decayed_engagement",
     "events_streaks",
+    "st1_ema_per_event",
+    "st6_per_event_ledger",
     "p13_p15_projections",
     "p14_accepted",
     "p16_self_trades",
@@ -11154,7 +11156,6 @@ _GATE_PRIORITY = [
     "st5_order_buffering",
     "st10_price_delta",
     "st4_ema_combiner",
-    "dataflow_hype_influence",
 ]
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
