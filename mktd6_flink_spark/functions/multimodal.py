@@ -265,11 +265,17 @@ def _parse_p5(payload: bytes):
 
 def decode_pgm(media: DataFrame) -> DataFrame:
     """REAL decode of P5 payloads via mapInPandas: parse the binary
-    header, reshape the raster, and emit exact integer features —
-    PGM_BANDS per-band micro-means ((band byte sum * 1e6) // band
-    length, pure int64) over the flat raster. Payloads never shuffle;
-    Arrow batches bound memory. Returns (media_id, width, height,
-    n_frames, feat_micros array<long>)."""
+    header, slice the raster into PGM_BANDS bands, and emit exact
+    integer features — one SCALAR row per band, feat_micro =
+    (band byte sum * 1e6) // band length, pure int64. Payloads never
+    shuffle; Arrow batches bound memory. Malformed payloads are data,
+    not crashes: a row whose parse raises ValueError is dropped (the
+    100 TB contract — one bad blob must not kill the job). Rasters
+    whose size is not a multiple of PGM_BANDS are banded over the
+    first band_len*PGM_BANDS bytes (band_len = wh // PGM_BANDS),
+    matching the oracle's per-band index arithmetic exactly. Returns
+    (media_id, width, height, n_frames, band, feat_micro) — scalar
+    columns only, so any canonicalizer can sort/hash the result."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -278,19 +284,24 @@ def decode_pgm(media: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"].to_list(),
                                     pdf["payload"].to_list()):
-                w, h, raster = _parse_p5(bytes(payload))
-                wh = w * h
-                band = wh // PGM_BANDS
-                sums = raster.reshape(PGM_BANDS, band).sum(
-                    axis=1, dtype="int64")
-                feats = [int(s) * 1_000_000 // band for s in sums]
-                out.append((mid, w, h, 1, feats))
+                try:
+                    w, h, raster = _parse_p5(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row, keep the job
+                band_len = (w * h) // PGM_BANDS
+                if band_len == 0:
+                    continue
+                sums = raster[:band_len * PGM_BANDS].reshape(
+                    PGM_BANDS, band_len).sum(axis=1, dtype="int64")
+                for b, s in enumerate(sums):
+                    out.append((mid, w, h, 1, b,
+                                int(s) * 1_000_000 // band_len))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "n_frames",
-                              "feat_micros"])
+                              "band", "feat_micro"])
 
     schema = ("media_id long, width int, height int, n_frames int, "
-              "feat_micros array<long>")
+              "band int, feat_micro long")
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=schema)
 
@@ -299,7 +310,8 @@ def sql_decode_pgm(table: str = "documents") -> str:
     """DuckDB twin of pgm_media_from_documents >> decode_pgm: rebuild
     the raster arithmetically from the cleaned ASCII text (byte ==
     codepoint; padding is 0) and compute the same integer band
-    micro-means."""
+    micro-means — one scalar row per (media_id, band), mirroring the
+    Spark side's exploded shape."""
     clean = ("regexp_replace(lower(coalesce(text, '')),"
              " '[^a-z0-9 ]+', '', 'g')")
     return f"""
@@ -310,25 +322,23 @@ def sql_decode_pgm(table: str = "documents") -> str:
                            AS INTEGER), 1) AS h
       FROM {table}
     ),
-    _pg_feat AS (
-      SELECT media_id, h, {PGM_WIDTH} * h AS wh,
-             ({PGM_WIDTH} * h) // {PGM_BANDS} AS band,
-             list_transform(generate_series(0, {PGM_BANDS - 1}), b ->
-               CAST(list_aggregate(list_transform(
-                 generate_series(1, ({PGM_WIDTH} * h) // {PGM_BANDS}),
-                 i -> CASE WHEN b * (({PGM_WIDTH} * h) // {PGM_BANDS})
-                                + i <= n
-                      THEN unicode(substr(c,
-                        CAST(b * (({PGM_WIDTH} * h) // {PGM_BANDS})
-                             + i AS INTEGER), 1))
-                      ELSE 0 END), 'sum') AS BIGINT)) AS band_sums
+    _pg_band AS (
+      SELECT media_id, h, c, n,
+             ({PGM_WIDTH} * h) // {PGM_BANDS} AS band_len,
+             unnest(generate_series(0, {PGM_BANDS - 1})) AS band
       FROM _pg_base
     )
     SELECT media_id, CAST({PGM_WIDTH} AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height, CAST(1 AS INTEGER) AS n_frames,
-           list_transform(band_sums, s -> s * 1000000 // band)
-             AS feat_micros
-    FROM _pg_feat
+           CAST(band AS INTEGER) AS band,
+           (CAST(list_aggregate(list_transform(
+              generate_series(1, band_len),
+              i -> CASE WHEN band * band_len + i <= n
+                   THEN unicode(substr(c,
+                     CAST(band * band_len + i AS INTEGER), 1))
+                   ELSE 0 END), 'sum') AS BIGINT)
+            * 1000000) // band_len AS feat_micro
+    FROM _pg_band
     """
 
 
@@ -348,7 +358,10 @@ def resize_pgm(media: DataFrame, side: int = PGM_RESIZE) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"].to_list(),
                                     pdf["payload"].to_list()):
-                w, h, raster = _parse_p5(bytes(payload))
+                try:
+                    w, h, raster = _parse_p5(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row, keep the job
                 img = raster.reshape(h, w)
                 rows = (np.arange(side) * h) // side
                 cols = (np.arange(side) * w) // side

@@ -1790,9 +1790,10 @@ def mm_decode_pgm(spark, sf_dir):
     zero-padded), and the decode step genuinely PARSES those bytes —
     magic, whitespace-separated dims, maxval, numpy raster — inside
     mapInPandas, then extracts exact integer features (8 per-band
-    micro-means over the flat raster). This retires the 'decode is a
-    stub' caveat for the uncompressed-raster case; compressed codecs
-    (JPEG/MP4) stay honestly stubbed in decode_media. The DuckDB twin
+    micro-means over the flat raster, exploded to one scalar row per
+    band so every output column is hashable). This retires the 'decode
+    is a stub' caveat for the uncompressed-raster case; compressed
+    codecs (JPEG/MP4) stay honestly stubbed in decode_media. The DuckDB twin
     never touches the binary: it rebuilds the raster arithmetically
     from the same cleaned text (ASCII ==> byte == codepoint, padding
     == 0), so a header-parse or reshape bug on the Spark side breaks
@@ -5888,11 +5889,11 @@ deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY z),
 wz AS (SELECT z, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5)
                       AS BIGINT) AS w
        FROM deg WHERE d >= 2 AND d <= {cap}),
+adjc AS (SELECT a.z, a.n, w.w FROM adj a JOIN wz w ON w.z = a.z),
 cand AS (
-  SELECT a.n AS pa, b.n AS pb, CAST(sum(w.w) AS BIGINT) AS score_micros,
+  SELECT a.n AS pa, b.n AS pb, CAST(sum(a.w) AS BIGINT) AS score_micros,
          CAST(count(*) AS BIGINT) AS n_common
-  FROM adj a JOIN adj b ON b.z = a.z AND a.n < b.n
-  JOIN wz w ON w.z = a.z
+  FROM adjc a JOIN adjc b ON b.z = a.z AND a.n < b.n
   GROUP BY 1, 2),
 nonedge AS (
   SELECT c.* FROM cand c
@@ -5921,19 +5922,26 @@ def graph_adamic_adar(spark, sf_dir):
     shape: candidate pairs enumerate per common neighbor via a
     self-equi-join on z — quadratic in z's degree, which is exactly
     why the ``_AA_MAX_DEG`` hot-node cap exists (see its comment; it
-    BINDS at the test SFs). The existing-edge anti-join and the final
-    top-20 ride the usual bounded finishers (left-anti equi-join,
-    TakeOrdered + constant-k rank)."""
+    BINDS at the test SFs). Crucially the cap joins in BEFORE the
+    quadratic self-join (adjc = adj ⋈ wz, then adjc ⋈ adjc): Catalyst
+    does not reorder a cap written after the fan-out, so the pre-join
+    spelling is what physically stops a mega-hub from materializing
+    d²/2 candidate rows. The edge set is persisted once (consumed by
+    both adjacency arms and the anti-join). The existing-edge
+    anti-join and the final top-20 ride the usual bounded finishers
+    (left-anti equi-join, TakeOrdered + constant-k rank)."""
+    from ..operators import cache
     pt = (load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
           .select(F.col("p_partkey").alias("pk")))
     li = (load(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pk"))
           .join(pt, "pk").select("ok", "pk").distinct())
-    e = (li.alias("a").join(li.alias("b"), "ok")
-         .filter(F.col("a.pk") < F.col("b.pk"))
-         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-         .distinct())
+    e = cache.maybe_persist(
+        li.alias("a").join(li.alias("b"), "ok")
+        .filter(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct())
     adj = (e.select(F.col("u").alias("z"), F.col("v").alias("n"))
            .unionByName(e.select(F.col("v").alias("z"),
                                  F.col("u").alias("n"))))
@@ -5942,10 +5950,10 @@ def graph_adamic_adar(spark, sf_dir):
           .select("z", F.floor(F.lit(1000000.0)
                                / F.log(F.col("d").cast("double"))
                                + F.lit(0.5)).cast("long").alias("w")))
-    cand = (adj.select(F.col("z"), F.col("n").alias("pa"))
-            .join(adj.select(F.col("z"), F.col("n").alias("pb")), "z")
+    adjc = adj.join(wz, "z")  # cap binds here, BEFORE the fan-out
+    cand = (adjc.select(F.col("z"), F.col("n").alias("pa"), F.col("w"))
+            .join(adjc.select(F.col("z"), F.col("n").alias("pb")), "z")
             .filter(F.col("pa") < F.col("pb"))
-            .join(wz, "z")
             .groupBy("pa", "pb")
             .agg(F.sum("w").cast("long").alias("score_micros"),
                  F.count(F.lit(1)).cast("long").alias("n_common")))

@@ -242,7 +242,9 @@ def test_pgm_roundtrip_features_and_resize(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     media = mm.pgm_media_from_documents(df)
-    dec = {r["media_id"]: r for r in mm.decode_pgm(media).collect()}
+    dec = {}
+    for r in mm.decode_pgm(media).collect():
+        dec.setdefault(r["media_id"], {})[r["band"]] = r
     rez = {r["media_id"]: r for r in mm.resize_pgm(media).collect()}
     for i, t in enumerate(texts):
         clean = "".join(ch for ch in (t or "").lower()
@@ -254,7 +256,9 @@ def test_pgm_roundtrip_features_and_resize(spark):
         band = 64 * h // 8
         feats = [int(raster[b * band:(b + 1) * band].sum())
                  * 1_000_000 // band for b in range(8)]
-        assert dec[i]["height"] == h and dec[i]["feat_micros"] == feats
+        assert sorted(dec[i]) == list(range(8))
+        assert [dec[i][b]["feat_micro"] for b in range(8)] == feats
+        assert all(dec[i][b]["height"] == h for b in range(8))
         img = raster.reshape(h, 64)
         rows = (np.arange(16) * h) // 16
         cols = (np.arange(16) * 64) // 16
