@@ -783,12 +783,21 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
         # Arithmetic is IDENTICAL (sum of per-dim floored micros /1e6
         # /count), so the trained codebook — and every oracle hash
         # downstream — is bit-unchanged; only the plan shrinks.
+        # try_element_at (not element_at): under Spark 4 ANSI mode an
+        # out-of-range index THROWS, so a ragged/short subvector would
+        # kill the job where the old posexplode spelling degraded
+        # gracefully. The per-dim denominator counts PRESENT elements
+        # (count of the try_element_at value), matching posexplode's
+        # per-(code,dim) row count; for the enforced fixed-dim corpus
+        # both spellings are bit-identical.
         sub_d = dim // m
         means_exprs = [
-            (F.sum(F.floor(F.element_at(F.col("_sv"), d + 1)
+            (F.sum(F.floor(F.try_element_at(F.col("_sv"), F.lit(d + 1))
                            .cast("double") * 1000000.0 + 0.5)
                    .cast("long")).cast("double")
-             / 1000000.0 / F.count(F.lit(1))).alias(f"_m{d}")
+             / 1000000.0
+             / F.count(F.try_element_at(F.col("_sv"), F.lit(d + 1))))
+            .alias(f"_m{d}")
             for d in range(sub_d)]
         cents = (best.groupBy("subspace", "code").agg(*means_exprs)
                  .select("subspace", "code",

@@ -6276,7 +6276,11 @@ def streaming_cep_pattern(spark, sf_dir):
         d, ["user_id"], ["t_us", "event_id"],
         lambda: stateful.cep_step(_CEP_W_US),
         "user_id long, match_n int, start_us long, end_us long",
-        "step int, t0 long, n long",
+        # state is (s_last, c_s, n): TWO unix-micros timestamps + a
+        # counter — all three declared long so a schema-enforcing
+        # state store (Scala interop / transformWithState) can never
+        # wrap the ~1.6e15 anchors into int32
+        "s_last long, c_s long, n long",
         lambda s: (int(s[0]), int(s[1]), int(s[2])),
         lambda r: (int(r[0]), int(r[1]), int(r[2])))
     emitted = _run_stream_to_table(spark, out, "cep_stream")
