@@ -313,3 +313,57 @@ def test_cep_absence_matches_reference(tys_gaps):
     for s, o, r in got:
         assert (o == "churned" and r == s + CEP_W) or \
                (o == "converted" and 0 < r - s <= CEP_W)
+
+
+def test_absence_fold_adversarial_chunk_boundaries(spark):
+    """The batch engine carries (step, state) across Arrow chunk
+    boundaries AND resets it at key boundaries — the adversarial
+    layout is a key whose rows END EXACTLY at a chunk boundary (so
+    the next chunk opens on a fresh key: stale state would leak a
+    pending signup into it) plus a hot key spanning >= 3 chunks, on
+    the ABSENCE automaton whose per-key END-OF-CORPUS sentinel row is
+    the very row sitting on the boundary. Verified against the
+    independent brute-force scan."""
+    from mktd6_flink_spark.streaming.stateful import (
+        apply_per_event_batch, cep_absence_step)
+
+    chunk = 37
+    seqs = {}
+
+    def mk(key, n_events):
+        # deterministic signup/purchase/noise mix with windows that
+        # straddle arbitrary boundaries; ends with the ty=0 sentinel
+        t, seq = 0, []
+        for i in range(n_events - 1):
+            t += 1 + (i * 13) % 7
+            seq.append((t, (1, 3, 2, 1, 3)[(i * 5 + len(key)) % 5]))
+        seq.append((t + 1, 0))
+        seqs[key] = seq
+
+    mk("a", 2 * chunk)       # ends EXACTLY at the 74-row boundary;
+                             # its sentinel is the boundary row
+    mk("b", 4 * chunk + 5)   # hot key spanning >= 4 chunks
+    mk("c", 11)              # trailing short key after the hot one
+    rows = [(k, t, i, ty) for k, seq in seqs.items()
+            for i, (t, ty) in enumerate(seq)]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(chunk))
+    try:
+        df = spark.createDataFrame(
+            rows, "key string, t_us long, event_id long, ty int"
+        ).coalesce(1)
+        out = apply_per_event_batch(
+            df, ["key"], ["t_us", "event_id"],
+            lambda: cep_absence_step(CEP_W),
+            "key string, signup_us long, outcome string, "
+            "resolve_us long")
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["key"], []).append(
+                (r["signup_us"], r["outcome"], r["resolve_us"]))
+        for key, seq in seqs.items():
+            assert got.get(key, []) == _brute_absence(seq), key
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)
