@@ -11117,25 +11117,18 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # changed-since-grading set (ADVICE fixes, PQ means fusion, floor
 # day-idx sweep), then stalest-green fills. Rehearsed 50/50; all
 # pre-absence entries also sf0.1-oracle-green this round.
+# r12 gate window = `gate_window.py --window --since 1242c3c`
+# verbatim: 0 never-graded; fronts the 11 changed-since-r11-grading
+# entries (the two round-12 fixes graph_adamic_adar / mm_decode_pgm,
+# the CEP state-schema + try_element_at advisory fixes and the PQ/MMR
+# family they touch, mm_resize_pgm's per-row guard), then
+# stalest-green fills. No manual adds needed: no stateful.py changes
+# this round, so the body-import drift class is empty.
 _GATE_PRIORITY = [
-    "dedup_span_exact",
     "graph_adamic_adar",
-    "events_cep_pattern",
     "streaming_cep_pattern",
-    "sim_hybrid_rrf",
-    "events_ab_test",
-    "events_mad_anomaly",
-    "events_tv_drift",
-    "graph_khop_reach",
-    "pipeline_incremental_dedup",
-    "pipeline_span_scrub",
-    "events_rfm_segments",
     "mm_decode_pgm",
     "mm_resize_pgm",
-    "events_cep_absence",
-    "events_autocorr_daily",
-    "events_seasonality_dow",
-    "sim_mmr_rerank",
     "sim_mmr_diversity",
     "sim_pq_codes",
     "sim_pq_adc_topk",
@@ -11143,32 +11136,47 @@ _GATE_PRIORITY = [
     "sim_pq_trained_recall",
     "sim_ivfpq_ann",
     "sim_ivfpq_recall",
-    "pipeline_zorder_layout",
-    "events_decayed_engagement",
-    "streaming_decayed_engagement",
-    "events_streaks",
-    "st1_ema_per_event",
-    "st6_per_event_ledger",
-    "p13_p15_projections",
-    "p14_accepted",
-    "p16_self_trades",
-    "p17_positive_balance",
-    "p19_tweet_extract",
-    "r1_r2_split_union",
-    "r3_tagged_union",
-    "w2_tumbling_sum",
-    "w3_running_sum",
-    "w5_avg_per_minute",
-    "w5_sum_per_team",
-    "w5_top5_traders",
-    "st1_ema",
-    "st2_product",
-    "st7_running_investment",
-    "st9_txn_sequence",
-    "st5_order_buffering",
-    "st10_price_delta",
-    "st4_ema_combiner",
+    "dataflow_hype_influence",
+    "st3_bubble_burst",
+    "w4_cogroup_latest",
+    "w5_sum_team_trader",
+    "w5_distinct_users_per_team",
+    "w6_session_window",
+    "w7_sliding_window",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5ish",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_media_meta",
+    "mm_resize_plan",
+    "mm_frame_plan",
+    "dedup_clusters",
+    "sim_ivf_ann",
+    "dedup_embedding_cosine",
+    "tpch_q4ish",
+    "tpch_q18ish",
+    "text_scrub",
+    "text_chunking",
+    "pipeline_train_val_split",
+    "text_repetition",
+    "sim_ivf_recall",
+    "pipeline_stratified_sample",
+    "text_vocab_top100",
+    "text_lang_confusion",
+    "sim_knn_label_accuracy",
+    "pipeline_source_report",
 ]
+
 
 _unknown = set(_GATE_PRIORITY) - set(QUERIES)
 if _unknown:
