@@ -342,6 +342,92 @@ def sql_decode_pgm(table: str = "documents") -> str:
     """
 
 
+PHASH_SIDE = 8         # aHash grid: 8x8 = 64-bit hash
+
+
+def phash_pgm(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of each P5 payload — the
+    classic image near-dup fingerprint: nearest-neighbor resample the
+    REAL parsed raster to 8x8 with the exact integer grid
+    src = (dst * size) // 8, then bit j (row-major) is set iff
+    64 * pixel_j > sum(all 64 pixels) — a strict integer comparison,
+    so the hash is exact on any engine (no float mean). Returns
+    (media_id, phash) with the 64 bits packed LSB-first into one
+    int64, two's-complement when bit 63 is set. Payloads never
+    shuffle; malformed payloads drop per row like decode_pgm."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        side = PHASH_SIDE
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, raster = _parse_p5(bytes(payload))
+                except ValueError:
+                    continue
+                img = raster.reshape(h, w)
+                rows = (np.arange(side) * h) // side
+                cols = (np.arange(side) * w) // side
+                px = img[np.ix_(rows, cols)].astype("int64").ravel()
+                total = int(px.sum())
+                bits = (px * 64) > total
+                ph = int.from_bytes(
+                    np.packbits(bits, bitorder="little").tobytes(),
+                    "little", signed=True)
+                out.append((mid, ph))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, phash long")
+
+
+def sql_phash_pgm(table_expr: str) -> str:
+    """DuckDB twin of pgm_media_from_documents >> phash_pgm over the
+    arithmetic raster: same integer sampling grid, same strict
+    64*p > total bit rule, same LSB-first packing (signed two's
+    complement for bit 63). ``table_expr`` must yield
+    (media_id, c, n) = id, cleaned text, its length."""
+    w, s = PGM_WIDTH, PHASH_SIDE
+    return f"""
+    _ph_base AS (
+      SELECT media_id, c, n,
+             greatest(CAST(ceil(n / {w}.0) AS INTEGER), 1) AS h
+      FROM ({table_expr})
+    ),
+    _ph_px AS (
+      SELECT media_id, j.j AS j,
+             CASE WHEN ((((j.j // {s}) * h) // {s}) * {w}
+                        + (((j.j % {s}) * {w}) // {s}) + 1) <= n
+                  THEN unicode(substr(c,
+                    CAST((((j.j // {s}) * h) // {s}) * {w}
+                         + (((j.j % {s}) * {w}) // {s}) + 1 AS INTEGER),
+                    1))
+                  ELSE 0 END AS p
+      FROM _ph_base,
+           (SELECT unnest(generate_series(0, {s * s - 1})) AS j) j
+    ),
+    _ph_tot AS (
+      SELECT media_id, j, p,
+             sum(p) OVER (PARTITION BY media_id) AS total
+      FROM _ph_px
+    ),
+    _ph AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN 64 * p > total
+                      THEN CASE WHEN j = 63
+                           THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                           END
+                      ELSE 0 END) AS BIGINT) AS phash
+      FROM _ph_tot GROUP BY media_id
+    )
+    """
+
+
 def resize_pgm(media: DataFrame, side: int = PGM_RESIZE) -> DataFrame:
     """REAL nearest-neighbor resize of the decoded raster to
     side x side (src index = (dst * src_size) // dst_size — pure

@@ -1782,6 +1782,109 @@ def mm_dedup_content_hash(spark, sf_dir):
             .filter(F.col("n_copies") > 1))
 
 
+# aHash near-dup blocking: 4 x 16-bit bands over the 64-bit hash.
+# A band match is the candidate trigger (same banded-equi-join shape
+# as MinHash LSH: recall = any of 4 bands identical, so hamming <= 3
+# is guaranteed-caught by pigeonhole, larger distances best-effort —
+# the documented LSH trade). Hot buckets (e.g. the all-dark band every
+# near-black image shares) are capped like dedup's max_df.
+_PHASH_HAM_T = 8
+_PHASH_MAX_BUCKET = 64
+
+_PHASH_SQL = f"""
+WITH _mp_docs AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(lower(coalesce(text, '')),
+                        '[^a-z0-9 ]+', '', 'g') AS c0
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 20000,
+         regexp_replace(lower(coalesce(text, '') || ' qq'),
+                        '[^a-z0-9 ]+', '', 'g')
+  FROM documents WHERE doc_id < 40
+),
+{mm.sql_phash_pgm("SELECT media_id, c0 AS c, length(c0) AS n"
+                  " FROM _mp_docs")},
+_mp_bands AS (
+  SELECT media_id, phash, k.k AS k,
+         (phash >> (16 * k.k)) & 65535 AS bv
+  FROM _ph, (SELECT unnest(generate_series(0, 3)) AS k) k
+),
+_mp_ok AS (
+  SELECT k, bv FROM _mp_bands GROUP BY k, bv
+  HAVING count(*) <= {_PHASH_MAX_BUCKET}
+),
+_mp_pairs AS (
+  SELECT DISTINCT a.media_id AS keep_id, a.phash AS pa,
+                  b.media_id AS dup_id, b.phash AS pb
+  FROM _mp_bands a
+  JOIN _mp_ok o ON o.k = a.k AND o.bv = a.bv
+  JOIN _mp_bands b ON b.k = a.k AND b.bv = a.bv
+   AND a.media_id < b.media_id
+)
+SELECT keep_id, dup_id,
+       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM _mp_pairs
+WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAM_T}
+"""
+
+
+@register("mm_phash_dedup", _PHASH_SQL)
+def mm_phash_dedup(spark, sf_dir):
+    """REAL perceptual-hash near-dup detection over decoded images —
+    the multimodal analog of MinHash-LSH text dedup: every P5 payload
+    is genuinely parsed and aHashed (8x8 integer resample, strict
+    64*p > total bit rule — functions/multimodal.py phash_pgm), and
+    near-dups are pairs within Hamming distance 8, found WITHOUT an
+    all-pairs scan via a 4x16-bit banded equi-join on the hash
+    (pigeonhole: any pair within distance 3 shares a band exactly;
+    beyond that, best-effort — the standard LSH recall trade, and the
+    oracle implements the identical blocking so parity is by
+    construction). 40 planted perturbed copies (' qq' appended)
+    exercise the near-but-not-equal path.
+
+    100 TB shape: the hash is computed map-side next to the payload
+    bytes (blobs never shuffle — only 8-byte hashes + band keys do);
+    candidates are O(band collisions) with hot buckets capped at
+    {_PHASH_MAX_BUCKET} (the max_df analog — an all-black-thumbnail
+    band bucket would otherwise go quadratic); the Hamming check is
+    one JVM-side xor+popcount per candidate."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" qq")).alias("text")))
+    ph = mm.phash_pgm(mm.pgm_media_from_documents(corpus))
+    bands = ph.select(
+        "media_id", "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                F.shiftright("phash", 16 * k)
+                .bitwiseAND(F.lit(65535)).alias("bv"))
+            for k in range(4)])).alias("_e")
+    ).select("media_id", "phash", F.col("_e.k").alias("k"),
+             F.col("_e.bv").alias("bv"))
+    ok = (bands.groupBy("k", "bv")
+          .agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= _PHASH_MAX_BUCKET)
+          .select("k", "bv"))
+    a = (bands.join(ok, ["k", "bv"])
+         .select("k", "bv", F.col("media_id").alias("keep_id"),
+                 F.col("phash").alias("pa")))
+    b = bands.select("k", "bv", F.col("media_id").alias("dup_id"),
+                     F.col("phash").alias("pb"))
+    return (a.join(b, ["k", "bv"])
+            .filter(F.col("keep_id") < F.col("dup_id"))
+            .select("keep_id", "dup_id", "pa", "pb").distinct()
+            .withColumn("hamming",
+                        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                        .cast("int"))
+            .filter(F.col("hamming") <= _PHASH_HAM_T)
+            .select("keep_id", "dup_id", "hamming"))
+
+
 @register("mm_decode_pgm", mm.sql_decode_pgm("documents"))
 def mm_decode_pgm(spark, sf_dir):
     """REAL multimodal decode — no codec library required: every
@@ -4711,6 +4814,57 @@ def w5_median_value_per_team(spark, sf_dir):
     )
 
 
+_WSAMP_K = 50
+_WSAMP_SALT = "wsamp1"
+
+_WSAMP_SQL = f"""
+WITH _ws AS (
+  SELECT doc_id,
+         greatest(n_chars, 1) AS weight,
+         CAST(('0x' || substr(md5('{_WSAMP_SALT}'
+                              || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) // greatest(n_chars, 1) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, priority,
+       CAST(row_number() OVER (ORDER BY priority, doc_id)
+            AS INTEGER) AS rank
+FROM _ws
+ORDER BY priority, doc_id LIMIT {_WSAMP_K}
+"""
+
+
+@register("pipeline_weighted_sample", _WSAMP_SQL)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007; the deterministic cousin of
+    Efraimidis-Spirakis): each doc gets priority = H/w where H is a
+    60-bit content-independent uniform hash of its id and w its
+    weight (chars here — any importance score slots in); the sample
+    is the k SMALLEST priorities, so heavier docs are
+    proportionally likelier to be drawn, the draw is reproducible
+    across runs/shards/engines (no RNG state), and adding data never
+    changes an already-drawn doc's priority — the property that makes
+    the sample INCREMENTALLY maintainable at 100 TB. All integer:
+    H // w stays exact in int64 on both engines (no float pow/log of
+    the classic u^(1/w) spelling, which could split engines in the
+    last ulp). The k-smallest finisher is the bounded
+    TakeOrdered + constant-k rank, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    scored = docs.select(
+        "doc_id", w.cast("long").alias("weight"),
+        F.expr(f"conv(substring(md5(concat('{_WSAMP_SALT}', "
+               f"cast(doc_id as string))), 1, 15), 16, 10)")
+        .cast("long").alias("_h"))
+    scored = scored.select(
+        "doc_id", "weight",
+        F.expr("_h div weight").alias("priority"))
+    return _topk_ranked(
+        scored, [F.col("priority").asc(), F.col("doc_id").asc()],
+        _WSAMP_K, "rank")
+
+
 _MIX_RATES = {"en": 0.8, "es": 0.5, "und": 0.1}
 
 
@@ -4923,6 +5077,83 @@ def pipeline_source_report(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# Benchmark decontamination gram width: the GPT-3 appendix-C /
+# Gopher-style "13-gram collision" scrub scaled to this corpus's short
+# synthetic docs (which rarely reach 13 tokens).
+_DECON_N = 8
+
+_DECON_SQL = f"""
+WITH _dc_ev AS (
+  SELECT doc_id, {dd.sql_shingles('text', _DECON_N)} AS gs
+  FROM documents WHERE doc_id % 50 = 7
+),
+_dc_eg AS (SELECT DISTINCT unnest(gs) AS shingle FROM _dc_ev),
+_dc_tr AS (
+  SELECT doc_id, {dd.sql_shingles('text', _DECON_N)} AS gs
+  FROM documents WHERE doc_id % 50 <> 7
+  UNION ALL
+  SELECT doc_id + 30000, {dd.sql_shingles('text', _DECON_N)}
+  FROM documents WHERE doc_id % 50 = 7 AND doc_id < 150
+),
+_dc_tg AS (SELECT doc_id, unnest(gs) AS shingle FROM _dc_tr),
+_dc_hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM _dc_tg t JOIN _dc_eg e ON e.shingle = t.shingle
+  GROUP BY t.doc_id
+)
+SELECT tr.doc_id, CAST(len(tr.gs) AS BIGINT) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit_grams,
+       CAST(CASE WHEN coalesce(h.n_hit, 0) = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM _dc_tr tr LEFT JOIN _dc_hits h ON h.doc_id = tr.doc_id
+"""
+
+
+@register("pipeline_benchmark_decontam", _DECON_SQL)
+def pipeline_benchmark_decontam(spark, sf_dir):
+    """Eval-benchmark n-gram decontamination (Brown et al., GPT-3
+    appendix C; Rae et al., Gopher): before training, scrub any
+    training document sharing an {_DECON_N}-gram with the held-out
+    benchmark. The eval set here is the deterministic doc_id%50==7
+    slice, and 3 leaked verbatim copies (+30000 ids) are planted so
+    the hit path is exercised, not decorative. Differs from
+    pipeline_contamination (MinHash similarity BETWEEN sources): this
+    is exact gram MEMBERSHIP against a fixed benchmark — the scrub
+    that catches a verbatim test question pasted inside an otherwise
+    novel document, which similarity thresholds miss. Output: one row
+    per training doc with its distinct-gram count, hit count, and the
+    keep verdict.
+
+    100 TB shape: the benchmark gram set is tiny and bounded (eval
+    suites are MBs) — it BROADCASTS, so the corpus-side gram stream
+    joins map-side with no shuffle of the corpus at all (at larger
+    benchmark sizes, the join_bloom_prefilter pattern slots in front
+    unchanged); training grams are generated map-side by the shared
+    posexplode+lead tokenizer and deduped per doc before the probe."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 7)
+    tr = (docs.filter(F.col("doc_id") % 50 != 7)
+          .select("doc_id", "text")
+          .unionByName(
+              ev.filter(F.col("doc_id") < 150).select(
+                  (F.col("doc_id") + 30000).alias("doc_id"), "text")))
+    eg = (dd.shingles_exploded(ev, n=_DECON_N, distinct=True)
+          .select("shingle").distinct())
+    tg = dd.shingles_exploded(tr, n=_DECON_N, distinct=True)
+    hits = (tg.join(F.broadcast(eg), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    base = tr.select(
+        "doc_id", F.size(dd.shingles(F.col("text"), _DECON_N))
+        .cast("long").alias("n_grams"))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                    .alias("n_hit_grams"),
+                    F.when(F.coalesce(F.col("n_hit"), F.lit(0)) == 0,
+                           1).otherwise(0).cast("int").alias("keep")))
 
 
 @register("pipeline_contamination", f"""
@@ -6357,6 +6588,19 @@ def events_cep_absence(spark, sf_dir):
     shape as events_cep_pattern. See stateful.cep_absence_step."""
     from ..streaming import stateful
 
+    d = _cep_absence_input(spark, sf_dir)
+    return stateful.apply_per_event_batch(
+        d, ["user_id"], ["t_us", "event_id"],
+        lambda: stateful.cep_absence_step(_CEP_W_US),
+        "user_id long, signup_us long, outcome string, resolve_us long")
+
+
+def _cep_absence_input(spark, sf_dir):
+    """Shared input builder for the absence twins: signup/purchase
+    projection + ONE end-of-corpus sentinel row per user (ty 0 at the
+    global max ts, max-ordered event_id so it folds last among
+    equal-ts rows). Shared so the batch and streaming twins cannot
+    drift on the sentinel construction."""
     ev = load(spark, sf_dir, "events")
     base = (ev.filter(F.col("event_type").isin("signup", "purchase"))
             .select("user_id", F.unix_micros("ts").alias("t_us"),
@@ -6369,11 +6613,40 @@ def events_cep_absence(spark, sf_dir):
             .select("user_id", F.col("_m_us").alias("t_us"),
                     F.lit(4611686018427387904).alias("event_id"),
                     F.lit(0).alias("ty")))
-    d = base.unionByName(sent)
-    return stateful.apply_per_event_batch(
-        d, ["user_id"], ["t_us", "event_id"],
+    return base.unionByName(sent)
+
+
+@register("streaming_cep_absence", _CEP_ABS_SQL)
+def streaming_cep_absence(spark, sf_dir):
+    """events_cep_absence through the LIVE streaming runtime — the
+    notFollowedBy churn detector as applyInPandasWithState. This is
+    the production shape of the absence pattern: timeouts resolve on
+    each key's NEXT event (no per-key timer scan), and the one
+    corpus-end sentinel per user rides IN the topic like the
+    CDC/left-outer entries' watermark rows — with AvailableNow the
+    engine schedules no eviction batch after the last file, so
+    time-passage signals must arrive as data. State is one int64
+    timestamp per user (declared long — the st/cep schema contract);
+    same DuckDB oracle as the batch twin; the input builder is shared
+    so the sentinel construction cannot drift between them."""
+    import tempfile
+
+    from ..streaming import stateful
+
+    topic = tempfile.mkdtemp(prefix="cepabs_topic_")
+    _cep_absence_input(spark, sf_dir).write.mode("overwrite") \
+        .parquet(topic)
+    src = spark.readStream.schema(
+        "user_id long, t_us long, event_id long, ty int").parquet(topic)
+    out = stateful.apply_per_event_stream(
+        src, ["user_id"], ["t_us", "event_id"],
         lambda: stateful.cep_absence_step(_CEP_W_US),
-        "user_id long, signup_us long, outcome string, resolve_us long")
+        "user_id long, signup_us long, outcome string, resolve_us long",
+        "pend long",
+        lambda s: (int(s[0]),), lambda r: (int(r[0]),))
+    emitted = _run_stream_to_table(spark, out, "cepabs_stream")
+    return emitted.select("user_id", "signup_us", "outcome",
+                          "resolve_us")
 
 
 @register("events_retention_cohorts", f"""
