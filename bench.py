@@ -146,6 +146,13 @@ HEADLINE = [
     "streaming_cep_pattern",
     "sim_hybrid_rrf",
     "graph_adamic_adar",
+    # round-12 heads: the live notFollowedBy absence automaton (vs the
+    # floor), the perceptual-hash banded near-dup (real P5 decode +
+    # xor/popcount Hamming join), and the broadcast gram-membership
+    # decontamination scrub
+    "streaming_cep_absence",
+    "mm_phash_dedup",
+    "pipeline_benchmark_decontam",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -162,6 +169,7 @@ _R9_SET = HEADLINE[:45]        # the 45-head panel BENCH_r09 measured
 _R10_SET = HEADLINE[:47]       # the 47-head panel before the late-r10 adds
 _R10_LATE_SET = HEADLINE[:51]  # the full 51-head panel BENCH_r10 ran
 _R11_SET = HEADLINE[:57]       # + the six round-11 heads
+_R12_SET = HEADLINE[:60]       # + the three round-12 heads
 
 
 def streaming_floor(spark, sf_dir):
@@ -287,6 +295,8 @@ def main() -> int:
                 sum(timings[n] for n in _R10_LATE_SET), 3),
             "r11_comparable_57": round(
                 sum(timings[n] for n in _R11_SET), 3),
+            "r12_comparable_60": round(
+                sum(timings[n] for n in _R12_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -299,6 +309,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R10_LATE_SET), 3),
             "r11_comparable_57": round(
                 sum(tmin[n] for n in _R11_SET), 3),
+            "r12_comparable_60": round(
+                sum(tmin[n] for n in _R12_SET), 3),
         },
         "queries_min": tmin,
     }
