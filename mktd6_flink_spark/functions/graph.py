@@ -32,11 +32,21 @@ def lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
     and a min_by argmax per node (no sort, no window over data).
     Labels are node ids and never grow; the vote table is bounded by
     the edge count. Returns (node, lbl).
+
+    Each generation's label table is persisted: an iteration consumes
+    the PREVIOUS labels twice (the vote join + the self-vote union),
+    so unpersisted lineage doubles per round — 2^iters re-executions
+    of the seed by the last generation (persist_audit; the per-level
+    pattern shared with the k-hop BFS and the BPE trainer). Released
+    at the caller's entry boundary like every two-phase cache.
     """
-    labels = (edges.select(F.col("src").alias("node"))
-              .unionByName(edges.select(F.col("dst").alias("node")))
-              .distinct()
-              .select("node", F.col("node").alias("lbl")))
+    from ..operators import cache
+
+    labels = cache.maybe_persist(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl")))
     for _ in range(iters):
         votes = (edges
                  .join(labels.select(F.col("node").alias("_sn"), "lbl"),
@@ -48,7 +58,7 @@ def lpa_labels(edges: DataFrame, iters: int) -> DataFrame:
                      "node", "lbl", F.lit(1).cast("long").alias("c")))
                  .groupBy("node", "lbl").agg(F.sum("c").alias("cnt")))
         # argmax by (cnt DESC, lbl ASC) == min over the (-cnt, lbl) key
-        labels = votes.groupBy("node").agg(
+        labels = cache.maybe_persist(votes.groupBy("node").agg(
             F.min_by("lbl", F.struct((-F.col("cnt")).alias("a"),
-                                     F.col("lbl").alias("b"))).alias("lbl"))
+                                     F.col("lbl").alias("b"))).alias("lbl")))
     return labels

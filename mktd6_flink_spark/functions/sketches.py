@@ -491,6 +491,13 @@ def qhist_quantiles(bins: DataFrame,
     (cardinality = value-range / width, hundreds of rows — the
     documented bounded-cardinality single-partition case, same class
     as the HLL/CMS finalizers)."""
+    from ..operators import cache
+
+    # persist the bin table: the cumulative window, the total, and the
+    # per-percentile rows each consume it — unpersisted, every
+    # reference re-ran the corpus scan+groupBy that built the bins
+    # (persist_audit)
+    bins = cache.maybe_persist(bins)
     wcum = Window.orderBy("_bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     cum = bins.select(

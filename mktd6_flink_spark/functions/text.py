@@ -1273,11 +1273,19 @@ def dsir_weights(df: DataFrame, target_pred: Column, text: str = "text",
     scalar totals broadcast (vocabulary-bounded); one final per-doc
     aggregation. Docs with zero tokens drop out (no feature evidence —
     identical in both engines)."""
+    from ..operators import cache
+
     tok = df.select(
         F.col(id_col), F.when(target_pred, 1).otherwise(0).alias("_tgt"),
         F.explode(tokens(F.col(text))).alias("_w"))
-    tc = tok.groupBy(id_col, "_w").agg(
-        F.count(F.lit(1)).alias("_k"), F.max("_tgt").alias("_tgt"))
+    # persist the (doc, token) counts: the raw model, target model,
+    # and per-doc scoring each consume them — unpersisted, every
+    # consumer re-ran the corpus tokenize+explode+groupBy
+    # (persist_audit; a caller's own live caches survive this inner
+    # call — maybe_persist never evicts siblings)
+    tc = cache.maybe_persist(
+        tok.groupBy(id_col, "_w").agg(
+            F.count(F.lit(1)).alias("_k"), F.max("_tgt").alias("_tgt")))
     raw = tc.groupBy("_w").agg(F.sum("_k").alias("_cr"))
     tgt = (tc.filter(F.col("_tgt") == 1).groupBy("_w")
            .agg(F.sum("_k").alias("_ct")))

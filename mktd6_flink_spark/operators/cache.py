@@ -17,13 +17,16 @@ Unknown sizes (stats unavailable) persist — the scale-safe default.
 
 Cache lifetime: a persisted frame can only be unpersisted AFTER its
 consumers materialize, which the operator never sees. Persisted frames are
-therefore tracked in a registry; each new ``maybe_persist`` call releases
-the frames registered by PREVIOUS calls (in a sequential query workload
-they are dead by then — and unpersist is always safe: lineage recomputes),
-bounding live two-phase caches to one instead of leaking one per query for
-the session lifetime. Callers that want deterministic cleanup (bench
-harnesses, long-lived drivers) call ``release_twophase_caches()`` after
-materializing each result.
+therefore tracked in a registry and released at ENTRY boundaries: every
+registered query's wrapper calls ``release_twophase_caches()`` when it is
+invoked (unpersist is always safe — lineage recomputes), bounding live
+two-phase caches to one entry's worth instead of leaking for the session
+lifetime. ``maybe_persist`` itself never releases — one entry may hold
+several live frames at once (its own + a shared helper's), and a
+mid-build release would silently evict sibling caches (the round-12
+curation_v2 clobber). Harnesses that materialize results (bench, the
+oracle checker) additionally call ``release_twophase_caches()`` per
+result for deterministic cleanup.
 """
 
 from __future__ import annotations
@@ -57,14 +60,25 @@ def _threshold(df: DataFrame) -> int | str:
         return DEFAULT_THRESHOLD_BYTES
 
 
-def maybe_persist(df: DataFrame) -> DataFrame:
+def maybe_persist(df: DataFrame,
+                  release_previous: bool = False) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — keeps lineage, spills, survives
     executor loss by recomputation unlike localCheckpoint) when its
     estimated size warrants paying the cache once instead of re-computing
     it per consumer. Below the threshold the frame is returned
     un-persisted: the consumers re-scan, which at that size is cheaper
-    than the cache round-trip. Releases frames registered by previous
-    calls (see module docstring)."""
+    than the cache round-trip.
+
+    Lifetime: this function never releases other caches — one query may
+    hold several persisted frames at once (its own + a shared helper's;
+    a mid-build release here silently unpersisted sibling frames and
+    re-inlined their whole ancestry, the round-12 curation_v2 clobber).
+    Release happens at ENTRY boundaries instead: every registered
+    query's wrapper calls ``release_twophase_caches()`` on invocation,
+    so live caches stay bounded to one entry's worth; bench/checker
+    harnesses additionally release after materializing each result.
+    ``release_previous=True`` restores the old eager behavior for
+    callers outside the registry that want it."""
     threshold = _threshold(df)
     if threshold == "never":
         return df
@@ -72,7 +86,8 @@ def maybe_persist(df: DataFrame) -> DataFrame:
         est = _estimated_bytes(df)
         if est is not None and est < threshold:
             return df
-    release_twophase_caches()
+    if release_previous:
+        release_twophase_caches()
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE.append(df)
     return df

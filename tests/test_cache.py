@@ -23,17 +23,21 @@ def test_small_frame_not_persisted(spark):
     spark.conf.unset(cache.THRESHOLD_CONF)
 
 
-def test_always_persists_and_registry_bounds_to_one(spark):
+def test_always_persists_and_siblings_stay_live(spark):
+    """Round-12 lifetime contract: maybe_persist never evicts sibling
+    caches (one entry may hold several live frames — the curation_v2
+    clobber); release happens at entry boundaries via
+    release_twophase_caches (the registry wrapper calls it)."""
     _with_threshold(spark, "always")
     a = cache.maybe_persist(spark.range(10).withColumn("v", F.col("id")))
     assert a.storageLevel.useMemory
     assert len(cache._LIVE) == 1
     b = cache.maybe_persist(spark.range(20).withColumn("v", F.col("id")))
-    # the second call released the first frame's cache
-    assert len(cache._LIVE) == 1
-    assert cache._LIVE[0] is b
+    # BOTH stay live until the next entry boundary
+    assert len(cache._LIVE) == 2
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert cache.release_twophase_caches() == 2
     assert a.storageLevel.useMemory is False
-    assert cache.release_twophase_caches() == 1
     assert b.storageLevel.useMemory is False
     spark.conf.unset(cache.THRESHOLD_CONF)
 

@@ -132,3 +132,25 @@ def test_cep_absence_twins_share_input(spark):
     for name in ("events_cep_absence", "streaming_cep_absence"):
         src = inspect.getsource(dq.QUERIES[name])
         assert "_cep_absence_input(" in src, name
+
+
+def test_cache_lifetime_entry_scoped(spark):
+    """maybe_persist must never evict sibling caches mid-build (the
+    curation_v2 clobber), and the registered-entry wrapper must
+    release the previous entry's caches on invocation."""
+    from mktd6_flink_spark.operators import cache
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    cache.release_twophase_caches()
+    spark.conf.set(cache.THRESHOLD_CONF, "always")
+    try:
+        a = cache.maybe_persist(spark.range(10))
+        b = cache.maybe_persist(spark.range(20))
+        assert a.storageLevel.useMemory and b.storageLevel.useMemory
+        # invoking any registered entry releases both
+        dq.QUERIES["tpch_q6"](spark, "/root/testdata/sf0.001").collect()
+        assert not a.storageLevel.useMemory
+        assert not b.storageLevel.useMemory
+    finally:
+        spark.conf.unset(cache.THRESHOLD_CONF)
+        cache.release_twophase_caches()

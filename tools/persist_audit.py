@@ -73,6 +73,13 @@ def main(selected: list[str]) -> int:
 
     spark = get_spark("persist-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Force every maybe_persist site ON: at audit SF the size gate
+    # leaves small frames unpersisted (correct for runtime, invisible
+    # here), which would flag exactly the sites that are already
+    # instrumented. With the threshold forced, an entry that flags is
+    # one with NO persist boundary on a 3x-consumed subtree — the
+    # actionable set.
+    spark.conf.set("spark.mktd6.twophase.persistThreshold", "always")
     names = selected or [n for n in dq.QUERIES
                          if not n.startswith("streaming_")]
     n_flagged = 0
