@@ -153,6 +153,12 @@ HEADLINE = [
     "streaming_cep_absence",
     "mm_phash_dedup",
     "pipeline_benchmark_decontam",
+    # late round-12 heads: the frame-by-frame P5 stream walk (sparse
+    # decode-on-sample), the RIFF chunk-list audio decode, and the
+    # bounded-state sample-on-ingest priority sampler (vs the floor)
+    "mm_frame_sample",
+    "mm_decode_wav",
+    "streaming_weighted_sample",
 ]
 
 # Cross-round comparability: the headline total only grows because the

@@ -133,6 +133,39 @@ def kmv_sketch_step(k: int = 64):
     return step
 
 
+def priority_sample_step(k: int = 50):
+    """Bounded-state streaming PRIORITY SAMPLE (Duffield-Lund-Thorup,
+    JACM 2007) per key: state is the k smallest (priority, id, weight)
+    triples seen so far — the weighted-without-replacement sample whose
+    priorities are a pure function of (id, weight), so the bottom-k
+    merge is LOSSLESS by the same union argument as KMV: any triple in
+    the bottom-k of old ∪ batch is in the bottom-k of its own side.
+    The final state therefore equals the batch-built sample under ANY
+    micro-batching — sample-on-ingest loses nothing vs the corpus
+    scan. Ties break on id (ids are distinct by contract, making the
+    order total). Emits the current sample arrays + a monotone seq per
+    micro-batch; finalize keeps the key's last emission."""
+    def step(state, row):  # pragma: no cover - vectorized path used
+        raise NotImplementedError
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        cur, seq = ((list(zip(state[0], state[1], state[2])),
+                     int(state[3])) if state else ([], 0))
+        batch = list(zip((int(p) for p in pdf["_prio"].tolist()),
+                         (int(i) for i in pdf["_id"].tolist()),
+                         (int(w) for w in pdf["_w"].tolist())))
+        merged = sorted(set(cur).union(batch))[:k]
+        seq += 1
+        prios = [t[0] for t in merged]
+        ids = [t[1] for t in merged]
+        ws = [t[2] for t in merged]
+        return ({"seq": [seq], "prios": [prios], "ids": [ids],
+                 "ws": [ws]}, (prios, ids, ws, seq))
+
+    step.vectorized = vectorized
+    return step
+
+
 def basket_pair_step():
     """Incremental market-basket pair generation (per basket key):
     state is the basket's DISTINCT item set — bounded by basket size,

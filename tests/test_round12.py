@@ -154,3 +154,117 @@ def test_cache_lifetime_entry_scoped(spark):
     finally:
         spark.conf.unset(cache.THRESHOLD_CONF)
         cache.release_twophase_caches()
+
+
+def test_wav_payloads_open_with_stdlib_wave(spark):
+    """HONESTY check for the audio path: python's stdlib `wave`
+    module — a completely independent RIFF reader — must open every
+    synthesized payload with the declared params, and its frame bytes
+    must equal the cleaned text codepoints."""
+    import io
+    import re
+    import wave
+
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    texts = {1: "hello wav world", 2: "", 3: None,
+             4: "x" * 1000, 5: "UPPER & punct!!"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    rows = mm.wav_media_from_documents(docs).collect()
+    assert len(rows) == 5
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.payload))) as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getsampwidth() == 1
+            assert wf.getframerate() == mm.WAV_RATE
+            assert wf.getnframes() >= 1
+            got = wf.readframes(wf.getnframes())
+        t = re.sub(r"[^a-z0-9 ]+", "", (texts[r.media_id] or "").lower())
+        want = t.encode("ascii") or b"\x00"
+        assert got == want, r.media_id
+
+
+def test_decode_wav_drops_malformed_rows(spark):
+    """One bad blob must not kill the job: truncated / non-RIFF
+    payloads drop, well-formed siblings survive."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "good doc")],
+                                 "doc_id long, text string")
+    good = mm.wav_media_from_documents(docs)
+    bad = spark.createDataFrame(
+        [(90, bytearray(b"RIFF\x04\x00\x00\x00JUNK")),
+         (91, bytearray(b"not audio at all")),
+         (92, bytearray(b"RIFF"))],
+        "media_id long, payload binary").select(
+            "media_id", F.lit("audio").alias("kind"), "payload",
+            F.lit(None).cast(
+                "struct<format:string,width:int,height:int,"
+                "duration_ms:bigint,n_bytes:bigint>").alias("meta"))
+    out = mm.decode_wav(good.unionByName(bad)).collect()
+    assert [r.media_id for r in out] == [1]
+
+
+def test_frame_stream_walks_to_declared_frame_count(spark):
+    """The concatenated-P5 stream must parse frame by frame to exactly
+    the declared n_frames, and every=1 sampling must equal a per-frame
+    decode (cursor exactness across frame boundaries)."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    fb = mm.FRAME_W * mm.FRAME_H
+    docs = spark.createDataFrame(
+        [(1, "a" * (fb * 3)),          # exactly 3 frames
+         (2, "b" * (fb + 1)),          # 2 frames, second nearly empty
+         (3, "short"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    media = mm.pgm_stream_from_documents(docs)
+    # full decode (every=1): n_frames per doc
+    rows = mm.frame_sample_pgm(media, every=1).collect()
+    byid = {}
+    for r in rows:
+        byid.setdefault(r.media_id, []).append(r)
+    assert {m: len(v) for m, v in byid.items()} == {
+        1: 3, 2: 2, 3: 1, 4: 1, 5: 1}
+    for m, v in byid.items():
+        assert all(r.n_frames == len(v) for r in v)
+    # frame means: doc1 all 'a' -> ord('a') exactly, every frame
+    assert all(r.mean_micro == ord("a") * 1_000_000 for r in byid[1])
+    # doc2 frame1 holds exactly one 'b' byte, rest zero padding
+    f1 = [r for r in byid[2] if r.frame_idx == 1][0]
+    assert f1.mean_micro == ord("b") * 1_000_000 // fb
+    # every=2 keeps exactly the even frames
+    sampled = mm.frame_sample_pgm(media, every=2).collect()
+    s1 = sorted(r.frame_idx for r in sampled if r.media_id == 1)
+    assert s1 == [0, 2]
+
+
+def test_priority_sample_step_merge_is_lossless():
+    """The streaming priority-sample state after folding candidates
+    chunk by chunk (any micro-batching) must equal the bottom-k of the
+    full corpus — the union argument streaming_weighted_sample rests
+    on. Random weights/ids over adversarial chunk splits."""
+    import pandas as pd
+
+    from mktd6_flink_spark.streaming import stateful
+
+    rng = np.random.RandomState(7)
+    k = 5
+    items = [(int(rng.randint(0, 1 << 40)) // int(w), int(i), int(w))
+             for i, w in ((i, rng.randint(1, 2000)) for i in range(60))]
+    for n_chunks in (1, 2, 7, 60):
+        step = stateful.priority_sample_step(k)
+        state = None
+        bounds = sorted(
+            rng.choice(range(1, 60), size=n_chunks - 1, replace=False)
+        ) if n_chunks > 1 else []
+        chunks = np.split(np.arange(60), bounds)
+        for ch in chunks:
+            pdf = pd.DataFrame({
+                "_prio": [items[j][0] for j in ch],
+                "_id": [items[j][1] for j in ch],
+                "_w": [items[j][2] for j in ch]})
+            out, state = step.vectorized(pdf, state)
+        want = sorted(items)[:k]
+        got = list(zip(state[0], state[1], state[2]))
+        assert got == want, n_chunks
