@@ -154,11 +154,13 @@ HEADLINE = [
     "mm_phash_dedup",
     "pipeline_benchmark_decontam",
     # late round-12 heads: the frame-by-frame P5 stream walk (sparse
-    # decode-on-sample), the RIFF chunk-list audio decode, and the
-    # bounded-state sample-on-ingest priority sampler (vs the floor)
+    # decode-on-sample), the RIFF chunk-list audio decode, the
+    # bounded-state sample-on-ingest priority sampler (vs the floor),
+    # and the frame-aligned video near-dup join
     "mm_frame_sample",
     "mm_decode_wav",
     "streaming_weighted_sample",
+    "mm_video_dedup",
 ]
 
 # Cross-round comparability: the headline total only grows because the

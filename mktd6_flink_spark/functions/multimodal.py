@@ -523,8 +523,10 @@ def sql_resize_pgm(table: str = "documents",
 # 100 TB property that makes sparse frame sampling ~k× cheaper than a
 # full decode.
 
-FRAME_W = 16
-FRAME_H = 16
+FRAME_W = 8            # 8x8 = 64-byte frames: the median synthetic doc
+FRAME_H = 8            # (~300 chars) yields ~5 frames, so multi-frame
+                       # paths (sampling, frame-aligned dedup) exercise
+                       # on typical rows, not just the long tail
 FRAME_EVERY = 2        # sample frames 0, 2, 4, ...
 FRAME_MS = 40          # 25 fps
 
@@ -788,4 +790,94 @@ def sql_decode_wav(table: str = "documents") -> str:
                 i -> unicode(substr(c, CAST(i AS INTEGER), 1))),
               'max') END AS INTEGER) AS peak
     FROM _wv_base
+    """
+
+
+FPHASH_GRID = 4        # per-frame aHash grid: 4x4 = 16-bit hash
+
+
+def frame_phash_pgm(media: DataFrame,
+                    every: int = FRAME_EVERY) -> DataFrame:
+    """Per-frame perceptual hash over a concatenated-P5 stream: walk
+    the stream (genuine parse, like frame_sample_pgm), and for every
+    ``every``-th frame compute a 16-bit aHash — 4x4 integer resample
+    of the frame raster, strict 16*p > total bit rule, LSB-first.
+    Emits (media_id, frame_idx, fhash) scalars; unsampled frames are
+    skipped by header arithmetic; malformed streams drop per row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        g = FPHASH_GRID
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    buf, pos, idx, frames = bytes(payload), 0, 0, []
+                    while pos < len(buf):
+                        w, h, raster, pos = _parse_p5_at(buf, pos)
+                        if idx % every == 0:
+                            img = raster.reshape(h, w)
+                            rows = (np.arange(g) * h) // g
+                            cols = (np.arange(g) * w) // g
+                            px = img[np.ix_(rows, cols)].ravel()
+                            total = int(px.sum(dtype="int64"))
+                            fh = sum(1 << j for j in range(g * g)
+                                     if g * g * int(px[j]) > total)
+                            frames.append((idx, fh))
+                        idx += 1
+                except ValueError:
+                    continue  # malformed stream: drop the row
+                out.extend((mid, fi, fh) for fi, fh in frames)
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "fhash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, frame_idx int, fhash int")
+
+
+def sql_frame_phash(table_expr: str, every: int = FRAME_EVERY) -> str:
+    """DuckDB twin of pgm_stream_from_documents >> frame_phash_pgm
+    over the arithmetic frame bytes: same 4x4 sampling grid inside
+    each frame, same strict 16*p > total rule, same LSB-first packing.
+    ``table_expr`` must yield (media_id, c, n). Produces the CTE
+    ``_fp`` with (media_id, frame_idx, fhash)."""
+    fb = FRAME_W * FRAME_H
+    g = FPHASH_GRID
+    # flat in-frame offset of grid cell j: row (j//g)*(H//g), col
+    # (j%g)*(W//g) — exact while the grid divides the frame dims
+    # (8x8 frame / 4x4 grid: stride 2 both ways)
+    off = (f"((j.j // {g}) * ({FRAME_H} // {g})) * {FRAME_W}"
+           f" + (j.j % {g}) * ({FRAME_W} // {g})")
+    return f"""
+    _fp_base AS (
+      SELECT media_id, c, n,
+             greatest(CAST(ceil(n / {fb}.0) AS INTEGER), 1) AS nf
+      FROM ({table_expr})
+    ),
+    _fp_px AS (
+      SELECT media_id, f.f AS frame_idx, j.j AS j,
+             CASE WHEN f.f * {fb} + {off} + 1 <= n
+                  THEN unicode(substr(c,
+                    CAST(f.f * {fb} + {off} + 1 AS INTEGER), 1))
+                  ELSE 0 END AS p
+      FROM _fp_base,
+           LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+           (SELECT unnest(generate_series(0, {g * g - 1})) AS j) j
+      WHERE f.f % {every} = 0
+    ),
+    _fp_tot AS (
+      SELECT media_id, frame_idx, j, p,
+             sum(p) OVER (PARTITION BY media_id, frame_idx) AS total
+      FROM _fp_px
+    ),
+    _fp AS (
+      SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(sum(CASE WHEN {g * g} * p > total
+                      THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                      ELSE 0 END) AS INTEGER) AS fhash
+      FROM _fp_tot GROUP BY media_id, frame_idx
+    )
     """

@@ -1991,6 +1991,89 @@ def mm_decode_wav(spark, sf_dir):
     return mm.decode_wav(mm.wav_media_from_documents(docs))
 
 
+_VDUP_MAX_BUCKET = 64
+_VDUP_MIN_MATCH = 2
+
+_VDUP_SQL = f"""
+WITH _vd_docs AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(lower(coalesce(text, '')),
+                        '[^a-z0-9 ]+', '', 'g') AS c0
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 20000,
+         regexp_replace(lower(coalesce(text, '') || ' qq'),
+                        '[^a-z0-9 ]+', '', 'g')
+  FROM documents WHERE doc_id < 40
+),
+{mm.sql_frame_phash("SELECT media_id, c0 AS c, length(c0) AS n"
+                    " FROM _vd_docs")},
+_vd_ok AS (
+  SELECT frame_idx, fhash FROM _fp GROUP BY frame_idx, fhash
+  HAVING count(*) <= {_VDUP_MAX_BUCKET}
+),
+_vd_pairs AS (
+  SELECT a.media_id AS keep_id, b.media_id AS dup_id,
+         CAST(count(*) AS BIGINT) AS n_frame_matches
+  FROM _fp a
+  JOIN _vd_ok o ON o.frame_idx = a.frame_idx AND o.fhash = a.fhash
+  JOIN _fp b ON b.frame_idx = a.frame_idx AND b.fhash = a.fhash
+   AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT keep_id, dup_id, n_frame_matches
+FROM _vd_pairs WHERE n_frame_matches >= {_VDUP_MIN_MATCH}
+"""
+
+
+@register("mm_video_dedup", _VDUP_SQL)
+def mm_video_dedup(spark, sf_dir):
+    """REAL video near-dup detection — the multimodal pipeline op the
+    frame path exists for: every document becomes a concatenated-P5
+    frame stream (with 40 planted perturbed copies — ' qq' appended,
+    which disturbs only the final frame), each stream is genuinely
+    walked and every 2nd frame perceptually hashed (4x4 aHash,
+    functions/multimodal.py frame_phash_pgm), and near-dup videos are
+    pairs sharing >= {_VDUP_MIN_MATCH} FRAME-ALIGNED hash matches —
+    found without an all-pairs scan via an equi-join on
+    (frame_idx, fhash) buckets, capped at {_VDUP_MAX_BUCKET} (the
+    max_df analog: the all-black-first-frame bucket of empty docs
+    would otherwise go quadratic).
+
+    100 TB shape: hashes are computed map-side next to the payload
+    bytes (blobs never shuffle — only 2-byte frame hashes + frame
+    keys do); the bucket join is O(candidates) with the hot-bucket
+    cap as the skew defense; the per-pair match count is a
+    partial-aggregated groupBy. The oracle rebuilds every sampled
+    frame's hash arithmetically from the cleaned text and runs the
+    identical blocking, so a cursor bug, a grid off-by-one, or a cap
+    drift all break the hash."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" qq")).alias("text")))
+    from ..operators import cache
+    # persist the hash table: the bucket-cap counts and both join arms
+    # consume it — unpersisted, each re-runs the stream walk (the
+    # mm_phash_dedup lesson, same x3 shape)
+    fp = cache.maybe_persist(
+        mm.frame_phash_pgm(mm.pgm_stream_from_documents(corpus)))
+    ok = (fp.groupBy("frame_idx", "fhash")
+          .agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= _VDUP_MAX_BUCKET)
+          .select("frame_idx", "fhash"))
+    a = fp.join(ok, ["frame_idx", "fhash"]).select(
+        "frame_idx", "fhash", F.col("media_id").alias("keep_id"))
+    b = fp.select("frame_idx", "fhash", F.col("media_id").alias("dup_id"))
+    return (a.join(b, ["frame_idx", "fhash"])
+            .filter(F.col("keep_id") < F.col("dup_id"))
+            .groupBy("keep_id", "dup_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_frame_matches"))
+            .filter(F.col("n_frame_matches") >= _VDUP_MIN_MATCH))
+
+
 @register("mm_media_meta", """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -11619,6 +11702,7 @@ _GATE_PRIORITY = [
     "mm_frame_sample",
     "mm_decode_wav",
     "streaming_weighted_sample",
+    "mm_video_dedup",
     "mm_phash_dedup",
     "pipeline_weighted_sample",
     "pipeline_benchmark_decontam",
@@ -11665,7 +11749,6 @@ _GATE_PRIORITY = [
     "tpch_q6",
     "tpch_q5ish",
     "dedup_exact",
-    "dedup_minhash_lsh",
 ]
 
 

@@ -268,3 +268,18 @@ def test_priority_sample_step_merge_is_lossless():
         want = sorted(items)[:k]
         got = list(zip(state[0], state[1], state[2]))
         assert got == want, n_chunks
+
+
+def test_video_dedup_finds_planted_majority(spark):
+    """The planted perturbed copies (' qq' appended — only the final
+    frame disturbed) must dominate the video near-dup output: a
+    majority of the 40 planted pairs recovered (the misses are docs
+    too short for two sampled frames — the documented recall trade),
+    and every reported pair must share >= the match threshold."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    rows = dq.QUERIES["mm_video_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert all(r.n_frame_matches >= dq._VDUP_MIN_MATCH for r in rows)
+    planted = [r for r in rows if r.dup_id == r.keep_id + 20000]
+    assert len(planted) >= 20, len(planted)
