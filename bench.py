@@ -161,6 +161,7 @@ HEADLINE = [
     "mm_decode_wav",
     "streaming_weighted_sample",
     "mm_video_dedup",
+    "mm_audio_dedup",
 ]
 
 # Cross-round comparability: the headline total only grows because the

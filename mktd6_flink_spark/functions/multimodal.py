@@ -881,3 +881,77 @@ def sql_frame_phash(table_expr: str, every: int = FRAME_EVERY) -> str:
       FROM _fp_tot GROUP BY media_id, frame_idx
     )
     """
+
+
+AFP_WINDOWS = 32       # energy windows -> 31-bit delta-sign fingerprint
+
+
+def afp_wav(media: DataFrame) -> DataFrame:
+    """Audio fingerprint of each RIFF/WAV payload — the time-domain
+    variant of Haitsma & Kalker's robust audio hash (ISMIR 2002): the
+    clip is split into {AFP_WINDOWS} equal sample windows (integer
+    boundaries w*n//{AFP_WINDOWS}), and bit w is the SIGN of the
+    energy difference E[w+1] > E[w] — level-shift-robust, 31 bits.
+    The payload is genuinely parsed (the full RIFF walk) before
+    fingerprinting; malformed clips drop per row. Emits
+    (media_id, afp int) — the fingerprint is computed map-side next
+    to the bytes, so audio near-dup joins ship 2-byte hashes, never
+    waveforms."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        nb = AFP_WINDOWS
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    _, samples = _parse_wav(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                n = int(samples.size)
+                if n == 0:
+                    continue
+                bounds = [w * n // nb for w in range(nb + 1)]
+                e = [int(samples[bounds[w]:bounds[w + 1]]
+                         .sum(dtype="int64")) for w in range(nb)]
+                fp = sum(1 << w for w in range(nb - 1)
+                         if e[w + 1] > e[w])
+                out.append((mid, fp))
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, afp int")
+
+
+def sql_afp_wav(table_expr: str) -> str:
+    """DuckDB twin of wav_media_from_documents >> afp_wav over the
+    arithmetic samples (codepoint == byte; one zero sample for empty
+    text): same integer window boundaries, same strict E[w+1] > E[w]
+    sign rule, same LSB-first packing. ``table_expr`` must yield
+    (media_id, c, n) with n >= 1 the padded sample count. Produces the
+    CTE ``_af`` with (media_id, afp)."""
+    nb = AFP_WINDOWS
+    return f"""
+    _af_e AS (
+      SELECT media_id, w.w AS w,
+             coalesce(CAST(list_aggregate(list_transform(
+               generate_series(CAST(w.w * n // {nb} + 1 AS BIGINT),
+                               CAST((w.w + 1) * n // {nb} AS BIGINT)),
+               i -> CASE WHEN i <= length(c)
+                    THEN unicode(substr(c, CAST(i AS INTEGER), 1))
+                    ELSE 0 END), 'sum') AS BIGINT), 0) AS e
+      FROM ({table_expr}),
+           (SELECT unnest(generate_series(0, {nb - 1})) AS w) w
+    ),
+    _af AS (
+      SELECT a.media_id,
+             CAST(sum(CASE WHEN b.e > a.e
+                  THEN (CAST(1 AS BIGINT) << CAST(a.w AS INTEGER))
+                  ELSE 0 END) AS INTEGER) AS afp
+      FROM _af_e a JOIN _af_e b
+        ON b.media_id = a.media_id AND b.w = a.w + 1
+      GROUP BY a.media_id
+    )
+    """

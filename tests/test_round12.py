@@ -283,3 +283,16 @@ def test_video_dedup_finds_planted_majority(spark):
     assert all(r.n_frame_matches >= dq._VDUP_MIN_MATCH for r in rows)
     planted = [r for r in rows if r.dup_id == r.keep_id + 20000]
     assert len(planted) >= 20, len(planted)
+
+
+def test_audio_dedup_finds_all_planted(spark):
+    """The length-preserving prefix plants must ALL land within the
+    Hamming threshold (only window 0's energy moves), and every
+    reported pair must respect it."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    rows = dq.QUERIES["mm_audio_dedup"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert all(r.hamming <= dq._ADUP_HAM_T for r in rows)
+    planted = [r for r in rows if r.dup_id == r.keep_id + 20000]
+    assert len(planted) == 40, len(planted)
