@@ -162,6 +162,7 @@ HEADLINE = [
     "streaming_weighted_sample",
     "mm_video_dedup",
     "mm_audio_dedup",
+    "streaming_frame_sample",
 ]
 
 # Cross-round comparability: the headline total only grows because the

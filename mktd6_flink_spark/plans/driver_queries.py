@@ -1970,6 +1970,30 @@ def mm_frame_sample(spark, sf_dir):
     return mm.frame_sample_pgm(mm.pgm_stream_from_documents(docs))
 
 
+@register("streaming_frame_sample", mm.sql_frame_sample("documents"))
+def streaming_frame_sample(spark, sf_dir):
+    """DECODE-ON-INGEST through the LIVE streaming runtime: the same
+    encode -> frame-walk -> sample pipeline as mm_frame_sample, but
+    running as a Structured Streaming query (readStream -> Column-expr
+    encode -> mapInPandas frame walk -> append sink) — the shape a
+    100 TB multimodal ingest actually has, where media is feature-
+    extracted as it ARRIVES rather than in a corpus-at-rest pass.
+    Stateless per row, so append mode needs no watermark and the
+    result equals the batch twin under ANY micro-batching; graded
+    against the SAME oracle. Payloads never shuffle (mapInPandas on
+    the source partitioning); malformed streams drop per row on the
+    hot path exactly as in batch."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.frame_sample_pgm(mm.pgm_stream_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
@@ -11820,6 +11844,7 @@ _GATE_PRIORITY = [
     "streaming_weighted_sample",
     "mm_video_dedup",
     "mm_audio_dedup",
+    "streaming_frame_sample",
     "mm_phash_dedup",
     "pipeline_weighted_sample",
     "pipeline_benchmark_decontam",
@@ -11864,7 +11889,6 @@ _GATE_PRIORITY = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
-    "tpch_q5ish",
 ]
 
 
