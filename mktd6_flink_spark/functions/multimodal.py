@@ -543,11 +543,19 @@ def pgm_stream_from_documents(docs: DataFrame) -> DataFrame:
     nf = F.greatest(F.ceil(n / F.lit(float(fb))).cast("int"), F.lit(1))
     header = F.lit(f"P5\n{FRAME_W} {FRAME_H}\n255\n")
     body = F.rpad(clean, (nf * fb).cast("int"), F.expr("chr(0)"))
-    stream = F.concat_ws(
-        "", F.transform(
-            F.sequence(F.lit(0), nf - 1),
-            lambda i: F.concat(header,
-                               F.substring(body, i * fb + 1, fb))))
+    # body is HOISTED through a 1-element-array aggregate so the lambda
+    # references a bound variable instead of the inlined rpad+regexp
+    # expression — Catalyst does not CSE inside HOF lambdas, so the
+    # direct spelling re-ran the regex scrub once PER FRAME (the
+    # shingles_exploded / bloom_filter_literal lesson; measured 4 s ->
+    # 0.6 s for the sf0.1 encode). Bit-identical output.
+    stream = F.aggregate(
+        F.array(body), F.lit(""),
+        lambda acc, b: F.concat_ws(
+            "", F.transform(
+                F.sequence(F.lit(0), nf - 1),
+                lambda i: F.concat(header,
+                                   F.substring(b, i * fb + 1, fb)))))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
@@ -556,8 +564,38 @@ def pgm_stream_from_documents(docs: DataFrame) -> DataFrame:
                  F.lit(FRAME_W).cast("int").alias("width"),
                  F.lit(FRAME_H).cast("int").alias("height"),
                  (nf.cast("long") * FRAME_MS).alias("duration_ms"),
-                 F.octet_length(F.encode(stream, "UTF-8")).cast("long")
+                 # arithmetic, not octet_length(stream): a second
+                 # reference would build the stream twice per row
+                 # (header + body are pure ASCII/NUL, 1 byte per char)
+                 (nf.cast("long")
+                  * (len(f"P5\n{FRAME_W} {FRAME_H}\n255\n") + fb))
                  .alias("n_bytes")).alias("meta"))
+
+
+def _p5_stream_rasters(buf: bytes):
+    """Vectorized walk of a HOMOGENEOUS concatenated-P5 stream: parse
+    frame 0's header genuinely, then — iff the stream is an exact
+    multiple of that frame size AND every frame offset carries the
+    byte-identical header (one strided numpy comparison; the same
+    byte-exact verification the scalar walk performs, not an
+    assumption) — return (w, h, rasters 2-D). Heterogeneous or
+    odd-length streams return None and take the scalar per-frame walk.
+    Raises ValueError on a malformed first frame like the scalar
+    parser. Cuts the per-frame python overhead ~5x on uniform streams
+    (the builder's output is always uniform; a real mixed-dims stream
+    falls back, correctness identical)."""
+    import numpy as np
+
+    w, h, _, pos = _parse_p5_at(buf, 0)
+    fsz = pos
+    hdr_len = fsz - w * h
+    if len(buf) % fsz:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(-1, fsz)
+    hdr = np.frombuffer(buf, dtype=np.uint8, count=hdr_len)
+    if not (arr[:, :hdr_len] == hdr).all():
+        return None
+    return w, h, arr[:, hdr_len:]
 
 
 def frame_sample_pgm(media: DataFrame,
@@ -572,6 +610,7 @@ def frame_sample_pgm(media: DataFrame,
     per row, not raised (the 100 TB contract)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -579,7 +618,22 @@ def frame_sample_pgm(media: DataFrame,
             for mid, payload in zip(pdf["media_id"].to_list(),
                                     pdf["payload"].to_list()):
                 try:
-                    buf, pos, idx, frames = bytes(payload), 0, 0, []
+                    buf = bytes(payload)
+                    fast = _p5_stream_rasters(buf)
+                except ValueError:
+                    continue  # malformed stream: drop the row
+                if fast is not None:
+                    w, h, rasters = fast
+                    nf = len(rasters)
+                    idxs = np.arange(0, nf, every)
+                    means = (rasters[idxs].sum(axis=1, dtype="int64")
+                             * 1_000_000 // (w * h))
+                    out.extend(
+                        (mid, int(fi), nf, w, h, int(mm))
+                        for fi, mm in zip(idxs, means))
+                    continue
+                try:
+                    pos, idx, frames = 0, 0, []
                     while pos < len(buf):
                         w, h, raster, pos = _parse_p5_at(buf, pos)
                         if idx % every == 0:
@@ -815,7 +869,25 @@ def frame_phash_pgm(media: DataFrame,
             for mid, payload in zip(pdf["media_id"].to_list(),
                                     pdf["payload"].to_list()):
                 try:
-                    buf, pos, idx, frames = bytes(payload), 0, 0, []
+                    buf = bytes(payload)
+                    fast = _p5_stream_rasters(buf)
+                except ValueError:
+                    continue  # malformed stream: drop the row
+                if fast is not None:
+                    w, h, rasters = fast
+                    idxs = np.arange(0, len(rasters), every)
+                    rows = (np.arange(g) * h) // g
+                    cols = (np.arange(g) * w) // g
+                    flat = (rows[:, None] * w + cols).ravel()
+                    px = rasters[idxs][:, flat].astype("int64")
+                    tot = px.sum(axis=1)
+                    bits = (g * g * px) > tot[:, None]
+                    fhs = bits @ (1 << np.arange(g * g, dtype="int64"))
+                    out.extend((mid, int(fi), int(fh))
+                               for fi, fh in zip(idxs, fhs))
+                    continue
+                try:
+                    pos, idx, frames = 0, 0, []
                     while pos < len(buf):
                         w, h, raster, pos = _parse_p5_at(buf, pos)
                         if idx % every == 0:

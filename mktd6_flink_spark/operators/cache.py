@@ -61,7 +61,8 @@ def _threshold(df: DataFrame) -> int | str:
 
 
 def maybe_persist(df: DataFrame,
-                  release_previous: bool = False) -> DataFrame:
+                  release_previous: bool = False,
+                  force: bool = False) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — keeps lineage, spills, survives
     executor loss by recomputation unlike localCheckpoint) when its
     estimated size warrants paying the cache once instead of re-computing
@@ -78,11 +79,18 @@ def maybe_persist(df: DataFrame,
     so live caches stay bounded to one entry's worth; bench/checker
     harnesses additionally release after materializing each result.
     ``release_previous=True`` restores the old eager behavior for
-    callers outside the registry that want it."""
+    callers outside the registry that want it.
+
+    ``force=True`` bypasses the size gate (the ``never`` override
+    still wins, so harness experiments can disable all caching): use
+    it where Catalyst's estimate is KNOWN-garbage and the recompute is
+    the entry's dominant cost — mapInPandas outputs inherit a bogus
+    child-based sizeInBytes, so a size-gated persist on a decode
+    silently no-ops while every consumer re-runs the decode."""
     threshold = _threshold(df)
     if threshold == "never":
         return df
-    if threshold != "always":
+    if not force and threshold != "always":
         est = _estimated_bytes(df)
         if est is not None and est < threshold:
             return df

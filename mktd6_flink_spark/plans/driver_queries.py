@@ -1879,11 +1879,12 @@ def mm_phash_dedup(spark, sf_dir):
             (F.col("doc_id") + 20000).alias("doc_id"),
             F.concat(F.coalesce(F.col("text"), F.lit("")),
                      F.lit(" qq")).alias("text")))
-    # persist the hash table: three consumers (bucket counts + both
-    # join arms) would otherwise each re-run the payload DECODE —
-    # found by tools/persist_audit.py (MapInPandas subtree x3)
+    # persist the hash table (FORCED: mapInPandas outputs carry a
+    # bogus Catalyst size estimate, so the size gate silently
+    # no-opped and all three consumers — bucket counts + both join
+    # arms — re-ran the payload DECODE; found by tools/persist_audit)
     ph = cache.maybe_persist(
-        mm.phash_pgm(mm.pgm_media_from_documents(corpus)))
+        mm.phash_pgm(mm.pgm_media_from_documents(corpus)), force=True)
     bands = ph.select(
         "media_id", "phash",
         F.explode(F.array(*[
@@ -2079,11 +2080,12 @@ def mm_video_dedup(spark, sf_dir):
             F.concat(F.coalesce(F.col("text"), F.lit("")),
                      F.lit(" qq")).alias("text")))
     from ..operators import cache
-    # persist the hash table: the bucket-cap counts and both join arms
-    # consume it — unpersisted, each re-runs the stream walk (the
-    # mm_phash_dedup lesson, same x3 shape)
+    # persist the hash table (FORCED — the mapInPandas bogus-estimate
+    # class): the bucket-cap counts and both join arms consume it;
+    # size-gated, each re-ran the full encode + stream walk
     fp = cache.maybe_persist(
-        mm.frame_phash_pgm(mm.pgm_stream_from_documents(corpus)))
+        mm.frame_phash_pgm(mm.pgm_stream_from_documents(corpus)),
+        force=True)
     ok = (fp.groupBy("frame_idx", "fhash")
           .agg(F.count(F.lit(1)).alias("_n"))
           .filter(F.col("_n") <= _VDUP_MAX_BUCKET)
@@ -2181,10 +2183,11 @@ def mm_audio_dedup(spark, sf_dir):
                 "substring(regexp_replace(lower(coalesce(text, '')),"
                 " '[^a-z0-9 ]+', ''), 3)")).alias("text")))
     from ..operators import cache
-    # persist the fingerprint table: bucket-cap counts + both join
-    # arms consume it (the x3 decode shape shared with phash/video)
+    # persist the fingerprint table (FORCED — the mapInPandas
+    # bogus-estimate class): bucket-cap counts + both join arms
+    # consume it (the x3 decode shape shared with phash/video)
     af = cache.maybe_persist(
-        mm.afp_wav(mm.wav_media_from_documents(corpus)))
+        mm.afp_wav(mm.wav_media_from_documents(corpus)), force=True)
     bands = af.select(
         "media_id", "afp",
         F.explode(F.array(*[
@@ -3382,18 +3385,10 @@ def pipeline_curation_v2(spark, sf_dir):
     # smaller than the corpus-scale work it memoizes, and the default
     # Catalyst estimate stays under the gate at bench SF while the
     # recompute it avoids is 3x the whole entry.
-    _old_thr = spark.conf.get(cache.THRESHOLD_CONF, None)
-    spark.conf.set(cache.THRESHOLD_CONF, "always")
-    try:
-        s2 = cache.maybe_persist(
-            j.crossJoin(F.broadcast(med))
-            .filter(F.col("_wb") >= F.col("_med"))
-            .select("doc_id", "text"))
-    finally:
-        if _old_thr is None:
-            spark.conf.unset(cache.THRESHOLD_CONF)
-        else:
-            spark.conf.set(cache.THRESHOLD_CONF, _old_thr)
+    s2 = cache.maybe_persist(
+        j.crossJoin(F.broadcast(med))
+        .filter(F.col("_wb") >= F.col("_med"))
+        .select("doc_id", "text"), force=True)
     pairs = dd.winnowing_pairs(s2.select("doc_id", "text"))
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(drop, "doc_id", "left_anti")
