@@ -11275,14 +11275,15 @@ def sim_mmr_diversity(spark, sf_dir):
     unordered pair once (a < b)."""
     from ..operators import cache
     srt, ps = _mmr_frames(spark, sf_dir)
-    # persist the greedy selection: its relevance-sum and pair-sum
-    # consumers would otherwise each re-run the per-group Python
-    # greedy (the shortlist cache above stays live alongside — entry
-    # wrapper releases both at the next entry boundary)
+    # persist the greedy selection (FORCED — applyInPandas output, the
+    # mapInPandas bogus-estimate class): its relevance-sum and
+    # pair-sum consumers would otherwise each re-run the per-group
+    # Python greedy (the shortlist cache above stays live alongside —
+    # entry wrapper releases both at the next entry boundary)
     picks = cache.maybe_persist(
         _mmr_greedy_select(srt, ps).select(
             F.col("query_id").alias("qid"), F.col("vec_id").alias("cid"),
-            F.col("rel_micro").alias("relm")))
+            F.col("rel_micro").alias("relm")), force=True)
     tk = srt.filter(F.col("rn") <= _MMR_K).select("qid", "cid", "relm")
 
     def relsum(s, pfx):
