@@ -296,3 +296,36 @@ def test_audio_dedup_finds_all_planted(spark):
     assert all(r.hamming <= dq._ADUP_HAM_T for r in rows)
     planted = [r for r in rows if r.dup_id == r.keep_id + 20000]
     assert len(planted) == 40, len(planted)
+
+
+def test_persist_audit_detects_python_stage_recompute(spark):
+    """The two-pass persist audit's PY pass must flag a mapInPandas
+    output consumed twice WITHOUT a persist (the silent no-op persist
+    class), and pass the same plan once persisted."""
+    import sys
+    sys.path.insert(0, "tools")
+    import persist_audit as pa
+
+    from pyspark.sql import functions as F
+
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    base = (spark.range(100)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .filter(F.col("v") > 4)
+            .select("id", "v", (F.col("v") + 1).alias("w"))
+            .filter(F.col("w") % 3 != 0))
+    py = base.mapInPandas(ident, schema="id long, v long, w long")
+    unper = py.groupBy().sum("v").crossJoin(py.groupBy().max("v"))
+    flags = pa._audit_plan(
+        unper._jdf.queryExecution().optimizedPlan(), py_only=True)
+    assert flags, "unpersisted double-consumed mapInPandas must flag"
+
+    pyc = py.persist()
+    per = pyc.groupBy().sum("v").crossJoin(pyc.groupBy().max("v"))
+    flags2 = pa._audit_plan(
+        per._jdf.queryExecution().optimizedPlan(), py_only=True)
+    pyc.unpersist()
+    assert not flags2, "persisted plan must audit clean"
