@@ -2217,6 +2217,164 @@ def mm_audio_dedup(spark, sf_dir):
             .filter(F.col("hamming") <= _ADUP_HAM_T))
 
 
+_MCUR_SQL = f"""
+WITH _mc_gopher AS (
+  SELECT doc_id FROM ({tx.sql_gopher_rules('documents')}) WHERE keep
+),
+_mc_s1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN _mc_gopher g ON g.doc_id = d.doc_id
+),
+_mc_keep2 AS (
+  SELECT min(doc_id) AS doc_id FROM _mc_s1
+  GROUP BY md5(coalesce(text, ''))
+),
+_mc_s2 AS (
+  SELECT doc_id,
+         regexp_replace(lower(coalesce(text, '')),
+                        '[^a-z0-9 ]+', '', 'g') AS c
+  FROM _mc_s1 WHERE doc_id IN (SELECT doc_id FROM _mc_keep2)
+),
+{mm.sql_phash_pgm("SELECT doc_id AS media_id, c, length(c) AS n"
+                   " FROM _mc_s2")},
+_mc_ib AS (
+  SELECT media_id, phash, k.k AS k,
+         (phash >> (16 * k.k)) & 65535 AS bv
+  FROM _ph, (SELECT unnest(generate_series(0, 3)) AS k) k
+),
+_mc_iok AS (
+  SELECT k, bv FROM _mc_ib GROUP BY k, bv
+  HAVING count(*) <= {_PHASH_MAX_BUCKET}
+),
+_mc_idrop AS (
+  SELECT DISTINCT b.media_id AS doc_id
+  FROM _mc_ib a
+  JOIN _mc_iok o ON o.k = a.k AND o.bv = a.bv
+  JOIN _mc_ib b ON b.k = a.k AND b.bv = a.bv
+   AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAM_T}
+),
+_mc_s3 AS (
+  SELECT doc_id, c FROM _mc_s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM _mc_idrop)
+),
+{mm.sql_afp_wav("SELECT doc_id AS media_id, c,"
+                 " greatest(length(c), 1) AS n FROM _mc_s3")},
+_mc_ab AS (
+  SELECT media_id, afp, k.k AS k,
+         (afp >> (10 * k.k)) & (CASE WHEN k.k = 2 THEN 2047
+                                ELSE 1023 END) AS bv
+  FROM _af, (SELECT unnest(generate_series(0, 2)) AS k) k
+),
+_mc_aok AS (
+  SELECT k, bv FROM _mc_ab GROUP BY k, bv
+  HAVING count(*) <= {_ADUP_MAX_BUCKET}
+),
+_mc_adrop AS (
+  SELECT DISTINCT b.media_id AS doc_id
+  FROM _mc_ab a
+  JOIN _mc_aok o ON o.k = a.k AND o.bv = a.bv
+  JOIN _mc_ab b ON b.k = a.k AND b.bv = a.bv
+   AND a.media_id < b.media_id
+  WHERE bit_count(xor(CAST(a.afp AS BIGINT), CAST(b.afp AS BIGINT)))
+        <= {_ADUP_HAM_T}
+),
+_mc_s4 AS (
+  SELECT doc_id FROM _mc_s3
+  WHERE doc_id NOT IN (SELECT doc_id FROM _mc_adrop)
+)
+SELECT '1_input' AS stage,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT '2_gopher',
+       CAST((SELECT count(*) FROM _mc_s1) AS BIGINT)
+UNION ALL SELECT '3_exact_text',
+       CAST((SELECT count(*) FROM _mc_s2) AS BIGINT)
+UNION ALL SELECT '4_image_neardup',
+       CAST((SELECT count(*) FROM _mc_s3) AS BIGINT)
+UNION ALL SELECT '5_audio_neardup',
+       CAST((SELECT count(*) FROM _mc_s4) AS BIGINT)
+"""
+
+
+@register("pipeline_multimodal_curation", _MCUR_SQL)
+def pipeline_multimodal_curation(spark, sf_dir):
+    """The MULTIMODAL curation funnel composed end to end — what a
+    real multimodal pretraining corpus runs, with every stage an
+    already-oracle-proven operator: Gopher quality panel (Rae 2021)
+    -> exact text dedup (min-id keep per content hash) -> IMAGE
+    near-dup drop (perceptual aHash + banded Hamming join, the
+    mm_phash_dedup machinery) -> AUDIO near-dup drop (energy-delta
+    fingerprint + banded join, the mm_audio_dedup machinery). One row
+    per stage with the surviving doc count — the attrition report is
+    the oracle-checked artifact, exactly like pipeline_curation_v2's
+    text-only funnel.
+
+    100 TB shape inherited stage-wise: gopher is map-side Column
+    folds, the exact dedup one groupBy on a uniform hash, both
+    modality stages compute fingerprints map-side next to the payload
+    bytes (forced persists — the mapInPandas bogus-estimate class)
+    and join only hash+band keys with hot-bucket caps. The funnel
+    narrows monotonically, so each later stage scans fewer payloads
+    (cheapest-filter-first ordering, the staged-funnel rule)."""
+    from ..operators import cache
+
+    docs = load(spark, sf_dir, "documents")
+    gop = tx.gopher_rules(docs).filter(F.col("keep")).select("doc_id")
+    s1 = cache.maybe_persist(
+        docs.select("doc_id", "text").join(gop, "doc_id", "left_semi"))
+    keep2 = (s1.groupBy(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                        .alias("_h"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    s2 = cache.maybe_persist(s1.join(keep2, "doc_id", "left_semi"))
+
+    def _banded_drops(hashed, hcol, nbands, shift, mask_fn, cap, ham_t):
+        bands = hashed.select(
+            "media_id", hcol,
+            F.explode(F.array(*[
+                F.struct(F.lit(k).cast("int").alias("k"),
+                         F.shiftright(hcol, shift * k)
+                         .bitwiseAND(F.lit(mask_fn(k))).alias("bv"))
+                for k in range(nbands)])).alias("_e")
+        ).select("media_id", hcol, F.col("_e.k").alias("k"),
+                 F.col("_e.bv").alias("bv"))
+        ok = (bands.groupBy("k", "bv")
+              .agg(F.count(F.lit(1)).alias("_n"))
+              .filter(F.col("_n") <= cap).select("k", "bv"))
+        a = (bands.join(ok, ["k", "bv"])
+             .select("k", "bv", F.col("media_id").alias("_ka"),
+                     F.col(hcol).alias("_ha")))
+        b = bands.select("k", "bv", F.col("media_id").alias("_kb"),
+                         F.col(hcol).alias("_hb"))
+        ham = F.bit_count(F.col("_ha").cast("long")
+                          .bitwiseXOR(F.col("_hb").cast("long")))
+        return (a.join(b, ["k", "bv"])
+                .filter((F.col("_ka") < F.col("_kb"))
+                        & (ham <= ham_t))
+                .select(F.col("_kb").alias("doc_id")).distinct())
+
+    ph = cache.maybe_persist(
+        mm.phash_pgm(mm.pgm_media_from_documents(s2)), force=True)
+    idrop = _banded_drops(ph, "phash", 4, 16, lambda k: 65535,
+                          _PHASH_MAX_BUCKET, _PHASH_HAM_T)
+    s3 = cache.maybe_persist(
+        s2.join(idrop, "doc_id", "left_anti"))
+    af = cache.maybe_persist(
+        mm.afp_wav(mm.wav_media_from_documents(s3)), force=True)
+    adrop = _banded_drops(af, "afp", 3, 10,
+                          lambda k: 2047 if k == 2 else 1023,
+                          _ADUP_MAX_BUCKET, _ADUP_HAM_T)
+    s4 = s3.join(adrop, "doc_id", "left_anti")
+
+    def _stage(label, frame):
+        return frame.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))             .select(F.lit(label).alias("stage"), "n_docs")
+
+    return (_stage("1_input", docs)
+            .unionByName(_stage("2_gopher", s1))
+            .unionByName(_stage("3_exact_text", s2))
+            .unionByName(_stage("4_image_neardup", s3))
+            .unionByName(_stage("5_audio_neardup", s4)))
+
+
 @register("mm_media_meta", """
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -11841,6 +11999,7 @@ _GATE_PRIORITY = [
     "mm_video_dedup",
     "mm_audio_dedup",
     "streaming_frame_sample",
+    "pipeline_multimodal_curation",
     "mm_phash_dedup",
     "pipeline_weighted_sample",
     "pipeline_benchmark_decontam",
@@ -11884,7 +12043,6 @@ _GATE_PRIORITY = [
     "w7_sliding_window",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
 ]
 
 
