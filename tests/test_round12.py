@@ -329,3 +329,71 @@ def test_persist_audit_detects_python_stage_recompute(spark):
         per._jdf.queryExecution().optimizedPlan(), py_only=True)
     pyc.unpersist()
     assert not flags2, "persisted plan must audit clean"
+
+
+def test_priority_sample_state_survives_restart(spark, tmp_path):
+    """The streaming priority sample must be LOSSLESS across real
+    micro-batch boundaries AND a cold restart: run 1 samples from the
+    first slice of docs, run 2 (new query, same checkpoint) folds a
+    second slice into the state-store-restored bottom-k — and the
+    final sample must equal the batch bottom-k over EVERYTHING seen,
+    which is the union-theorem claim streaming_weighted_sample rests
+    on, exercised on the live engine instead of the unit merge."""
+    from mktd6_flink_spark.plans.driver_queries import _WSAMP_SALT
+    from mktd6_flink_spark.streaming import sources, stateful
+
+    schema = "doc_id long, n_chars long"
+    in_dir = str(tmp_path / "ws_in")
+    ckpt = str(tmp_path / "ws_ckpt")
+    out_dir = str(tmp_path / "ws_out")
+    k = 7
+
+    def run(n):
+        stream = sources.file_stream_source(spark, in_dir, schema)
+        w = F.greatest(F.col("n_chars"), F.lit(1))
+        src = stream.select(
+            F.lit("all").alias("_k"),
+            F.col("doc_id").alias("_id"),
+            w.cast("long").alias("_w"),
+            F.expr(f"conv(substring(md5(concat('{_WSAMP_SALT}', "
+                   f"cast(doc_id as string))), 1, 15), 16, 10)")
+            .cast("long").alias("_h")).withColumn(
+                "_prio", F.expr("_h div _w"))
+        out = stateful.apply_per_event_stream(
+            src, ["_k"], ["_id"],
+            lambda: stateful.priority_sample_step(k),
+            "_k string, seq long, prios array<long>, ids array<long>, "
+            "ws array<long>",
+            "prios array<long>, ids array<long>, ws array<long>, "
+            "seq long",
+            pack=lambda s: (s[0], s[1], s[2], s[3]),
+            unpack=lambda r: (list(r[0]), list(r[1]), list(r[2]),
+                              int(r[3])))
+        run_dir = f"{out_dir}/{n}"
+        q = (out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append")
+                .parquet(run_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(run_dir).collect()
+        last = max(rows, key=lambda r: r.seq)
+        return sorted(zip(last.prios, last.ids, last.ws))
+
+    def prio(i, w):
+        import hashlib
+        h = int(hashlib.md5(
+            f"{_WSAMP_SALT}{i}".encode()).hexdigest()[:15], 16)
+        return h // max(w, 1)
+
+    batch1 = [(i, (i * 37) % 900 + 1) for i in range(0, 40)]
+    batch2 = [(i, (i * 53) % 900 + 1) for i in range(40, 90)]
+    sources.write_stream_input(spark, in_dir, batch1, schema)
+    got1 = run(1)
+    want1 = sorted((prio(i, w), i, w) for i, w in batch1)[:k]
+    assert got1 == want1
+    sources.write_stream_input(spark, in_dir, batch2, schema)
+    got2 = run(2)
+    want2 = sorted((prio(i, w), i, w)
+                   for i, w in batch1 + batch2)[:k]
+    assert got2 == want2
