@@ -5330,22 +5330,28 @@ def pipeline_weighted_sample(spark, sf_dir):
         _WSAMP_K, "rank")
 
 
+_WSAMP_SHARDS = 16
+
+
 @register("streaming_weighted_sample", _WSAMP_SQL)
 def streaming_weighted_sample(spark, sf_dir):
     """The priority sample maintained ON THE LIVE STREAMING RUNTIME —
-    sample-on-ingest: applyInPandasWithState holds the k smallest
-    (priority, doc_id, weight) triples (stateful.priority_sample_step),
-    merging each micro-batch's candidates losslessly — priorities are
-    a pure function of (id, weight), so the bottom-k merge loses
-    nothing under ANY micro-batching (the KMV union argument), and the
-    final state provably equals the batch twin pipeline_weighted_sample
-    under the SAME oracle. Hashing stays JVM-side (the identical conv/
-    md5 projection); Python only merges k-sized sorted lists per Arrow
-    batch. The constant re-key is the documented bounded-state
-    finisher: ONE sample of k triples per pipeline, the same
-    single-key shape as the global HLL merge — at 100 TB shard the
-    sample per ingest partition and fold the shards through the same
-    lossless merge."""
+    sample-on-ingest, SHARDED: the stream keys by doc_id mod
+    _WSAMP_SHARDS (16) and applyInPandasWithState holds the k smallest
+    (priority, doc_id, weight) triples PER SHARD
+    (stateful.priority_sample_step), so ingest parallelism scales with
+    the shard count instead of funneling the whole corpus through one
+    state key (the constant-re-key shape this entry deliberately
+    avoids). The finalize merges the shard samples — a bounded
+    shards*k-row frame — through the same bottom-k, which is exact by
+    the union theorem: every global bottom-k triple is in its own
+    shard's bottom-k. Priorities are a pure function of (id, weight),
+    so the per-shard merge is also lossless under ANY micro-batching,
+    and the result provably equals the batch twin
+    pipeline_weighted_sample under the SAME oracle. Hashing stays
+    JVM-side (the identical conv/md5 projection); Python only merges
+    k-sized sorted lists per Arrow batch. At 100 TB, set shards ~
+    ingest partitions; state is shards * k triples total."""
     from ..streaming import stateful
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -5357,7 +5363,8 @@ def streaming_weighted_sample(spark, sf_dir):
     )
     w = F.greatest(F.col("n_chars"), F.lit(1))
     src = raw.select(
-        F.lit("all").alias("_k"),
+        F.pmod(F.col("doc_id"), F.lit(_WSAMP_SHARDS)).cast("string")
+        .alias("_k"),
         F.col("doc_id").alias("_id"),
         w.cast("long").alias("_w"),
         F.expr(f"conv(substring(md5(concat('{_WSAMP_SALT}', "
@@ -5378,15 +5385,17 @@ def streaming_weighted_sample(spark, sf_dir):
         "_rn", F.row_number().over(
             Window.partitionBy("_k").orderBy(F.col("seq").desc())))
         .filter(F.col("_rn") == 1))
-    trips = last.select(F.posexplode(
-        F.arrays_zip("prios", "ids", "ws")).alias("_p", "_t"))
-    # the rank window runs over the k-row exploded sample — the
-    # bounded constant-k finisher, never data-scale
-    return trips.select(
+    trips = last.select(F.explode(
+        F.arrays_zip("prios", "ids", "ws")).alias("_t")).select(
         F.col("_t.ids").alias("doc_id"),
         F.col("_t.ws").alias("weight"),
-        F.col("_t.prios").alias("priority"),
-        (F.col("_p") + 1).cast("int").alias("rank"))
+        F.col("_t.prios").alias("priority"))
+    # shard merge: bottom-k over the bounded shards*k frame — the
+    # constant-size finisher (TakeOrdered + constant-k rank, the same
+    # shape as the batch twin's)
+    return _topk_ranked(
+        trips, [F.col("priority").asc(), F.col("doc_id").asc()],
+        _WSAMP_K, "rank")
 
 
 _MIX_RATES = {"en": 0.8, "es": 0.5, "und": 0.1}
