@@ -11068,6 +11068,125 @@ def events_autocorr_daily(spark, sf_dir):
                     .alias("autocorr_lag1")))
 
 
+_HOLT_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+folded AS (
+  SELECT event_type,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                         CAST(0 AS BIGINT)],
+                        list([day_idx, x] ORDER BY day_idx)),
+           (acc, e) -> CASE
+             WHEN acc[1] = 0 THEN
+               list_concat([CAST(1 AS BIGINT), e[2], CAST(0 AS BIGINT)],
+                           list_concat(acc[4:],
+                                       [e[1], e[2], CAST(0 AS BIGINT),
+                                        e[2]]))
+             ELSE
+               list_concat(
+                 [CAST(1 AS BIGINT),
+                  (e[2] + acc[2] + acc[3]) // 2,
+                  ((e[2] + acc[2] + acc[3]) // 2 - acc[2] + acc[3])
+                    // 2],
+                 list_concat(acc[4:],
+                   [e[1],
+                    (e[2] + acc[2] + acc[3]) // 2,
+                    ((e[2] + acc[2] + acc[3]) // 2 - acc[2] + acc[3])
+                      // 2,
+                    (e[2] + acc[2] + acc[3]) // 2
+                      + ((e[2] + acc[2] + acc[3]) // 2 - acc[2]
+                         + acc[3]) // 2]))
+           END) AS st
+  FROM d GROUP BY event_type),
+m AS (SELECT event_type, st[4:] AS q FROM folded)
+SELECT event_type,
+       unnest(list_transform(generate_series(1, len(q) // 4),
+              i -> q[(i - 1) * 4 + 1])) AS day_idx,
+       unnest(list_transform(generate_series(1, len(q) // 4),
+              i -> q[(i - 1) * 4 + 2])) AS level_cents,
+       unnest(list_transform(generate_series(1, len(q) // 4),
+              i -> q[(i - 1) * 4 + 3])) AS trend_cents,
+       unnest(list_transform(generate_series(1, len(q) // 4),
+              i -> q[(i - 1) * 4 + 4])) AS forecast_cents
+FROM m
+"""
+
+
+@register("events_holt_linear", _HOLT_SQL)
+def events_holt_linear(spark, sf_dir):
+    """Holt's linear-trend forecast over each type's daily revenue —
+    the forecasting baseline next to the diagnostics (autocorr,
+    seasonality, trend slope): double-exponential smoothing with a
+    LEVEL and a TREND component (Holt 1957; FPP3 ch. 8.2), alpha =
+    beta = 1/2 in exact integer cents, emitting per observed day the
+    smoothed level, trend, and 1-step-ahead forecast. The recurrence
+    is sequential per key — exactly the per-event fold engine's job
+    (constant 2-int state, one Python call per Arrow chunk, key-
+    cardinality independent); the halving TRUNCATES toward zero on
+    both engines — DuckDB's integer // truncates on negatives while
+    python // floors, so the step truncates explicitly (caught by the
+    oracle on the first negative-trend day: off by one). Gap
+    days are skipped, not imputed — the fold is over the observed
+    series on both engines."""
+    from ..streaming import stateful
+
+    ev = load(spark, sf_dir, "events")
+    d = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                 .cast("long").alias("day_idx"),
+                 _cents(F.col("value")).alias("_c"))
+         .groupBy("event_type", "day_idx")
+         .agg(F.sum("_c").alias("x")))
+    return stateful.apply_per_event_batch(
+        d, ["event_type"], ["day_idx"], stateful.holt_linear_step,
+        "event_type string, day_idx long, level_cents long, "
+        "trend_cents long, forecast_cents long")
+
+
+@register("streaming_holt_linear", _HOLT_SQL)
+def streaming_holt_linear(spark, sf_dir):
+    """The Holt fold ON THE LIVE STREAMING RUNTIME: the daily revenue
+    grid stages into a file topic (the closed-day aggregate a real
+    pipeline's upstream window emits — the st8 two-stage precedent)
+    and applyInPandasWithState carries the (level, trend) state
+    across micro-batches, emitting each day's smoothed row as it
+    arrives. Same 2-int state, same integer recurrence, same oracle
+    as the batch twin — a forecaster you can leave running on the
+    stream."""
+    import tempfile
+    import uuid
+
+    from ..streaming import stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    d = (ev.filter(F.col("value").isNotNull())
+         .select("event_type",
+                 F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+                 .cast("long").alias("day_idx"),
+                 _cents(F.col("value")).alias("_c"))
+         .groupBy("event_type", "day_idx")
+         .agg(F.sum("_c").alias("x")))
+    topic = tempfile.mkdtemp(prefix=f"holt_{uuid.uuid4().hex[:8]}_")
+    d.write.mode("overwrite").parquet(topic)
+    src = (spark.readStream.schema(
+        "event_type string, day_idx long, x long").parquet(topic))
+    out = stateful.apply_per_event_stream(
+        src, ["event_type"], ["day_idx"], stateful.holt_linear_step,
+        "event_type string, day_idx long, level_cents long, "
+        "trend_cents long, forecast_cents long",
+        "l long, b long, started int",
+        pack=lambda s: (s[0], s[1], s[2]),
+        unpack=lambda r: (int(r[0]), int(r[1]), int(r[2])))
+    return _run_stream_to_table(spark, out, "holt_stream")
+
+
 @register("events_seasonality_dow", """
 WITH d AS (
   SELECT event_type,
@@ -11987,10 +12106,12 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # d138f96; all 50 slots to the never-graded round-8 additions — 50/50
 # green in CORRECTNESS_r09.json.
 
-# r12 gate window (final): 7 never-graded round-12 additions (incl.
-# the late trio mm_frame_sample / mm_decode_wav /
-# streaming_weighted_sample — each locally oracle-green at sf0.01 AND
-# sf0.1) + the
+# r12 gate window (final): 11 never-graded round-12 additions (the
+# early four: phash dedup, priority sample, decontam, the absence
+# twin; plus the late seven: frame sample + streaming twin, WAV
+# decode, video/audio near-dup, sharded streaming sample, the
+# multimodal curation funnel — each locally oracle-green at sf0.01
+# AND sf0.1) + the
 # 30 entries whose CODE or PLAN genuinely changed this round (verdict
 # fixes, advisory fixes + their PQ family, the persist-audit plan
 # restructures, the entry-wrapper raw-fn rewires) + stalest-green
@@ -12002,6 +12123,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # floods the diff; the full 241-entry local gate passed after the
 # change (the backstop for the un-windowed rest).
 _GATE_PRIORITY = [
+    "events_holt_linear",
+    "streaming_holt_linear",
     "mm_frame_sample",
     "mm_decode_wav",
     "streaming_weighted_sample",
@@ -12050,8 +12173,6 @@ _GATE_PRIORITY = [
     "w5_distinct_users_per_team",
     "w6_session_window",
     "w7_sliding_window",
-    "tpch_q1",
-    "tpch_q3",
 ]
 
 

@@ -166,6 +166,50 @@ def priority_sample_step(k: int = 50):
     return step
 
 
+def holt_linear_step():
+    """Holt's linear-trend double-exponential smoothing (Holt 1957 /
+    Hyndman & Athanasopoulos, FPP §8.2) per key, alpha = beta = 1/2 in
+    EXACT integer arithmetic: level l_t = trunc((x_t + l_{t-1} +
+    b_{t-1}) / 2), trend b_t = trunc((l_t - l_{t-1} + b_{t-1}) / 2) —
+    TRUNCATION toward zero, because that is what DuckDB's integer //
+    does on negatives (-7 // 2 = -3, verified) while python // floors
+    (-4): the python step truncates explicitly so both engines halve
+    a negative trend identically. First observation seeds
+    (l, b) = (x, 0). Emits one row per observation with the level,
+    trend, and 1-step-ahead forecast l + b; constant 2-int state per
+    key, so the fold is cardinality-independent on the batch engine
+    and bounded-state on the live runtime."""
+    def step(state, row):  # pragma: no cover - vectorized path used
+        raise NotImplementedError
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        l, b, started = (int(state[0]), int(state[1]),
+                         int(state[2])) if state else (0, 0, 0)
+
+        def t2(v):  # truncate-toward-zero halving (DuckDB // parity)
+            return v // 2 if v >= 0 else -((-v) // 2)
+
+        out_d, out_l, out_b, out_f = [], [], [], []
+        for d, x in zip(pdf["day_idx"].tolist(), pdf["x"].tolist()):
+            x = int(x)
+            if not started:
+                l, b, started = x, 0, 1
+            else:
+                l2 = t2(x + l + b)
+                b = t2(l2 - l + b)
+                l = l2
+            out_d.append(int(d))
+            out_l.append(l)
+            out_b.append(b)
+            out_f.append(l + b)
+        return ({"day_idx": out_d, "level_cents": out_l,
+                 "trend_cents": out_b, "forecast_cents": out_f},
+                (l, b, started))
+
+    step.vectorized = vectorized
+    return step
+
+
 def basket_pair_step():
     """Incremental market-basket pair generation (per basket key):
     state is the basket's DISTINCT item set — bounded by basket size,
