@@ -781,6 +781,11 @@ def _parse_wav(payload: bytes):
     afmt, channels, rate, bits = fmt
     if (afmt, channels, bits) != (1, 1, 8):
         raise ValueError("unsupported encoding (want PCM u8 mono)")
+    if not 0 < rate < (1 << 31):
+        # rate = 0 would divide-by-zero in duration math; an absurd
+        # rate would overflow the int output column — both are
+        # malformed DATA, so they drop per row like any parse failure
+        raise ValueError("invalid sample rate")
     return rate, np.frombuffer(data, dtype=np.uint8)
 
 
@@ -967,8 +972,8 @@ def afp_wav(media: DataFrame) -> DataFrame:
     The payload is genuinely parsed (the full RIFF walk) before
     fingerprinting; malformed clips drop per row. Emits
     (media_id, afp int) — the fingerprint is computed map-side next
-    to the bytes, so audio near-dup joins ship 2-byte hashes, never
-    waveforms."""
+    to the bytes, so audio near-dup joins ship 4-byte fingerprints,
+    never waveforms."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -1851,6 +1851,56 @@ WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAM_T}
 """
 
 
+def _planted_suffix_corpus(docs):
+    """documents plus 40 suffix-perturbed copies (doc_id+20000,
+    ' qq' appended) — the shared planted-near-dup corpus of the
+    image/video dedup entries (the audio entry plants a
+    length-preserving PREFIX instead; see its docstring)."""
+    return docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" qq")).alias("text")))
+
+
+def _banded_near_dups(hashed, hcol, nbands, shift, mask_fn, cap, ham_t):
+    """Shared banded-LSH near-dup join over a (media_id, <hash>)
+    frame: explode the hash into ``nbands`` band keys (band k =
+    (hash >> shift*k) & mask_fn(k)), cap hot buckets at ``cap``
+    (the max_df analog), equi-join band-mates with media_id ordering,
+    and verify candidates with one JVM-side xor+popcount. Returns
+    DISTINCT (keep_id, dup_id, hamming) pairs within ``ham_t``.
+    Pigeonhole recall: any pair within Hamming distance nbands-1
+    shares at least one band exactly. Used by mm_phash_dedup,
+    mm_audio_dedup, and the multimodal curation funnel — one
+    implementation so a cap/join fix can't drift between them."""
+    bands = hashed.select(
+        "media_id", hcol,
+        F.explode(F.array(*[
+            F.struct(F.lit(k).cast("int").alias("k"),
+                     F.shiftright(hcol, shift * k)
+                     .bitwiseAND(F.lit(mask_fn(k))).alias("bv"))
+            for k in range(nbands)])).alias("_e")
+    ).select("media_id", hcol, F.col("_e.k").alias("k"),
+             F.col("_e.bv").alias("bv"))
+    ok = (bands.groupBy("k", "bv")
+          .agg(F.count(F.lit(1)).alias("_n"))
+          .filter(F.col("_n") <= cap).select("k", "bv"))
+    a = (bands.join(ok, ["k", "bv"])
+         .select("k", "bv", F.col("media_id").alias("keep_id"),
+                 F.col(hcol).alias("_ha")))
+    b = bands.select("k", "bv", F.col("media_id").alias("dup_id"),
+                     F.col(hcol).alias("_hb"))
+    ham = F.bit_count(F.col("_ha").cast("long")
+                      .bitwiseXOR(F.col("_hb").cast("long")))
+    return (a.join(b, ["k", "bv"])
+            .filter(F.col("keep_id") < F.col("dup_id"))
+            .select("keep_id", "dup_id", "_ha", "_hb").distinct()
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= ham_t)
+            .select("keep_id", "dup_id", "hamming"))
+
+
 @register("mm_phash_dedup", _PHASH_SQL)
 def mm_phash_dedup(spark, sf_dir):
     """REAL perceptual-hash near-dup detection over decoded images —
@@ -1874,44 +1924,15 @@ def mm_phash_dedup(spark, sf_dir):
     from ..operators import cache
 
     docs = load(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") < 40).select(
-            (F.col("doc_id") + 20000).alias("doc_id"),
-            F.concat(F.coalesce(F.col("text"), F.lit("")),
-                     F.lit(" qq")).alias("text")))
+    corpus = _planted_suffix_corpus(docs)
     # persist the hash table (FORCED: mapInPandas outputs carry a
     # bogus Catalyst size estimate, so the size gate silently
     # no-opped and all three consumers — bucket counts + both join
     # arms — re-ran the payload DECODE; found by tools/persist_audit)
     ph = cache.maybe_persist(
         mm.phash_pgm(mm.pgm_media_from_documents(corpus)), force=True)
-    bands = ph.select(
-        "media_id", "phash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(k).cast("int").alias("k"),
-                F.shiftright("phash", 16 * k)
-                .bitwiseAND(F.lit(65535)).alias("bv"))
-            for k in range(4)])).alias("_e")
-    ).select("media_id", "phash", F.col("_e.k").alias("k"),
-             F.col("_e.bv").alias("bv"))
-    ok = (bands.groupBy("k", "bv")
-          .agg(F.count(F.lit(1)).alias("_n"))
-          .filter(F.col("_n") <= _PHASH_MAX_BUCKET)
-          .select("k", "bv"))
-    a = (bands.join(ok, ["k", "bv"])
-         .select("k", "bv", F.col("media_id").alias("keep_id"),
-                 F.col("phash").alias("pa")))
-    b = bands.select("k", "bv", F.col("media_id").alias("dup_id"),
-                     F.col("phash").alias("pb"))
-    return (a.join(b, ["k", "bv"])
-            .filter(F.col("keep_id") < F.col("dup_id"))
-            .select("keep_id", "dup_id", "pa", "pb").distinct()
-            .withColumn("hamming",
-                        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-                        .cast("int"))
-            .filter(F.col("hamming") <= _PHASH_HAM_T)
-            .select("keep_id", "dup_id", "hamming"))
+    return _banded_near_dups(ph, "phash", 4, 16, lambda k: 65535,
+                             _PHASH_MAX_BUCKET, _PHASH_HAM_T)
 
 
 @register("mm_decode_pgm", mm.sql_decode_pgm("documents"))
@@ -1953,7 +1974,7 @@ def mm_resize_pgm(spark, sf_dir):
 def mm_frame_sample(spark, sf_dir):
     """REAL video frame sampling — the path mm_frame_plan only planned:
     every document becomes a VALID concatenated-P5 frame stream
-    (ffmpeg's image2pipe pgm format — back-to-back 16x16 frames, pure
+    (ffmpeg's image2pipe pgm format — back-to-back 8x8 frames, pure
     Column expressions), and the sampler genuinely WALKS the stream
     inside mapInPandas: each frame's header is parsed and the cursor
     advanced by the parsed raster size (frame boundaries discovered by
@@ -2074,11 +2095,7 @@ def mm_video_dedup(spark, sf_dir):
     identical blocking, so a cursor bug, a grid off-by-one, or a cap
     drift all break the hash."""
     docs = load(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") < 40).select(
-            (F.col("doc_id") + 20000).alias("doc_id"),
-            F.concat(F.coalesce(F.col("text"), F.lit("")),
-                     F.lit(" qq")).alias("text")))
+    corpus = _planted_suffix_corpus(docs)
     from ..operators import cache
     # persist the hash table (FORCED — the mapInPandas bogus-estimate
     # class): the bucket-cap counts and both join arms consume it;
@@ -2165,7 +2182,7 @@ def mm_audio_dedup(spark, sf_dir):
     window boundary and scatters the fingerprint (measured: 0/40).
 
     100 TB shape: the fingerprint is computed map-side next to the
-    waveform bytes (only 2-byte fingerprints + 5-bit band keys
+    waveform bytes (only 4-byte fingerprints + 10/11-bit band keys
     shuffle); the banded join is O(candidates) with the hot-bucket
     cap as the skew defense; the Hamming verify is one JVM-side
     xor+popcount per candidate. The oracle rebuilds every window
@@ -2188,33 +2205,9 @@ def mm_audio_dedup(spark, sf_dir):
     # consume it (the x3 decode shape shared with phash/video)
     af = cache.maybe_persist(
         mm.afp_wav(mm.wav_media_from_documents(corpus)), force=True)
-    bands = af.select(
-        "media_id", "afp",
-        F.explode(F.array(*[
-            F.struct(F.lit(k).alias("k"),
-                     (F.shiftright("afp", 10 * k)
-                      .bitwiseAND(2047 if k == 2 else 1023))
-                     .alias("bv"))
-            for k in range(3)])).alias("_b")
-    ).select("media_id", "afp", F.col("_b.k").alias("k"),
-             F.col("_b.bv").alias("bv"))
-    ok = (bands.groupBy("k", "bv")
-          .agg(F.count(F.lit(1)).alias("_n"))
-          .filter(F.col("_n") <= _ADUP_MAX_BUCKET)
-          .select("k", "bv"))
-    a = bands.join(ok, ["k", "bv"]).select(
-        "k", "bv", F.col("media_id").alias("keep_id"),
-        F.col("afp").alias("fa"))
-    b = bands.select("k", "bv", F.col("media_id").alias("dup_id"),
-                     F.col("afp").alias("fb"))
-    ham = F.bit_count(
-        F.col("fa").cast("long").bitwiseXOR(F.col("fb").cast("long")))
-    return (a.join(b, ["k", "bv"])
-            .filter(F.col("keep_id") < F.col("dup_id"))
-            .select("keep_id", "dup_id", "fa", "fb").distinct()
-            .select("keep_id", "dup_id",
-                    ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= _ADUP_HAM_T))
+    return _banded_near_dups(af, "afp", 3, 10,
+                             lambda k: 2047 if k == 2 else 1023,
+                             _ADUP_MAX_BUCKET, _ADUP_HAM_T)
 
 
 _MCUR_SQL = f"""
@@ -2327,42 +2320,20 @@ def pipeline_multimodal_curation(spark, sf_dir):
              .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
     s2 = cache.maybe_persist(s1.join(keep2, "doc_id", "left_semi"))
 
-    def _banded_drops(hashed, hcol, nbands, shift, mask_fn, cap, ham_t):
-        bands = hashed.select(
-            "media_id", hcol,
-            F.explode(F.array(*[
-                F.struct(F.lit(k).cast("int").alias("k"),
-                         F.shiftright(hcol, shift * k)
-                         .bitwiseAND(F.lit(mask_fn(k))).alias("bv"))
-                for k in range(nbands)])).alias("_e")
-        ).select("media_id", hcol, F.col("_e.k").alias("k"),
-                 F.col("_e.bv").alias("bv"))
-        ok = (bands.groupBy("k", "bv")
-              .agg(F.count(F.lit(1)).alias("_n"))
-              .filter(F.col("_n") <= cap).select("k", "bv"))
-        a = (bands.join(ok, ["k", "bv"])
-             .select("k", "bv", F.col("media_id").alias("_ka"),
-                     F.col(hcol).alias("_ha")))
-        b = bands.select("k", "bv", F.col("media_id").alias("_kb"),
-                         F.col(hcol).alias("_hb"))
-        ham = F.bit_count(F.col("_ha").cast("long")
-                          .bitwiseXOR(F.col("_hb").cast("long")))
-        return (a.join(b, ["k", "bv"])
-                .filter((F.col("_ka") < F.col("_kb"))
-                        & (ham <= ham_t))
-                .select(F.col("_kb").alias("doc_id")).distinct())
-
     ph = cache.maybe_persist(
         mm.phash_pgm(mm.pgm_media_from_documents(s2)), force=True)
-    idrop = _banded_drops(ph, "phash", 4, 16, lambda k: 65535,
-                          _PHASH_MAX_BUCKET, _PHASH_HAM_T)
+    idrop = _banded_near_dups(
+        ph, "phash", 4, 16, lambda k: 65535,
+        _PHASH_MAX_BUCKET, _PHASH_HAM_T).select(
+        F.col("dup_id").alias("doc_id")).distinct()
     s3 = cache.maybe_persist(
         s2.join(idrop, "doc_id", "left_anti"))
     af = cache.maybe_persist(
         mm.afp_wav(mm.wav_media_from_documents(s3)), force=True)
-    adrop = _banded_drops(af, "afp", 3, 10,
-                          lambda k: 2047 if k == 2 else 1023,
-                          _ADUP_MAX_BUCKET, _ADUP_HAM_T)
+    adrop = _banded_near_dups(
+        af, "afp", 3, 10, lambda k: 2047 if k == 2 else 1023,
+        _ADUP_MAX_BUCKET, _ADUP_HAM_T).select(
+        F.col("dup_id").alias("doc_id")).distinct()
     s4 = s3.join(adrop, "doc_id", "left_anti")
 
     def _stage(label, frame):

@@ -193,10 +193,21 @@ def test_decode_wav_drops_malformed_rows(spark):
     docs = spark.createDataFrame([(1, "good doc")],
                                  "doc_id long, text string")
     good = mm.wav_media_from_documents(docs)
+    import struct
+
+    def wav_with_rate(rate):
+        data = b"abc"
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
     bad = spark.createDataFrame(
         [(90, bytearray(b"RIFF\x04\x00\x00\x00JUNK")),
          (91, bytearray(b"not audio at all")),
-         (92, bytearray(b"RIFF"))],
+         (92, bytearray(b"RIFF")),
+         # rate = 0 must DROP (ValueError), never ZeroDivisionError
+         (93, bytearray(wav_with_rate(0)))],
         "media_id long, payload binary").select(
             "media_id", F.lit("audio").alias("kind"), "payload",
             F.lit(None).cast(
