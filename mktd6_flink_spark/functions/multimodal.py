@@ -258,6 +258,11 @@ def _parse_p5_at(payload: bytes, pos: int):
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single post-maxval whitespace
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # a 0×N header parses "successfully" but every consumer then
+        # divides or indexes by w*h — at 100 TB that one blob must be
+        # dropped data, not a ZeroDivisionError that kills the stage
+        raise ValueError("non-positive P5 dimensions")
     if maxval != 255:
         raise ValueError("unsupported maxval")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h,

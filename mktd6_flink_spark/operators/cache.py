@@ -26,7 +26,10 @@ several live frames at once (its own + a shared helper's), and a
 mid-build release would silently evict sibling caches (the round-12
 curation_v2 clobber). Harnesses that materialize results (bench, the
 oracle checker) additionally call ``release_twophase_caches()`` per
-result for deterministic cleanup.
+result for deterministic cleanup. Direct library callers that bypass the
+registry (tests, notebooks) are covered by a soft bound: beyond
+``MAX_LIVE_CACHES`` live frames the oldest are evicted — far above any
+single entry's footprint, so it only fires on session-lifetime leaks.
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ THRESHOLD_CONF = "spark.mktd6.twophase.persistThreshold"
 DEFAULT_THRESHOLD_BYTES = 1 << 30  # 1 GiB
 
 _LIVE: list[DataFrame] = []
+
+# Leak backstop for callers OUTSIDE the registered-entry wrappers (tests,
+# notebooks, long-lived drivers calling library helpers directly): entry
+# wrappers release at invocation, but a direct caller never does, so the
+# registry would grow for the session lifetime. No single entry holds
+# anywhere near this many frames, so evicting the oldest beyond the bound
+# can only touch frames from long-finished work.
+MAX_LIVE_CACHES = 32
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:
@@ -98,6 +109,11 @@ def maybe_persist(df: DataFrame,
         release_twophase_caches()
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE.append(df)
+    while len(_LIVE) > MAX_LIVE_CACHES:  # direct-caller leak backstop
+        try:
+            _LIVE.pop(0).unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 

@@ -143,8 +143,11 @@ def priority_sample_step(k: int = 50):
     The final state therefore equals the batch-built sample under ANY
     micro-batching — sample-on-ingest loses nothing vs the corpus
     scan. Ties break on id (ids are distinct by contract, making the
-    order total). Emits the current sample arrays + a monotone seq per
-    micro-batch; finalize keeps the key's last emission."""
+    order total); the merge additionally dedups BY ID keeping the
+    smallest triple, so a replayed id with a drifted weight cannot
+    occupy two slots (without-replacement stays true under replays).
+    Emits the current sample arrays + a monotone seq per micro-batch;
+    finalize keeps the key's last emission."""
     def step(state, row):  # pragma: no cover - vectorized path used
         raise NotImplementedError
 
@@ -154,7 +157,13 @@ def priority_sample_step(k: int = 50):
         batch = list(zip((int(p) for p in pdf["_prio"].tolist()),
                          (int(i) for i in pdf["_id"].tolist()),
                          (int(w) for w in pdf["_w"].tolist())))
-        merged = sorted(set(cur).union(batch))[:k]
+        # dedup by id keeping the smallest triple: a re-delivered id
+        # with a drifted weight (replay, cross-shard duplication) must
+        # occupy ONE slot or the sample is silently with-replacement
+        best: dict = {}
+        for t in sorted(set(cur).union(batch)):
+            best.setdefault(t[1], t)
+        merged = sorted(best.values())[:k]
         seq += 1
         prios = [t[0] for t in merged]
         ids = [t[1] for t in merged]
