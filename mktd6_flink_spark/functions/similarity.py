@@ -714,6 +714,15 @@ def sql_pq_adc_topk(table: str, query_ids: list[int], dim: int,
 # -- Trained product quantization ---------------------------------------------
 
 PQ_TRAIN_ITERS = 2
+# Lloyd training set target: ~this many vectors per subspace. Training on
+# the full corpus is the one not-100x-safe shape in the PQ family — each
+# iteration re-shuffles the whole corpus just to fit a constant m*k-row
+# model. A deterministic modulo sample (vec_id % s == 0, s = n // target)
+# trains the same-quality codebook from a bounded set, exactly as
+# kmeans/IVF already train from bounded first-k seeds. 512 vectors per
+# 16-code subquantizer is ~32 points per centroid — comfortably above the
+# k-means stability floor for 16-dim subvectors.
+PQ_TRAIN_SAMPLE = 512
 
 
 def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
@@ -734,7 +743,8 @@ def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
 def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
                          k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         sample_mod: int = 1) -> DataFrame:
     """Per-subspace Lloyd-trained PQ codebooks (Jegou 2011 §II trains
     each subquantizer with k-means — the sampled first-k codebook in
     ``pq_codes`` is the cheap stand-in; THIS is the real index's
@@ -751,8 +761,18 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
     dim) integer-micros mean, so aggregation order cannot change a
     bit. Empty codes drop out in both engines.
 
+    ``sample_mod``: train on the deterministic modulo sample
+    ``id % sample_mod == 0`` instead of the full corpus. The model is
+    a constant m*k rows; fitting it from a bounded sample is the
+    100x-safe shape (each Lloyd iteration otherwise re-shuffles the
+    whole corpus just to fit that constant), and membership is a pure
+    function of the id so the DuckDB twin samples identically. Init
+    (first-k vectors) is unaffected. Default 1 = full corpus.
+
     Returns (subspace, code, cvec) — array<double> centroids."""
     subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
+    train = (subs if sample_mod <= 1
+             else subs.filter(F.col(id_col) % sample_mod == 0))
     cents = subs.filter(F.col(id_col) < k).select(
         "subspace", F.col(id_col).cast("int").alias("code"),
         F.col("_sv").alias("_cv"))
@@ -763,7 +783,7 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
     ncent, cguard = _codebook_count_guard(cents, m, k,
                                           "pq_trained_codebooks")
     for _ in range(iters):
-        scored = subs.join(
+        scored = train.join(
             F.broadcast(cents.withColumnRenamed("subspace", "_cs")),
             F.col("subspace") == F.col("_cs")).select(
             id_col, "subspace", "code", "_sv",
@@ -812,9 +832,14 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
 def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
                              k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> str:
+                             vec_col: str = "embedding",
+                             sample_mod: int | str = 1) -> str:
     """DuckDB twin of ``pq_trained_codebooks``: the same fixed-iteration
-    per-subspace Lloyd loop unrolled into chained CTEs."""
+    per-subspace Lloyd loop unrolled into chained CTEs, with the same
+    deterministic ``id % sample_mod == 0`` training sample.
+    ``sample_mod`` may be a SQL expression (scalar subquery) — entry
+    oracles are static strings built at import time, so a
+    corpus-size-derived modulus must be computed by the engine."""
     sub = dim // m
     micro_mean = ("CAST(sum(CAST(floor(CAST(sv[g.i] AS DOUBLE) "
                   "* 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
@@ -824,6 +849,9 @@ def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
         f"{vec_col}[g.s * {sub} + 1 : (g.s + 1) * {sub}] AS sv "
         f"FROM {table}, "
         f"(SELECT unnest(generate_series(0, {m - 1})) AS s) g)",
+        f"_tq_train AS (SELECT * FROM _tq_sub"
+        + (f" WHERE {id_col} % ({sample_mod}) = 0)"
+           if (isinstance(sample_mod, str) or sample_mod > 1) else ")"),
         f"_tq_c0 AS (SELECT subspace, CAST({id_col} AS INTEGER) AS code, "
         f"sv AS cv FROM _tq_sub WHERE {id_col} < {k})",
     ]
@@ -836,7 +864,7 @@ def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
            row_number() OVER (PARTITION BY a.{id_col}, a.subspace
              ORDER BY CAST(floor(({d}) * 1000000.0 + 0.5) AS BIGINT)
                ASC, c.code ASC) AS rn
-    FROM _tq_sub a JOIN {prev} c ON c.subspace = a.subspace)
+    FROM _tq_train a JOIN {prev} c ON c.subspace = a.subspace)
   WHERE rn = 1)""")
         parts.append(
             f"_tq_m{it} AS (SELECT subspace, code, "
@@ -869,10 +897,18 @@ def pq_adc_topk_trained(embeddings: DataFrame, query_ids: list[int],
     and the distance-table join would re-run the whole Lloyd lineage,
     re-scanning the corpus per consumer. Everything downstream is the
     same shape as ``pq_adc_topk``: codes + tables broadcast, scoring
-    map-side, one (query, vector) combine shuffle."""
+    map-side, one (query, vector) combine shuffle.
+
+    Training runs on the deterministic modulo sample targeting
+    PQ_TRAIN_SAMPLE vectors (s = max(1, n // PQ_TRAIN_SAMPLE)): the
+    codebook is a constant m*kcent rows, so at 100x the corpus the
+    sample — not the corpus — bounds training cost. The one count()
+    here is a column-pruned scan, the cheapest possible full pass."""
     sub = dim // m
+    sample_mod = max(1, embeddings.count() // PQ_TRAIN_SAMPLE)
     cb_rows = pq_trained_codebooks(
-        embeddings, dim, m, kcent, iters, id_col, vec_col).collect()
+        embeddings, dim, m, kcent, iters, id_col, vec_col,
+        sample_mod=sample_mod).collect()
     spark = embeddings.sparkSession
     cb = spark.createDataFrame(
         [(r["subspace"], r["code"], [float(x) for x in r["cvec"]])
@@ -924,14 +960,19 @@ def sql_pq_adc_topk_trained(table: str, query_ids: list[int], dim: int,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> str:
     """DuckDB twin of ``pq_adc_topk_trained``: trained codebook CTEs,
-    then the same encode / distance-table / lookup-sum pipeline."""
+    then the same encode / distance-table / lookup-sum pipeline. The
+    training-sample modulus is a scalar subquery (count(*) is known
+    only at run time; entry oracles are static strings) computing the
+    identical max(1, n // PQ_TRAIN_SAMPLE)."""
     sub = dim // m
     ids = ", ".join(str(i) for i in query_ids)
     denc = sql_l2sq("a.sv", "c.cvec", sub)
     dq = sql_l2sq("q.qsv", "c.cvec", sub)
+    smod = (f"SELECT greatest(1, count(*) // {PQ_TRAIN_SAMPLE}) "
+            f"FROM {table}")
     return f"""
     WITH {sql_pq_trained_codebooks(table, dim, m, kcent, iters,
-                                   id_col, vec_col)},
+                                   id_col, vec_col, sample_mod=smod)},
     _tadc_codes AS (
       SELECT {id_col}, subspace, code FROM (
         SELECT a.{id_col}, a.subspace, c.code,
