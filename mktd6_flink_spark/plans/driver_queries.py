@@ -8293,6 +8293,66 @@ def _events_stream(spark, sf_dir):
     )
 
 
+def _staged_events_with_sentinel(spark, sf_dir, sent_us: int,
+                                 max_files: int | None = None):
+    """readStream over a STAGED copy of the events source: the real
+    file(s) symlinked into a temp dir (no data copy) plus one real
+    sentinel parquet — two rows (click + purchase, user_id -1, ts =
+    ``sent_us``) — whose mtime is set strictly NEWER than every data
+    file. Spark's file source orders micro-batches by file mtime
+    (oldest first), so whatever ``maxFilesPerTrigger`` splits the
+    input into, the watermark-lifting sentinel is CAUSALLY LAST: it
+    can never advance the global watermark past real events still in
+    flight, which is what made the round-12 projection sentinel
+    single-batch-only. Same ts normalization as ``_events_stream``
+    (the sentinel file is written in the data files' own on-disk
+    encoding so one stream schema covers both)."""
+    import tempfile
+    import time as time_mod
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_dtype, ts_unit = _events_ts_meta(spark, sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    files = ([os.path.join(src, f) for f in sorted(os.listdir(src))
+              if f.endswith(".parquet")]
+             if os.path.isdir(src) else [src])
+    d = tempfile.mkdtemp(prefix="sjlo_staged_")
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), os.path.join(
+            d, f"events-{i:04d}.parquet"))
+    if ts_dtype == "bigint":
+        ts_arr = pa.array(
+            [sent_us * 1000 if ts_unit == "ns" else sent_us] * 2,
+            type=pa.int64())
+    else:
+        ts_arr = pa.array([sent_us] * 2, type=pa.timestamp("us"))
+    sent_path = os.path.join(d, "events-zzzz-sentinel.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([-1, -1], type=pa.int64()),
+        "ts": ts_arr,
+        "user_id": pa.array([-1, -1], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase"], type=pa.string()),
+        "value": pa.array([0.0, 0.0], type=pa.float64()),
+        "props": pa.array([None, None], type=pa.string()),
+    }), sent_path)
+    newest = max(max(os.stat(f).st_mtime for f in files),
+                 time_mod.time()) + 2.0
+    os.utime(sent_path, (newest, newest))
+    reader = spark.readStream.schema(
+        f"event_id long, ts {ts_dtype}, user_id long, "
+        "event_type string, value double, props string")
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    return (reader.option("pathGlobFilter", "*.parquet").parquet(d)
+            .select("event_id",
+                    _ts_to_utc_timestamp(ts_dtype, ts_unit).alias("ts"),
+                    "user_id", "event_type", "value", "props"))
+
+
 def _run_stream_to_table(spark, out, prefix: str, mode: str = "append",
                          parts: str | None = None):
     """availableNow → memory sink; returns the sink table DataFrame.
@@ -10111,7 +10171,8 @@ FROM c LEFT JOIN p ON p.user_id = c.user_id
                   AND p.p_us >= c.c_us
                   AND p.p_us <= c.c_us + 3600000000
 """)
-def streaming_join_left_outer(spark, sf_dir, parts: str = "4"):
+def streaming_join_left_outer(spark, sf_dir, parts: str = "4",
+                              max_files: int | None = None):
     """STREAM-STREAM LEFT OUTER interval join on the live runtime:
     every click emits — paired with the same user's purchases in the
     following hour, or once with NULLs when the watermark proves no
@@ -10122,52 +10183,36 @@ def streaming_join_left_outer(spark, sf_dir, parts: str = "4"):
 
     A finite source would strand the final hour's unmatched clicks in
     state forever (the watermark stops 10 ms shy of max event time),
-    so BOTH sides are unioned with a far-future SENTINEL row (+3
-    days, user_id -1) derived as a projection of the same stream —
-    the CDC-entry pattern: one anchor row re-written per side, no
-    file staging, no second source. The sentinel lifts each side's
-    max event time, so after the data batch the global watermark
-    clears every real row's bound and the no-data batch flushes all
-    unmatched clicks; the oracle is then the plain relational LEFT
-    JOIN — no watermark arithmetic leaks into the correctness
-    contract. Sentinel-derived rows (matched pair + unmatched click)
-    are dropped by the user_id >= 0 filter; the anchor/max-ts probe
-    is a scalar batch aggregate, not a data collect. Same
+    so the source is STAGED with a far-future SENTINEL row pair (+3
+    days, user_id -1, one click + one purchase) whose file mtime is
+    strictly NEWEST: the file source batches oldest-mtime-first, so
+    under ANY maxFilesPerTrigger / file split the sentinel lands in
+    the FINAL micro-batch — it cannot advance the global watermark
+    past real events in later batches (the round-12 single-file
+    precondition, now gone; see ``_staged_events_with_sentinel``).
+    After the sentinel batch the global watermark clears every real
+    row's bound and the no-data batch flushes all unmatched clicks;
+    the oracle is then the plain relational LEFT JOIN — no watermark
+    arithmetic leaks into the correctness contract. Sentinel-derived
+    rows are dropped by the user_id >= 0 filter on the SUNK table
+    (in-plan, the filter is pushed below the left watermark node and
+    kills the lift — the round-8 finding); the max-ts probe is a
+    scalar batch aggregate, not a data collect. Real rows out of
+    time order ACROSS batches remain governed by the standard
+    watermark contract (disorder bounded by the 10 ms delay — the
+    inherent event-time streaming deal, not this entry's); time-split
+    files, the normal arrival layout at scale, satisfy it. Same
     state-scalability contract as streaming_join_interval:
     high-cardinality equality key, watermark-evictable O(interval)
-    per-key state.
-
-    SINGLE-BATCH PRECONDITION (enforced below): the sentinel rides in
-    the micro-batch containing min event_id, so the source must land
-    ALL input in ONE AvailableNow batch — with several files (or a
-    maxFilesPerTrigger), an early sentinel batch would advance the
-    global watermark past later real events and the join would drop
-    them as late, silently. The glob must therefore resolve to
-    exactly one regular parquet file (a multi-batch-safe variant
-    would derive the sentinel's timestamp per-batch instead)."""
-    _ev_files = [p for p in glob_mod.glob(os.path.join(
-        sf_dir, "events.parquet")) if os.path.isfile(p)]
-    if len(_ev_files) != 1:
-        raise ValueError(
-            "streaming_join_left_outer requires exactly one regular "
-            f"events.parquet file in {sf_dir} (found {len(_ev_files)}): "
-            "the +3-day sentinel's watermark lift is only sound when "
-            "the whole source lands in a single AvailableNow "
-            "micro-batch")
-    min_id, max_us = load(spark, sf_dir, "events").agg(
-        F.min("event_id"), F.max(F.unix_micros("ts"))).collect()[0]
-    sent_ts = F.timestamp_micros(F.lit(max_us + 3 * 86400000000))
-    raw = _events_stream(spark, sf_dir).select(
+    per-key state. ``max_files`` caps files per micro-batch so tests
+    can force genuine multi-batch execution."""
+    max_us = load(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros("ts"))).collect()[0][0]
+    sent_us = max_us + 3 * 86400000000
+    raw = _staged_events_with_sentinel(
+        spark, sf_dir, sent_us, max_files=max_files).select(
         "event_id", "ts", "user_id", "event_type", "value")
-    sentinel = (
-        raw.filter(F.col("event_id") == min_id)
-        .select(F.lit(-1).cast("long").alias("event_id"),
-                sent_ts.alias("ts"),
-                F.lit(-1).cast("long").alias("user_id"),
-                F.explode(F.array(F.lit("click"), F.lit("purchase")))
-                .alias("event_type"),
-                F.lit(0.0).alias("value")))
-    aug = raw.unionByName(sentinel)
+    aug = raw
     clicks = aug.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),

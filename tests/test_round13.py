@@ -88,3 +88,52 @@ def test_priority_sample_step_still_lossless_merge():
     _, st_a = step.vectorized(all_df.iloc[:3], None)
     _, st_b = step.vectorized(all_df.iloc[3:], st_a)
     assert st_once[:3] == st_b[:3]
+
+
+# ------------------------------------- multi-batch left-outer stream join
+
+def test_streaming_join_left_outer_multi_file_multi_batch(spark, tmp_path):
+    """The round-12 form required the whole source in ONE AvailableNow
+    batch; the staged-sentinel form must produce the exact relational
+    LEFT JOIN with the events source split into two time-ordered files
+    AND maxFilesPerTrigger=1 forcing one file per micro-batch (data
+    batch 0, data batch 1, sentinel batch 2)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    tbl = pq.read_table(src).sort_by([("ts", "ascending"),
+                                      ("event_id", "ascending")])
+    half = tbl.num_rows // 2
+    evdir = tmp_path / "events.parquet"
+    evdir.mkdir()
+    import os
+    import time
+    pq.write_table(tbl.slice(0, half), str(evdir / "part-000.parquet"))
+    pq.write_table(tbl.slice(half), str(evdir / "part-001.parquet"))
+    now = time.time()
+    os.utime(evdir / "part-000.parquet", (now - 100, now - 100))
+    os.utime(evdir / "part-001.parquet", (now - 50, now - 50))
+
+    from mktd6_flink_spark.plans.driver_queries import (
+        streaming_join_left_outer)
+
+    got = sorted(
+        tuple(r) for r in streaming_join_left_outer(
+            spark, str(tmp_path), max_files=1)
+        .select("click_id", "purchase_id", "user_id", "lag_us",
+                "purchase_value").collect())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        WITH ev AS (SELECT * FROM read_parquet('{src}')),
+        c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+              FROM ev WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id,
+                     epoch_us(ts) AS p_us, value
+              FROM ev WHERE event_type = 'purchase')
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               p.p_us - c.c_us AS lag_us, p.value AS purchase_value
+        FROM c LEFT JOIN p ON p.user_id = c.user_id
+                          AND p.p_us >= c.c_us
+                          AND p.p_us <= c.c_us + 3600000000
+        """).fetchall())
+    assert got == want and len(got) > 0
