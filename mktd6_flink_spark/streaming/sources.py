@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 from ..model import TopicDef
 
 
+def kafka_decode(raw: DataFrame, topic: TopicDef,
+                 watermark: str | None = "10 milliseconds",
+                 time_col: str = "time") -> DataFrame:
+    """The decode+watermark half of ``kafka_source``, split out so the
+    wire contract is testable without a broker: apply it to ANY frame
+    with Kafka's wire shape (binary key/value + metadata columns) —
+    the golden-plan test feeds it a static mock frame and pins the
+    from_json projection + EventTimeWatermark node."""
+    decoded = topic.decode(raw)
+    if watermark:
+        decoded = decoded.withWatermark(time_col, watermark)
+    return decoded
+
+
 def kafka_source(spark: SparkSession, topic: TopicDef, bootstrap: str,
                  starting_offsets: str = "earliest",
                  watermark: str | None = "10 milliseconds",
@@ -30,10 +44,7 @@ def kafka_source(spark: SparkSession, topic: TopicDef, bootstrap: str,
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    decoded = topic.decode(raw)
-    if watermark:
-        decoded = decoded.withWatermark(time_col, watermark)
-    return decoded
+    return kafka_decode(raw, topic, watermark, time_col)
 
 
 def kafka_sink(df: DataFrame, topic: TopicDef, bootstrap: str,

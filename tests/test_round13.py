@@ -137,3 +137,134 @@ def test_streaming_join_left_outer_multi_file_multi_batch(spark, tmp_path):
                           AND p.p_us <= c.c_us + 3600000000
         """).fetchall())
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------- state-schema audit tool
+
+def test_state_schema_validator_catches_int32_timestamp():
+    """The validator must catch the round-11 CEP bug shape: a state
+    field declared int (32-bit) holding an epoch-micros value."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "state_schema_audit",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "state_schema_audit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    specs = [("s_last", "int", True, None), ("n", "bigint", True, None)]
+    ok = mod.validate_state_tuple(specs, (5, 1722470400000000))
+    assert ok == []
+    bad = mod.validate_state_tuple(specs, (1722470400000000, 1))
+    assert bad and "out-of-range" in bad[0]
+    # wrong python type, arity, non-nullable None, array element range
+    assert mod.validate_state_tuple(specs, ("x", 1))
+    assert mod.validate_state_tuple(specs, (1,))
+    assert mod.validate_state_tuple(
+        [("a", "int", False, None)], (None,))
+    arr = [("hs", "array", True, "int")]
+    assert mod.validate_state_tuple(arr, ([1, 2, 1 << 40],))
+    assert mod.validate_state_tuple(arr, ([1, 2, 3],)) == []
+
+
+# ------------------------------------------ Kafka wire-shape contract
+
+def _wire_value(dt, name):
+    """Deterministic non-null sample for a wire-contract field (nulls
+    are dropped by to_json and would weaken the byte-level check)."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (BooleanType, DoubleType, IntegerType,
+                                   StringType, StructType, TimestampType)
+
+    if isinstance(dt, StructType):
+        return tuple(_wire_value(f.dataType, f.name) for f in dt.fields)
+    if isinstance(dt, TimestampType):
+        return datetime(2024, 5, 17, 12, 34, 56, 789000)
+    if isinstance(dt, StringType):
+        return f"s-{name}"
+    if isinstance(dt, IntegerType):
+        return 3
+    if isinstance(dt, DoubleType):
+        return 1.25
+    if isinstance(dt, BooleanType):
+        return True
+    raise AssertionError(f"unhandled wire type {dt} for {name}")
+
+
+def test_every_topic_round_trips_the_kafka_wire_frame(spark):
+    """S1/K1 wire contract for EVERY TopicDef: typed row -> encode ->
+    the exact Kafka frame (binary key/value + metadata columns) ->
+    decode -> re-encode must be BYTE-identical to the first encoding,
+    and timestamps must serialize as ISO-8601 millis strings
+    (BaseJsonSerde.java:20-22), never epochs."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, TimestampType
+
+    from mktd6_flink_spark.model import TOPICS
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    iso = re.compile(
+        r'"time":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}'
+        r'(Z|[+-]\d{2}:\d{2})"')
+    assert len(TOPICS) == 11
+    for name, topic in TOPICS.items():
+        full = StructType(
+            list(topic.key_schema.fields) + list(topic.value_schema.fields))
+        row = tuple(_wire_value(f.dataType, f.name) for f in full.fields)
+        typed = spark.createDataFrame([row], full)
+        first = topic.encode(typed).collect()[0]
+        if any(isinstance(f.dataType, TimestampType)
+               for f in topic.value_schema.fields):
+            assert iso.search(first["value"]), (name, first["value"])
+            assert '"time":1' not in first["value"], name  # no epochs
+        wire = topic.encode(typed).select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit(name).alias("topic"),
+            F.lit(0).alias("partition"),
+            F.lit(0).cast("long").alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"))
+        second = topic.encode(topic.decode(wire)).collect()[0]
+        assert (second["key"], second["value"]) == (
+            first["key"], first["value"]), name
+
+
+def test_kafka_decode_golden_plan(spark):
+    """Golden analyzed-plan assertion for the kafka_source decode path:
+    on a mock wire frame, kafka_decode must analyze to the from_json
+    projection under an EventTimeWatermark node with the 10 ms delay,
+    and the output schema must be the topic's typed columns."""
+    from pyspark.sql import functions as F
+
+    from mktd6_flink_spark.model import TOPICS
+    from mktd6_flink_spark.streaming.sources import kafka_decode
+
+    topic = TOPICS["share-price"]
+    mock = spark.createDataFrame(
+        [(bytearray(b'"FOO"'),
+          bytearray(b'{"time":"2024-05-17T12:34:56.789Z",'
+                    b'"coins":2.5,"forecastMult":1.01}'),
+          "share-price", 0, 0, None, 0)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int")
+    out = kafka_decode(mock, topic)
+    assert out.schema.simpleString() == (
+        "struct<key:string,time:timestamp,coins:double,"
+        "forecastMult:double>")
+    # the analyzer ELIMINATES EventTimeWatermark on batch children, so
+    # pin the node on the pre-analysis logical plan (a real kafka
+    # stream keeps it; the mock frame is batch) and the projection on
+    # the analyzed one
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in logical and "0.01 seconds" in logical
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "from_json" in analyzed
+    got = out.select("key", F.unix_millis("time").alias("ms"),
+                     "coins", "forecastMult").collect()[0]
+    assert tuple(got) == ("FOO", 1715949296789, 2.5, 1.01)
