@@ -163,6 +163,10 @@ HEADLINE = [
     "mm_video_dedup",
     "mm_audio_dedup",
     "streaming_frame_sample",
+    # round-13 heads: the 30-rule BPE trainer (distributed vocab
+    # collapse + driver-side merge loop) and its corpus-encode twin
+    "pipeline_bpe_train",
+    "pipeline_bpe_encode",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -180,6 +184,7 @@ _R10_SET = HEADLINE[:47]       # the 47-head panel before the late-r10 adds
 _R10_LATE_SET = HEADLINE[:51]  # the full 51-head panel BENCH_r10 ran
 _R11_SET = HEADLINE[:57]       # + the six round-11 heads
 _R12_SET = HEADLINE[:60]       # + the three round-12 heads
+_R12_LATE_SET = HEADLINE[:66]  # the full 66-head panel BENCH_r12 ran
 
 
 def streaming_floor(spark, sf_dir):
@@ -307,6 +312,8 @@ def main() -> int:
                 sum(timings[n] for n in _R11_SET), 3),
             "r12_comparable_60": round(
                 sum(timings[n] for n in _R12_SET), 3),
+            "r12_comparable_66": round(
+                sum(timings[n] for n in _R12_LATE_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -321,6 +328,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R11_SET), 3),
             "r12_comparable_60": round(
                 sum(tmin[n] for n in _R12_SET), 3),
+            "r12_comparable_66": round(
+                sum(tmin[n] for n in _R12_LATE_SET), 3),
         },
         "queries_min": tmin,
     }

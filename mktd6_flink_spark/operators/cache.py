@@ -45,10 +45,11 @@ _LIVE: list[DataFrame] = []
 # Leak backstop for callers OUTSIDE the registered-entry wrappers (tests,
 # notebooks, long-lived drivers calling library helpers directly): entry
 # wrappers release at invocation, but a direct caller never does, so the
-# registry would grow for the session lifetime. No single entry holds
-# anywhere near this many frames, so evicting the oldest beyond the bound
-# can only touch frames from long-finished work.
-MAX_LIVE_CACHES = 32
+# registry would grow for the session lifetime. The bound must exceed the
+# largest single entry's live footprint (the 30-merge BPE trainer holds
+# ~31: the word-frequency table + one frame per vocab generation); beyond
+# it, evicting the oldest can only touch frames from long-finished work.
+MAX_LIVE_CACHES = 64
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:

@@ -3191,7 +3191,7 @@ def _bpe_sql_iter(k: int, apply_merge: bool) -> str:
            f
     FROM {prev} WHERE len(s) >= 2)
   GROUP BY a, b)""",
-             f"""_bt_b{k} AS (
+             f"""_bt_b{k} AS MATERIALIZED (
   SELECT a, b, a || b AS m, cnt FROM _bt_p{k}
   ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""]
     if apply_merge:
@@ -3211,7 +3211,12 @@ def _bpe_sql_iter(k: int, apply_merge: bool) -> str:
   FROM (SELECT *, CASE WHEN mt = 1 THEN i - row_number() OVER
                (PARTITION BY w, mt ORDER BY i) END AS grp
         FROM _bt_x{k}))""")
-        parts.append(f"""_bt_s{k} AS (
+        # MATERIALIZED: each generation is referenced twice (pair
+        # counts + apply) — default CTE inlining doubles the plan per
+        # iteration and hangs the planner at the 30-merge unrolling
+        # (the round-10 MMR lesson); _bt_b{k} likewise backs 3+ scalar
+        # subquery references.
+        parts.append(f"""_bt_s{k} AS MATERIALIZED (
   SELECT w, f,
          list(CASE WHEN sel = 1 THEN (SELECT m FROM _bt_b{k})
                    ELSE sym END ORDER BY i) AS s
@@ -3222,113 +3227,102 @@ def _bpe_sql_iter(k: int, apply_merge: bool) -> str:
     return ",\n".join(parts)
 
 
-def _bpe_pair_counts(sdf):
-    """Adjacent-symbol pair counts weighted by word frequency — the
-    table each BPE iteration argmaxes over. Vocab-sized input, pair
-    table bounded by symbol-alphabet²."""
-    pr = sdf.filter(F.size("s") >= 2).select(
-        "f",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size("s") - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("s"), i).alias("a"),
-                F.element_at(F.col("s"), i + F.lit(1)).alias("b"))))
-        .alias("p"))
-    return (pr.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("f").alias("cnt")))
+# Word-frequency model cap: BPE trains on the collapsed (word, freq)
+# table, not the corpus — cap it at the top-K words by (freq desc,
+# word asc) so the trainer input is a BOUNDED model artifact at any
+# corpus size (HF tokenizers / SentencePiece train exactly this way).
+# At the sf corpora the cap never binds; at 100 TB it is what makes
+# the driver-side merge loop legitimate.
+_BPE_VOCAB_CAP = 65536
 
 
-def _bpe_apply_merge(sdf, best):
-    """Apply one merge rule greedily (leftmost, non-overlapping) to
-    every word's symbol list — a zero-shuffle F.aggregate fold with a
-    skip flag. `best` is collapsed through min-aggregates so an EMPTY
-    merge frame (a corpus with no pairs left) becomes one all-NULL
-    row: the hit predicate goes NULL, every symbol copies through,
-    and the vocab passes unchanged — exactly the oracle's
-    NULL-scalar-subquery behavior (a bare crossJoin against an empty
-    frame would instead silently delete the whole vocabulary)."""
-    safe = best.agg(F.min("a").alias("a"), F.min("b").alias("b"),
-                    F.min("m").alias("m"))
-    j = sdf.crossJoin(F.broadcast(safe))
-    zero = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(False).alias("skip"))
-
-    def step(acc, i):
-        cur_s = F.element_at(F.col("s"), i)
-        hit = ((i < F.size(F.col("s")))
-               & (cur_s == F.col("a"))
-               & (F.element_at(F.col("s"), i + F.lit(1))
-                  == F.col("b")))
-        keep = acc.getField("out")
-        return (F.when(acc.getField("skip"), F.struct(
-                    keep.alias("out"), F.lit(False).alias("skip")))
-                .when(hit, F.struct(
-                    F.array_append(keep, F.col("m")).alias("out"),
-                    F.lit(True).alias("skip")))
-                .otherwise(F.struct(
-                    F.array_append(keep, cur_s).alias("out"),
-                    F.lit(False).alias("skip"))))
-
-    return j.select(
-        "w", "f",
-        F.aggregate(F.sequence(F.lit(1), F.size("s")), zero, step,
-                    lambda acc: acc.getField("out")).alias("s"))
+def _bpe_merge_syms(s: list, a: str, b: str, m: str) -> list:
+    """Greedy leftmost non-overlapping application of one merge rule
+    to a symbol list — the python twin of the oracle's run-parity
+    window spelling (greedy == odd-index-in-run selection; pinned by
+    tests/test_round13.py against an independent regex reference)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if i + 1 < n and s[i] == a and s[i + 1] == b:
+            out.append(m)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
 
 
 def _bpe_train(docs, n_merges, apply_last):
-    """Shared BPE trainer: collapse the corpus to the word-frequency
-    vocab once, then n_merges vocab-sized iterations. Returns
-    (final vocab frame (w, f, s), list of per-rank merge frames)."""
-    from ..operators import cache
+    """Shared BPE trainer (Sennrich 2016 §3.2): collapse the corpus to
+    the capped word-frequency vocabulary with ONE map-side-combined
+    shuffle + TakeOrdered, collect that bounded model input, and run
+    the merge loop driver-side. Returns (vocab list of (w, f, syms),
+    merge dicts (rank, a, b, m, cnt)).
 
-    # persist the corpus collapse and each iteration's frames: the
-    # 1-row argmax feeds both the merge report and the apply step, and
-    # each vocab generation feeds the next iteration's pair counts +
-    # the apply — unpersisted, the chained lineage re-ran the corpus
-    # tokenize per reference (persist_audit; same per-level pattern as
-    # the k-hop BFS)
-    wf = cache.maybe_persist(
-        docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
-    cur = wf.select("w", "f", F.split("w", "").alias("s"))
+    Why driver-side: the trainer input is model-sized BY CONSTRUCTION
+    (<= _BPE_VOCAB_CAP words), and a distributed merge loop pays ~1 s
+    of scheduling + codegen per iteration to process it — 30 rules
+    took 27 s distributed vs < 1 s here, with the heavy half (the
+    corpus collapse) still fully distributed. Same sample-then-train
+    shape as the PQ codebooks: fit a constant-size artifact from a
+    bounded input, broadcast it back. The earlier frame-chained loop
+    also hit the round-10 EXPONENTIAL-PLAN trap (each generation
+    referenced twice), which is why it shipped with only 3 merges."""
+    rows = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+            .orderBy(F.col("f").desc(), F.col("w").asc())
+            .limit(_BPE_VOCAB_CAP).collect())
+    vocab = [(r["w"], int(r["f"]), list(r["w"])) for r in rows]
     merges = []
     for rank in range(1, n_merges + 1):
-        counts = _bpe_pair_counts(cur)
-        best = cache.maybe_persist(
-            counts.orderBy(F.col("cnt").desc(), F.col("a").asc(),
-                           F.col("b").asc())
-            .limit(1)
-            .select("a", "b", F.concat("a", "b").alias("m"), "cnt"))
-        merges.append(best)
+        cnt: dict = {}
+        for _w, f, s in vocab:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            # pair supply exhausted: stop. The oracle's remaining
+            # iterations run over the unchanged vocab, find no pairs,
+            # and emit no merge rows — identical by construction.
+            break
+        a, b = min(cnt, key=lambda p: (-cnt[p], p[0], p[1]))
+        merges.append({"rank": rank, "a": a, "b": b, "m": a + b,
+                       "cnt": cnt[(a, b)]})
         if rank < n_merges or apply_last:
-            cur = cache.maybe_persist(_bpe_apply_merge(cur, best))
-    return cur, merges
+            vocab = [(w, f, _bpe_merge_syms(s, a, b, a + b))
+                     for w, f, s in vocab]
+    return vocab, merges
 
 
 _BPE_SQL_PRELUDE = f"""_bt_wf AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
-    SELECT unnest({tx.sql_tokens('text')}) AS w FROM documents)
-  GROUP BY w
+  SELECT w, f FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+      SELECT unnest({tx.sql_tokens('text')}) AS w FROM documents)
+    GROUP BY w)
+  ORDER BY f DESC, w ASC LIMIT {_BPE_VOCAB_CAP}
 ),
-_bt_s0 AS (
+_bt_s0 AS MATERIALIZED (
   SELECT w, f,
          list_transform(generate_series(1, length(w)),
                         i -> substr(w, CAST(i AS INTEGER), 1)) AS s
   FROM _bt_wf
 )"""
 
+# 30 merge rules: enough to learn real multi-char subword units from
+# the sf corpora (the 3-rule table the first cut shipped was the
+# loop's first three unrollings, not a tokenizer). The trainer's cost
+# is vocab-sized per iteration on both engines, so N scales freely.
+_BPE_N = 30
 
-@register("pipeline_bpe_train", f"""
-WITH {_BPE_SQL_PRELUDE},
-{_bpe_sql_iter(1, True)},
-{_bpe_sql_iter(2, True)},
-{_bpe_sql_iter(3, False)}
-SELECT CAST(1 AS INTEGER) AS rank, a AS pair_a, b AS pair_b,
-       m AS merged, cnt AS pair_count FROM _bt_b1
-UNION ALL SELECT CAST(2 AS INTEGER), a, b, m, cnt FROM _bt_b2
-UNION ALL SELECT CAST(3 AS INTEGER), a, b, m, cnt FROM _bt_b3
-""")
+
+@register("pipeline_bpe_train", "WITH " + _BPE_SQL_PRELUDE + ",\n"
+          + ",\n".join(_bpe_sql_iter(k, k < _BPE_N)
+                       for k in range(1, _BPE_N + 1))
+          + "\nSELECT CAST(1 AS INTEGER) AS rank, a AS pair_a, "
+            "b AS pair_b, m AS merged, cnt AS pair_count FROM _bt_b1\n"
+          + "\n".join(
+              f"UNION ALL SELECT CAST({k} AS INTEGER), a, b, m, cnt "
+              f"FROM _bt_b{k}" for k in range(2, _BPE_N + 1)))
 def pipeline_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING — the first three merge rules (Sennrich
     2016 §3.2), not just the first pair table (text_bpe_pair_stats is
@@ -3358,28 +3352,29 @@ def pipeline_bpe_train(spark, sf_dir):
     predecessor was selected. Cross-engine equality of the two
     spellings is exactly the greedy == run-parity equivalence.
     Empty-pair corpora yield zero rows on both sides (TakeOrdered of
-    an empty table vs LIMIT 1 of an empty CTE)."""
+    an empty table vs LIMIT 1 of an empty CTE). Round 13 grew the
+    loop from its first 3 unrollings to the full _BPE_N=30 rank
+    table — the artifact a tokenizer actually ships — which forced
+    the collect-and-inline loop shape (see _bpe_train) and
+    MATERIALIZED iteration CTEs in the oracle."""
     docs = load(spark, sf_dir, "documents")
-    _, merges = _bpe_train(docs, 3, apply_last=False)
-    out = [best.select(
-        F.lit(rank).cast("int").alias("rank"),
-        F.col("a").alias("pair_a"), F.col("b").alias("pair_b"),
-        F.col("m").alias("merged"), F.col("cnt").alias("pair_count"))
-        for rank, best in enumerate(merges, start=1)]
-    return out[0].unionByName(out[1]).unionByName(out[2])
+    _, merges = _bpe_train(docs, _BPE_N, apply_last=False)
+    return spark.createDataFrame(
+        [(m["rank"], m["a"], m["b"], m["m"], m["cnt"]) for m in merges],
+        "rank int, pair_a string, pair_b string, merged string, "
+        "pair_count long")
 
 
-@register("pipeline_bpe_encode", expand_round6(f"""
-WITH {_BPE_SQL_PRELUDE},
-{_bpe_sql_iter(1, True)},
-{_bpe_sql_iter(2, True)},
-{_bpe_sql_iter(3, True)},
+@register("pipeline_bpe_encode", expand_round6("WITH "
+          + _BPE_SQL_PRELUDE + ",\n"
+          + ",\n".join(_bpe_sql_iter(k, True)
+                       for k in range(1, _BPE_N + 1)) + f""",
 _be_dw AS (
   SELECT doc_id, unnest({tx.sql_tokens('text')}) AS w FROM documents),
 _be_j AS (
   SELECT d.doc_id, CAST(len(v.s) AS BIGINT) AS tl,
          CAST(length(d.w) AS BIGINT) AS wl
-  FROM _be_dw d JOIN _bt_s3 v ON v.w = d.w)
+  FROM _be_dw d JOIN _bt_s{_BPE_N} v ON v.w = d.w)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(tl) AS BIGINT) AS n_tokens,
        CAST(sum(wl) AS BIGINT) AS n_chars,
@@ -3391,8 +3386,8 @@ def pipeline_bpe_encode(spark, sf_dir):
     loop (pipeline_bpe_train learns the merge table; this entry runs
     the resulting tokenizer over the corpus and reports per-doc token
     counts, the number every training-data budget is denominated in).
-    Train exactly as the trainer does (3 merges), apply ALL of them
-    to the vocabulary, then the per-doc stats come from joining the
+    Train exactly as the trainer does (_BPE_N=30 merges), apply ALL
+    of them to the vocabulary, then the per-doc stats come from joining the
     exploded corpus words to the (word -> token count) vocabulary —
     the corpus is scanned once and never carries symbol lists, so at
     100 TB the expensive artifact (the encoded vocab) stays
@@ -3400,16 +3395,20 @@ def pipeline_bpe_encode(spark, sf_dir):
     partial-aggregated groupBy(doc_id). chars_per_token is the
     compression dial tokenizer evaluations publish (ROUND6-portable;
     every word has >= 1 token so the divisor is never 0; docs with
-    no tokens drop from the join on both engines). The empty-merge
-    guard in _bpe_apply_merge keeps vocab intact when a degenerate
-    corpus runs out of pairs before rank 3 (the oracle's NULL scalar
-    subquery does the same)."""
+    no tokens drop from the join on both engines). A degenerate
+    corpus that runs out of pairs before rank _BPE_N passes the
+    vocab through the remaining ranks unchanged on both sides (the
+    Spark loop breaks; the oracle's NULL scalar subquery no-ops).
+    The trained (word -> token count) table is rebuilt as a literal
+    broadcast frame — the model artifact, bounded by
+    _BPE_VOCAB_CAP."""
     docs = load(spark, sf_dir, "documents")
-    vocab, _ = _bpe_train(docs, 3, apply_last=True)
+    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True)
+    vdf = spark.createDataFrame(
+        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
     dw = docs.select("doc_id", F.explode(tx.tokens(F.col("text")))
                      .alias("w"))
-    j = dw.join(vocab.select("w", F.size("s").cast("long").alias("_tl")),
-                "w")
+    j = dw.join(F.broadcast(vdf), "w")
     return (j.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("_tl").alias("n_tokens"),

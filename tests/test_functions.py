@@ -838,20 +838,17 @@ def test_char_entropy_exact_integer_bits(spark):
 def test_bpe_merge_exhaustion_keeps_vocab(spark):
     """A corpus whose pair supply runs out before the requested merge
     count must pass the vocabulary through the remaining iterations
-    UNCHANGED: _bpe_apply_merge collapses the merge frame through
-    min-aggregates, so an empty best-pair frame becomes one all-NULL
-    row whose hit predicate is never true — the oracle's NULL scalar
-    subquery does the same. A bare crossJoin against the empty frame
-    would instead silently delete every word (zero output rows from
-    pipeline_bpe_encode), which no sf corpus can catch because real
-    corpora never exhaust pairs in 3 merges."""
+    UNCHANGED: the driver-side loop breaks on an empty pair table,
+    while the oracle's remaining iterations no-op over the unchanged
+    vocab via the NULL scalar subquery — identical merge tables and
+    final vocabs by construction."""
     from mktd6_flink_spark.plans.driver_queries import _bpe_train
 
     docs = spark.createDataFrame(
         [(1, "ab ab ab"), (2, "ab")], "doc_id long, text string")
     vocab, merges = _bpe_train(docs, 3, apply_last=True)
-    rows = {r.w: list(r.s) for r in vocab.collect()}
-    # rank 1 merges (a, b); ranks 2-3 find no pairs and must no-op
+    rows = {w: s for w, _f, s in vocab}
+    # rank 1 merges (a, b); ranks 2-3 find no pairs: the loop breaks
+    # and the vocab passes through unchanged
     assert rows == {"ab": ["ab"]}
-    got = [r.asDict() for b in merges for r in b.collect()]
-    assert len(got) == 1 and got[0]["m"] == "ab"
+    assert len(merges) == 1 and merges[0]["m"] == "ab"

@@ -268,3 +268,47 @@ def test_kafka_decode_golden_plan(spark):
     got = out.select("key", F.unix_millis("time").alias("ms"),
                      "coins", "forecastMult").collect()[0]
     assert tuple(got) == ("FOO", 1715949296789, 2.5, 1.01)
+
+
+# ----------------------------------------------- BPE greedy merge parity
+
+def test_bpe_merge_syms_matches_regex_greedy():
+    """_bpe_merge_syms (greedy leftmost non-overlapping) must agree
+    with an independent reference on single-char symbol lists: python
+    re.sub is DEFINED as leftmost non-overlapping replacement, so
+    replacing the 2-char pattern pins the same semantics — including
+    the (a, a) self-pair run case the oracle handles via run parity."""
+    import itertools
+    import re
+
+    from mktd6_flink_spark.plans.driver_queries import _bpe_merge_syms
+
+    for n in range(0, 9):
+        for tup in itertools.product("ab", repeat=n):
+            word = "".join(tup)
+            for a, b in (("a", "b"), ("a", "a"), ("b", "a")):
+                got = _bpe_merge_syms(list(word), a, b, "M")
+                want = list(re.sub(re.escape(a + b), "\x00", word)
+                            .replace("\x00", "M"))
+                want = [w if w != "M" else "M" for w in want]
+                # rebuild reference symbol list: each non-M char is a
+                # symbol, each M is the merged symbol
+                assert got == want, (word, a, b, got, want)
+
+
+def test_bpe_train_thirty_ranks_monotone_counts(spark):
+    """The 30-rule table on the sf0.001 corpus: ranks are 1..30 dense,
+    every merged symbol is the concat of its pair, and pair counts
+    never increase with rank for identical pairs re-counted (sanity of
+    the recount-after-apply loop, not a strict global monotone)."""
+    from mktd6_flink_spark.plans.driver_queries import _BPE_N, _bpe_train, load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    vocab, merges = _bpe_train(docs, _BPE_N, apply_last=True)
+    assert [m["rank"] for m in merges] == list(range(1, _BPE_N + 1))
+    assert all(m["m"] == m["a"] + m["b"] for m in merges)
+    assert all(m["cnt"] > 0 for m in merges)
+    # multi-char subword units actually got learned
+    assert any(len(m["m"]) >= 3 for m in merges)
+    # the trained vocab tokenizes: every word's symbols concat to it
+    assert all("".join(s) == w for w, _f, s in vocab)
