@@ -164,9 +164,11 @@ HEADLINE = [
     "mm_audio_dedup",
     "streaming_frame_sample",
     # round-13 heads: the 30-rule BPE trainer (distributed vocab
-    # collapse + driver-side merge loop) and its corpus-encode twin
+    # collapse + driver-side merge loop), its corpus-encode twin, and
+    # the pure-numpy baseline-JPEG decode (full T.81 entropy path)
     "pipeline_bpe_train",
     "pipeline_bpe_encode",
+    "mm_decode_jpeg",
 ]
 
 # Cross-round comparability: the headline total only grows because the

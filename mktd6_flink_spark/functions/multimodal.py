@@ -3,12 +3,18 @@ columns with typed metadata, plus decode / feature-extract / resize /
 frame-sample operators as Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The actual codecs (PIL/ffmpeg/etc.) are NOT available in this container, so
-the decode step is STUBBED: ``decode_media`` raises NotImplementedError
-unless ``fake=True``, in which case it produces a deterministic fake decode
-(dimensions derived from the payload hash) so the Spark-side plumbing —
-schema, batch iteration, partitioning, UDF signatures — is real and
-testable end to end.
+Codec coverage (no codec libs in this container — every decoder below
+is dependency-free):
+
+* REAL: NetPBM P5 images (+ concatenated-P5 video streams), RIFF/WAV
+  PCM audio, and — since round 13 — baseline JPEG (full T.81 Huffman +
+  IDCT path, functions/jpeg.py). These genuinely parse the bytes.
+* STUBBED: everything else (progressive JPEG, PNG, MP4, FLAC):
+  ``decode_media`` raises NotImplementedError unless ``fake=True``, in
+  which case it produces a deterministic fake decode (dimensions
+  derived from the payload hash) so the Spark-side plumbing — schema,
+  batch iteration, partitioning, UDF signatures — is real and testable
+  end to end.
 
 Scale notes: media payloads are large blobs; the operators below keep them
 out of shuffles (metadata-only projections shuffle, payloads stay in their
@@ -1036,4 +1042,143 @@ def sql_afp_wav(table_expr: str) -> str:
         ON b.media_id = a.media_id AND b.w = a.w + 1
       GROUP BY a.media_id
     )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Compressed-codec media: baseline JPEG (round 13). The builder encodes
+# each document as a REAL baseline JPEG of block-constant 8x8 tiles
+# (one tile per cleaned character, unit quant tables), which any JPEG
+# reader opens; decode_jpeg runs the full T.81 baseline decode path
+# (markers, canonical Huffman, dequant, zigzag, IDCT) and recovers the
+# tile values EXACTLY — DC-only blocks are lossless — so the DuckDB
+# oracle can compute the identical features straight from the text.
+# The decoder itself handles arbitrary baseline JPEGs (AC coefficients,
+# 4:2:0/4:2:2/4:4:4 color) and is cross-validated against an
+# independent encoder in tests/test_jpeg.py.
+# ---------------------------------------------------------------------------
+
+JPEG_BLOCKS_W = 16     # tiles per row -> 128 px wide images
+JPEG_BANDS = 8         # feature bands over the tile sequence
+
+
+def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a baseline grayscale JPEG: one
+    block-constant 8x8 tile per cleaned character (the PGM builder's
+    raster, JPEG-compressed for real), width JPEG_BLOCKS_W tiles,
+    zero-padded final row; empty/NULL text becomes one black tile
+    row. Encoding is a Pandas-batched python pass (Huffman bitstreams
+    are not Column expressions); payloads are genuine JPEGs.
+
+    The input is repartitioned to the session parallelism first: the
+    sf corpora are single parquet files (one partition), which would
+    serialize the whole python encode+decode pipeline onto one core —
+    this is the corpus BUILDER, so the one extra shuffle is test
+    harness cost, not a decode-path cost (a real ingest arrives
+    already partitioned)."""
+    from .jpeg import encode_dc_jpeg
+
+    docs = docs.repartition(docs.sparkSession.sparkContext
+                            .defaultParallelism)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                n = len(clean)
+                hb = max(-(-n // JPEG_BLOCKS_W), 1)
+                tiles = np.zeros(hb * JPEG_BLOCKS_W, dtype=np.uint8)
+                tiles[:n] = np.frombuffer(
+                    clean.encode("ascii"), dtype=np.uint8)
+                out.append((did, bytearray(encode_dc_jpeg(
+                    tiles.reshape(hb, JPEG_BLOCKS_W)))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode via mapInPandas: full T.81 decode of
+    each payload, then integer band features over the 8x8-tile grid
+    (the luma plane sampled at tile centers — exact for the
+    block-constant corpus, well-defined for any JPEG): one scalar row
+    per (media_id, band), feat_micro = (band tile sum * 1e6) //
+    band_len. Malformed payloads drop per row (the 100 TB contract);
+    payloads never shuffle."""
+    from .jpeg import decode_baseline_jpeg
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, plane = decode_baseline_jpeg(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                tiles = plane[4::8, 4::8].astype(np.int64).ravel()
+                band_len = tiles.size // JPEG_BANDS
+                if band_len == 0:
+                    continue
+                sums = tiles[:band_len * JPEG_BANDS].reshape(
+                    JPEG_BANDS, band_len).sum(axis=1)
+                for b, s in enumerate(sums):
+                    out.append((mid, w, h, b,
+                                int(s) * 1_000_000 // band_len))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "band",
+                              "feat_micro"])
+
+    schema = ("media_id long, width int, height int, band int, "
+              "feat_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
+def sql_decode_jpeg(table: str = "documents") -> str:
+    """DuckDB twin of jpeg_media_from_documents >> decode_jpeg: the
+    encode->decode pipeline is EXACT on block-constant tiles, so the
+    tile grid equals the cleaned text bytes (0-padded) and the band
+    features are pure integer arithmetic over the text."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    w = JPEG_BLOCKS_W
+    nb = JPEG_BANDS
+    return f"""
+    WITH _jp_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             length({clean}) AS n,
+             greatest(CAST(ceil(length({clean}) / {w}.0)
+                           AS INTEGER), 1) AS hb
+      FROM {table}
+    ),
+    _jp_band AS (
+      SELECT media_id, hb, c, n,
+             ({w} * hb) // {nb} AS band_len,
+             unnest(generate_series(0, {nb - 1})) AS band
+      FROM _jp_base
+    )
+    SELECT media_id, CAST({w} * 8 AS INTEGER) AS width,
+           CAST(hb * 8 AS INTEGER) AS height,
+           CAST(band AS INTEGER) AS band,
+           (CAST(list_aggregate(list_transform(
+              generate_series(1, band_len),
+              i -> CASE WHEN band * band_len + i <= n
+                   THEN unicode(substr(c,
+                     CAST(band * band_len + i AS INTEGER), 1))
+                   ELSE 0 END), 'sum') AS BIGINT)
+            * 1000000) // band_len AS feat_micro
+    FROM _jp_band
     """

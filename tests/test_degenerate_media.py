@@ -123,3 +123,20 @@ def test_good_wav_decodes_exactly(spark):
     # (16,32,48,64) = 40 -> 40_000_000 micros; peak 64
     assert (r["n_samples"], r["sample_rate"], r["duration_ms"],
             r["mean_micro"], r["peak"]) == (4, 8000, 0, 40000000, 64)
+
+
+def test_jpeg_decoder_drops_malformed_keeps_good(spark):
+    from mktd6_flink_spark.functions import multimodal as mm
+    from mktd6_flink_spark.functions.jpeg import encode_dc_jpeg
+    import numpy as np
+
+    good = encode_dc_jpeg(
+        np.arange(16, dtype=np.uint8).reshape(1, 16) + 60)
+    bad = [b"", b"\xff\xd8", good[:20], b"NOTAJPEG",
+           good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+           good[:-4]]                                  # truncated scan
+    media = _media(spark, [good] + bad)
+    rows = mm.decode_jpeg(media).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    # the good payload's tile values decode exactly into band features
+    assert sum(1 for r in rows if r["media_id"] == 0) == 8
