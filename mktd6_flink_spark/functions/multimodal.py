@@ -406,13 +406,16 @@ def phash_pgm(media: DataFrame) -> DataFrame:
         batches, schema="media_id long, phash long")
 
 
-def sql_phash_pgm(table_expr: str) -> str:
+def sql_phash_pgm(table_expr: str, width: int = PGM_WIDTH) -> str:
     """DuckDB twin of pgm_media_from_documents >> phash_pgm over the
     arithmetic raster: same integer sampling grid, same strict
     64*p > total bit rule, same LSB-first packing (signed two's
     complement for bit 63). ``table_expr`` must yield
-    (media_id, c, n) = id, cleaned text, its length."""
-    w, s = PGM_WIDTH, PHASH_SIDE
+    (media_id, c, n) = id, cleaned text, its length. ``width`` is the
+    raster row width in value cells — {PGM_WIDTH} for the PGM byte
+    raster, JPEG_BLOCKS_W for the JPEG tile grid (phash_jpeg hashes
+    the decoded tile values, which equal the text bytes there)."""
+    w, s = width, PHASH_SIDE
     return f"""
     _ph_base AS (
       SELECT media_id, c, n,
@@ -1182,3 +1185,43 @@ def sql_decode_jpeg(table: str = "documents") -> str:
             * 1000000) // band_len AS feat_micro
     FROM _jp_band
     """
+
+
+def phash_jpeg(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash of each baseline-JPEG payload: the FULL
+    T.81 decode (functions/jpeg.py), then the same aHash as phash_pgm
+    over the 8x8-TILE grid (tile values sampled at tile centers —
+    exact for the block-constant corpus): integer resample grid
+    src = (dst * size) // 8, strict 64*p > total bit rule, LSB-first
+    int64 packing. Malformed payloads drop per row; payloads never
+    shuffle — only 8-byte hashes do."""
+    from .jpeg import decode_baseline_jpeg
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        side = PHASH_SIDE
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    _w, _h, plane = decode_baseline_jpeg(bytes(payload))
+                except ValueError:
+                    continue
+                img = plane[4::8, 4::8].astype("int64")
+                h, w = img.shape
+                rows = (np.arange(side) * h) // side
+                cols = (np.arange(side) * w) // side
+                px = img[np.ix_(rows, cols)].ravel()
+                total = int(px.sum())
+                bits = (px * 64) > total
+                ph = int.from_bytes(
+                    np.packbits(bits, bitorder="little").tobytes(),
+                    "little", signed=True)
+                out.append((mid, ph))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, phash long")

@@ -1850,6 +1850,47 @@ FROM _mp_pairs
 WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAM_T}
 """
 
+# Same blocked near-dup pipeline, but the hash rides the baseline-JPEG
+# codec: aHash over the DECODED tile grid (width JPEG_BLOCKS_W), which
+# the oracle reproduces from the text because DC-only JPEG round-trips
+# exactly.
+_JPHASH_SQL = f"""
+WITH _mp_docs AS (
+  SELECT doc_id AS media_id,
+         regexp_replace(lower(coalesce(text, '')),
+                        '[^a-z0-9 ]+', '', 'g') AS c0
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 20000,
+         regexp_replace(lower(coalesce(text, '') || ' qq'),
+                        '[^a-z0-9 ]+', '', 'g')
+  FROM documents WHERE doc_id < 40
+),
+{mm.sql_phash_pgm("SELECT media_id, c0 AS c, length(c0) AS n"
+                  " FROM _mp_docs", width=mm.JPEG_BLOCKS_W)},
+_mp_bands AS (
+  SELECT media_id, phash, k.k AS k,
+         (phash >> (16 * k.k)) & 65535 AS bv
+  FROM _ph, (SELECT unnest(generate_series(0, 3)) AS k) k
+),
+_mp_ok AS (
+  SELECT k, bv FROM _mp_bands GROUP BY k, bv
+  HAVING count(*) <= {_PHASH_MAX_BUCKET}
+),
+_mp_pairs AS (
+  SELECT DISTINCT a.media_id AS keep_id, a.phash AS pa,
+                  b.media_id AS dup_id, b.phash AS pb
+  FROM _mp_bands a
+  JOIN _mp_ok o ON o.k = a.k AND o.bv = a.bv
+  JOIN _mp_bands b ON b.k = a.k AND b.bv = a.bv
+   AND a.media_id < b.media_id
+)
+SELECT keep_id, dup_id,
+       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM _mp_pairs
+WHERE bit_count(xor(pa, pb)) <= {_PHASH_HAM_T}
+"""
+
 
 def _planted_suffix_corpus(docs):
     """documents plus 40 suffix-perturbed copies (doc_id+20000,
@@ -1931,6 +1972,30 @@ def mm_phash_dedup(spark, sf_dir):
     # arms — re-ran the payload DECODE; found by tools/persist_audit)
     ph = cache.maybe_persist(
         mm.phash_pgm(mm.pgm_media_from_documents(corpus)), force=True)
+    return _banded_near_dups(ph, "phash", 4, 16, lambda k: 65535,
+                             _PHASH_MAX_BUCKET, _PHASH_HAM_T)
+
+
+@register("mm_jpeg_phash_dedup", _JPHASH_SQL)
+def mm_jpeg_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup detection THROUGH the compressed
+    codec: the planted corpus is encoded as genuine baseline JPEGs,
+    every payload runs the full T.81 decode (functions/jpeg.py), and
+    the aHash is computed over the RECOVERED tile grid — so the whole
+    banded-LSH near-dup pipeline (4x16-bit band equi-join, hot-bucket
+    cap, xor+popcount verify, identical to mm_phash_dedup) now
+    exercises a real compressed-codec round trip per image. The
+    oracle reproduces the hash from the text because DC-only JPEG is
+    lossless; any entropy/IDCT drift in the decoder flips the hash of
+    every image. Same 100 TB shape: hashes are computed map-side next
+    to the payload bytes, only 8-byte hashes + band keys shuffle,
+    candidates are O(band collisions) with hot buckets capped."""
+    from ..operators import cache
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = _planted_suffix_corpus(docs)
+    ph = cache.maybe_persist(
+        mm.phash_jpeg(mm.jpeg_media_from_documents(corpus)), force=True)
     return _banded_near_dups(ph, "phash", 4, 16, lambda k: 65535,
                              _PHASH_MAX_BUCKET, _PHASH_HAM_T)
 

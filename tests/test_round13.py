@@ -312,3 +312,19 @@ def test_bpe_train_thirty_ranks_monotone_counts(spark):
     assert any(len(m["m"]) >= 3 for m in merges)
     # the trained vocab tokenizes: every word's symbols concat to it
     assert all("".join(s) == w for w, _f, s in vocab)
+
+
+# ------------------------------------------------ JPEG near-dup recall
+
+def test_jpeg_phash_planted_recall(spark):
+    """Measured planted recall through the compressed codec (the
+    round-12 lesson: never trust a dedup entry's hit path without
+    measuring its plants): of the 40 suffix-perturbed copies, the
+    banded aHash join over DECODED JPEG tile grids must recover most
+    — 38/40 at sf0.001 when written; pin a safe floor."""
+    from mktd6_flink_spark.plans.driver_queries import mm_jpeg_phash_dedup
+
+    rows = mm_jpeg_phash_dedup(spark, "/root/testdata/sf0.001").collect()
+    planted = sum(1 for r in rows if r["dup_id"] == r["keep_id"] + 20000)
+    assert planted >= 32, planted
+    assert all(r["hamming"] <= 8 for r in rows)
