@@ -2105,6 +2105,28 @@ def streaming_frame_sample(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_ingest")
 
 
+@register("streaming_decode_jpeg", mm.sql_decode_jpeg("documents"))
+def streaming_decode_jpeg(spark, sf_dir):
+    """Compressed-codec DECODE-ON-INGEST through the LIVE streaming
+    runtime: the same JPEG encode -> full-T.81 decode -> band-feature
+    pipeline as mm_decode_jpeg, but as a Structured Streaming query
+    (readStream -> mapInPandas encode -> mapInPandas decode -> append
+    sink) — a 100 TB multimodal ingest feature-extracts compressed
+    media as it ARRIVES. Stateless per row, so append mode needs no
+    watermark and the result equals the batch twin under ANY
+    micro-batching; graded against the SAME oracle. Payloads never
+    shuffle; malformed blobs drop per row on the hot path."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.decode_jpeg(mm.jpeg_media_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_jpeg_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
