@@ -169,6 +169,7 @@ HEADLINE = [
     "pipeline_bpe_train",
     "pipeline_bpe_encode",
     "mm_decode_jpeg",
+    "mm_decode_png",
 ]
 
 # Cross-round comparability: the headline total only grows because the

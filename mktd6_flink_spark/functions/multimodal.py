@@ -1225,3 +1225,89 @@ def phash_jpeg(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema="media_id long, phash long")
+
+
+# -- PNG codec path (round 13) -----------------------------------------------
+#
+# PNG is LOSSLESS (zlib is stdlib — no codec lib needed), so the
+# decode features of ANY raster are oracle-checkable, not just
+# block-constant ones: the builder reuses the PGM raster layout (one
+# byte per cleaned char, width PGM_WIDTH, zero-padded) compressed
+# into a real 8-bit grayscale PNG, and the decoded band features are
+# therefore IDENTICAL to decode_pgm's — sql_decode_pgm serves as the
+# oracle verbatim, while the Spark side exercises a genuinely
+# different codec (chunk walk, CRCs, inflate, filter reconstruction).
+
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a real 8-bit grayscale PNG of the PGM
+    raster layout (width PGM_WIDTH, zero-padded final row; empty/NULL
+    text becomes one black row). zlib compression is a python pass
+    (mapInPandas); the repartition parallelizes the single-file sf
+    corpora exactly as in jpeg_media_from_documents."""
+    from .png import encode_png_gray
+
+    docs = docs.repartition(docs.sparkSession.sparkContext
+                            .defaultParallelism)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                n = len(clean)
+                h = max(-(-n // PGM_WIDTH), 1)
+                raster = np.zeros(h * PGM_WIDTH, dtype=np.uint8)
+                raster[:n] = np.frombuffer(
+                    clean.encode("ascii"), dtype=np.uint8)
+                out.append((did, bytearray(encode_png_gray(
+                    raster.reshape(h, PGM_WIDTH)))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL PNG decode via mapInPandas — chunk walk with CRC checks,
+    zlib inflate, per-scanline filter reconstruction — then the SAME
+    integer band features as decode_pgm over the recovered raster
+    (PNG is lossless, so the two decoders must emit identical rows
+    for the same source text). Malformed payloads drop per row;
+    payloads never shuffle."""
+    from .png import decode_png_gray
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, raster = decode_png_gray(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                flat = raster.ravel().astype("int64")
+                band_len = (w * h) // PGM_BANDS
+                if band_len == 0:
+                    continue
+                sums = flat[:band_len * PGM_BANDS].reshape(
+                    PGM_BANDS, band_len).sum(axis=1)
+                for b, s in enumerate(sums):
+                    out.append((mid, w, h, 1, b,
+                                int(s) * 1_000_000 // band_len))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_frames",
+                              "band", "feat_micro"])
+
+    schema = ("media_id long, width int, height int, n_frames int, "
+              "band int, feat_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)

@@ -2105,6 +2105,24 @@ def streaming_frame_sample(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_ingest")
 
 
+@register("mm_decode_png", mm.sql_decode_pgm("documents"))
+def mm_decode_png(spark, sf_dir):
+    """REAL lossless-codec decode — PNG via stdlib zlib, no codec
+    library: each document's PGM-layout raster is compressed into a
+    genuine 8-bit grayscale PNG (functions/png.py), and the decode
+    walks the chunk list with CRC verification, inflates the IDAT
+    stream, reconstructs every scanline filter (None/Sub/Up/Average/
+    Paeth — cross-validated against an independent filtered encoder
+    in tests/test_png.py), and emits the SAME integer band features
+    as mm_decode_pgm. PNG is lossless, so sql_decode_pgm is the
+    oracle VERBATIM — the Spark side merely routes the identical
+    raster through a genuinely different codec; any inflate/filter/
+    CRC bug flips the hash. Malformed payloads drop per row;
+    payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_png(mm.png_media_from_documents(docs))
+
+
 @register("streaming_decode_jpeg", mm.sql_decode_jpeg("documents"))
 def streaming_decode_jpeg(spark, sf_dir):
     """Compressed-codec DECODE-ON-INGEST through the LIVE streaming

@@ -140,3 +140,20 @@ def test_jpeg_decoder_drops_malformed_keeps_good(spark):
     assert {r["media_id"] for r in rows} == {0}
     # the good payload's tile values decode exactly into band features
     assert sum(1 for r in rows if r["media_id"] == 0) == 8
+
+
+def test_png_decoder_drops_malformed_keeps_good(spark):
+    import numpy as np
+
+    from mktd6_flink_spark.functions import multimodal as mm
+    from mktd6_flink_spark.functions.png import encode_png_gray
+
+    good = encode_png_gray(
+        (np.arange(128, dtype=np.uint8) % 256).reshape(2, 64))
+    corrupt = bytearray(good)
+    corrupt[good.find(b"IDAT") + 6] ^= 0x55  # CRC mismatch
+    bad = [b"", b"\x89PNG", good[:25], bytes(corrupt), good[:-12]]
+    media = _media(spark, [good] + bad)
+    rows = mm.decode_png(media).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    assert sum(1 for r in rows if r["media_id"] == 0) == 8

@@ -1,0 +1,117 @@
+"""Cross-validate the grayscale PNG decoder against an independent
+filtered encoder written from the spec in this file: it deliberately
+emits Sub/Up/Average/Paeth-filtered scanlines, which the production
+encoder (filter 0 only) never produces — agreement on random rasters
+requires decode-side filter reconstruction to be exactly RFC-correct.
+PNG is lossless, so every comparison is bit-exact equality."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mktd6_flink_spark.functions.png import (decode_png_gray,
+                                             encode_png_gray)
+
+
+def _chunk(ctype, data):
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth_ref(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_filtered(raster, filter_of_row):
+    """Independent encoder: per-row filter chosen by the caller."""
+    h, w = raster.shape
+    r = raster.astype(int)
+    lines = bytearray()
+    for y in range(h):
+        f = filter_of_row(y)
+        lines.append(f)
+        for x in range(w):
+            left = r[y][x - 1] if x else 0
+            up = r[y - 1][x] if y else 0
+            ul = r[y - 1][x - 1] if (x and y) else 0
+            if f == 0:
+                v = r[y][x]
+            elif f == 1:
+                v = r[y][x] - left
+            elif f == 2:
+                v = r[y][x] - up
+            elif f == 3:
+                v = r[y][x] - ((left + up) >> 1)
+            else:
+                v = r[y][x] - _paeth_ref(left, up, ul)
+            lines.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("policy", [
+    lambda y: 0, lambda y: 1, lambda y: 2, lambda y: 3, lambda y: 4,
+    lambda y: y % 5])
+def test_all_filter_types_reconstruct_exactly(policy):
+    rng = np.random.RandomState(31)
+    raster = rng.randint(0, 256, (13, 37), dtype=np.uint8)
+    w, h, got = decode_png_gray(encode_filtered(raster, policy))
+    assert (w, h) == (37, 13)
+    assert (got == raster).all()
+
+
+def test_production_encoder_roundtrip():
+    rng = np.random.RandomState(5)
+    raster = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+    w, h, got = decode_png_gray(encode_png_gray(raster))
+    assert (w, h) == (64, 64) and (got == raster).all()
+
+
+def test_ancillary_chunks_are_skipped():
+    raster = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    p = encode_png_gray(raster)
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    spliced = (p[:ihdr_end] + _chunk(b"tEXt", b"comment\x00hi")
+               + p[ihdr_end:])
+    _w, _h, got = decode_png_gray(spliced)
+    assert (got == raster).all()
+
+
+def test_decoder_rejects_malformed():
+    raster = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png_gray(raster)
+    # corrupt one IDAT byte -> CRC mismatch
+    idat_at = good.find(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(corrupt))
+    # color type 2 (truecolor)
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", bad_ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_gray(bad)
+    # interlaced
+    il_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    il = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", il_ihdr)
+          + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+          + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_gray(il)
+    for payload in (b"", b"\x89PNG", good[:30], b"NOPE" * 10,
+                    good[:-12]):  # missing IEND
+        with pytest.raises(ValueError):
+            decode_png_gray(payload)
