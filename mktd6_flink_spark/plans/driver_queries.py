@@ -12266,23 +12266,48 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # real edits — the known drift-class where a global-helper touch
 # floods the diff; the full 241-entry local gate passed after the
 # change (the backstop for the un-windowed rest).
+# r13 gate window (generated: gate_window.py --window --since e5ef263,
+# taken verbatim): 4 never-graded round-13 additions (the JPEG/PNG
+# codec entries — each locally oracle-green at sf0.01 AND sf0.1) + 43
+# changed-fingerprint entries (the P5 dims guard -> multimodal
+# families; the cache soft bound -> two-phase/asof/dedup consumers;
+# the priority-sample dedup -> stateful streaming entries; the PQ
+# sample-then-train family; the BPE rewrite; the staged-sentinel
+# left-outer join) + 3 stalest fills from the r7 block (tpch_q1/q3/q6
+# — the rest of that cohort rotates in r14; the full 254-entry local
+# sf0.01 sweep this round is the backstop for the un-windowed rest).
 _GATE_PRIORITY = [
-    "events_holt_linear",
-    "streaming_holt_linear",
+    "mm_jpeg_phash_dedup",
+    "mm_decode_jpeg",
+    "mm_decode_png",
+    "streaming_decode_jpeg",
+    "dedup_ngram_jaccard",
+    "pipeline_sequence_packing",
+    "asof_join_price",
+    "streaming_w3_running_sum",
+    "dataflow_market_ledger",
+    "streaming_st5_settle",
+    "streaming_st10_delta",
+    "dedup_containment",
+    "asof_join_next_price",
+    "events_concurrency",
+    "streaming_join_left_outer",
+    "dedup_winnowing",
+    "asof_join_tolerance",
+    "events_gini_concentration",
+    "asof_join_nearest_price",
+    "w3_running_sum",
+    "st5_order_buffering",
+    "st10_price_delta",
+    "dedup_span_exact",
+    "pipeline_span_scrub",
+    "events_rfm_segments",
     "mm_frame_sample",
-    "mm_decode_wav",
-    "streaming_weighted_sample",
     "mm_video_dedup",
-    "mm_audio_dedup",
     "streaming_frame_sample",
     "pipeline_multimodal_curation",
     "mm_phash_dedup",
-    "pipeline_weighted_sample",
-    "pipeline_benchmark_decontam",
-    "streaming_cep_absence",
     "mm_decode_pgm",
-    "graph_adamic_adar",
-    "streaming_cep_pattern",
     "mm_resize_pgm",
     "sim_pq_codes",
     "sim_pq_adc_topk",
@@ -12290,33 +12315,18 @@ _GATE_PRIORITY = [
     "sim_pq_trained_recall",
     "sim_ivfpq_ann",
     "sim_ivfpq_recall",
-    "events_cep_absence",
-    "graph_pagerank_trading",
-    "graph_label_propagation",
-    "graph_triangles_copurchase",
-    "graph_khop_reach",
     "pipeline_curation_v2",
-    "pipeline_dsir_weights",
     "sim_mmr_rerank",
     "sim_mmr_diversity",
     "dedup_lsh_recall",
     "dedup_winnow_recall",
     "join_fuzzy_recall",
-    "pipeline_incremental_dedup",
     "pipeline_bpe_train",
     "pipeline_bpe_encode",
-    "sketch_quantile_hist",
-    "streaming_sketch_qhist",
-    "sim_ncm_accuracy",
-    "streaming_st8_timer",
-    "streaming_st8_event_time",
     "dataflow_hype_influence",
-    "st3_bubble_burst",
-    "w4_cogroup_latest",
-    "w5_sum_team_trader",
-    "w5_distinct_users_per_team",
-    "w6_session_window",
-    "w7_sliding_window",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
 ]
 
 
