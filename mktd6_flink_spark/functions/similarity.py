@@ -764,69 +764,89 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
     ``sample_mod``: train on the deterministic modulo sample
     ``id % sample_mod == 0`` instead of the full corpus. The model is
     a constant m*k rows; fitting it from a bounded sample is the
-    100x-safe shape (each Lloyd iteration otherwise re-shuffles the
-    whole corpus just to fit that constant), and membership is a pure
-    function of the id so the DuckDB twin samples identically. Init
-    (first-k vectors) is unaffected. Default 1 = full corpus.
+    100x-safe shape, and membership is a pure function of the id so
+    the DuckDB twin samples identically. Init (first-k vectors) is
+    unaffected. Default 1 trains on the whole corpus — only sensible
+    for small corpora/tests; ``pq_adc_topk_trained`` always derives a
+    corpus-size-bounded modulus.
 
-    Returns (subspace, code, cvec) — array<double> centroids."""
-    subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
-    train = (subs if sample_mod <= 1
-             else subs.filter(F.col(id_col) % sample_mod == 0))
-    cents = subs.filter(F.col(id_col) < k).select(
-        "subspace", F.col(id_col).cast("int").alias("code"),
-        F.col("_sv").alias("_cv"))
-    # Same first-k-ids precondition as pq_codes, same fail-fast guard
-    # (shared helper): training from a silently-short codebook emits
-    # biased codes with no error — the exact failure the sampled
-    # path's assert was added to prevent.
-    ncent, cguard = _codebook_count_guard(cents, m, k,
-                                          "pq_trained_codebooks")
-    for _ in range(iters):
-        scored = train.join(
-            F.broadcast(cents.withColumnRenamed("subspace", "_cs")),
-            F.col("subspace") == F.col("_cs")).select(
-            id_col, "subspace", "code", "_sv",
-            F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
-                    + F.lit(0.5)).cast("long").alias("_dm"))
-        best = scored.groupBy(id_col, "subspace").agg(
-            F.min_by(
-                F.struct(F.col("code"), F.col("_sv").alias("_v")),
-                F.struct(F.col("_dm").alias("_d"),
-                         F.col("code").alias("_c")),
-            ).alias("_b")
-        ).select("subspace", F.col("_b.code").alias("code"),
-                 F.col("_b._v").alias("_sv"))
-        # per-dim means in ONE shuffle: sub per-dim sum aggregates +
-        # an array() rebuild, instead of posexplode -> per-(code,dim)
-        # groupBy -> collect_list -> sort (two shuffles per iteration).
-        # Arithmetic is IDENTICAL (sum of per-dim floored micros /1e6
-        # /count), so the trained codebook — and every oracle hash
-        # downstream — is bit-unchanged; only the plan shrinks.
-        # try_element_at (not element_at): under Spark 4 ANSI mode an
-        # out-of-range index THROWS, so a ragged/short subvector would
-        # kill the job where the old posexplode spelling degraded
-        # gracefully. The per-dim denominator counts PRESENT elements
-        # (count of the try_element_at value), matching posexplode's
-        # per-(code,dim) row count; for the enforced fixed-dim corpus
-        # both spellings are bit-identical.
-        sub_d = dim // m
-        means_exprs = [
-            (F.sum(F.floor(F.try_element_at(F.col("_sv"), F.lit(d + 1))
-                           .cast("double") * 1000000.0 + 0.5)
-                   .cast("long")).cast("double")
-             / 1000000.0
-             / F.count(F.try_element_at(F.col("_sv"), F.lit(d + 1))))
-            .alias(f"_m{d}")
-            for d in range(sub_d)]
-        cents = (best.groupBy("subspace", "code").agg(*means_exprs)
-                 .select("subspace", "code",
-                         F.array(*[F.col(f"_m{d}")
-                                   for d in range(sub_d)]).alias("_cv")))
-    return (cents.crossJoin(F.broadcast(ncent)).select(
-        "subspace",
-        (F.col("code") + cguard).cast("int").alias("code"),
-        F.col("_cv").alias("cvec")))
+    Training runs DRIVER-SIDE on the collected sample (round 13; the
+    BPE-trainer lesson): the input is bounded by the sample contract
+    and the model is constant-size, while the distributed loop paid
+    ~1 s of scheduling + codegen per iteration to process a few
+    hundred rows — the bench head halved once and then stalled on
+    that fixed cost. Distributed work remains exactly the bounded
+    scan+filter that feeds the collect. The numpy arithmetic is
+    BIT-IDENTICAL to the old in-plan loop and the DuckDB twin:
+    float32 subvectors widen exactly to float64; the l2sq fold
+    accumulates ACROSS DIMS sequentially (vectorized across rows), so
+    per-row addition order equals the HOF/list_aggregate fold; argmin
+    over int64 micro-quantized distances with np.argmin's first-index
+    rule = tie-to-lower-code; means are integer-micros sums (order-
+    free) divided as (S / 1e6) / n. The pinned proof is the oracle
+    gate itself: hashes must match the unrolled-CTE twin at both SFs.
+
+    Returns (subspace, code, cvec) — a LITERAL constant-size frame
+    (the broadcast-a-trained-model pattern)."""
+    import numpy as np
+
+    sub = dim // m
+    spark = embeddings.sparkSession
+    cond = (F.lit(True) if sample_mod <= 1
+            else (F.col(id_col) < k)
+            | (F.col(id_col) % sample_mod == 0))
+    rows = (embeddings.filter(cond).select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc()).collect())
+    init = [(int(r[0]), r[1]) for r in rows if int(r[0]) < k]
+    if len(init) != k:
+        # Same first-k-ids precondition as pq_codes, same fail-fast
+        # contract as the shared _codebook_count_guard: training from
+        # a silently-short codebook emits biased codes with no error.
+        raise ValueError(
+            f"pq_trained_codebooks: incomplete codebook init "
+            f"({len(init)} of {k} first-k vectors present)")
+    train = np.array(
+        [[float(x) for x in r[1]] for r in rows
+         if sample_mod <= 1 or int(r[0]) % sample_mod == 0],
+        dtype=np.float64).reshape(-1, dim)
+    out = []
+    for j in range(m):
+        a = train[:, j * sub:(j + 1) * sub]  # float64, exact widening
+        # codes ascend with init id, so argmin's first-index rule is
+        # the tie-to-lower-code contract
+        cents = [(code, [float(x) for x in vec[j * sub:(j + 1) * sub]])
+                 for code, vec in init]
+        for _ in range(iters):
+            # dot(a,a) / dot(b,b) / dot(a,b) as SEQUENTIAL per-dim
+            # accumulation — identical addition order to the engines'
+            # left-assoc folds, vectorized across rows only
+            aa = np.zeros(len(a))
+            for d in range(sub):
+                aa = aa + a[:, d] * a[:, d]
+            dms = np.empty((len(a), len(cents)), dtype=np.int64)
+            for ci, (_code, cv) in enumerate(cents):
+                ab = np.zeros(len(a))
+                for d in range(sub):
+                    ab = ab + a[:, d] * cv[d]
+                bb = 0.0
+                for d in range(sub):
+                    bb = bb + cv[d] * cv[d]
+                dms[:, ci] = np.floor(
+                    (aa - 2.0 * ab + bb) * 1000000.0 + 0.5)
+            best = np.argmin(dms, axis=1)
+            new_cents = []
+            for ci, (code, _cv) in enumerate(cents):
+                mem = a[best == ci]
+                if not len(mem):
+                    continue  # empty codes drop out, both engines
+                micros = np.floor(mem * 1000000.0 + 0.5).astype(
+                    np.int64).sum(axis=0)
+                new_cents.append((code, [
+                    (float(s) / 1000000.0) / len(mem) for s in micros]))
+            cents = new_cents
+        out.extend((j, code, cv) for code, cv in cents)
+    return spark.createDataFrame(
+        out, "subspace int, code int, cvec array<double>")
 
 
 def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
