@@ -210,11 +210,17 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     counts, bytes(body[i + 17:i + 17 + nv]))
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                # an empty/short frame header would IndexError, which
+                # is not ValueError and escapes the per-row contract
+                raise ValueError("truncated SOF0")
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 components")
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension")
             if nc not in (1, 3):
@@ -235,6 +241,8 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             w, h, comps = frame
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS")
             ns = body[0]
             if ns != len(comps):
                 raise ValueError("non-interleaved scans unsupported")

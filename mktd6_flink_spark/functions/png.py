@@ -73,6 +73,11 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("chunk CRC mismatch")
         pos += 12 + clen
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # a short IHDR with a self-consistent CRC would raise
+                # struct.error, which is NOT ValueError and would
+                # escape the per-row drop contract
+                raise ValueError("IHDR length mismatch")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)

@@ -266,3 +266,20 @@ def test_decoder_dc_prediction_across_blocks():
     _w, _h, got = decode_baseline_jpeg(payload)
     err = np.abs(got.astype(int) - plane.astype(int))
     assert err.max() <= 4 and err.mean() < 1.0
+
+
+def test_empty_segment_bodies_raise_valueerror_not_indexerror():
+    """Empty/short SOF0 and SOS bodies must raise ValueError — an
+    IndexError would escape the multimodal per-row drop contract."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_baseline_jpeg(b"\xff\xd8" + seg(0xC0, b""))
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_baseline_jpeg(
+            b"\xff\xd8" + seg(0xC0, bytes([8, 0, 8, 0, 8, 3, 1])))
+    good_sof = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(ValueError, match="SOS"):
+        decode_baseline_jpeg(
+            b"\xff\xd8" + seg(0xC0, good_sof) + seg(0xDA, b""))

@@ -115,3 +115,13 @@ def test_decoder_rejects_malformed():
                     good[:-12]):  # missing IEND
         with pytest.raises(ValueError):
             decode_png_gray(payload)
+
+
+def test_short_ihdr_with_valid_crc_raises_valueerror():
+    """A short IHDR whose CRC is self-consistent must raise ValueError
+    (struct.error would escape the decoders' per-row drop contract)."""
+    short = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", b"\x00" * 9)
+             + _chunk(b"IDAT", zlib.compress(b"\x00"))
+             + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png_gray(short)
