@@ -740,58 +740,16 @@ def _pq_subvectors(embeddings: DataFrame, dim: int, m: int,
              F.col("_e._sv").alias("_sv"))
 
 
-def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
-                         k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding",
-                         sample_mod: int = 1) -> DataFrame:
-    """Per-subspace Lloyd-trained PQ codebooks (Jegou 2011 §II trains
-    each subquantizer with k-means — the sampled first-k codebook in
-    ``pq_codes`` is the cheap stand-in; THIS is the real index's
-    trainer). One Lloyd loop trains ALL m subspaces simultaneously:
-    ``subspace`` simply joins the grouping key, so each iteration is
-    still one broadcast join (codebooks are a constant m*k rows) plus
-    two uniform-key shuffles — identical scale shape to
-    ``kmeans_centroids``, m-fold fewer passes than training subspaces
-    one at a time.
-
-    Determinism contract (same as the kmeans/IVF family): init = the
-    first-k vectors' subvectors; assignment = argmin of micro-quantized
-    squared L2, ties to the lower code; update = per-(subspace, code,
-    dim) integer-micros mean, so aggregation order cannot change a
-    bit. Empty codes drop out in both engines.
-
-    ``sample_mod``: train on the deterministic modulo sample
-    ``id % sample_mod == 0`` instead of the full corpus. The model is
-    a constant m*k rows; fitting it from a bounded sample is the
-    100x-safe shape, and membership is a pure function of the id so
-    the DuckDB twin samples identically. Init (first-k vectors) is
-    unaffected. Default 1 trains on the whole corpus — only sensible
-    for small corpora/tests; ``pq_adc_topk_trained`` always derives a
-    corpus-size-bounded modulus.
-
-    Training runs DRIVER-SIDE on the collected sample (round 13; the
-    BPE-trainer lesson): the input is bounded by the sample contract
-    and the model is constant-size, while the distributed loop paid
-    ~1 s of scheduling + codegen per iteration to process a few
-    hundred rows — the bench head halved once and then stalled on
-    that fixed cost. Distributed work remains exactly the bounded
-    scan+filter that feeds the collect. The numpy arithmetic is
-    BIT-IDENTICAL to the old in-plan loop and the DuckDB twin:
-    float32 subvectors widen exactly to float64; the l2sq fold
-    accumulates ACROSS DIMS sequentially (vectorized across rows), so
-    per-row addition order equals the HOF/list_aggregate fold; argmin
-    over int64 micro-quantized distances with np.argmin's first-index
-    rule = tie-to-lower-code; means are integer-micros sums (order-
-    free) divided as (S / 1e6) / n. The pinned proof is the oracle
-    gate itself: hashes must match the unrolled-CTE twin at both SFs.
-
-    Returns (subspace, code, cvec) — a LITERAL constant-size frame
-    (the broadcast-a-trained-model pattern)."""
+def _pq_train_local(embeddings: DataFrame, dim: int, m: int, k: int,
+                    iters: int, id_col: str, vec_col: str,
+                    sample_mod: int) -> list[tuple]:
+    """Driver-side Lloyd trainer shared by ``pq_trained_codebooks``
+    (which wraps the rows in a literal frame) and
+    ``pq_adc_topk_trained`` (which consumes them directly — no extra
+    collect round trip). Returns [(subspace, code, cvec), ...]."""
     import numpy as np
 
     sub = dim // m
-    spark = embeddings.sparkSession
     cond = (F.lit(True) if sample_mod <= 1
             else (F.col(id_col) < k)
             | (F.col(id_col) % sample_mod == 0))
@@ -845,8 +803,57 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
                     (float(s) / 1000000.0) / len(mem) for s in micros]))
             cents = new_cents
         out.extend((j, code, cv) for code, cv in cents)
-    return spark.createDataFrame(
-        out, "subspace int, code int, cvec array<double>")
+    return out
+
+
+def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
+                         k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         sample_mod: int = 1) -> DataFrame:
+    """Per-subspace Lloyd-trained PQ codebooks (Jegou 2011 §II trains
+    each subquantizer with k-means — the sampled first-k codebook in
+    ``pq_codes`` is the cheap stand-in; THIS is the real index's
+    trainer).
+
+    Determinism contract (same as the kmeans/IVF family): init = the
+    first-k vectors' subvectors (incomplete init fail-fasts, like the
+    pq_codes guard); assignment = argmin of micro-quantized squared
+    L2, ties to the lower code; update = per-(subspace, code, dim)
+    integer-micros mean, so aggregation order cannot change a bit.
+    Empty codes drop out in both engines.
+
+    ``sample_mod``: train on the deterministic modulo sample
+    ``id % sample_mod == 0`` instead of the full corpus. The model is
+    a constant m*k rows; fitting it from a bounded sample is the
+    100x-safe shape, and membership is a pure function of the id so
+    the DuckDB twin samples identically. Init (first-k vectors) is
+    unaffected. Default 1 trains on the whole corpus — only sensible
+    for small corpora/tests; ``pq_adc_topk_trained`` always derives a
+    corpus-size-bounded modulus.
+
+    Training runs DRIVER-SIDE on the collected sample (round 13; the
+    BPE-trainer lesson): the input is bounded by the sample contract
+    and the model is constant-size, while the distributed loop paid
+    ~1 s of scheduling + codegen per iteration to process a few
+    hundred rows — the bench head halved once and then stalled on
+    that fixed cost. Distributed work remains exactly the bounded
+    scan+filter that feeds the collect. The numpy arithmetic is
+    BIT-IDENTICAL to the old in-plan loop and the DuckDB twin:
+    float32 subvectors widen exactly to float64; the l2sq fold
+    accumulates ACROSS DIMS sequentially (vectorized across rows), so
+    per-row addition order equals the HOF/list_aggregate fold; argmin
+    over int64 micro-quantized distances with np.argmin's first-index
+    rule = tie-to-lower-code; means are integer-micros sums (order-
+    free) divided as (S / 1e6) / n. The pinned proof is the oracle
+    gate itself: hashes must match the unrolled-CTE twin at both SFs.
+
+    Returns (subspace, code, cvec) — a LITERAL constant-size frame
+    (the broadcast-a-trained-model pattern)."""
+    return embeddings.sparkSession.createDataFrame(
+        _pq_train_local(embeddings, dim, m, k, iters, id_col, vec_col,
+                        sample_mod),
+        "subspace int, code int, cvec array<double>")
 
 
 def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
@@ -926,14 +933,11 @@ def pq_adc_topk_trained(embeddings: DataFrame, query_ids: list[int],
     here is a column-pruned scan, the cheapest possible full pass."""
     sub = dim // m
     sample_mod = max(1, embeddings.count() // PQ_TRAIN_SAMPLE)
-    cb_rows = pq_trained_codebooks(
-        embeddings, dim, m, kcent, iters, id_col, vec_col,
-        sample_mod=sample_mod).collect()
+    cb_rows = _pq_train_local(
+        embeddings, dim, m, kcent, iters, id_col, vec_col, sample_mod)
     spark = embeddings.sparkSession
     cb = spark.createDataFrame(
-        [(r["subspace"], r["code"], [float(x) for x in r["cvec"]])
-         for r in cb_rows],
-        "subspace int, code int, cvec array<double>")
+        cb_rows, "subspace int, code int, cvec array<double>")
     subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
     scored0 = subs.join(
         F.broadcast(cb.withColumnRenamed("subspace", "_cs")),
