@@ -80,3 +80,34 @@ def test_audit_covers_registry():
     assert missing == [], (
         f"{os.path.basename(latest)} lacks audit rows for {missing}; "
         "re-run tools/explain_audit.py and commit the snapshot")
+
+
+def test_state_audit_covers_streaming_entries():
+    """The committed state-schema audit snapshot (STATE_AUDIT_r*.txt,
+    highest round) must carry a verdict row for EVERY streaming_*
+    entry and report zero violations — the structural wiring of
+    tools/state_schema_audit.py into the round close (the pickled
+    state path is lenient, so a declared-int-holding-a-timestamp bug
+    is invisible without this check)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    audits = sorted(glob.glob(os.path.join(root, "STATE_AUDIT_r*.txt")))
+    assert audits, "no STATE_AUDIT_r*.txt snapshot committed"
+    latest = audits[-1]
+    rows, violations = set(), []
+    with open(latest) as f:
+        for line in f:
+            m = re.search(r"[✓✗] (\w+)", line)
+            if m:
+                rows.add(m.group(1))
+            if "✗" in line or "VIOLATION" in line:
+                violations.append(line.strip())
+    streaming = {n for n in dq.QUERIES if n.startswith("streaming_")}
+    missing = sorted(streaming - rows)
+    assert violations == [], violations
+    assert missing == [], (
+        f"{os.path.basename(latest)} lacks rows for {missing}; "
+        "re-run tools/state_schema_audit.py and commit the snapshot")
