@@ -328,3 +328,51 @@ def test_jpeg_phash_planted_recall(spark):
     planted = sum(1 for r in rows if r["dup_id"] == r["keep_id"] + 20000)
     assert planted >= 32, planted
     assert all(r["hamming"] <= 8 for r in rows)
+
+
+def test_staged_sentinel_int64_nanos_encoding(spark, tmp_path):
+    """events.parquet has shipped with TWO ts encodings across rounds;
+    the staged-sentinel source must write its sentinel file in the
+    DATA files' own encoding. Cover the int64-nanos branch (the sf
+    testdata is currently timestamp[us], so only this test exercises
+    it)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_700_000_000_000_000_000
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "ts": pa.array([base_ns, base_ns + 10**9, base_ns + 2 * 10**9,
+                        base_ns + 3 * 10**9], type=pa.int64()),
+        "user_id": pa.array([7, 7, 8, 7], type=pa.int64()),
+        "event_type": pa.array(["click", "purchase", "click", "click"],
+                               type=pa.string()),
+        "value": pa.array([0.0, 9.5, 0.0, 0.0], type=pa.float64()),
+        "props": pa.array([None] * 4, type=pa.string()),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+
+    from mktd6_flink_spark.plans.driver_queries import (
+        streaming_join_left_outer)
+
+    got = sorted(tuple(r) for r in streaming_join_left_outer(
+        spark, str(tmp_path))
+        .select("click_id", "purchase_id", "user_id", "lag_us",
+                "purchase_value").collect())
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        WITH ev AS (SELECT event_id, ts // 1000 AS us, user_id,
+                           event_type, value
+                    FROM read_parquet('{tmp_path}/events.parquet')),
+        c AS (SELECT event_id AS click_id, user_id, us AS c_us
+              FROM ev WHERE event_type = 'click'),
+        p AS (SELECT event_id AS purchase_id, user_id, us AS p_us,
+                     value
+              FROM ev WHERE event_type = 'purchase')
+        SELECT c.click_id, p.purchase_id, c.user_id,
+               p.p_us - c.c_us AS lag_us, p.value AS purchase_value
+        FROM c LEFT JOIN p ON p.user_id = c.user_id
+                          AND p.p_us >= c.c_us
+                          AND p.p_us <= c.c_us + 3600000000
+        """).fetchall())
+    assert got == want and len(got) == 3
