@@ -177,6 +177,11 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede the
+        # marker code — treating one as a length-prefixed segment
+        # would reject legal baseline files
+        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before a scan
             raise ValueError("no scan before EOI")
@@ -223,6 +228,12 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("truncated SOF0 components")
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension")
+            if w * h > (1 << 26):
+                # the plane allocation below is sized by these
+                # attacker/corruption-controlled dims; uncapped, a bad
+                # blob raises MemoryError (not ValueError) and kills
+                # the stage instead of dropping the row
+                raise ValueError("image dimensions exceed decode cap")
             if nc not in (1, 3):
                 raise ValueError("1 or 3 components only")
             comps = []
@@ -265,6 +276,11 @@ def _decode_scan(data, w, h, comps, sel, qtables, htables):
             raise ValueError("sampling factors beyond 2 unsupported")
         if c["tq"] not in qtables:
             raise ValueError("missing quant table")
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        # legal per T.81 but pathological (subsampled LUMA): the plane
+        # assembly below sizes the output by the luma factors and
+        # would silently return a smaller raster than (w, h)
+        raise ValueError("luma sampling below frame max unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     luma = comps[0]

@@ -327,14 +327,19 @@ def decode_pgm(media: DataFrame) -> DataFrame:
         batches, schema=schema)
 
 
-def sql_decode_pgm(table: str = "documents") -> str:
+def sql_decode_pgm(table: str = "documents",
+                   cap: int | None = None) -> str:
     """DuckDB twin of pgm_media_from_documents >> decode_pgm: rebuild
     the raster arithmetically from the cleaned ASCII text (byte ==
     codepoint; padding is 0) and compute the same integer band
     micro-means — one scalar row per (media_id, band), mirroring the
-    Spark side's exploded shape."""
+    Spark side's exploded shape. ``cap`` mirrors the python-codec
+    builders' RASTER_MAX_CHARS truncation (the P5 builder is pure
+    Column exprs with no such limit, so the PGM entry passes None)."""
     clean = ("regexp_replace(lower(coalesce(text, '')),"
              " '[^a-z0-9 ]+', '', 'g')")
+    if cap is not None:
+        clean = f"substring({clean}, 1, {cap})"
     return f"""
     WITH _pg_base AS (
       SELECT doc_id AS media_id, {clean} AS c,
@@ -1063,15 +1068,21 @@ def sql_afp_wav(table_expr: str) -> str:
 
 JPEG_BLOCKS_W = 16     # tiles per row -> 128 px wide images
 JPEG_BANDS = 8         # feature bands over the tile sequence
+# Cleaned-text cap for the python-encoded raster builders, mirrored as
+# a substring() in their oracles: bounds every downstream dimension
+# (the JPEG tile grid must stay under the 65535-px SOF limit, the PNG
+# raster under the decoder's 2^26 allocation cap) so one giant
+# document can neither kill the encode stage nor diverge the engines.
+RASTER_MAX_CHARS = 65536
 
 
-def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
-    """Encode each document as a baseline grayscale JPEG: one
-    block-constant 8x8 tile per cleaned character (the PGM builder's
-    raster, JPEG-compressed for real), width JPEG_BLOCKS_W tiles,
-    zero-padded final row; empty/NULL text becomes one black tile
-    row. Encoding is a Pandas-batched python pass (Huffman bitstreams
-    are not Column expressions); payloads are genuine JPEGs.
+def _raster_media_from_documents(docs: DataFrame, width: int,
+                                 encode_fn) -> DataFrame:
+    """Shared python-codec corpus builder (JPEG + PNG): clean the text
+    ([a-z0-9 ], lowercased — in lockstep with every raster oracle),
+    cap at RASTER_MAX_CHARS, zero-pad to ``width``-cell rows, and hand
+    the [rows, width] uint8 grid to ``encode_fn``. One builder, so the
+    cleaning rule cannot drift between codecs.
 
     The input is repartitioned to the session parallelism first: the
     sf corpora are single parquet files (one partition), which would
@@ -1079,8 +1090,6 @@ def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
     this is the corpus BUILDER, so the one extra shuffle is test
     harness cost, not a decode-path cost (a real ingest arrives
     already partitioned)."""
-    from .jpeg import encode_dc_jpeg
-
     docs = docs.repartition(docs.sparkSession.sparkContext
                             .defaultParallelism)
 
@@ -1096,17 +1105,33 @@ def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
             for did, text in zip(pdf["doc_id"].to_list(),
                                  pdf["text"].to_list()):
                 clean = strip.sub("", (text or "").lower())
+                clean = clean[:RASTER_MAX_CHARS]
                 n = len(clean)
-                hb = max(-(-n // JPEG_BLOCKS_W), 1)
-                tiles = np.zeros(hb * JPEG_BLOCKS_W, dtype=np.uint8)
-                tiles[:n] = np.frombuffer(
+                h = max(-(-n // width), 1)
+                raster = np.zeros(h * width, dtype=np.uint8)
+                raster[:n] = np.frombuffer(
                     clean.encode("ascii"), dtype=np.uint8)
-                out.append((did, bytearray(encode_dc_jpeg(
-                    tiles.reshape(hb, JPEG_BLOCKS_W)))))
+                out.append((did, bytearray(encode_fn(
+                    raster.reshape(h, width)))))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     return docs.select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
+
+
+def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a baseline grayscale JPEG: one
+    block-constant 8x8 tile per cleaned character (the PGM builder's
+    raster, JPEG-compressed for real), width JPEG_BLOCKS_W tiles,
+    zero-padded final row; empty/NULL text becomes one black tile
+    row. Encoding is a Pandas-batched python pass (Huffman bitstreams
+    are not Column expressions); payloads are genuine JPEGs. See
+    ``_raster_media_from_documents`` for the shared clean/cap/pad
+    contract."""
+    from .jpeg import encode_dc_jpeg
+
+    return _raster_media_from_documents(docs, JPEG_BLOCKS_W,
+                                        encode_dc_jpeg)
 
 
 def decode_jpeg(media: DataFrame) -> DataFrame:
@@ -1153,10 +1178,11 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
 def sql_decode_jpeg(table: str = "documents") -> str:
     """DuckDB twin of jpeg_media_from_documents >> decode_jpeg: the
     encode->decode pipeline is EXACT on block-constant tiles, so the
-    tile grid equals the cleaned text bytes (0-padded) and the band
+    tile grid equals the cleaned text bytes (0-padded, capped at
+    RASTER_MAX_CHARS exactly as the builder caps) and the band
     features are pure integer arithmetic over the text."""
-    clean = ("regexp_replace(lower(coalesce(text, '')),"
-             " '[^a-z0-9 ]+', '', 'g')")
+    clean = ("substring(regexp_replace(lower(coalesce(text, '')),"
+             f" '[^a-z0-9 ]+', '', 'g'), 1, {RASTER_MAX_CHARS})")
     w = JPEG_BLOCKS_W
     nb = JPEG_BANDS
     return f"""
@@ -1234,44 +1260,21 @@ def phash_jpeg(media: DataFrame) -> DataFrame:
 # block-constant ones: the builder reuses the PGM raster layout (one
 # byte per cleaned char, width PGM_WIDTH, zero-padded) compressed
 # into a real 8-bit grayscale PNG, and the decoded band features are
-# therefore IDENTICAL to decode_pgm's — sql_decode_pgm serves as the
-# oracle verbatim, while the Spark side exercises a genuinely
-# different codec (chunk walk, CRCs, inflate, filter reconstruction).
+# IDENTICAL to decode_pgm's over the capped text — the oracle is
+# sql_decode_pgm with the same RASTER_MAX_CHARS substring, while the
+# Spark side exercises a genuinely different codec (chunk walk, CRCs,
+# inflate, filter reconstruction).
 
 def png_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a real 8-bit grayscale PNG of the PGM
     raster layout (width PGM_WIDTH, zero-padded final row; empty/NULL
     text becomes one black row). zlib compression is a python pass
-    (mapInPandas); the repartition parallelizes the single-file sf
-    corpora exactly as in jpeg_media_from_documents."""
+    (mapInPandas). See ``_raster_media_from_documents`` for the shared
+    clean/cap/pad contract."""
     from .png import encode_png_gray
 
-    docs = docs.repartition(docs.sparkSession.sparkContext
-                            .defaultParallelism)
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import re
-
-        import numpy as np
-        import pandas as pd
-
-        strip = re.compile(r"[^a-z0-9 ]+")
-        for pdf in it:
-            out = []
-            for did, text in zip(pdf["doc_id"].to_list(),
-                                 pdf["text"].to_list()):
-                clean = strip.sub("", (text or "").lower())
-                n = len(clean)
-                h = max(-(-n // PGM_WIDTH), 1)
-                raster = np.zeros(h * PGM_WIDTH, dtype=np.uint8)
-                raster[:n] = np.frombuffer(
-                    clean.encode("ascii"), dtype=np.uint8)
-                out.append((did, bytearray(encode_png_gray(
-                    raster.reshape(h, PGM_WIDTH)))))
-            yield pd.DataFrame(out, columns=["media_id", "payload"])
-
-    return docs.select("doc_id", "text").mapInPandas(
-        batches, schema="media_id long, payload binary")
+    return _raster_media_from_documents(docs, PGM_WIDTH,
+                                        encode_png_gray)
 
 
 def decode_png(media: DataFrame) -> DataFrame:

@@ -93,12 +93,20 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
                          "(want 8-bit grayscale, no interlace)")
     if w == 0 or h == 0 or w * h > (1 << 26):
         raise ValueError("invalid dimensions")
+    expected = h * (w + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a decompression bomb (small IDAT inflating
+        # to GBs) must become a ValueError row-drop, not a MemoryError
+        # stage-kill — so never materialize more than expected+1 bytes
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"IDAT inflate failed: {exc}") from None
-    if len(raw) != h * (w + 1):
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("scanline length mismatch")
+    # the stream must also END here (no pending inflate output)
+    if dec.decompress(b"", 1) or not dec.eof:
+        raise ValueError("IDAT stream longer than the scanlines")
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.int64)
     for y in range(h):

@@ -774,13 +774,15 @@ def _pq_train_local(embeddings: DataFrame, dim: int, m: int, k: int,
         # the tie-to-lower-code contract
         cents = [(code, [float(x) for x in vec[j * sub:(j + 1) * sub]])
                  for code, vec in init]
+        # dot(a,a) / dot(b,b) / dot(a,b) as SEQUENTIAL per-dim
+        # accumulation — identical addition order to the engines'
+        # left-assoc folds, vectorized across rows only. aa depends
+        # only on the fixed training matrix, so hoist it out of the
+        # iteration loop (same bits, half the norm work).
+        aa = np.zeros(len(a))
+        for d in range(sub):
+            aa = aa + a[:, d] * a[:, d]
         for _ in range(iters):
-            # dot(a,a) / dot(b,b) / dot(a,b) as SEQUENTIAL per-dim
-            # accumulation — identical addition order to the engines'
-            # left-assoc folds, vectorized across rows only
-            aa = np.zeros(len(a))
-            for d in range(sub):
-                aa = aa + a[:, d] * a[:, d]
             dms = np.empty((len(a), len(cents)), dtype=np.int64)
             for ci, (_code, cv) in enumerate(cents):
                 ab = np.zeros(len(a))

@@ -46,9 +46,10 @@ _LIVE: list[DataFrame] = []
 # notebooks, long-lived drivers calling library helpers directly): entry
 # wrappers release at invocation, but a direct caller never does, so the
 # registry would grow for the session lifetime. The bound must exceed the
-# largest single entry's live footprint (the 30-merge BPE trainer holds
-# ~31: the word-frequency table + one frame per vocab generation); beyond
-# it, evicting the oldest can only touch frames from long-finished work.
+# largest single entry's live footprint — today's worst holders are the
+# composed curation funnels and iterative graph loops at well under a
+# dozen frames (the 30-merge BPE trainer briefly held ~31 before it moved
+# driver-side) — so 64 only ever evicts frames from long-finished work.
 MAX_LIVE_CACHES = 64
 
 

@@ -1866,8 +1866,11 @@ WITH _mp_docs AS (
                         '[^a-z0-9 ]+', '', 'g')
   FROM documents WHERE doc_id < 40
 ),
-{mm.sql_phash_pgm("SELECT media_id, c0 AS c, length(c0) AS n"
-                  " FROM _mp_docs", width=mm.JPEG_BLOCKS_W)},
+{mm.sql_phash_pgm(
+    "SELECT media_id,"
+    f" substring(c0, 1, {mm.RASTER_MAX_CHARS}) AS c,"
+    f" least(length(c0), {mm.RASTER_MAX_CHARS}) AS n"
+    " FROM _mp_docs", width=mm.JPEG_BLOCKS_W)},
 _mp_bands AS (
   SELECT media_id, phash, k.k AS k,
          (phash >> (16 * k.k)) & 65535 AS bv
@@ -2105,7 +2108,8 @@ def streaming_frame_sample(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_ingest")
 
 
-@register("mm_decode_png", mm.sql_decode_pgm("documents"))
+@register("mm_decode_png",
+          mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_png(spark, sf_dir):
     """REAL lossless-codec decode — PNG via stdlib zlib, no codec
     library: each document's PGM-layout raster is compressed into a
@@ -2114,11 +2118,11 @@ def mm_decode_png(spark, sf_dir):
     stream, reconstructs every scanline filter (None/Sub/Up/Average/
     Paeth — cross-validated against an independent filtered encoder
     in tests/test_png.py), and emits the SAME integer band features
-    as mm_decode_pgm. PNG is lossless, so sql_decode_pgm is the
-    oracle VERBATIM — the Spark side merely routes the identical
-    raster through a genuinely different codec; any inflate/filter/
-    CRC bug flips the hash. Malformed payloads drop per row;
-    payloads never shuffle."""
+    as mm_decode_pgm. PNG is lossless, so the oracle is sql_decode_pgm
+    with only the builders' RASTER_MAX_CHARS cap applied — the Spark
+    side merely routes the identical raster through a genuinely
+    different codec; any inflate/filter/CRC bug flips the hash.
+    Malformed payloads drop per row; payloads never shuffle."""
     docs = load(spark, sf_dir, "documents")
     return mm.decode_png(mm.png_media_from_documents(docs))
 

@@ -376,3 +376,85 @@ def test_staged_sentinel_int64_nanos_encoding(spark, tmp_path):
                           AND p.p_us <= c.c_us + 3600000000
         """).fetchall())
     assert got == want and len(got) == 3
+
+
+# --------------------------------------------- review-pass codec fixes
+
+def test_jpeg_rejects_oversized_dims_and_subsampled_luma():
+    import numpy as np
+
+    from mktd6_flink_spark.functions.jpeg import (decode_baseline_jpeg,
+                                                  encode_dc_jpeg)
+
+    good = encode_dc_jpeg(np.zeros((1, 16), dtype=np.uint8))
+    # splice huge dims into the SOF (h=w=65528): must ValueError, not
+    # attempt a 32 GiB plane allocation
+    sof_at = good.find(b"\xff\xc0")
+    huge = bytearray(good)
+    huge[sof_at + 5:sof_at + 9] = (65528).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="cap"):
+        decode_baseline_jpeg(bytes(huge))
+
+
+def test_jpeg_accepts_fill_bytes_between_segments():
+    import numpy as np
+
+    from mktd6_flink_spark.functions.jpeg import (decode_baseline_jpeg,
+                                                  encode_dc_jpeg)
+
+    vals = np.arange(32, dtype=np.uint8).reshape(2, 16) + 50
+    good = encode_dc_jpeg(vals)
+    # T.81 B.1.1.2: insert fill 0xFF bytes before the SOF marker
+    sof_at = good.find(b"\xff\xc0")
+    filled = good[:sof_at] + b"\xff\xff\xff" + good[sof_at:]
+    _w, _h, plane = decode_baseline_jpeg(filled)
+    assert (plane[4::8, 4::8] == vals).all()
+
+
+def test_png_decompression_bomb_is_valueerror():
+    import struct
+    import zlib
+
+    from mktd6_flink_spark.functions.png import decode_png_gray
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", 64, 64, 8, 0, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (512 << 20), 9))
+            + chunk(b"IEND", b""))
+    assert len(bomb) < (2 << 20)  # the payload itself is small
+    with pytest.raises(ValueError):
+        decode_png_gray(bomb)
+
+
+def test_raster_builders_cap_giant_documents(spark):
+    """A document longer than RASTER_MAX_CHARS must truncate (builder
+    AND oracle), never kill the encode stage or diverge engines."""
+    import duckdb
+
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    n_over = mm.RASTER_MAX_CHARS + 321
+    docs = spark.createDataFrame([(1, "a" * n_over)],
+                                 "doc_id long, text string")
+    jp = mm.decode_jpeg(mm.jpeg_media_from_documents(docs)).collect()
+    png = mm.decode_png(mm.png_media_from_documents(docs)).collect()
+    assert {r["height"] for r in jp} == {
+        mm.RASTER_MAX_CHARS // mm.JPEG_BLOCKS_W * 8}
+    assert {r["height"] for r in png} == {
+        mm.RASTER_MAX_CHARS // mm.PGM_WIDTH}
+    # cross-engine: the capped oracle agrees on the truncated doc
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": [1], "text": ["a" * n_over]}))
+    want = con.execute(
+        mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS)
+    ).fetchall()
+    got = sorted((r["media_id"], r["width"], r["height"], r["n_frames"],
+                  r["band"], r["feat_micro"]) for r in png)
+    assert got == sorted(tuple(r) for r in want)
