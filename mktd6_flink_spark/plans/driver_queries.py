@@ -3498,6 +3498,57 @@ def pipeline_bpe_train(spark, sf_dir):
         "pair_count long")
 
 
+@register("pipeline_bpe_fertility", expand_round6("WITH "
+          + _BPE_SQL_PRELUDE + ",\n"
+          + ",\n".join(_bpe_sql_iter(k, True)
+                       for k in range(1, _BPE_N + 1)) + f""",
+_bf_dw AS (
+  SELECT doc_id, coalesce(lang, '') AS lang,
+         unnest({tx.sql_tokens('text')}) AS w FROM documents),
+_bf_j AS (
+  SELECT d.doc_id, d.lang, CAST(len(v.s) AS BIGINT) AS tl,
+         CAST(length(d.w) AS BIGINT) AS wl
+  FROM _bf_dw d JOIN _bt_s{_BPE_N} v ON v.w = d.w)
+SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(tl) AS BIGINT) AS n_tokens,
+       ROUND6(CAST(sum(tl) AS DOUBLE) / count(*)) AS tokens_per_word,
+       ROUND6(CAST(sum(wl) AS DOUBLE) / sum(tl)) AS chars_per_token
+FROM _bf_j GROUP BY lang
+"""))
+def pipeline_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per language — the metric multilingual
+    tokenizer evaluations publish (tokens per word; a tokenizer
+    trained on English text fragments non-English words into more
+    pieces): train the _BPE_N-rule tokenizer on the whole corpus,
+    encode every word through the trained vocab, and aggregate
+    tokens/word and chars/token per language. One corpus scan + one
+    broadcast vocab join + one partial-aggregated groupBy(lang) — the
+    same 100 TB shape as pipeline_bpe_encode, with a language-sized
+    output. NULL lang coalesces to '' on both engines (the degenerate
+    corpus carries NULLs)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True)
+    vdf = spark.createDataFrame(
+        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
+    dw = docs.select("doc_id",
+                     F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                     F.explode(tx.tokens(F.col("text"))).alias("w"))
+    j = dw.join(F.broadcast(vdf), "w")
+    return (j.groupBy("lang")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_words"),
+                 F.sum("_tl").alias("n_tokens"),
+                 F.sum(F.length("w").cast("long")).alias("_nc"))
+            .select("lang", "n_docs", "n_words", "n_tokens",
+                    round_portable(F.col("n_tokens").cast("double")
+                                   / F.col("n_words"))
+                    .alias("tokens_per_word"),
+                    round_portable(F.col("_nc").cast("double")
+                                   / F.col("n_tokens"))
+                    .alias("chars_per_token")))
+
+
 @register("pipeline_bpe_encode", expand_round6("WITH "
           + _BPE_SQL_PRELUDE + ",\n"
           + ",\n".join(_bpe_sql_iter(k, True)
@@ -12277,14 +12328,16 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # families; the cache soft bound -> two-phase/asof/dedup consumers;
 # the priority-sample dedup -> stateful streaming entries; the PQ
 # sample-then-train family; the BPE rewrite; the staged-sentinel
-# left-outer join) + 3 stalest fills from the r7 block (tpch_q1/q3/q6
-# — the rest of that cohort rotates in r14; the full 254-entry local
-# sf0.01 sweep this round is the backstop for the un-windowed rest).
+# left-outer join) + the never-graded pipeline_bpe_fertility + 2
+# stalest fills from the r7 block (tpch_q1/q3 — the rest of that
+# cohort rotates in r14; the full 255-entry local sweeps this round,
+# sf0.01 AND sf0.1, are the backstop for the un-windowed rest).
 _GATE_PRIORITY = [
     "mm_jpeg_phash_dedup",
     "mm_decode_jpeg",
     "mm_decode_png",
     "streaming_decode_jpeg",
+    "pipeline_bpe_fertility",
     "dedup_ngram_jaccard",
     "pipeline_sequence_packing",
     "asof_join_price",
@@ -12330,7 +12383,6 @@ _GATE_PRIORITY = [
     "dataflow_hype_influence",
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
 ]
 
 
