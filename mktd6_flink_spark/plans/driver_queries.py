@@ -3549,6 +3549,57 @@ def pipeline_bpe_fertility(spark, sf_dir):
                     .alias("chars_per_token")))
 
 
+@register("streaming_bpe_fertility", ORACLES["pipeline_bpe_fertility"])
+def streaming_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility ON INGEST — the train-offline / score-on-
+    ingest split every production tokenizer deployment runs: the
+    30-rule BPE vocab is trained batch-side (a bounded model,
+    broadcast as a static frame), then the LIVE stream explodes each
+    arriving document's words, joins the static vocab map-side, and
+    maintains ONE streaming aggregation keyed by (lang, doc_id) in
+    UPDATE mode (emission volume proportional to docs touched per
+    batch — the unbounded-key production mode). The bounded per-doc
+    table collapses to per-language fertility on the sunk side, so
+    the word-level heavy lifting is all streaming and the finalize is
+    language-sized. Graded against the SAME oracle as
+    pipeline_bpe_fertility; chained streaming aggregations are
+    unsupported by the engine, which is exactly why the per-lang
+    rollup lives in the finalize."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True)
+    vdf = spark.createDataFrame(
+        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    dw = raw.select("doc_id",
+                    F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+                    F.explode(tx.tokens(F.col("text"))).alias("w"))
+    per_doc = (dw.join(F.broadcast(vdf), "w")
+               .groupBy("lang", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum("_tl").alias("n_tokens"),
+                    F.sum(F.length("w").cast("long")).alias("_nc")))
+    sunk = _run_stream_update_latest(spark, per_doc, "bpe_fert",
+                                     ["lang", "doc_id"])
+    return (sunk.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("_nc").alias("_nc"))
+            .select("lang", "n_docs", "n_words", "n_tokens",
+                    round_portable(F.col("n_tokens").cast("double")
+                                   / F.col("n_words"))
+                    .alias("tokens_per_word"),
+                    round_portable(F.col("_nc").cast("double")
+                                   / F.col("n_tokens"))
+                    .alias("chars_per_token")))
+
+
 @register("pipeline_bpe_encode", expand_round6("WITH "
           + _BPE_SQL_PRELUDE + ",\n"
           + ",\n".join(_bpe_sql_iter(k, True)
@@ -12328,16 +12379,18 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # families; the cache soft bound -> two-phase/asof/dedup consumers;
 # the priority-sample dedup -> stateful streaming entries; the PQ
 # sample-then-train family; the BPE rewrite; the staged-sentinel
-# left-outer join) + the never-graded pipeline_bpe_fertility + 2
-# stalest fills from the r7 block (tpch_q1/q3 — the rest of that
-# cohort rotates in r14; the full 255-entry local sweeps this round,
-# sf0.01 AND sf0.1, are the backstop for the un-windowed rest).
+# left-outer join) + the never-graded pipeline_bpe_fertility and
+# streaming_bpe_fertility + 1 stalest fill from the r7 block
+# (tpch_q1 — the rest of that cohort rotates in r14; the full
+# local sweeps this round, sf0.01 AND sf0.1, are the backstop for
+# the un-windowed rest).
 _GATE_PRIORITY = [
     "mm_jpeg_phash_dedup",
     "mm_decode_jpeg",
     "mm_decode_png",
     "streaming_decode_jpeg",
     "pipeline_bpe_fertility",
+    "streaming_bpe_fertility",
     "dedup_ngram_jaccard",
     "pipeline_sequence_packing",
     "asof_join_price",
@@ -12382,7 +12435,6 @@ _GATE_PRIORITY = [
     "pipeline_bpe_encode",
     "dataflow_hype_influence",
     "tpch_q1",
-    "tpch_q3",
 ]
 
 
