@@ -3385,12 +3385,14 @@ def _bpe_merge_syms(s: list, a: str, b: str, m: str) -> list:
     return out
 
 
-def _bpe_train(docs, n_merges, apply_last):
+def _bpe_train(docs, n_merges, apply_last, cap=None):
     """Shared BPE trainer (Sennrich 2016 §3.2): collapse the corpus to
     the capped word-frequency vocabulary with ONE map-side-combined
     shuffle + TakeOrdered, collect that bounded model input, and run
     the merge loop driver-side. Returns (vocab list of (w, f, syms),
-    merge dicts (rank, a, b, m, cnt)).
+    merge dicts (rank, a, b, m, cnt)). ``cap`` overrides
+    _BPE_VOCAB_CAP (tests shrink it to force the OOV fallback path;
+    entries keep the default).
 
     Why driver-side: the trainer input is model-sized BY CONSTRUCTION
     (<= _BPE_VOCAB_CAP words), and a distributed merge loop pays ~1 s
@@ -3404,7 +3406,7 @@ def _bpe_train(docs, n_merges, apply_last):
     rows = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).alias("f"))
             .orderBy(F.col("f").desc(), F.col("w").asc())
-            .limit(_BPE_VOCAB_CAP).collect())
+            .limit(_BPE_VOCAB_CAP if cap is None else cap).collect())
     vocab = [(r["w"], int(r["f"]), list(r["w"])) for r in rows]
     merges = []
     for rank in range(1, n_merges + 1):
@@ -3498,6 +3500,95 @@ def pipeline_bpe_train(spark, sf_dir):
         "pair_count long")
 
 
+def _fertility_vocab_df(spark, docs, cap=None):
+    """Train the _BPE_N-rule tokenizer and return the bounded
+    (word -> token count) model frame — the broadcast artifact both
+    fertility entries score through."""
+    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True, cap=cap)
+    return spark.createDataFrame(
+        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
+
+
+def _fertility_token_len():
+    """Per-word token length WITH the OOV byte-fallback: a word beyond
+    the _BPE_VOCAB_CAP trained vocabulary encodes character-level
+    (len(word) tokens) instead of silently dropping from the metric —
+    at crawl vocabulary sizes where the cap binds, an inner join would
+    under-report fertility exactly on the long-tail words that inflate
+    it. Requires the vocab joined LEFT on column ``_tl``."""
+    return F.coalesce(F.col("_tl"), F.length("w").cast("long"))
+
+
+def _fertility_per_doc(vdf, docs_df):
+    """Batch-local per-doc fertility collapse — STATELESS: explode the
+    words of the docs in hand, LEFT-join the broadcast vocab (OOV ->
+    char-level fallback), aggregate per (lang, doc_id). Each document
+    row carries its whole text, so one invocation per micro-batch
+    fully collapses every doc in that batch with no cross-batch
+    state."""
+    dw = docs_df.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.explode(tx.tokens(F.col("text"))).alias("w"))
+    j = dw.join(F.broadcast(vdf), "w", "left")
+    return (j.groupBy("lang", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(_fertility_token_len()).alias("n_tokens"),
+                 F.sum(F.length("w").cast("long")).alias("_nc")))
+
+
+def _fertility_finalize(per_doc):
+    """(lang, doc_id) fertility rows -> per-language published metric."""
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("_nc").alias("_nc"))
+            .select("lang", "n_docs", "n_words", "n_tokens",
+                    round_portable(F.col("n_tokens").cast("double")
+                                   / F.col("n_words"))
+                    .alias("tokens_per_word"),
+                    round_portable(F.col("_nc").cast("double")
+                                   / F.col("n_tokens"))
+                    .alias("chars_per_token")))
+
+
+def _run_fertility_stream(spark, vdf, src_dir, schema,
+                          glob="documents.parquet", max_files=None):
+    """Score-on-ingest fertility runtime: a file-source docs stream,
+    ``foreachBatch`` collapsing each micro-batch's docs to (lang,
+    doc_id) rows appended to a spill parquet. ZERO streaming state —
+    the per-doc collapse is batch-local (a doc's words all live in its
+    own row), so the state store holds nothing and ingest memory is
+    bounded at any corpus size (the r13 verdict's last scale-killer:
+    the old streaming groupBy kept one state row per doc forever).
+    Returns (per_doc DataFrame, recentProgress list) so tests can
+    assert the no-state-operator contract structurally."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bpe_fert_doc_")
+    ckpt = tempfile.mkdtemp(prefix="bpe_fert_ckpt_")
+    # seed the spill dir with the schema so an all-empty stream still
+    # reads back as a typed empty frame
+    empty = spark.createDataFrame(
+        [], "lang string, doc_id long, n_words long, n_tokens long, "
+            "_nc long")
+    empty.write.mode("append").parquet(out_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    raw = reader.option("pathGlobFilter", glob).parquet(src_dir)
+
+    def _batch(b, bid):
+        (_fertility_per_doc(vdf, b)
+         .write.mode("append").parquet(out_dir))
+
+    q = (raw.writeStream.foreachBatch(_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir), list(q.recentProgress)
+
+
 @register("pipeline_bpe_fertility", expand_round6("WITH "
           + _BPE_SQL_PRELUDE + ",\n"
           + ",\n".join(_bpe_sql_iter(k, True)
@@ -3506,9 +3597,10 @@ _bf_dw AS (
   SELECT doc_id, coalesce(lang, '') AS lang,
          unnest({tx.sql_tokens('text')}) AS w FROM documents),
 _bf_j AS (
-  SELECT d.doc_id, d.lang, CAST(len(v.s) AS BIGINT) AS tl,
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(len(v.s), length(d.w)) AS BIGINT) AS tl,
          CAST(length(d.w) AS BIGINT) AS wl
-  FROM _bf_dw d JOIN _bt_s{_BPE_N} v ON v.w = d.w)
+  FROM _bf_dw d LEFT JOIN _bt_s{_BPE_N} v ON v.w = d.w)
 SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(tl) AS BIGINT) AS n_tokens,
@@ -3522,23 +3614,25 @@ def pipeline_bpe_fertility(spark, sf_dir):
     trained on English text fragments non-English words into more
     pieces): train the _BPE_N-rule tokenizer on the whole corpus,
     encode every word through the trained vocab, and aggregate
-    tokens/word and chars/token per language. One corpus scan + one
-    broadcast vocab join + one partial-aggregated groupBy(lang) — the
-    same 100 TB shape as pipeline_bpe_encode, with a language-sized
-    output. NULL lang coalesces to '' on both engines (the degenerate
-    corpus carries NULLs)."""
+    tokens/word and chars/token per language. Words beyond the
+    _BPE_VOCAB_CAP trained vocabulary encode CHARACTER-LEVEL
+    (len(word) tokens — the byte-fallback every production tokenizer
+    ships) instead of dropping, so the metric stays faithful at crawl
+    vocabulary sizes where the cap binds. One corpus scan + one
+    broadcast vocab LEFT join + one partial-aggregated groupBy(lang)
+    — the same 100 TB shape as pipeline_bpe_encode, with a
+    language-sized output. NULL lang coalesces to '' on both engines
+    (the degenerate corpus carries NULLs)."""
     docs = load(spark, sf_dir, "documents")
-    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True)
-    vdf = spark.createDataFrame(
-        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
+    vdf = _fertility_vocab_df(spark, docs)
     dw = docs.select("doc_id",
                      F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
                      F.explode(tx.tokens(F.col("text"))).alias("w"))
-    j = dw.join(F.broadcast(vdf), "w")
+    j = dw.join(F.broadcast(vdf), "w", "left")
     return (j.groupBy("lang")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_words"),
-                 F.sum("_tl").alias("n_tokens"),
+                 F.sum(_fertility_token_len()).alias("n_tokens"),
                  F.sum(F.length("w").cast("long")).alias("_nc"))
             .select("lang", "n_docs", "n_words", "n_tokens",
                     round_portable(F.col("n_tokens").cast("double")
@@ -3554,50 +3648,23 @@ def streaming_bpe_fertility(spark, sf_dir):
     """Tokenizer fertility ON INGEST — the train-offline / score-on-
     ingest split every production tokenizer deployment runs: the
     30-rule BPE vocab is trained batch-side (a bounded model,
-    broadcast as a static frame), then the LIVE stream explodes each
-    arriving document's words, joins the static vocab map-side, and
-    maintains ONE streaming aggregation keyed by (lang, doc_id) in
-    UPDATE mode (emission volume proportional to docs touched per
-    batch — the unbounded-key production mode). The bounded per-doc
-    table collapses to per-language fertility on the sunk side, so
-    the word-level heavy lifting is all streaming and the finalize is
-    language-sized. Graded against the SAME oracle as
-    pipeline_bpe_fertility; chained streaming aggregations are
-    unsupported by the engine, which is exactly why the per-lang
-    rollup lives in the finalize."""
+    broadcast as a static frame), then the LIVE stream collapses each
+    arriving micro-batch's documents to (lang, doc_id) fertility rows
+    inside ``foreachBatch`` — STATELESS, because a document's words
+    all arrive in its own row, so the collapse never needs cross-batch
+    state (the r12 version kept one state-store row per doc forever —
+    O(corpus) state with no eviction; this holds ZERO state at any
+    corpus size, asserted structurally by tests/test_round14.py and
+    tools/state_schema_audit.py). OOV words byte-fallback exactly as
+    the batch twin. The bounded per-doc spill collapses to
+    per-language fertility in the finalize. Graded against the SAME
+    oracle as pipeline_bpe_fertility."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = load(spark, sf_dir, "documents")
-    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True)
-    vdf = spark.createDataFrame(
-        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    dw = raw.select("doc_id",
-                    F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
-                    F.explode(tx.tokens(F.col("text"))).alias("w"))
-    per_doc = (dw.join(F.broadcast(vdf), "w")
-               .groupBy("lang", "doc_id")
-               .agg(F.count(F.lit(1)).alias("n_words"),
-                    F.sum("_tl").alias("n_tokens"),
-                    F.sum(F.length("w").cast("long")).alias("_nc")))
-    sunk = _run_stream_update_latest(spark, per_doc, "bpe_fert",
-                                     ["lang", "doc_id"])
-    return (sunk.groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_words").alias("n_words"),
-                 F.sum("n_tokens").alias("n_tokens"),
-                 F.sum("_nc").alias("_nc"))
-            .select("lang", "n_docs", "n_words", "n_tokens",
-                    round_portable(F.col("n_tokens").cast("double")
-                                   / F.col("n_words"))
-                    .alias("tokens_per_word"),
-                    round_portable(F.col("_nc").cast("double")
-                                   / F.col("n_tokens"))
-                    .alias("chars_per_token")))
+    vdf = _fertility_vocab_df(spark, docs)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    per_doc, _prog = _run_fertility_stream(spark, vdf, sf_dir, schema)
+    return _fertility_finalize(per_doc)
 
 
 @register("pipeline_bpe_encode", expand_round6("WITH "
@@ -3607,9 +3674,10 @@ def streaming_bpe_fertility(spark, sf_dir):
 _be_dw AS (
   SELECT doc_id, unnest({tx.sql_tokens('text')}) AS w FROM documents),
 _be_j AS (
-  SELECT d.doc_id, CAST(len(v.s) AS BIGINT) AS tl,
+  SELECT d.doc_id,
+         CAST(coalesce(len(v.s), length(d.w)) AS BIGINT) AS tl,
          CAST(length(d.w) AS BIGINT) AS wl
-  FROM _be_dw d JOIN _bt_s{_BPE_N} v ON v.w = d.w)
+  FROM _be_dw d LEFT JOIN _bt_s{_BPE_N} v ON v.w = d.w)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(tl) AS BIGINT) AS n_tokens,
        CAST(sum(wl) AS BIGINT) AS n_chars,
@@ -3630,7 +3698,10 @@ def pipeline_bpe_encode(spark, sf_dir):
     partial-aggregated groupBy(doc_id). chars_per_token is the
     compression dial tokenizer evaluations publish (ROUND6-portable;
     every word has >= 1 token so the divisor is never 0; docs with
-    no tokens drop from the join on both engines). A degenerate
+    no words produce no rows on both engines). Words beyond the
+    _BPE_VOCAB_CAP vocabulary byte-fallback to char-level
+    (LEFT join + coalesce(len(word)) — same semantics as the
+    fertility entries) instead of silently dropping. A degenerate
     corpus that runs out of pairs before rank _BPE_N passes the
     vocab through the remaining ranks unchanged on both sides (the
     Spark loop breaks; the oracle's NULL scalar subquery no-ops).
@@ -3638,15 +3709,13 @@ def pipeline_bpe_encode(spark, sf_dir):
     broadcast frame — the model artifact, bounded by
     _BPE_VOCAB_CAP."""
     docs = load(spark, sf_dir, "documents")
-    vocab, _ = _bpe_train(docs, _BPE_N, apply_last=True)
-    vdf = spark.createDataFrame(
-        [(w, len(s)) for w, _f, s in vocab], "w string, _tl long")
+    vdf = _fertility_vocab_df(spark, docs)
     dw = docs.select("doc_id", F.explode(tx.tokens(F.col("text")))
                      .alias("w"))
-    j = dw.join(F.broadcast(vdf), "w")
+    j = dw.join(F.broadcast(vdf), "w", "left")
     return (j.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.sum("_tl").alias("n_tokens"),
+                 F.sum(_fertility_token_len()).alias("n_tokens"),
                  F.sum(F.length("w").cast("long")).alias("n_chars"))
             .select("doc_id", "n_words", "n_tokens", "n_chars",
                     round_portable(F.col("n_chars").cast("double")

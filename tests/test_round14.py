@@ -1,0 +1,138 @@
+"""Round-14 tests: bounded-state streaming fertility (r13 verdict #1),
+OOV byte-fallback in the fertility metric (#6), and their structural
+pins."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------- streaming fertility: stateless, multi-batch
+
+def _tiny_docs(spark):
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "en", "the dog sleeps while the fox runs"),
+        (3, "fr", "le renard saute par dessus le chien"),
+        (4, "fr", "le chien dort et le renard court"),
+        (5, "de", "der fuchs springt ueber den hund"),
+        (6, None, "zzz qqq xxx"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_streaming_fertility_multibatch_zero_state(spark):
+    """The r12 streaming fertility kept one state-store row per
+    (lang, doc_id) forever — O(corpus) state. The r14 rewrite
+    collapses per-doc inside foreachBatch: run it over the docs SPLIT
+    ACROSS THREE FILES with maxFilesPerTrigger=1 (>= 3 micro-batches)
+    and assert (a) the result matches the batch twin exactly, and
+    (b) NO micro-batch registered any state operator (the structural
+    no-state contract — numRowsTotal has nothing to even report)."""
+    from mktd6_flink_spark.plans.driver_queries import (
+        _fertility_finalize, _fertility_per_doc, _fertility_vocab_df,
+        _run_fertility_stream)
+
+    docs = _tiny_docs(spark)
+    vdf = _fertility_vocab_df(spark, docs)
+    d = tempfile.mkdtemp(prefix="fert_docs_")
+    for i in range(3):
+        (docs.filter((F.col("doc_id") % 3) == i)
+         .coalesce(1).write.mode("append")
+         .parquet(os.path.join(d, f"part{i}")))
+    # flatten: one dir, three files
+    flat = tempfile.mkdtemp(prefix="fert_flat_")
+    n = 0
+    for i in range(3):
+        pd_dir = os.path.join(d, f"part{i}")
+        for f in sorted(os.listdir(pd_dir)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(pd_dir, f),
+                           os.path.join(flat, f"docs-{n:03d}.parquet"))
+                n += 1
+    assert n >= 3
+    per_doc, progresses = _run_fertility_stream(
+        spark, vdf, flat, docs.schema, glob="*.parquet", max_files=1)
+    data_batches = [p for p in progresses
+                    if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, "expected one micro-batch per file"
+    for p in progresses:
+        assert p["stateOperators"] in ([], None), (
+            "streaming fertility must hold ZERO keyed state; got "
+            f"{p['stateOperators']}")
+    got = {r["lang"]: r.asDict()
+           for r in _fertility_finalize(per_doc).collect()}
+    want = {r["lang"]: r.asDict()
+            for r in _fertility_finalize(
+                _fertility_per_doc(vdf, docs)).collect()}
+    assert got == want
+
+
+# ------------------------------------------------- OOV byte-fallback pins
+
+def test_fertility_oov_word_encodes_char_level(spark):
+    """A word OUTSIDE the trained vocab must contribute len(word)
+    tokens (character-level fallback), not silently drop from the
+    metric. Train with cap=1 so only the single most frequent word is
+    in-vocab."""
+    from mktd6_flink_spark.plans.driver_queries import (
+        _fertility_per_doc, _fertility_vocab_df)
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aaa aaa aaa zebra")],
+        "doc_id long, lang string, text string")
+    vdf = _fertility_vocab_df(spark, docs, cap=1)
+    assert vdf.count() == 1  # only "aaa" trained
+    row = _fertility_per_doc(vdf, docs).collect()[0]
+    # 3x "aaa" (in-vocab, merged to <=? tokens) + "zebra" OOV = 5 tokens
+    in_vocab_tl = vdf.collect()[0]["_tl"]
+    assert row["n_words"] == 4
+    assert row["n_tokens"] == 3 * in_vocab_tl + len("zebra")
+
+
+def test_fertility_oov_raises_tokens_per_word(spark):
+    """Shrinking the vocab cap forces more words OOV -> char-level
+    fallback -> tokens_per_word must NOT DECREASE (a trained merge
+    never makes a word longer than its characters)."""
+    from mktd6_flink_spark.plans.driver_queries import (
+        _fertility_finalize, _fertility_per_doc, _fertility_vocab_df)
+
+    docs = _tiny_docs(spark)
+
+    def tpw(cap):
+        vdf = _fertility_vocab_df(spark, docs, cap=cap)
+        rows = _fertility_finalize(
+            _fertility_per_doc(vdf, docs)).collect()
+        tot_t = sum(r["n_tokens"] for r in rows)
+        tot_w = sum(r["n_words"] for r in rows)
+        return tot_t / tot_w
+
+    full, starved = tpw(None), tpw(2)
+    assert starved >= full
+    assert starved > 1.0  # OOV words really fragmented
+
+
+def test_bpe_encode_oov_fallback(spark):
+    """pipeline_bpe_encode shares the fallback: no doc loses words to
+    the vocab join even when the trained vocab is tiny."""
+    from mktd6_flink_spark.plans.driver_queries import (
+        _fertility_token_len, _fertility_vocab_df)
+    from mktd6_flink_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(7, "en", "unique1 unique2 unique3")],
+        "doc_id long, lang string, text string")
+    vdf = _fertility_vocab_df(spark, docs, cap=1)
+    dw = docs.select("doc_id",
+                     F.explode(tx.tokens(F.col("text"))).alias("w"))
+    j = dw.join(F.broadcast(vdf), "w", "left")
+    out = (j.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum(_fertility_token_len()).alias("n_tokens"))
+           .collect()[0])
+    assert out["n_words"] == 3  # nothing dropped
+    assert out["n_tokens"] >= 3
