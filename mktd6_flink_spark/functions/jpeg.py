@@ -2,10 +2,11 @@
 
 Scope: baseline sequential DCT, 8-bit precision (SOF0), Huffman entropy
 coding, 1-component grayscale or 3-component YCbCr with 4:4:4 / 4:2:0 /
-4:2:2 sampling, no restart markers, no progressive (SOF2) or arithmetic
-coding. That is the profile every camera/web "baseline" JPEG uses; the
-decoder REJECTS everything else with ValueError so multimodal callers
-keep the drop-per-row contract (one bad blob is data, not a dead job).
+4:2:2 sampling, restart markers (DRI + RST0-7 — standard camera/encoder
+output, round 14), no progressive (SOF2) or arithmetic coding. That is
+the profile every camera/web "baseline" JPEG uses; the decoder REJECTS
+everything else with ValueError so multimodal callers keep the
+drop-per-row contract (one bad blob is data, not a dead job).
 
 Implementation follows the public spec directly: canonical Huffman
 decode per T.81 §F.2.2.3 (mincode/maxcode/valptr), RECEIVE/EXTEND per
@@ -107,29 +108,36 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-def _destuff(payload: bytes, pos: int) -> tuple[bytes, int]:
-    """Extract the entropy-coded segment starting at ``pos``: 0xFF00
-    unstuffs to 0xFF; any other 0xFF-marker ends the scan. Restart
-    markers are unsupported (we reject DRI>0 before the scan)."""
-    out = bytearray()
+def _destuff(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Extract the entropy-coded data starting at ``pos`` as a list of
+    restart segments: 0xFF00 unstuffs to 0xFF; RST0-7 markers split
+    segments (their modulo-8 sequence is validated per T.81 §E.1.4);
+    any other 0xFF-marker ends the scan. A scan without restarts
+    returns one segment."""
+    segs = [bytearray()]
+    expect = 0
     n = len(payload)
     while pos < n:
         b = payload[pos]
         if b != 0xFF:
-            out.append(b)
+            segs[-1].append(b)
             pos += 1
             continue
         if pos + 1 >= n:
             raise ValueError("truncated entropy segment")
         nxt = payload[pos + 1]
         if nxt == 0x00:
-            out.append(0xFF)
+            segs[-1].append(0xFF)
             pos += 2
         elif 0xD0 <= nxt <= 0xD7:
-            raise ValueError("restart markers unsupported")
+            if nxt - 0xD0 != expect:
+                raise ValueError("restart marker out of sequence")
+            expect = (expect + 1) % 8
+            segs.append(bytearray())
+            pos += 2
         else:
             break  # next marker ends the scan
-    return bytes(out), pos
+    return [bytes(s) for s in segs], pos
 
 
 def _decode_block(br, dc_tbl, ac_tbl, pred: int,
@@ -173,6 +181,7 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}
     frame = None
+    ri = 0  # restart interval in MCUs (DRI); 0 = no restarts
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -228,11 +237,14 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("truncated SOF0 components")
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension")
-            if w * h > (1 << 26):
+            if w * h > (1 << 24):
                 # the plane allocation below is sized by these
                 # attacker/corruption-controlled dims; uncapped, a bad
                 # blob raises MemoryError (not ValueError) and kills
-                # the stage instead of dropping the row
+                # the stage instead of dropping the row. 2^24 px at
+                # float32 = 64 MB worst case per blob; the
+                # entropy-size precondition in _decode_scan further
+                # ties the allocation to actual payload bytes.
                 raise ValueError("image dimensions exceed decode cap")
             if nc not in (1, 3):
                 raise ValueError("1 or 3 components only")
@@ -246,8 +258,9 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[:2], "big") != 0:
-                raise ValueError("restart intervals unsupported")
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            ri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -261,14 +274,14 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 15)
-            data, _ = _destuff(payload, pos)
-            return _decode_scan(data, w, h, comps, sel, qtables,
+            segs, _ = _destuff(payload, pos)
+            return _decode_scan(segs, ri, w, h, comps, sel, qtables,
                                 htables)
         # APPn / COM / anything else with a length: skipped
     raise ValueError("no SOS marker")
 
 
-def _decode_scan(data, w, h, comps, sel, qtables, htables):
+def _decode_scan(segs, ri, w, h, comps, sel, qtables, htables):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -283,13 +296,39 @@ def _decode_scan(data, w, h, comps, sel, qtables, htables):
         raise ValueError("luma sampling below frame max unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    # restart bookkeeping: with DRI = ri, a scan of n MCUs carries
+    # exactly ceil(n/ri) - 1 RSTn markers (T.81 §E.1.4); RSTn present
+    # without a DRI is malformed
+    want_segs = -(-n_mcus // ri) if ri else 1
+    if len(segs) != want_segs:
+        raise ValueError("restart segment count mismatch")
+    # precondition BEFORE the plane allocation: every 8x8 block costs
+    # >= 2 entropy bits (a 1-bit-minimum DC code + a 1-bit-minimum AC
+    # EOB), so header-declared dims that the actual payload cannot
+    # possibly carry are rejected while the allocation is still
+    # proportional to real bytes, not to a crafted header
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    if n_mcus * blocks_per_mcu * 2 > sum(len(s) for s in segs) * 8:
+        raise ValueError("entropy data too small for declared dims")
     luma = comps[0]
     lw, lh = mcux * 8 * luma["h"], mcuy * 8 * luma["v"]
-    plane = np.zeros((lh, lw), dtype=np.float64)
-    br = _BitReader(data)
+    # float32: block samples are in [-128, 128]+ringing, exactly
+    # representable small magnitudes — and half the worst-case
+    # allocation a malformed header can trigger
+    plane = np.zeros((lh, lw), dtype=np.float32)
+    br = _BitReader(segs[0])
+    seg_i = 0
     preds = [0] * len(comps)
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                # restart boundary: byte-aligned new segment, DC
+                # predictors reset (T.81 §F.2.1.3.1)
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                preds = [0] * len(comps)
             for ci, c in enumerate(comps):
                 try:
                     dc_t = htables[(0, sel[c["id"]][0])]
@@ -305,7 +344,9 @@ def _decode_scan(data, w, h, comps, sel, qtables, htables):
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
                             plane[y0:y0 + 8, x0:x0 + 8] = blk
-    out = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+            mcu += 1
+    out = np.clip(np.round(plane.astype(np.float64) + 128.0),
+                  0, 255).astype(np.uint8)
     return w, h, out[:h, :w]
 
 

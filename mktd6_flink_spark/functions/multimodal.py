@@ -7,9 +7,10 @@ Codec coverage (no codec libs in this container — every decoder below
 is dependency-free):
 
 * REAL: NetPBM P5 images (+ concatenated-P5 video streams), RIFF/WAV
-  PCM audio, and — since round 13 — baseline JPEG (full T.81 Huffman +
-  IDCT path, functions/jpeg.py). These genuinely parse the bytes.
-* STUBBED: everything else (progressive JPEG, PNG, MP4, FLAC):
+  PCM audio, baseline JPEG incl. restart markers (full T.81 Huffman +
+  IDCT path, functions/jpeg.py), and PNG (CRC-verified, bounded
+  inflate, functions/png.py). These genuinely parse the bytes.
+* STUBBED: everything else (progressive JPEG, MP4, FLAC):
   ``decode_media`` raises NotImplementedError unless ``fake=True``, in
   which case it produces a deterministic fake decode (dimensions
   derived from the payload hash) so the Spark-side plumbing — schema,

@@ -812,7 +812,7 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
                          k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         sample_mod: int = 1) -> DataFrame:
+                         sample_mod: int | None = None) -> DataFrame:
     """Per-subspace Lloyd-trained PQ codebooks (Jegou 2011 §II trains
     each subquantizer with k-means — the sampled first-k codebook in
     ``pq_codes`` is the cheap stand-in; THIS is the real index's
@@ -830,9 +830,12 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
     a constant m*k rows; fitting it from a bounded sample is the
     100x-safe shape, and membership is a pure function of the id so
     the DuckDB twin samples identically. Init (first-k vectors) is
-    unaffected. Default 1 trains on the whole corpus — only sensible
-    for small corpora/tests; ``pq_adc_topk_trained`` always derives a
-    corpus-size-bounded modulus.
+    unaffected. Default None DERIVES the corpus-size modulus
+    ``max(1, n // PQ_TRAIN_SAMPLE)`` (one column-pruned count) so the
+    collect below is bounded for every caller — an explicit 1 opts
+    into full-corpus training for small corpora/tests (the r13
+    default, which silently collected the whole corpus to the driver
+    for any direct caller at scale).
 
     Training runs DRIVER-SIDE on the collected sample (round 13; the
     BPE-trainer lesson): the input is bounded by the sample contract
@@ -852,6 +855,8 @@ def pq_trained_codebooks(embeddings: DataFrame, dim: int, m: int = PQ_M,
 
     Returns (subspace, code, cvec) — a LITERAL constant-size frame
     (the broadcast-a-trained-model pattern)."""
+    if sample_mod is None:
+        sample_mod = max(1, embeddings.count() // PQ_TRAIN_SAMPLE)
     return embeddings.sparkSession.createDataFrame(
         _pq_train_local(embeddings, dim, m, k, iters, id_col, vec_col,
                         sample_mod),

@@ -50,6 +50,17 @@ _LIVE: list[DataFrame] = []
 # composed curation funnels and iterative graph loops at well under a
 # dozen frames (the 30-merge BPE trainer briefly held ~31 before it moved
 # driver-side) — so 64 only ever evicts frames from long-finished work.
+#
+# CONTRACT (r13-ADVICE review): the FIFO eviction cannot distinguish a
+# leaked frame from a sibling of an in-flight >64-frame build — every
+# live frame was registered since the last release_twophase_caches()
+# call, so there is no observable "older build" boundary to protect
+# (an epoch guard keyed on release calls is provably dead code: release
+# empties the registry). A direct caller that holds more than
+# MAX_LIVE_CACHES simultaneously-live frames in one build must manage
+# persistence itself; inside the registry the bound is unreachable by
+# ~5x. Eviction is recompute-cost-only, never a correctness hazard
+# (block ids are pure row functions — see module docstring).
 MAX_LIVE_CACHES = 64
 
 

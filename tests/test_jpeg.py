@@ -59,6 +59,12 @@ class _Writer:
             if b == 0xFF:
                 self.bytes_.append(0x00)
 
+    def restart(self, idx):
+        """Byte-align (1-pad) and emit RSTn — T.81 §E.1.4/F.1.2.3."""
+        if self.bits:
+            self.put((1 << (8 - len(self.bits))) - 1, 8 - len(self.bits))
+        self.bytes_ += bytes([0xFF, 0xD0 + (idx % 8)])
+
     def done(self):
         if self.bits:
             self.put((1 << (8 - len(self.bits))) - 1, 8 - len(self.bits))
@@ -82,11 +88,15 @@ def _fixed_codes(symbols):
     return counts, bytes(syms), codes
 
 
-def _block_symbols(blocks, qt):
+def _block_symbols(blocks, qt, reset_every=0):
     """Quantized zigzag coefficients + (dc_syms, ac_syms, per-block
-    token stream) for a sequence of 8x8 sample blocks."""
+    token stream) for a sequence of 8x8 sample blocks.
+    ``reset_every`` > 0 resets the DC predictor every that-many blocks
+    (the per-component block count of one restart interval)."""
     stream, dc_syms, ac_syms, pred = [], [], [], 0
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if reset_every and bi and bi % reset_every == 0:
+            pred = 0
         f = _B @ (blk.astype(np.float64) - 128.0) @ _B.T
         q = np.round(f / qt).astype(np.int64)
         zz = q.ravel()[_ZZ]
@@ -124,11 +134,13 @@ def _seg(marker, body):
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def encode_baseline(planes, samplings, qval=1):
+def encode_baseline(planes, samplings, qval=1, restart_interval=0):
     """Independent baseline encoder: ``planes`` is a list of 2-D uint8
     component planes (already at their subsampled resolutions),
     ``samplings`` the (H, V) factors per component. Plane c must be
-    (mcuy*8*V, mcux*8*H)."""
+    (mcuy*8*V, mcux*8*H). ``restart_interval`` > 0 emits a DRI segment
+    and RSTn markers every that-many MCUs with DC predictor resets —
+    computed independently of the decoder's restart path."""
     qt = np.full((8, 8), qval, dtype=np.float64)
     hmax = max(h for h, _v in samplings)
     vmax = max(v for _h, v in samplings)
@@ -146,8 +158,10 @@ def encode_baseline(planes, samplings, qval=1):
                         blocks.append(p[y0:y0 + 8, x0:x0 + 8])
         per_comp_blocks.append(blocks)
     streams, dc_all, ac_all = [], [], []
-    for blocks in per_comp_blocks:
-        st, dcs, acs = _block_symbols(blocks, qt)
+    for blocks, (sh, sv) in zip(per_comp_blocks, samplings):
+        st, dcs, acs = _block_symbols(
+            blocks, qt,
+            reset_every=restart_interval * sh * sv)
         streams.append(st)
         dc_all.extend(dcs)
         ac_all.extend(acs)
@@ -156,7 +170,11 @@ def encode_baseline(planes, samplings, qval=1):
     w = _Writer()
     nb_per_mcu = [sh * sv for sh, sv in samplings]
     idx = [0] * len(planes)
+    rst = 0
     for _m in range(mcux * mcuy):
+        if restart_interval and _m and _m % restart_interval == 0:
+            w.restart(rst)
+            rst += 1
         for ci in range(len(planes)):
             for _b in range(nb_per_mcu[ci]):
                 for kind, sym, val in streams[ci][idx[ci]]:
@@ -182,12 +200,14 @@ def encode_baseline(planes, samplings, qval=1):
     for ci in range(len(planes)):
         sos_body += bytes([ci + 1, 0x00])
     sos_body += bytes([0, 63, 0])
+    dri = (_seg(0xDD, restart_interval.to_bytes(2, "big"))
+           if restart_interval else b"")
     return (b"\xff\xd8"
             + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
             + dqt + _seg(0xC0, sof_body)
             + _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_vals)
             + _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_vals)
-            + _seg(0xDA, sos_body) + w.done() + b"\xff\xd9")
+            + dri + _seg(0xDA, sos_body) + w.done() + b"\xff\xd9")
 
 
 # ------------------------------------------------------------- fixtures
@@ -244,11 +264,11 @@ def test_decoder_rejects_unsupported_profiles():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="non-baseline"):
         decode_baseline_jpeg(bad)
-    # restart interval
+    # DRI with no boundary crossed (1 MCU, interval 8) is LEGAL now
     dri = b"\xff\xdd\x00\x04\x00\x08"
     sos_at = good.find(b"\xff\xda")
-    with pytest.raises(ValueError, match="restart"):
-        decode_baseline_jpeg(good[:sos_at] + dri + good[sos_at:])
+    _w, _h, _ = decode_baseline_jpeg(good[:sos_at] + dri + good[sos_at:])
+    assert (_w, _h) == (8, 8)
     # truncations and garbage
     for payload in (b"", b"\xff\xd8", good[:40], b"GARBAGE",
                     good[:2] + good[4:]):
@@ -283,3 +303,75 @@ def test_empty_segment_bodies_raise_valueerror_not_indexerror():
     with pytest.raises(ValueError, match="SOS"):
         decode_baseline_jpeg(
             b"\xff\xd8" + seg(0xC0, good_sof) + seg(0xDA, b""))
+
+
+# --------------------------------------------------- restart markers (r14)
+
+def test_restart_interval_grayscale_roundtrip():
+    """Restart-interval baselines are standard camera output: encode
+    with DRI=3 over a 4x5=20-MCU image (6 restart segments, predictor
+    resets computed by the INDEPENDENT encoder) and require the same
+    bounded error as the no-restart path."""
+    rng = np.random.RandomState(31)
+    plane = rng.randint(0, 256, (32, 40), dtype=np.uint8)
+    payload = encode_baseline([plane.copy()], [(1, 1)],
+                              restart_interval=3)
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    w, h, got = decode_baseline_jpeg(payload)
+    assert (w, h) == (40, 32)
+    err = np.abs(got.astype(int) - plane.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+    # and byte-identical result to the no-restart encoding's decode
+    _, _, got_plain = decode_baseline_jpeg(
+        encode_baseline([plane.copy()], [(1, 1)]))
+    assert (got == got_plain).all()
+
+
+def test_restart_interval_420_roundtrip():
+    rng = np.random.RandomState(37)
+    y = rng.randint(0, 256, (32, 48), dtype=np.uint8)
+    cb = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    cr = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    payload = encode_baseline([y, cb, cr], [(2, 2), (1, 1), (1, 1)],
+                              restart_interval=2)
+    w, h, got = decode_baseline_jpeg(payload)
+    assert (w, h) == (48, 32)
+    err = np.abs(got.astype(int) - y.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+
+
+def test_restart_marker_malformations_rejected():
+    rng = np.random.RandomState(41)
+    plane = rng.randint(0, 256, (16, 32), dtype=np.uint8)
+    good = encode_baseline([plane], [(1, 1)], restart_interval=2)
+    # out-of-sequence RSTn
+    bad = good.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError, match="sequence"):
+        decode_baseline_jpeg(bad)
+    # RSTn present but DRI stripped -> segment count mismatch
+    dri_at = good.find(b"\xff\xdd")
+    stripped = good[:dri_at] + good[dri_at + 6:]
+    with pytest.raises(ValueError, match="segment count"):
+        decode_baseline_jpeg(stripped)
+
+
+def test_entropy_size_precondition_blocks_crafted_dims():
+    """A header declaring huge dims with a tiny entropy payload must
+    be rejected BEFORE the plane allocation (the ADVICE r13 537-MB
+    float64 hazard)."""
+    plane = np.full((8, 8), 130, dtype=np.uint8)
+    good = encode_baseline([plane], [(1, 1)])
+    sof_at = good.find(b"\xff\xc0")
+    # rewrite declared dims to 4000x4000 (16 Mpx, just under the cap)
+    body = bytearray(good[sof_at + 4:sof_at + 4 + 6])
+    body[1:3] = (4000).to_bytes(2, "big")
+    body[3:5] = (4000).to_bytes(2, "big")
+    crafted = good[:sof_at + 4] + bytes(body) + good[sof_at + 10:]
+    with pytest.raises(ValueError, match="entropy data too small"):
+        decode_baseline_jpeg(crafted)
+    # and over-cap dims still hit the dimension cap first
+    body[1:3] = (5000).to_bytes(2, "big")
+    body[3:5] = (5000).to_bytes(2, "big")
+    crafted = good[:sof_at + 4] + bytes(body) + good[sof_at + 10:]
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_baseline_jpeg(crafted)

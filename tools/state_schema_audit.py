@@ -11,9 +11,24 @@ every ``pack``-ed state tuple is validated against the DECLARED state
 schema — field count, python type, and integer RANGE — while the
 registry's streaming entries run end to end at a small SF.
 
+Round 14 adds the UNBOUNDED-KEYED-STATE audit (``--growth``): every
+streaming entry runs at sf0.001 AND sf0.01 under a
+StreamingQueryListener tap that records each micro-batch's
+``stateOperators[].numRowsTotal`` and whether an event-time watermark
+is defined. An entry whose final state rows GROW with the input
+(>= GROWTH_FACTOR between the two SFs) while holding no watermark is
+flagged — the state-store analog of the bogus-estimate class (the r12
+``streaming_bpe_fertility`` kept one row per doc forever; this catches
+that shape structurally). Entries whose state is INHERENTLY
+keyed-per-entity (the reference's own Flink ValueState-per-trader
+model) or inherently full-history are allowlisted in
+``GROWTH_ALLOWLIST`` with per-entry justification and, where one
+exists, the watermark-evicting twin cross-referenced.
+
 Usage:
     python tools/state_schema_audit.py                # all streaming_*
     python tools/state_schema_audit.py streaming_cep_pattern ...
+    python tools/state_schema_audit.py --growth       # unbounded-state audit
 
 Exit code 1 on any violation. The two timer entries
 (``delayed_return_stream`` / ``delayed_return_event_time_stream``)
@@ -129,7 +144,196 @@ def make_validating_pack(pack, specs, entry: str):
     return vpack
 
 
+# --------------------------------------------------------------------------
+# Unbounded keyed-state audit (round 14)
+# --------------------------------------------------------------------------
+
+# Final-state growth between sf0.001 and sf0.01 (inputs grow ~10x)
+# above this factor = "state scales with input". 3x keeps bounded
+# models (constant sketches, k-sized heaps) clearly under the bar
+# while linear-in-corpus state (~10x) clears it with margin.
+GROWTH_FACTOR = 3.0
+# ignore entries whose absolute state stays tiny at the larger SF —
+# a 5-key aggregate tripling from 1 to 3 rows is not a leak signal
+MIN_ROWS_AT_LARGE_SF = 50
+
+# Entries whose state legitimately scales with an input-derived key
+# domain. Two classes, annotated per entry:
+#   entity-keyed — the reference's own Flink keyed-ValueState model:
+#     one row per trader/user, the semantics the port must reproduce;
+#     state is O(#entities), not O(events), and an entity universe is
+#     operationally bounded even when the synthetic generator scales
+#     it with SF.
+#   full-history — the operator IS a full-history structure by
+#     definition; the watermark-evicting twin is cross-referenced.
+# Only entries the growth heuristic ACTUALLY fires on are listed (a
+# blanket allowlist would blind the audit to a future leak in an entry
+# that is bounded today); each annotation states WHY the measured
+# growth is not input-scaling state. Measured profiles (sf0.001 ->
+# sf0.01 final state rows) are from the r14 audit run.
+GROWTH_ALLOWLIST = {
+    # --- full-history by definition (the prescribed example; docs
+    #     table is 500 rows at every SF so it does not currently
+    #     fire, but a corpus-scaled regeneration would) ---
+    "streaming_dedup_exact": (
+        "full-history: exact dedup state is one row per distinct key "
+        "by definition; bounded twin: streaming_dedup_watermarked "
+        "(event-time eviction)"),
+    # --- entity-keyed, CONSTANT state per entity (the reference's
+    #     own Flink keyed-ValueState model; 15 -> 150 tracks the
+    #     synthetic generator scaling users with SF, not per-event
+    #     growth) ---
+    "streaming_cep_pattern": (
+        "entity-keyed: constant-size NFA state (two monotone "
+        "timestamps) per user — O(#users), not O(events)"),
+    "streaming_cep_absence": (
+        "entity-keyed: constant-size absence automaton per user"),
+    "streaming_decayed_engagement": (
+        "entity-keyed: one decayed accumulator per user"),
+    # --- bounded register grids: the key domain is a FIXED grid that
+    #     is sparse at tiny SF; cross-SF 'growth' is the grid filling
+    #     in, capped at the grid size ---
+    "streaming_sketch_hll": (
+        "bounded grid: registers keyed (event_type, bucket) <= "
+        "5 x 64 = 320 rows; 70 -> 295 is sparse fill-in"),
+    "streaming_sketch_cms": (
+        "bounded grid: CMS (depth, column) counter grid, constant "
+        "size; 44 -> 398 is sparse fill-in"),
+    "streaming_sliding_hll_uniques": (
+        "time-keyed grid: per-day registers, 64 per day regardless "
+        "of input volume (<= 30 x 64 = 1920 on the generator's fixed "
+        "30-day span; 375 -> 1724 is fill-in). Grows with CALENDAR "
+        "time only — 64 rows/day at any corpus rate; window geometry "
+        "is derived downstream by register algebra, so no watermark "
+        "eviction by design (the registers ARE the stored artifact)"),
+    # --- pair-domain counts ---
+    "streaming_basket_pairs": (
+        "pair-domain: co-occurrence counts over item pairs, bounded "
+        "by catalog^2 (not events); the synthetic catalog scales "
+        "with SF, hence 1473 -> 14743"),
+}
+
+
+class _ProgressTap:
+    """StreamingQueryListener recording every micro-batch progress as
+    a plain dict (events arrive asynchronously; ``drain`` polls until
+    the feed is quiet)."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class Impl(StreamingQueryListener):
+            def __init__(self):
+                self.ps: list[dict] = []
+
+            def onQueryStarted(self, e):
+                pass
+
+            def onQueryProgress(self, e):
+                import json
+                self.ps.append(json.loads(e.progress.json))
+
+            def onQueryIdle(self, e):
+                pass
+
+            def onQueryTerminated(self, e):
+                pass
+
+        return Impl()
+
+
+def _drain(tap, quiet_s: float = 1.0, cap_s: float = 10.0) -> None:
+    import time
+    deadline, last, last_t = time.time() + cap_s, -1, time.time()
+    while time.time() < deadline:
+        n = len(tap.ps)
+        if n != last:
+            last, last_t = n, time.time()
+        elif time.time() - last_t >= quiet_s:
+            return
+        time.sleep(0.1)
+
+
+def _entry_state_profile(tap) -> tuple[int, bool]:
+    """(final state rows summed over this entry's queries, any
+    watermark defined). Final = the max-batchId progress per query id."""
+    final: dict[str, dict] = {}
+    has_wm = False
+    for p in tap.ps:
+        qid = p.get("id", "?")
+        if (qid not in final
+                or p.get("batchId", 0) >= final[qid].get("batchId", 0)):
+            final[qid] = p
+        if "watermark" in (p.get("eventTime") or {}):
+            has_wm = True
+    rows = sum(s.get("numRowsTotal", 0)
+               for p in final.values()
+               for s in (p.get("stateOperators") or []))
+    return rows, has_wm
+
+
+def growth_audit(argv: list[str]) -> int:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from mktd6_flink_spark.session import get_spark
+
+    spark = get_spark("state-growth-audit", extra_conf={
+        "spark.sql.shuffle.partitions": "8"})
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = argv or sorted(n for n in qs if n.startswith("streaming_"))
+    sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    tap = _ProgressTap()
+    spark.streams.addListener(tap)
+    profile: dict[str, list[tuple[int, bool]]] = {}
+    errors: list[tuple[str, str]] = []
+    try:
+        for sf_dir in sfs:
+            for name in names:
+                tap.ps.clear()
+                try:
+                    qs[name](spark, sf_dir).count()
+                except Exception as ex:  # noqa: BLE001
+                    errors.append((name, str(ex)[:300]))
+                    continue
+                _drain(tap)
+                profile.setdefault(name, []).append(
+                    _entry_state_profile(tap))
+    finally:
+        spark.streams.removeListener(tap)
+
+    flagged, allowed, bounded = [], [], []
+    for name, profs in sorted(profile.items()):
+        if len(profs) < 2:
+            continue
+        (r_small, _), (r_large, wm) = profs[0], profs[1]
+        grows = (r_large >= MIN_ROWS_AT_LARGE_SF
+                 and r_large >= GROWTH_FACTOR * max(r_small, 1))
+        line = (f"{name}: state {r_small} -> {r_large} rows"
+                f"{' (watermarked)' if wm else ''}")
+        if not grows or wm:
+            bounded.append(line)
+            print(f"  ✓ {line}")
+        elif name in GROWTH_ALLOWLIST:
+            allowed.append(f"{line} — ALLOWLISTED: "
+                           f"{GROWTH_ALLOWLIST[name]}")
+            print(f"  ~ {line} — allowlisted "
+                  f"({GROWTH_ALLOWLIST[name].split(':')[0]})")
+        else:
+            flagged.append(line)
+            print(f"  ✗ UNBOUNDED {line}")
+    for name, msg in errors:
+        print(f"  ! {name} errored: {msg}")
+    print(f"\n{len(bounded)} bounded/watermarked, {len(allowed)} "
+          f"allowlisted (annotated), {len(flagged)} UNBOUNDED, "
+          f"{len(errors)} errors")
+    return 1 if flagged or errors else 0
+
+
 def main(argv: list[str]) -> int:
+    if argv and argv[0] == "--growth":
+        return growth_audit(argv[1:])
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from mktd6_flink_spark.session import get_spark
 
