@@ -1278,6 +1278,127 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                                         encode_png_gray)
 
 
+# Truecolor channel derivations (round 14): deterministic per-byte
+# functions of the grayscale cell value v (padding cells are v=0), so
+# the DuckDB oracle recomputes every channel from the cleaned text.
+# R = v; G = 255 - v (padding -> 255); B = (v * 37) % 256 (the modulo
+# genuinely binds: 'z' * 37 = 4514).
+def _rgb_channels(v: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    return np.stack([v, 255 - v, (v * 37) % 256], axis=-1).astype(
+        np.uint8)
+
+
+def png_rgb_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a real 8-bit TRUECOLOR PNG: the PGM
+    raster layout provides the luma grid, and the three channels are
+    the deterministic derivations above. Same clean/cap/pad contract
+    as every raster builder (_raster_media_from_documents)."""
+    from .png import encode_png_rgb
+
+    return _raster_media_from_documents(
+        docs, PGM_WIDTH,
+        lambda grid: encode_png_rgb(
+            _rgb_channels(grid.astype("int64"))))
+
+
+def decode_png_rgb_features(media: DataFrame) -> DataFrame:
+    """REAL truecolor PNG decode via mapInPandas — chunk walk with CRC
+    checks, inflate, per-scanline filter reconstruction with 3-byte
+    pixel taps — then per-CHANNEL integer band features over the
+    recovered [h, w, 3] raster (one scalar row per (media_id, channel,
+    band) — the driver canonicalizer needs scalars). Malformed
+    payloads drop per row; payloads never shuffle."""
+    from .png import decode_png_rgb
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, raster = decode_png_rgb(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                band_len = (w * h) // PGM_BANDS
+                if band_len == 0:
+                    continue
+                for ch in range(3):
+                    flat = raster[:, :, ch].ravel().astype("int64")
+                    sums = flat[:band_len * PGM_BANDS].reshape(
+                        PGM_BANDS, band_len).sum(axis=1)
+                    for b, s in enumerate(sums):
+                        out.append((mid, w, h, ch, b,
+                                    int(s) * 1_000_000 // band_len))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "channel",
+                              "band", "feat_micro"])
+
+    schema = ("media_id long, width int, height int, channel int, "
+              "band int, feat_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
+def sql_decode_png_rgb(table: str = "documents",
+                       cap: int | None = None) -> str:
+    """DuckDB twin of png_rgb_media_from_documents >>
+    decode_png_rgb_features: rebuild each channel arithmetically from
+    the cleaned text (R = v, G = 255 - v, B = (v*37) % 256; padding
+    v = 0) and compute the same integer band micro-means — PNG is
+    lossless, so every value pins the full chunk/inflate/filter path
+    bit-exactly."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    if cap is not None:
+        clean = f"substring({clean}, 1, {cap})"
+    return f"""
+    WITH _pc_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             length({clean}) AS n,
+             greatest(CAST(ceil(length({clean}) / {PGM_WIDTH}.0)
+                           AS INTEGER), 1) AS h
+      FROM {table}
+    ),
+    _pc_band AS (
+      SELECT media_id, h, c, n,
+             ({PGM_WIDTH} * h) // {PGM_BANDS} AS band_len,
+             unnest(generate_series(0, {PGM_BANDS - 1})) AS band
+      FROM _pc_base
+    ),
+    _pc_ch AS (
+      SELECT b.*, unnest(generate_series(0, 2)) AS channel
+      FROM _pc_band b
+    )
+    SELECT media_id, CAST({PGM_WIDTH} AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height, CAST(channel AS INTEGER)
+             AS channel, CAST(band AS INTEGER) AS band,
+           (CAST(list_aggregate(list_transform(
+              generate_series(1, band_len),
+              i -> CASE WHEN channel = 0 THEN
+                     CASE WHEN band * band_len + i <= n
+                          THEN unicode(substr(c,
+                            CAST(band * band_len + i AS INTEGER), 1))
+                          ELSE 0 END
+                   WHEN channel = 1 THEN
+                     255 - CASE WHEN band * band_len + i <= n
+                          THEN unicode(substr(c,
+                            CAST(band * band_len + i AS INTEGER), 1))
+                          ELSE 0 END
+                   ELSE
+                     (CASE WHEN band * band_len + i <= n
+                          THEN unicode(substr(c,
+                            CAST(band * band_len + i AS INTEGER), 1))
+                          ELSE 0 END * 37) % 256
+                   END), 'sum') AS BIGINT)
+            * 1000000) // band_len AS feat_micro
+    FROM _pc_ch
+    """
+
+
 def decode_png(media: DataFrame) -> DataFrame:
     """REAL PNG decode via mapInPandas — chunk walk with CRC checks,
     zlib inflate, per-scanline filter reconstruction — then the SAME

@@ -2127,6 +2127,27 @@ def mm_decode_png(spark, sf_dir):
     return mm.decode_png(mm.png_media_from_documents(docs))
 
 
+@register("mm_decode_png_rgb",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def mm_decode_png_rgb(spark, sf_dir):
+    """TRUECOLOR PNG decode (round 14) — real PNGs are overwhelmingly
+    color type 2, so the grayscale-only decoder left the common case
+    on the floor: each document becomes a genuine 8-bit RGB PNG
+    (channels derived deterministically from the text raster —
+    functions/multimodal.py:_rgb_channels), and the decode
+    reconstructs every scanline filter with the 3-byte pixel taps RFC
+    2083 §6.2 prescribes (cross-validated against an independent
+    filtered RGB encoder in tests/test_png.py), emitting per-CHANNEL
+    integer band features. Lossless, so the oracle recomputes all
+    three channels from the cleaned text and any filter-tap/stride/
+    channel-interleave bug flips the hash. Malformed payloads drop
+    per row; payloads never shuffle (mapInPandas on the builder's
+    partitioning)."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_png_rgb_features(
+        mm.png_rgb_media_from_documents(docs))
+
+
 @register("streaming_decode_jpeg", mm.sql_decode_jpeg("documents"))
 def streaming_decode_jpeg(spark, sf_dir):
     """Compressed-codec DECODE-ON-INGEST through the LIVE streaming

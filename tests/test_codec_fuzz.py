@@ -13,7 +13,8 @@ from hypothesis import strategies as st
 from mktd6_flink_spark.functions.jpeg import decode_baseline_jpeg
 from mktd6_flink_spark.functions.multimodal import (_parse_p5,
                                                     _parse_wav)
-from mktd6_flink_spark.functions.png import decode_png_gray
+from mktd6_flink_spark.functions.png import (decode_png_gray,
+                                             decode_png_rgb)
 
 # seed corpora: valid payload prefixes make the fuzzer reach deep
 # parse states instead of dying at the magic check
@@ -43,6 +44,8 @@ def test_jpeg_decoder_total_on_garbage(tail):
 def test_png_decoder_total_on_garbage(tail):
     _only_valueerror(decode_png_gray, tail)
     _only_valueerror(decode_png_gray, _PNG_HEAD + tail)
+    _only_valueerror(decode_png_rgb, tail)
+    _only_valueerror(decode_png_rgb, _PNG_HEAD + tail)
 
 
 @settings(max_examples=300, deadline=None)

@@ -157,3 +157,44 @@ def test_png_decoder_drops_malformed_keeps_good(spark):
     rows = mm.decode_png(media).collect()
     assert {r["media_id"] for r in rows} == {0}
     assert sum(1 for r in rows if r["media_id"] == 0) == 8
+
+
+def test_png_rgb_decoder_drops_malformed_keeps_good(spark):
+    import numpy as np
+
+    from mktd6_flink_spark.functions import multimodal as mm
+    from mktd6_flink_spark.functions.png import (encode_png_gray,
+                                                 encode_png_rgb)
+
+    rng = np.random.RandomState(53)
+    good = encode_png_rgb(rng.randint(0, 256, (2, 64, 3), dtype=np.uint8))
+    corrupt = bytearray(good)
+    corrupt[good.find(b"IDAT") + 6] ^= 0x55  # CRC mismatch
+    gray = encode_png_gray(np.zeros((2, 64), dtype=np.uint8))
+    bad = [b"", b"\x89PNG", good[:25], bytes(corrupt), good[:-12],
+           gray]  # wrong color type for the RGB path
+    media = _media(spark, [good] + bad)
+    rows = mm.decode_png_rgb_features(media).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    assert sum(1 for r in rows if r["media_id"] == 0) == 24  # 3ch x 8
+
+
+def test_jpeg_restart_decoder_drops_malformed_keeps_good(spark):
+    """Restart-marker JPEGs on the mapInPandas hot path: a valid
+    DRI/RSTn payload decodes; an out-of-sequence RSTn and a stripped
+    DRI drop per row."""
+    import numpy as np
+
+    from mktd6_flink_spark.functions import multimodal as mm
+    from tests.test_jpeg import encode_baseline
+
+    rng = np.random.RandomState(59)
+    plane = rng.randint(0, 256, (16, 64), dtype=np.uint8)
+    good = encode_baseline([plane], [(1, 1)], restart_interval=3)
+    out_of_seq = good.replace(b"\xff\xd0", b"\xff\xd6", 1)
+    dri_at = good.find(b"\xff\xdd")
+    no_dri = good[:dri_at] + good[dri_at + 6:]
+    media = _media(spark, [good, out_of_seq, no_dri])
+    rows = mm.decode_jpeg(media).collect()
+    assert {r["media_id"] for r in rows} == {0}
+    assert sum(1 for r in rows if r["media_id"] == 0) == 8

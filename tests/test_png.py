@@ -125,3 +125,80 @@ def test_short_ihdr_with_valid_crc_raises_valueerror():
              + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="IHDR"):
         decode_png_gray(short)
+
+
+# ------------------------------------------------- truecolor RGB (r14)
+
+def encode_filtered_rgb(raster, filter_of_row):
+    """Independent truecolor encoder: per-row filter chosen by the
+    caller; filter taps step by 3 bytes (the RGB pixel width) —
+    computed from the [h, w, 3] raster directly, not via the
+    decoder's stride logic."""
+    h, w, _ = raster.shape
+    flat = raster.astype(int).reshape(h, w * 3)
+    lines = bytearray()
+    for y in range(h):
+        f = filter_of_row(y)
+        lines.append(f)
+        for x in range(w * 3):
+            left = flat[y][x - 3] if x >= 3 else 0
+            up = flat[y - 1][x] if y else 0
+            ul = flat[y - 1][x - 3] if (x >= 3 and y) else 0
+            if f == 0:
+                v = flat[y][x]
+            elif f == 1:
+                v = flat[y][x] - left
+            elif f == 2:
+                v = flat[y][x] - up
+            elif f == 3:
+                v = flat[y][x] - ((left + up) >> 1)
+            else:
+                v = flat[y][x] - _paeth_ref(left, up, ul)
+            lines.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("policy", [
+    lambda y: 0, lambda y: 1, lambda y: 2, lambda y: 3, lambda y: 4,
+    lambda y: (y * 7) % 5])
+def test_rgb_all_filter_types_reconstruct_exactly(policy):
+    from mktd6_flink_spark.functions.png import decode_png_rgb
+
+    rng = np.random.RandomState(43)
+    raster = rng.randint(0, 256, (11, 17, 3), dtype=np.uint8)
+    w, h, got = decode_png_rgb(encode_filtered_rgb(raster, policy))
+    assert (w, h) == (17, 11)
+    assert (got == raster).all()
+
+
+def test_rgb_production_encoder_roundtrip():
+    from mktd6_flink_spark.functions.png import (decode_png_rgb,
+                                                 encode_png_rgb)
+
+    rng = np.random.RandomState(47)
+    raster = rng.randint(0, 256, (32, 24, 3), dtype=np.uint8)
+    w, h, got = decode_png_rgb(encode_png_rgb(raster))
+    assert (w, h) == (24, 32) and (got == raster).all()
+
+
+def test_rgb_rejects_cross_type_and_malformed():
+    from mktd6_flink_spark.functions.png import (decode_png_rgb,
+                                                 encode_png_rgb)
+
+    gray = encode_png_gray(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_rgb(gray)
+    rgb = encode_png_rgb(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_gray(rgb)
+    idat_at = rgb.find(b"IDAT")
+    corrupt = bytearray(rgb)
+    corrupt[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb(bytes(corrupt))
+    for payload in (b"", rgb[:30], rgb[:-12]):
+        with pytest.raises(ValueError):
+            decode_png_rgb(payload)
