@@ -12477,57 +12477,68 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # (tpch_q1 — the rest of that cohort rotates in r14; the full
 # local sweeps this round, sf0.01 AND sf0.1, are the backstop for
 # the un-windowed rest).
+# r14 gate window (generated: gate_window.py --window --since ee9b380):
+# 1 never-graded (mm_decode_png_rgb) + 15 changed-fingerprint entries
+# (the BPE OOV/stateless-fertility rewrite; the recall-family
+# _grouped_top5 rewrite; the PQ sample_mod default) + 4 MANUAL adds
+# (mm_decode_jpeg / streaming_decode_jpeg / mm_jpeg_phash_dedup /
+# mm_decode_png import their codecs inside function bodies, the
+# documented fingerprint blind spot — jpeg.py gained restart markers
+# and png.py the shared _decode_png core this round; each re-verified
+# locally at sf0.01 AND sf0.1) + 30 stalest fills from the r7 cohort
+# (per the r13 verdict's staleness burn-down; the last 4 of the
+# generator's fill are displaced by the manual adds and roll to r15).
 _GATE_PRIORITY = [
-    "mm_jpeg_phash_dedup",
-    "mm_decode_jpeg",
-    "mm_decode_png",
-    "streaming_decode_jpeg",
+    "mm_decode_png_rgb",
+    "sim_sq_recall",
+    "sim_truncated_recall",
     "pipeline_bpe_fertility",
     "streaming_bpe_fertility",
-    "dedup_ngram_jaccard",
-    "pipeline_sequence_packing",
-    "asof_join_price",
-    "streaming_w3_running_sum",
-    "dataflow_market_ledger",
-    "streaming_st5_settle",
-    "streaming_st10_delta",
-    "dedup_containment",
-    "asof_join_next_price",
-    "events_concurrency",
-    "streaming_join_left_outer",
-    "dedup_winnowing",
-    "asof_join_tolerance",
-    "events_gini_concentration",
-    "asof_join_nearest_price",
-    "w3_running_sum",
-    "st5_order_buffering",
-    "st10_price_delta",
-    "dedup_span_exact",
-    "pipeline_span_scrub",
-    "events_rfm_segments",
-    "mm_frame_sample",
-    "mm_video_dedup",
-    "streaming_frame_sample",
-    "pipeline_multimodal_curation",
-    "mm_phash_dedup",
-    "mm_decode_pgm",
-    "mm_resize_pgm",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_pq_recall",
     "sim_pq_trained_recall",
     "sim_ivfpq_ann",
     "sim_ivfpq_recall",
-    "pipeline_curation_v2",
     "sim_mmr_rerank",
     "sim_mmr_diversity",
-    "dedup_lsh_recall",
     "dedup_winnow_recall",
-    "join_fuzzy_recall",
     "pipeline_bpe_train",
     "pipeline_bpe_encode",
-    "dataflow_hype_influence",
-    "tpch_q1",
+    "mm_decode_jpeg",
+    "streaming_decode_jpeg",
+    "mm_jpeg_phash_dedup",
+    "mm_decode_png",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q5ish",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "mm_media_meta",
+    "mm_resize_plan",
+    "mm_frame_plan",
+    "dedup_clusters",
+    "sim_ivf_ann",
+    "dedup_embedding_cosine",
+    "tpch_q4ish",
+    "tpch_q18ish",
+    "text_scrub",
+    "text_chunking",
+    "pipeline_train_val_split",
+    "text_repetition",
+    "sim_ivf_recall",
+    "pipeline_stratified_sample",
+    "text_vocab_top100",
+    "text_lang_confusion",
+    "sim_knn_label_accuracy",
+    "pipeline_source_report",
 ]
 
 
