@@ -170,6 +170,9 @@ HEADLINE = [
     "pipeline_bpe_encode",
     "mm_decode_jpeg",
     "mm_decode_png",
+    # round-14 head: truecolor PNG decode (3-byte filter taps,
+    # per-channel band features)
+    "mm_decode_png_rgb",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -188,6 +191,7 @@ _R10_LATE_SET = HEADLINE[:51]  # the full 51-head panel BENCH_r10 ran
 _R11_SET = HEADLINE[:57]       # + the six round-11 heads
 _R12_SET = HEADLINE[:60]       # + the three round-12 heads
 _R12_LATE_SET = HEADLINE[:66]  # the full 66-head panel BENCH_r12 ran
+_R13_SET = HEADLINE[:70]       # the full 70-head panel BENCH_r13 ran
 
 
 def streaming_floor(spark, sf_dir):
@@ -317,6 +321,8 @@ def main() -> int:
                 sum(timings[n] for n in _R12_SET), 3),
             "r12_comparable_66": round(
                 sum(timings[n] for n in _R12_LATE_SET), 3),
+            "r13_comparable_70": round(
+                sum(timings[n] for n in _R13_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -333,6 +339,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R12_SET), 3),
             "r12_comparable_66": round(
                 sum(tmin[n] for n in _R12_LATE_SET), 3),
+            "r13_comparable_70": round(
+                sum(tmin[n] for n in _R13_SET), 3),
         },
         "queries_min": tmin,
     }
