@@ -136,3 +136,45 @@ def test_bpe_encode_oov_fallback(spark):
            .collect()[0])
     assert out["n_words"] == 3  # nothing dropped
     assert out["n_tokens"] >= 3
+
+
+# ------------------------------------- gate fingerprint canonicalization
+
+def test_gate_canon_ignores_comments_and_docstrings():
+    """A comment- or docstring-only edit to a helper must NOT change
+    its fingerprint part (the r14 cache.py comment edit flooded all
+    257 entries before canonicalization), while a code edit must."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gate_window", "tools/gate_window.py")
+    gw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gw)
+
+    base = 'def f(x):\n    """doc."""\n    return x + 1\n'
+    doc_edit = 'def f(x):\n    """different doc."""\n    return x + 1\n'
+    comment_edit = ('def f(x):\n    """doc."""\n'
+                    '    # a new comment\n    return x + 1\n')
+    code_edit = 'def f(x):\n    """doc."""\n    return x + 2\n'
+    assert gw._canon(base) == gw._canon(doc_edit) == gw._canon(comment_edit)
+    assert gw._canon(base) != gw._canon(code_edit)
+    # non-python parts (oracle SQL) hash as raw text
+    assert gw._canon("SELECT 1 AS x") == "SELECT 1 AS x"
+
+
+def test_gate_fingerprint_sees_function_body_imports():
+    """The r11/r14 blind spot: an entry importing a codec INSIDE its
+    function body must fold that codec's source into its fingerprint
+    — here checked structurally on the real registry: mm_decode_jpeg's
+    expanded parts must include jpeg.py content."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gate_window", "tools/gate_window.py")
+    gw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gw)
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    parts = []
+    gw._expand(dq.QUERIES["mm_decode_jpeg"], dq, parts, set(), 0)
+    blob = "\n".join(parts)
+    assert "decode_baseline_jpeg" in blob
+    assert "_destuff" in blob  # jpeg.py internals reached the blob

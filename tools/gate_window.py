@@ -26,6 +26,16 @@ Limitations (documented, not hidden): helper-of-helper changes are
 invisible unless they alter the generated oracle SQL (they usually do —
 the SQL twins are built from the same helpers); module-level constant
 changes fingerprint only when referenced as ``alias.NAME``.
+
+Round 14 closes the FUNCTION-BODY IMPORT blind spot (bit twice: the
+r11 stateful.py rewrite and the r14 codec work — entries doing
+``from .png import decode_png_gray`` inside the function body never
+fingerprint-changed when png.py changed, forcing manual window adds):
+any ``from ...X import`` / ``import ...X`` statement inside an
+expanded source whose target resolves under mktd6_flink_spark now
+folds that MODULE FILE's full text into the fingerprint. Coarse (a
+comment edit in the module re-fronts its importers) but safe — the
+failure mode is a wasted gate slot, not a missed regrade.
 """
 
 from __future__ import annotations
@@ -45,6 +55,12 @@ sys.path.insert(0, REPO)
 
 _ALIAS_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)")
 _NAME_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
+# function-body imports: "from ..functions.png import x", "from .png
+# import y", "from mktd6_flink_spark.streaming import stateful",
+# "import mktd6_flink_spark.functions.text as tx"
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from\s+([.\w]+)\s+import\s+([\w, ]+)|"
+    r"import\s+(mktd6_flink_spark[.\w]*))", re.MULTILINE)
 
 
 def _is_ours(mod) -> bool:
@@ -84,11 +100,97 @@ def _expand(obj, owner_mod, parts: list[str], visited: set, depth: int):
                 .startswith("mktd6_flink_spark")):
             _expand(child, sys.modules.get(child.__module__, owner_mod),
                     parts, visited, depth + 1)
+    _fold_body_imports(src, owner_mod, parts, visited, depth)
+
+
+def _fold_body_imports(src, owner_mod, parts, visited, depth):
+    """Close the function-body import blind spot: resolve every
+    ``from ...X import a, b`` / ``import mktd6...X`` statement found in
+    an expanded source. Imported CALLABLES expand transitively (their
+    own helpers fingerprint too), imported MODULES fold their full file
+    text, anything else folds by repr."""
+    import importlib
+
+    pkg = getattr(owner_mod, "__package__", None) or owner_mod.__name__
+    for m in _IMPORT_RE.finditer(src):
+        from_mod, names, plain = m.group(1), m.group(2), m.group(3)
+        if plain:
+            bases = [(plain, [])]
+        elif from_mod:
+            try:
+                base = (importlib.util.resolve_name(from_mod, pkg)
+                        if from_mod.startswith(".") else from_mod)
+            except (ImportError, ValueError):
+                continue
+            nms = [n.strip().split(" as ")[0].strip()
+                   for n in (names or "").split(",")]
+            bases = [(base, [n for n in nms if n])]
+        else:
+            continue
+        for base, nms in bases:
+            if not base.startswith("mktd6_flink_spark"):
+                continue
+            try:
+                mod = importlib.import_module(base)
+            except ImportError:
+                continue
+            if not nms:
+                key = ("import", base)
+                if key not in visited:
+                    visited.add(key)
+                    try:
+                        parts.append(inspect.getsource(mod))
+                    except (OSError, TypeError):
+                        pass
+                continue
+            for nm in nms:
+                obj = getattr(mod, nm, None)
+                if obj is None:
+                    continue
+                if inspect.ismodule(obj):
+                    if not _is_ours(obj):
+                        continue
+                    key = ("import", obj.__name__)
+                    if key not in visited:
+                        visited.add(key)
+                        try:
+                            parts.append(inspect.getsource(obj))
+                        except (OSError, TypeError):
+                            pass
+                elif callable(obj):
+                    _expand(obj, mod, parts, visited, depth + 1)
+                else:
+                    parts.append(f"{base}.{nm}={obj!r}")
+
+
+def _canon(src: str) -> str:
+    """Behavior-canonical form of a python source part: parse to AST
+    and dump (comments vanish structurally), stripping docstrings
+    (first-statement string constants) — so a comment- or
+    docstring-only edit to a widely-imported helper (the r14 cache.py
+    case) does not flood every entry's fingerprint. Non-parseable
+    parts (oracle SQL, reprs, snippets) hash as raw text."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (isinstance(body, list) and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)):
+            body[0].value.value = ""
+    return ast.dump(tree)
 
 
 def _entry_fingerprints() -> dict[str, str]:
     """name -> sha256 over (function source, oracle SQL, and the
-    transitively-referenced mktd6 helper sources)."""
+    transitively-referenced mktd6 helper sources), each part
+    behavior-canonicalized by ``_canon``."""
     from mktd6_flink_spark.plans import driver_queries as dq
 
     out = {}
@@ -96,7 +198,8 @@ def _entry_fingerprints() -> dict[str, str]:
         parts: list[str] = []
         _expand(fn, dq, parts, set(), 0)
         parts.append(dq.ORACLES.get(name, ""))
-        out[name] = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+        out[name] = hashlib.sha256(
+            "\x00".join(_canon(p) for p in parts).encode()).hexdigest()
     return out
 
 
