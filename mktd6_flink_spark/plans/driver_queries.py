@@ -2170,6 +2170,29 @@ def streaming_decode_jpeg(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_jpeg_ingest")
 
 
+@register("streaming_decode_png_rgb",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def streaming_decode_png_rgb(spark, sf_dir):
+    """TRUECOLOR decode-on-ingest (round 14): the RGB PNG encode ->
+    CRC/inflate/filter decode -> per-channel band-feature pipeline of
+    mm_decode_png_rgb as a LIVE Structured Streaming query — the
+    common-case codec (real PNGs are overwhelmingly color type 2) in
+    the production ingest shape. Stateless per row (mapInPandas on
+    the source partitioning), so append mode needs no watermark and
+    the result equals the batch twin under ANY micro-batching; graded
+    against the SAME oracle. Payloads never shuffle; malformed blobs
+    drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.decode_png_rgb_features(mm.png_rgb_media_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_png_rgb_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
@@ -2971,6 +2994,127 @@ def sim_ivf_ann(spark, sf_dir):
     search — the clustered counterpart to sign-LSH bucketing."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ivf_ann_topk(emb, _QUERY_IDS, _EMB_DIM, k=5)
+
+
+_IVF_ASSIGN_ORACLE = expand_round6(f"""
+WITH _ia_cents AS (
+  SELECT vec_id AS centroid_id, embedding AS _cvec
+  FROM embeddings WHERE vec_id < {sim.IVF_N_CENTROIDS}),
+_ia_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ({sim.sql_dot('embedding', 'embedding', _EMB_DIM)}) <> 0.0)
+SELECT vec_id, centroid_id, assign_cos FROM (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND6({sim.sql_cosine('v.embedding', 'c._cvec', _EMB_DIM)})
+           AS assign_cos,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY ROUND6({sim.sql_cosine('v.embedding', 'c._cvec',
+                                           _EMB_DIM)}) DESC,
+                    c.centroid_id ASC) AS rn
+  FROM _ia_v v CROSS JOIN _ia_cents c) WHERE rn = 1
+""")
+
+
+def _ivf_assign_frame(emb):
+    """Shared (vec_id, centroid_id, assign_cos) assignment: broadcast
+    constant-size centroid set, map-side cosine, per-vector argmax via
+    max_by (ties to the lower centroid id — struct comparison is
+    lexicographic). Zero-norm vectors are unclassifiable and excluded
+    identically in the oracle (the ncm-entry contract)."""
+    v = emb.filter(
+        sim.dot(F.col("embedding"), F.col("embedding")) != F.lit(0.0))
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < sim.IVF_N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("_cvec")))
+    scored = v.crossJoin(cents).select(
+        "vec_id", "centroid_id",
+        round_portable(sim.cosine(F.col("embedding"), F.col("_cvec")))
+        .alias("_c"))
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("centroid_id"), F.col("_c").alias("_cc")),
+            F.struct(F.col("_c").alias("_s"),
+                     (-F.col("centroid_id")).alias("_nid"))).alias("_b"))
+    return best.select(
+        "vec_id", F.col("_b.centroid_id").alias("centroid_id"),
+        F.col("_b._cc").alias("assign_cos"))
+
+
+@register("sim_ivf_assign", _IVF_ASSIGN_ORACLE)
+def sim_ivf_assign(spark, sf_dir):
+    """IVF COARSE ASSIGNMENT as a first-class output (round 14): the
+    (vector -> inverted list) table itself — the artifact an index
+    BUILD pipeline materializes and stores, where sim_ivf_ann is the
+    search side that consumes it. One corpus scan, constant-size
+    broadcast centroids, map-side scoring, and the shuffle carries
+    ONE row per vector (the max_by partial combine), not the n x K
+    scored product. assign_cos rides along so the oracle pins the
+    scoring arithmetic, not just the argmax."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivf_assign_frame(emb)
+
+
+@register("streaming_ivf_assign", ORACLES["sim_ivf_assign"])
+def streaming_ivf_assign(spark, sf_dir):
+    """INDEX-BUILD-ON-INGEST: the IVF coarse assignment maintained as
+    vectors ARRIVE — the production shape of a continuously-updated
+    ANN index (centroids are a trained constant-size model, broadcast
+    batch-side; every arriving embedding is assigned map-side). The
+    per-vector argmax runs INSIDE foreachBatch (batch-local: each
+    vector's row lives in exactly one micro-batch), so the stream
+    holds ZERO keyed state at any corpus size — the same
+    bounded-ingest contract as streaming_bpe_fertility, auditable by
+    tools/state_schema_audit.py --growth. Graded against the SAME
+    oracle as the batch twin."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = load(spark, sf_dir, "embeddings")
+    cents_model = emb.filter(F.col("vec_id") < sim.IVF_N_CENTROIDS)
+    out_dir = tempfile.mkdtemp(prefix="ivf_assign_out_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_assign_ckpt_")
+    empty = spark.createDataFrame(
+        [], "vec_id long, centroid_id long, assign_cos double")
+    empty.write.mode("append").parquet(out_dir)
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+    def _batch(b, bid):
+        # the batch's vectors + the static centroid model: the helper
+        # broadcasts centroids and max_by-combines per vector, all
+        # batch-local
+        v = b.filter(
+            sim.dot(F.col("embedding"), F.col("embedding"))
+            != F.lit(0.0))
+        cents = F.broadcast(cents_model.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("_cvec")))
+        scored = v.crossJoin(cents).select(
+            "vec_id", "centroid_id",
+            round_portable(sim.cosine(F.col("embedding"),
+                                      F.col("_cvec"))).alias("_c"))
+        best = scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct(F.col("centroid_id"),
+                         F.col("_c").alias("_cc")),
+                F.struct(F.col("_c").alias("_s"),
+                         (-F.col("centroid_id")).alias("_nid")))
+            .alias("_b"))
+        (best.select(
+            "vec_id", F.col("_b.centroid_id").alias("centroid_id"),
+            F.col("_b._cc").alias("assign_cos"))
+         .write.mode("append").parquet(out_dir))
+
+    q = (raw.writeStream.foreachBatch(_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
 
 
 @register("sim_pq_codes", sim.sql_pq_codes("embeddings", _EMB_DIM))
