@@ -178,3 +178,32 @@ def test_gate_fingerprint_sees_function_body_imports():
     blob = "\n".join(parts)
     assert "decode_baseline_jpeg" in blob
     assert "_destuff" in blob  # jpeg.py internals reached the blob
+
+
+# ----------------------------------- grouped top-5 == window (property)
+
+def test_grouped_top5_equals_row_number_window(spark):
+    """_grouped_top5 replaced the per-query row_number window in every
+    recall dial; this pins the equivalence on adversarial data —
+    duplicate distances (tie order), sparse queries, single-candidate
+    groups — so a future edit cannot silently drift the exact-truth
+    rankings the oracles hash."""
+    import random
+
+    from pyspark.sql import Window
+    from mktd6_flink_spark.plans.driver_queries import _grouped_top5
+
+    rng = random.Random(61)
+    rows = [(q, n, rng.choice([1, 2, 3, 5, 5, 5, 8]))
+            for q in range(7)
+            for n in rng.sample(range(100), rng.choice([1, 3, 12, 40]))]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, _dm long")
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in _grouped_top5(scored).collect()}
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dm").asc(), F.col("neighbor_id").asc())
+    want = {(r["query_id"], r["neighbor_id"])
+            for r in scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).collect()}
+    assert got == want
