@@ -3015,16 +3015,19 @@ SELECT vec_id, centroid_id, assign_cos FROM (
 """)
 
 
-def _ivf_assign_frame(emb):
+def _ivf_assign_frame(emb, cents_src=None):
     """Shared (vec_id, centroid_id, assign_cos) assignment: broadcast
     constant-size centroid set, map-side cosine, per-vector argmax via
     max_by (ties to the lower centroid id — struct comparison is
     lexicographic). Zero-norm vectors are unclassifiable and excluded
-    identically in the oracle (the ncm-entry contract)."""
+    identically in the oracle (the ncm-entry contract). ``cents_src``
+    overrides the centroid source (the streaming twin trains the model
+    batch-side and assigns each micro-batch against it)."""
     v = emb.filter(
         sim.dot(F.col("embedding"), F.col("embedding")) != F.lit(0.0))
     cents = F.broadcast(
-        emb.filter(F.col("vec_id") < sim.IVF_N_CENTROIDS).select(
+        (cents_src if cents_src is not None else emb)
+        .filter(F.col("vec_id") < sim.IVF_N_CENTROIDS).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("_cvec")))
     scored = v.crossJoin(cents).select(
@@ -3065,18 +3068,21 @@ def streaming_ivf_assign(spark, sf_dir):
     vector's row lives in exactly one micro-batch), so the stream
     holds ZERO keyed state at any corpus size — the same
     bounded-ingest contract as streaming_bpe_fertility, auditable by
-    tools/state_schema_audit.py --growth. Graded against the SAME
-    oracle as the batch twin."""
+    tools/state_schema_audit.py --growth. Each batch OVERWRITES its
+    own batch-id-keyed spill subdir, so foreachBatch's at-least-once
+    replay converges instead of duplicating (the exactly-once
+    foreachBatch sink pattern). Graded against the SAME oracle as the
+    batch twin."""
     import tempfile
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     emb = load(spark, sf_dir, "embeddings")
-    cents_model = emb.filter(F.col("vec_id") < sim.IVF_N_CENTROIDS)
     out_dir = tempfile.mkdtemp(prefix="ivf_assign_out_")
     ckpt = tempfile.mkdtemp(prefix="ivf_assign_ckpt_")
     empty = spark.createDataFrame(
         [], "vec_id long, centroid_id long, assign_cos double")
-    empty.write.mode("append").parquet(out_dir)
+    empty.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "bseed"))
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema)
@@ -3085,36 +3091,18 @@ def streaming_ivf_assign(spark, sf_dir):
     )
 
     def _batch(b, bid):
-        # the batch's vectors + the static centroid model: the helper
-        # broadcasts centroids and max_by-combines per vector, all
-        # batch-local
-        v = b.filter(
-            sim.dot(F.col("embedding"), F.col("embedding"))
-            != F.lit(0.0))
-        cents = F.broadcast(cents_model.select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("_cvec")))
-        scored = v.crossJoin(cents).select(
-            "vec_id", "centroid_id",
-            round_portable(sim.cosine(F.col("embedding"),
-                                      F.col("_cvec"))).alias("_c"))
-        best = scored.groupBy("vec_id").agg(
-            F.max_by(
-                F.struct(F.col("centroid_id"),
-                         F.col("_c").alias("_cc")),
-                F.struct(F.col("_c").alias("_s"),
-                         (-F.col("centroid_id")).alias("_nid")))
-            .alias("_b"))
-        (best.select(
-            "vec_id", F.col("_b.centroid_id").alias("centroid_id"),
-            F.col("_b._cc").alias("assign_cos"))
-         .write.mode("append").parquet(out_dir))
+        # the batch's vectors against the static centroid model: the
+        # shared helper broadcasts centroids and max_by-combines per
+        # vector, all batch-local
+        (_ivf_assign_frame(b, cents_src=emb)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"b{int(bid):05d}")))
 
     q = (raw.writeStream.foreachBatch(_batch)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, "b*"))
 
 
 @register("sim_pq_codes", sim.sql_pq_codes("embeddings", _EMB_DIM))
@@ -3717,6 +3705,21 @@ def _fertility_finalize(per_doc):
                     .alias("chars_per_token")))
 
 
+def _fertility_spill_writer(vdf, out_dir):
+    """foreachBatch writer with the IDEMPOTENT-REPLAY contract:
+    foreachBatch is at-least-once — after a failure the engine REPLAYS
+    the last batch id, and a plain mode('append') spill would
+    duplicate that batch's rows. Each batch instead OVERWRITES its own
+    deterministic ``b{bid}`` subdir, so a replay converges to the same
+    bytes (the batch-id-keyed pattern the Structured Streaming guide
+    prescribes for exactly-once foreachBatch sinks)."""
+    def _batch(b, bid):
+        (_fertility_per_doc(vdf, b)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"b{int(bid):05d}")))
+    return _batch
+
+
 def _run_fertility_stream(spark, vdf, src_dir, schema,
                           glob="documents.parquet", max_files=None):
     """Score-on-ingest fertility runtime: a file-source docs stream,
@@ -3737,21 +3740,19 @@ def _run_fertility_stream(spark, vdf, src_dir, schema,
     empty = spark.createDataFrame(
         [], "lang string, doc_id long, n_words long, n_tokens long, "
             "_nc long")
-    empty.write.mode("append").parquet(out_dir)
+    empty.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "bseed"))
     reader = spark.readStream.schema(schema)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
     raw = reader.option("pathGlobFilter", glob).parquet(src_dir)
-
-    def _batch(b, bid):
-        (_fertility_per_doc(vdf, b)
-         .write.mode("append").parquet(out_dir))
-
-    q = (raw.writeStream.foreachBatch(_batch)
+    q = (raw.writeStream
+         .foreachBatch(_fertility_spill_writer(vdf, out_dir))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
-    return spark.read.parquet(out_dir), list(q.recentProgress)
+    return (spark.read.parquet(os.path.join(out_dir, "b*")),
+            list(q.recentProgress))
 
 
 @register("pipeline_bpe_fertility", expand_round6("WITH "

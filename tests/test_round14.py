@@ -207,3 +207,26 @@ def test_grouped_top5_equals_row_number_window(spark):
             for r in scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5).collect()}
     assert got == want
+
+
+# --------------------------------- foreachBatch replay idempotence
+
+def test_fertility_spill_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: the engine REPLAYS the last
+    batch id after a failure. The spill writer must converge on
+    replay (batch-id-keyed overwrite), not duplicate rows — call the
+    writer twice with the same bid and assert single-copy totals."""
+    from mktd6_flink_spark.plans.driver_queries import (
+        _fertility_per_doc, _fertility_spill_writer, _fertility_vocab_df)
+
+    docs = _tiny_docs(spark)
+    vdf = _fertility_vocab_df(spark, docs)
+    out = tempfile.mkdtemp(prefix="fert_replay_")
+    w = _fertility_spill_writer(vdf, out)
+    w(docs, 0)
+    w(docs, 0)  # simulated replay of the same micro-batch
+    got = spark.read.parquet(os.path.join(out, "b*"))
+    want = _fertility_per_doc(vdf, docs)
+    assert got.count() == want.count()  # no duplication
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
