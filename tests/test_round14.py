@@ -230,3 +230,65 @@ def test_fertility_spill_replay_is_idempotent(spark):
     assert got.count() == want.count()  # no duplication
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_fertility_stream_crash_restart_exactly_once(spark):
+    """REAL checkpoint recovery, not simulation: the stream CRASHES
+    after spilling its first micro-batch (a poison flag raises inside
+    foreachBatch), then a second start on the SAME checkpoint + spill
+    dir resumes, replays, and drains. The final per-doc table must
+    equal the batch collapse exactly — the at-least-once replay must
+    converge through the batch-id-keyed overwrite, never duplicate."""
+    from mktd6_flink_spark.plans.driver_queries import (
+        _fertility_per_doc, _fertility_spill_writer, _fertility_vocab_df)
+
+    docs = _tiny_docs(spark)
+    vdf = _fertility_vocab_df(spark, docs)
+    src = tempfile.mkdtemp(prefix="fert_crash_src_")
+    for i in range(3):
+        (docs.filter((F.col("doc_id") % 3) == i).coalesce(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(src, f"stage{i}")))
+    flat = tempfile.mkdtemp(prefix="fert_crash_flat_")
+    n = 0
+    for i in range(3):
+        sd = os.path.join(src, f"stage{i}")
+        for f in sorted(os.listdir(sd)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(sd, f),
+                           os.path.join(flat, f"d{n:03d}.parquet"))
+                n += 1
+    out_dir = tempfile.mkdtemp(prefix="fert_crash_out_")
+    ckpt = tempfile.mkdtemp(prefix="fert_crash_ckpt_")
+    poison = os.path.join(out_dir, "_poison")
+    open(poison, "w").write("1")
+    inner = _fertility_spill_writer(vdf, out_dir)
+
+    def crashing(b, bid):
+        inner(b, bid)  # spill lands BEFORE the crash -> replay hits it
+        if int(bid) >= 1 and os.path.exists(poison):
+            os.remove(poison)
+            raise RuntimeError("injected crash after batch spill")
+
+    def start():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet").parquet(flat)
+                .writeStream.foreachBatch(crashing)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q1 = start()
+    try:
+        q1.awaitTermination(300)
+        crashed = False
+    except Exception:
+        crashed = True
+    assert crashed, "poison batch should have failed the first run"
+    q2 = start()  # same checkpoint: resumes, REPLAYS the failed batch
+    q2.awaitTermination(300)
+    got = spark.read.parquet(os.path.join(out_dir, "b*"))
+    want = _fertility_per_doc(vdf, docs)
+    assert got.count() == want.count(), "replay duplicated rows"
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
