@@ -5120,24 +5120,38 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
-def _grouped_top5(scored, id_col="neighbor_id", dm_col="_dm"):
+def _grouped_top5(scored, id_col="neighbor_id", dm_col="_dm",
+                  salt=64):
     """Per-query exact top-5 WITHOUT a per-group row_number window:
     the window full-sorts every scored pair inside each query's
     partition (the bench-dominant ~3 s of every recall dial at sf0.1
-    — r13 verdict item 7), while groupBy + collect_list +
-    array_sort + slice aggregates the same integer (distance, id)
-    structs with the IDENTICAL tie order (struct comparison is
-    field-lexicographic: distance asc, then id asc — the window's
-    orderBy spelled as data) at a fraction of the cost. Arithmetic
-    unchanged, so every recall oracle hash is preserved; only the
-    physical plan differs. Scale note: the collected list per query
-    is the same volume the window shuffled per query — linear in
-    corpus either way, which is inherent to an EXACT ground-truth
-    dial (the measured index entries themselves never do this)."""
-    return (scored.groupBy("query_id")
+    — r13 verdict item 7), while collect_list + array_sort + slice
+    aggregates the same integer (distance, id) structs with the
+    IDENTICAL tie order (struct comparison is field-lexicographic:
+    distance asc, then id asc — the window's orderBy spelled as
+    data). Arithmetic unchanged, so every recall oracle hash is
+    preserved; only the physical plan differs.
+
+    TWO-STAGE with an id-derived salt: stage 1 takes the top-5 per
+    (query, id % salt) — bounding any single task's collected list to
+    ~corpus/salt — and stage 2 re-tops the 5*salt survivors. Global
+    top-5 == top-5 of the per-salt top-5s (each true winner wins its
+    own salt class), so exactness is structural; a single-stage
+    collect materialized the whole query group in ONE task, the
+    memory shape that OOMs at real corpus size. Wall-neutral at sf0.1
+    (3.7 vs 3.9 s warm on the trained-recall head). The dial's total
+    work remains linear in corpus — inherent to EXACT ground truth
+    (the measured index entries never pay this)."""
+    st = F.struct(F.col(dm_col).alias("_d"), F.col(id_col).alias("_i"))
+    loc = (scored.withColumn("_sa", F.pmod(F.col(id_col), F.lit(salt)))
+           .groupBy("query_id", "_sa")
+           .agg(F.slice(F.array_sort(F.collect_list(st)), 1, 5)
+                .alias("_t"))
+           .select("query_id", F.explode("_t").alias("_s")))
+    return (loc.groupBy("query_id")
             .agg(F.slice(F.array_sort(F.collect_list(
-                F.struct(F.col(dm_col).alias("_d"),
-                         F.col(id_col).alias("_i")))), 1, 5)
+                F.struct(F.col("_s._d").alias("_d"),
+                         F.col("_s._i").alias("_i")))), 1, 5)
                 .alias("_t"))
             .select("query_id", F.explode("_t").alias("_s"))
             .select("query_id", F.col("_s._i").alias(id_col)))
