@@ -354,6 +354,13 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        # environment calibration constant (round 15): the sentinel's
+        # median — pure machinery, zero operator content — so every
+        # cross-round comparison of this file can self-normalize for
+        # VM speed drift (r13->r14 drifted 1.4x with zero code
+        # changes and the headline looked like a regression on its
+        # face). Full per-pass series stays in BENCH_DETAIL.json.
+        "floor_sec": timings["streaming_floor"],
     }, separators=(",", ":")))
     spark.stop()
     return 0

@@ -237,14 +237,18 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("truncated SOF0 components")
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension")
-            if w * h > (1 << 24):
+            if w * h > (1 << 26):
                 # the plane allocation below is sized by these
                 # attacker/corruption-controlled dims; uncapped, a bad
                 # blob raises MemoryError (not ValueError) and kills
-                # the stage instead of dropping the row. 2^24 px at
-                # float32 = 64 MB worst case per blob; the
-                # entropy-size precondition in _decode_scan further
-                # ties the allocation to actual payload bytes.
+                # the stage instead of dropping the row. 2^26 px
+                # (67 MP — above every mainstream camera sensor, so
+                # legitimate photos are never silently dropped; the
+                # r14 2^24 cap rejected ordinary 24-50 MP output) at
+                # int16 = 128 MB worst case per blob, and the
+                # entropy-size precondition in _decode_scan ties the
+                # allocation to actual payload bytes, not to a
+                # crafted header.
                 raise ValueError("image dimensions exceed decode cap")
             if nc not in (1, 3):
                 raise ValueError("1 or 3 components only")
@@ -313,10 +317,15 @@ def _decode_scan(segs, ri, w, h, comps, sel, qtables, htables):
         raise ValueError("entropy data too small for declared dims")
     luma = comps[0]
     lw, lh = mcux * 8 * luma["h"], mcuy * 8 * luma["v"]
-    # float32: block samples are in [-128, 128]+ringing, exactly
-    # representable small magnitudes — and half the worst-case
-    # allocation a malformed header can trigger
-    plane = np.zeros((lh, lw), dtype=np.float32)
+    # int16, with each block rounded to its FINAL value in float64
+    # before storage (round 15): the r14 float32 plane could narrow a
+    # sample within float32 ulp of an x.5 boundary and round to a
+    # different byte than the float64 IDCT produced — a silent
+    # one-off pixel drift. Rounding first makes the stored value
+    # exact, and int16 is half the allocation a malformed header can
+    # trigger. The [-128, 127] clip equals the final level-shift clip
+    # (clip(v + 128, 0, 255)), so it loses nothing.
+    plane = np.zeros((lh, lw), dtype=np.int16)
     br = _BitReader(segs[0])
     seg_i = 0
     preds = [0] * len(comps)
@@ -343,10 +352,10 @@ def _decode_scan(segs, ri, w, h, comps, sel, qtables, htables):
                         if ci == 0:  # assemble luma only
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
-                            plane[y0:y0 + 8, x0:x0 + 8] = blk
+                            plane[y0:y0 + 8, x0:x0 + 8] = np.clip(
+                                np.round(blk), -128, 127)
             mcu += 1
-    out = np.clip(np.round(plane.astype(np.float64) + 128.0),
-                  0, 255).astype(np.uint8)
+    out = (plane.astype(np.int64) + 128).astype(np.uint8)
     return w, h, out[:h, :w]
 
 

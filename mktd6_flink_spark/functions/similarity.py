@@ -867,13 +867,21 @@ def sql_pq_trained_codebooks(table: str, dim: int, m: int = PQ_M,
                              k: int = PQ_K, iters: int = PQ_TRAIN_ITERS,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             sample_mod: int | str = 1) -> str:
+                             sample_mod: int | str | None = None) -> str:
     """DuckDB twin of ``pq_trained_codebooks``: the same fixed-iteration
     per-subspace Lloyd loop unrolled into chained CTEs, with the same
     deterministic ``id % sample_mod == 0`` training sample.
     ``sample_mod`` may be a SQL expression (scalar subquery) — entry
     oracles are static strings built at import time, so a
-    corpus-size-derived modulus must be computed by the engine."""
+    corpus-size-derived modulus must be computed by the engine.
+    Default None mirrors the python side's derived modulus
+    ``max(1, n // PQ_TRAIN_SAMPLE)`` as a scalar subquery, so a direct
+    caller pairing the two functions' DEFAULTS trains on the same
+    sample (round 15; previously python defaulted derived while this
+    defaulted 1 = full corpus, silently diverging)."""
+    if sample_mod is None:
+        sample_mod = (f"SELECT greatest(1, count(*) // "
+                      f"{PQ_TRAIN_SAMPLE}) FROM {table}")
     sub = dim // m
     micro_mean = ("CAST(sum(CAST(floor(CAST(sv[g.i] AS DOUBLE) "
                   "* 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "

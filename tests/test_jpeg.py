@@ -362,16 +362,18 @@ def test_entropy_size_precondition_blocks_crafted_dims():
     plane = np.full((8, 8), 130, dtype=np.uint8)
     good = encode_baseline([plane], [(1, 1)])
     sof_at = good.find(b"\xff\xc0")
-    # rewrite declared dims to 4000x4000 (16 Mpx, just under the cap)
+    # rewrite declared dims to 8000x8000 (64 Mpx, just under the
+    # round-15 2^26 cap — the r14 2^24 cap rejected real 24-50 MP
+    # camera output, ADVICE r14 medium)
     body = bytearray(good[sof_at + 4:sof_at + 4 + 6])
-    body[1:3] = (4000).to_bytes(2, "big")
-    body[3:5] = (4000).to_bytes(2, "big")
+    body[1:3] = (8000).to_bytes(2, "big")
+    body[3:5] = (8000).to_bytes(2, "big")
     crafted = good[:sof_at + 4] + bytes(body) + good[sof_at + 10:]
     with pytest.raises(ValueError, match="entropy data too small"):
         decode_baseline_jpeg(crafted)
     # and over-cap dims still hit the dimension cap first
-    body[1:3] = (5000).to_bytes(2, "big")
-    body[3:5] = (5000).to_bytes(2, "big")
+    body[1:3] = (8200).to_bytes(2, "big")
+    body[3:5] = (8200).to_bytes(2, "big")
     crafted = good[:sof_at + 4] + bytes(body) + good[sof_at + 10:]
     with pytest.raises(ValueError, match="decode cap"):
         decode_baseline_jpeg(crafted)

@@ -33,9 +33,11 @@ r11 stateful.py rewrite and the r14 codec work — entries doing
 fingerprint-changed when png.py changed, forcing manual window adds):
 any ``from ...X import`` / ``import ...X`` statement inside an
 expanded source whose target resolves under mktd6_flink_spark now
-folds that MODULE FILE's full text into the fingerprint. Coarse (a
-comment edit in the module re-fronts its importers) but safe — the
-failure mode is a wasted gate slot, not a missed regrade.
+folds that MODULE FILE's full text into the fingerprint (round 15:
+import statements are AST-walked, not line-regexed, so parenthesized
+and multiline forms fold too). Coarse (a comment edit in the module
+re-fronts its importers) but safe — the failure mode is a wasted
+gate slot, not a missed regrade.
 """
 
 from __future__ import annotations
@@ -55,12 +57,32 @@ sys.path.insert(0, REPO)
 
 _ALIAS_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)")
 _NAME_RE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\b")
-# function-body imports: "from ..functions.png import x", "from .png
-# import y", "from mktd6_flink_spark.streaming import stateful",
-# "import mktd6_flink_spark.functions.text as tx"
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from\s+([.\w]+)\s+import\s+([\w, ]+)|"
-    r"import\s+(mktd6_flink_spark[.\w]*))", re.MULTILINE)
+
+
+def _body_imports(src: str) -> list[tuple[str, list[str]]]:
+    """All import statements in ``src`` as (module, [names]) pairs —
+    [] names means a bare module import. AST-walked, not a line regex
+    (round 15: the r14 regex missed parenthesized / multiline
+    ``from .png import (a,\\n b)`` forms, reopening the exact
+    missed-regrade blind spot the fold exists to close). Relative
+    modules are returned with their leading dots intact for the
+    caller to resolve against the owning package."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return []
+    out: list[tuple[str, list[str]]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                out.append((a.name, []))
+        elif isinstance(node, ast.ImportFrom):
+            mod = "." * node.level + (node.module or "")
+            out.append((mod, [a.name for a in node.names]))
+    return out
 
 
 def _is_ours(mod) -> bool:
@@ -112,55 +134,47 @@ def _fold_body_imports(src, owner_mod, parts, visited, depth):
     import importlib
 
     pkg = getattr(owner_mod, "__package__", None) or owner_mod.__name__
-    for m in _IMPORT_RE.finditer(src):
-        from_mod, names, plain = m.group(1), m.group(2), m.group(3)
-        if plain:
-            bases = [(plain, [])]
-        elif from_mod:
+    for from_mod, nms in _body_imports(src):
+        if from_mod.startswith("."):
             try:
-                base = (importlib.util.resolve_name(from_mod, pkg)
-                        if from_mod.startswith(".") else from_mod)
+                base = importlib.util.resolve_name(from_mod, pkg)
             except (ImportError, ValueError):
                 continue
-            nms = [n.strip().split(" as ")[0].strip()
-                   for n in (names or "").split(",")]
-            bases = [(base, [n for n in nms if n])]
         else:
+            base = from_mod
+        if not base.startswith("mktd6_flink_spark"):
             continue
-        for base, nms in bases:
-            if not base.startswith("mktd6_flink_spark"):
+        try:
+            mod = importlib.import_module(base)
+        except ImportError:
+            continue
+        if not nms:
+            key = ("import", base)
+            if key not in visited:
+                visited.add(key)
+                try:
+                    parts.append(inspect.getsource(mod))
+                except (OSError, TypeError):
+                    pass
+            continue
+        for nm in nms:
+            obj = getattr(mod, nm, None)
+            if obj is None:
                 continue
-            try:
-                mod = importlib.import_module(base)
-            except ImportError:
-                continue
-            if not nms:
-                key = ("import", base)
+            if inspect.ismodule(obj):
+                if not _is_ours(obj):
+                    continue
+                key = ("import", obj.__name__)
                 if key not in visited:
                     visited.add(key)
                     try:
-                        parts.append(inspect.getsource(mod))
+                        parts.append(inspect.getsource(obj))
                     except (OSError, TypeError):
                         pass
-                continue
-            for nm in nms:
-                obj = getattr(mod, nm, None)
-                if obj is None:
-                    continue
-                if inspect.ismodule(obj):
-                    if not _is_ours(obj):
-                        continue
-                    key = ("import", obj.__name__)
-                    if key not in visited:
-                        visited.add(key)
-                        try:
-                            parts.append(inspect.getsource(obj))
-                        except (OSError, TypeError):
-                            pass
-                elif callable(obj):
-                    _expand(obj, mod, parts, visited, depth + 1)
-                else:
-                    parts.append(f"{base}.{nm}={obj!r}")
+            elif callable(obj):
+                _expand(obj, mod, parts, visited, depth + 1)
+            else:
+                parts.append(f"{base}.{nm}={obj!r}")
 
 
 def _canon(src: str) -> str:

@@ -225,9 +225,11 @@ class _ProgressTap:
         class Impl(StreamingQueryListener):
             def __init__(self):
                 self.ps: list[dict] = []
+                self.started: list[str] = []
+                self.terminated: list[str] = []
 
             def onQueryStarted(self, e):
-                pass
+                self.started.append(str(e.id))
 
             def onQueryProgress(self, e):
                 import json
@@ -237,21 +239,33 @@ class _ProgressTap:
                 pass
 
             def onQueryTerminated(self, e):
-                pass
+                self.terminated.append(str(e.id))
 
         return Impl()
 
 
-def _drain(tap, quiet_s: float = 1.0, cap_s: float = 10.0) -> None:
+def _drain(tap, quiet_s: float = 1.0, cap_s: float = 60.0) -> bool:
+    """Wait for the listener feed to settle. Completion is keyed on
+    TERMINATION, not a wall cap (round 15; the old 10 s cap could cut
+    the final QueryProgress on a slow VM — memory notes ~1.4x speed
+    drift between rounds — silently undercounting numRowsTotal and
+    letting an unbounded entry pass as bounded): every started query
+    must have terminated AND the progress feed must be quiet for
+    ``quiet_s`` (events are delivered asynchronously, so termination
+    alone does not mean the last progress has landed). The raised
+    ``cap_s`` is a hang backstop only; returns False when it fires so
+    the caller can refuse to treat the entry's profile as complete."""
     import time
     deadline, last, last_t = time.time() + cap_s, -1, time.time()
     while time.time() < deadline:
         n = len(tap.ps)
         if n != last:
             last, last_t = n, time.time()
-        elif time.time() - last_t >= quiet_s:
-            return
+        elif (time.time() - last_t >= quiet_s
+              and len(tap.terminated) >= len(tap.started)):
+            return True
         time.sleep(0.1)
+    return False
 
 
 def _entry_state_profile(tap) -> tuple[int, bool]:
@@ -292,12 +306,23 @@ def growth_audit(argv: list[str]) -> int:
         for sf_dir in sfs:
             for name in names:
                 tap.ps.clear()
+                tap.started.clear()
+                tap.terminated.clear()
                 try:
                     qs[name](spark, sf_dir).count()
                 except Exception as ex:  # noqa: BLE001
                     errors.append((name, str(ex)[:300]))
                     continue
-                _drain(tap)
+                if not _drain(tap):
+                    # hang backstop fired: the profile may be missing
+                    # the final progress — refusing to record it keeps
+                    # the entry out of the "bounded" bucket (len<2
+                    # profiles are skipped) instead of passing on
+                    # undercounted state rows
+                    errors.append((name, "drain incomplete at "
+                                   f"{sf_dir}: progress feed never "
+                                   "settled within cap"))
+                    continue
                 profile.setdefault(name, []).append(
                     _entry_state_profile(tap))
     finally:
