@@ -1078,11 +1078,15 @@ RASTER_MAX_CHARS = 65536
 
 
 def _raster_media_from_documents(docs: DataFrame, width: int,
-                                 encode_fn) -> DataFrame:
+                                 encode_fn,
+                                 with_id: bool = False) -> DataFrame:
     """Shared python-codec corpus builder (JPEG + PNG): clean the text
     ([a-z0-9 ], lowercased — in lockstep with every raster oracle),
     cap at RASTER_MAX_CHARS, zero-pad to ``width``-cell rows, and hand
-    the [rows, width] uint8 grid to ``encode_fn``. One builder, so the
+    the [rows, width] uint8 grid to ``encode_fn`` (with the doc_id as
+    a second argument when ``with_id`` — for builders that vary the
+    container encoding deterministically per document, e.g. the
+    palette builder interlacing every other PNG). One builder, so the
     cleaning rule cannot drift between codecs.
 
     The input is repartitioned to the session parallelism first: the
@@ -1112,8 +1116,10 @@ def _raster_media_from_documents(docs: DataFrame, width: int,
                 raster = np.zeros(h * width, dtype=np.uint8)
                 raster[:n] = np.frombuffer(
                     clean.encode("ascii"), dtype=np.uint8)
-                out.append((did, bytearray(encode_fn(
-                    raster.reshape(h, width)))))
+                grid = raster.reshape(h, width)
+                payload = (encode_fn(grid, did) if with_id
+                           else encode_fn(grid))
+                out.append((did, bytearray(payload)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -1303,24 +1309,26 @@ def png_rgb_media_from_documents(docs: DataFrame) -> DataFrame:
             _rgb_channels(grid.astype("int64"))))
 
 
-def decode_png_rgb_features(media: DataFrame) -> DataFrame:
-    """REAL truecolor PNG decode via mapInPandas — chunk walk with CRC
-    checks, inflate, per-scanline filter reconstruction with 3-byte
-    pixel taps — then per-CHANNEL integer band features over the
-    recovered [h, w, 3] raster (one scalar row per (media_id, channel,
-    band) — the driver canonicalizer needs scalars). Malformed
-    payloads drop per row; payloads never shuffle."""
-    from .png import decode_png_rgb
+def _rgb_png_features(media: DataFrame, decoder_name: str) -> DataFrame:
+    """Shared feature extractor for the RGB-raster PNG decoders
+    (truecolor + palette): decode each payload with the named
+    functions.png decoder, then per-CHANNEL integer band features over
+    the recovered [h, w, 3] raster (one scalar row per (media_id,
+    channel, band) — the driver canonicalizer needs scalars).
+    Malformed payloads drop per row; payloads never shuffle."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        from . import png as png_mod
+
+        decode = getattr(png_mod, decoder_name)
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"].to_list(),
                                     pdf["payload"].to_list()):
                 try:
-                    w, h, raster = decode_png_rgb(bytes(payload))
+                    w, h, raster = decode(bytes(payload))
                 except ValueError:
                     continue  # malformed blob: drop the row
                 band_len = (w * h) // PGM_BANDS
@@ -1341,6 +1349,47 @@ def decode_png_rgb_features(media: DataFrame) -> DataFrame:
               "band int, feat_micro long")
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=schema)
+
+
+def decode_png_rgb_features(media: DataFrame) -> DataFrame:
+    """REAL truecolor PNG decode via mapInPandas — chunk walk with CRC
+    checks, inflate, per-scanline filter reconstruction with 3-byte
+    pixel taps — then per-channel band features (see
+    ``_rgb_png_features``)."""
+    return _rgb_png_features(media, "decode_png_rgb")
+
+
+def decode_png_palette_features(media: DataFrame) -> DataFrame:
+    """REAL palette PNG decode via mapInPandas — chunk walk with CRC
+    checks, PLTE capture, inflate, filter reconstruction (Adam7 passes
+    de-interlaced when the header says so), index->RGB palette lookup
+    — then the same per-channel band features as the truecolor path
+    (``_rgb_png_features``): the palette is built so indexed colors
+    EQUAL the truecolor derivations, making the two entries share one
+    oracle while exercising disjoint container paths."""
+    return _rgb_png_features(media, "decode_png_palette")
+
+
+def png_palette_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a real 8-bit PALETTE PNG (color type 3,
+    round 15): the PLTE holds 256 entries where entry v = (v, 255 - v,
+    (v*37) % 256) — exactly the truecolor channel derivations — and
+    the index raster is the PGM text grid, so the decoded RGB equals
+    png_rgb_media_from_documents' and sql_decode_png_rgb stays the
+    oracle. Every ODD doc_id is Adam7-INTERLACED (deterministic, so
+    both container layouts are exercised at corpus scale; interlace is
+    lossless, so the oracle is unaffected). Same clean/cap/pad
+    contract as every raster builder."""
+    from .png import encode_png_palette
+
+    def enc(grid, did):
+        import numpy as np
+
+        pal = _rgb_channels(np.arange(256, dtype=np.int64))
+        return encode_png_palette(grid, pal, interlace=bool(did % 2))
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
 
 
 def sql_decode_png_rgb(table: str = "documents",

@@ -1,22 +1,26 @@
-"""PNG (RFC 2083 / ISO 15948) grayscale codec in stdlib zlib + numpy.
+"""PNG (RFC 2083 / ISO 15948) codec in stdlib zlib + numpy.
 
 PNG is LOSSLESS, so unlike the JPEG path nothing restricts the corpus:
-any 8-bit grayscale raster round-trips bit-exactly, and a DuckDB
-oracle can reproduce decoded features from the raster's source text.
+any 8-bit raster round-trips bit-exactly, and a DuckDB oracle can
+reproduce decoded features from the raster's source text.
 
-Decoder scope: color types 0 (grayscale) and 2 (truecolor RGB — round
-14; real PNGs are overwhelmingly truecolor), bit depth 8, compression
-0, filter method 0 with ALL FIVE per-scanline filter types
+Decoder scope: color types 0 (grayscale), 2 (truecolor RGB — round
+14) and 3 (palette-indexed via PLTE — round 15; icons/screenshots and
+older web images are a large slice of real crawls), bit depth 8,
+compression 0, filter method 0 with ALL FIVE per-scanline filter types
 reconstructed (None/Sub/Up/Average/Paeth — §6 of the spec; the
-left/upper-left taps step by the pixel's BYTE width, 1 or 3), no
-interlacing. Chunk CRCs are verified (zlib.crc32); everything outside
-the profile raises ValueError so multimodal callers keep the
+left/upper-left taps step by the pixel's BYTE width, 1 or 3), and BOTH
+interlace methods (0 = none, 1 = Adam7 — round 15: each of the seven
+passes is an independently-filtered sub-image scattered back on the
+8x8 grid per §2.6). Chunk CRCs are verified (zlib.crc32); everything
+outside the profile raises ValueError so multimodal callers keep the
 drop-per-row contract.
 
-The encoders (used by the corpus builder) emit filter-0 scanlines; the
-decoder's filter reconstructions are exercised by an independent
-encoder in tests/test_png.py that deliberately writes Sub/Up/Average/
-Paeth-filtered scanlines in both color types.
+The encoders (used by the corpus builder) emit filter-0 scanlines in
+either interlace method; the decoder's filter reconstructions are
+exercised by an independent encoder in tests/test_png.py that
+deliberately writes Sub/Up/Average/Paeth-filtered scanlines in all
+color types, interlaced and not.
 """
 
 from __future__ import annotations
@@ -28,27 +32,57 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass grid (RFC 2083 §2.6): (x start, y start, x step, y step).
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass width, pass height) for each of the seven passes; a pass
+    can be empty on small images (it then contributes NO scanlines,
+    not even empty ones — §2.6)."""
+    return [((w - x0 + dx - 1) // dx if w > x0 else 0,
+             (h - y0 + dy - 1) // dy if h > y0 else 0)
+            for x0, y0, dx, dy in _ADAM7]
+
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + ctype + data
             + struct.pack(">I", zlib.crc32(ctype + data)))
 
 
-def encode_png_gray(raster: "np.ndarray") -> bytes:
+def _scanlines(r3: "np.ndarray", interlace: bool) -> bytes:
+    """Serialize an [h, w, bpp] raster as filter-0 scanlines, in
+    Adam7 pass order when ``interlace`` (each pass an independent
+    sub-image; empty passes emit nothing)."""
+    if not interlace:
+        return b"".join(b"\x00" + r3[y].tobytes()
+                        for y in range(r3.shape[0]))
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = r3[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for y in range(sub.shape[0]):
+            parts.append(b"\x00" + sub[y].tobytes())
+    return b"".join(parts)
+
+
+def encode_png_gray(raster: "np.ndarray", interlace: bool = False) -> bytes:
     """Encode an [h, w] uint8 raster as an 8-bit grayscale PNG
     (filter 0 scanlines — the decoder handles the rest)."""
     raster = np.asarray(raster, dtype=np.uint8)
     h, w = raster.shape
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    lines = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, int(interlace))
+    lines = _scanlines(raster.reshape(h, w, 1), interlace)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(lines))
             + _chunk(b"IEND", b""))
 
 
-def encode_png_rgb(raster: "np.ndarray") -> bytes:
+def encode_png_rgb(raster: "np.ndarray", interlace: bool = False) -> bytes:
     """Encode an [h, w, 3] uint8 raster as an 8-bit truecolor PNG
     (color type 2, filter 0 scanlines)."""
     raster = np.asarray(raster, dtype=np.uint8)
@@ -57,9 +91,32 @@ def encode_png_rgb(raster: "np.ndarray") -> bytes:
     h, w, _ = raster.shape
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    lines = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    lines = _scanlines(raster, interlace)
     return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(lines))
+            + _chunk(b"IEND", b""))
+
+
+def encode_png_palette(idx: "np.ndarray", palette: "np.ndarray",
+                       interlace: bool = False) -> bytes:
+    """Encode an [h, w] uint8 INDEX raster as an 8-bit palette PNG
+    (color type 3): ``palette`` is [n, 3] uint8 RGB entries emitted as
+    the PLTE chunk; every index must be < n."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    if (palette.ndim != 2 or palette.shape[1] != 3
+            or not 1 <= palette.shape[0] <= 256):
+        raise ValueError("palette must be [1..256, 3]")
+    if int(idx.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index beyond palette")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+    lines = _scanlines(idx.reshape(h, w, 1), interlace)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette.tobytes())
             + _chunk(b"IDAT", zlib.compress(lines))
             + _chunk(b"IEND", b""))
 
@@ -72,66 +129,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _decode_png(payload: bytes, want_ctype: int,
-                bpp: int) -> tuple[int, int, np.ndarray]:
-    """Shared chunk walk + inflate + filter reconstruction. Returns
-    (w, h, reconstructed scanline bytes [h, w*bpp]). The filter taps
-    step by ``bpp`` — the pixel's byte width per RFC 2083 §6.2 — so
-    one loop serves grayscale (1) and truecolor (3)."""
-    if payload[:8] != _SIG:
-        raise ValueError("not a PNG payload")
-    pos, n = 8, len(payload)
-    ihdr, idat, ended = None, bytearray(), False
-    while pos + 8 <= n:
-        clen = int.from_bytes(payload[pos:pos + 4], "big")
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + clen]
-        if len(data) != clen or pos + 12 + clen > n:
-            raise ValueError("truncated chunk")
-        crc = int.from_bytes(payload[pos + 8 + clen:pos + 12 + clen],
-                             "big")
-        if zlib.crc32(ctype + data) != crc:
-            raise ValueError("chunk CRC mismatch")
-        pos += 12 + clen
-        if ctype == b"IHDR":
-            if len(data) != 13:
-                # a short IHDR with a self-consistent CRC would raise
-                # struct.error, which is NOT ValueError and would
-                # escape the per-row drop contract
-                raise ValueError("IHDR length mismatch")
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            ended = True
-            break
-        # ancillary chunks are skipped
-    if ihdr is None or not idat or not ended:
-        raise ValueError("missing IHDR/IDAT/IEND")
-    w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if (depth, comp, filt, interlace) != (8, 0, 0, 0):
-        raise ValueError("unsupported PNG profile "
-                         "(want 8-bit depth, no interlace)")
-    if ctype_ != want_ctype:
-        raise ValueError(f"unsupported PNG color type {ctype_} "
-                         f"(want {want_ctype})")
-    if w == 0 or h == 0 or w * h * bpp > (1 << 26):
-        raise ValueError("invalid dimensions")
-    stride = w * bpp
-    expected = h * (stride + 1)
-    try:
-        # bounded inflate: a decompression bomb (small IDAT inflating
-        # to GBs) must become a ValueError row-drop, not a MemoryError
-        # stage-kill — so never materialize more than expected+1 bytes
-        dec = zlib.decompressobj()
-        raw = dec.decompress(bytes(idat), expected + 1)
-    except zlib.error as exc:
-        raise ValueError(f"IDAT inflate failed: {exc}") from None
-    if len(raw) != expected or dec.unconsumed_tail:
-        raise ValueError("scanline length mismatch")
-    # the stream must also END here (no pending inflate output)
-    if dec.decompress(b"", 1) or not dec.eof:
-        raise ValueError("IDAT stream longer than the scanlines")
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes each from the
+    filtered stream (filter byte + line, per line). The left and
+    upper-left taps step by ``bpp`` — the pixel's byte width per RFC
+    2083 §6.2 — so one loop serves grayscale/palette (1) and
+    truecolor (3)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
@@ -157,14 +160,99 @@ def _decode_png(payload: bytes, want_ctype: int,
             raise ValueError(f"unknown filter type {f}")
         out[y] = cur
         prev = cur
-    return w, h, out
+    return out
+
+
+def _decode_png(payload: bytes, want_ctype: int,
+                bpp: int) -> tuple[int, int, np.ndarray, bytes | None]:
+    """Shared chunk walk + inflate + filter reconstruction. Returns
+    (w, h, reconstructed scanline bytes [h, w*bpp], PLTE bytes or
+    None). Handles both interlace methods: Adam7 streams are seven
+    independently-filtered sub-images (each pass restarts the filter
+    predictor — its first line has an all-zero prior row) scattered
+    back onto the 8x8 grid."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr, idat, plte, ended = None, bytearray(), None, False
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > n:
+            raise ValueError("truncated chunk")
+        crc = int.from_bytes(payload[pos + 8 + clen:pos + 12 + clen],
+                             "big")
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError("chunk CRC mismatch")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            if len(data) != 13:
+                # a short IHDR with a self-consistent CRC would raise
+                # struct.error, which is NOT ValueError and would
+                # escape the per-row drop contract
+                raise ValueError("IHDR length mismatch")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("PLTE length invalid")
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        # ancillary chunks are skipped
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if (depth, comp, filt) != (8, 0, 0) or interlace not in (0, 1):
+        raise ValueError("unsupported PNG profile "
+                         "(want 8-bit depth, methods 0)")
+    if ctype_ != want_ctype:
+        raise ValueError(f"unsupported PNG color type {ctype_} "
+                         f"(want {want_ctype})")
+    if w == 0 or h == 0 or w * h * bpp > (1 << 26):
+        raise ValueError("invalid dimensions")
+    stride = w * bpp
+    if interlace:
+        dims = _adam7_dims(w, h)
+        expected = sum(ph * (pw * bpp + 1)
+                       for pw, ph in dims if pw and ph)
+    else:
+        expected = h * (stride + 1)
+    try:
+        # bounded inflate: a decompression bomb (small IDAT inflating
+        # to GBs) must become a ValueError row-drop, not a MemoryError
+        # stage-kill — so never materialize more than expected+1 bytes
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"IDAT inflate failed: {exc}") from None
+    if len(raw) != expected or dec.unconsumed_tail:
+        raise ValueError("scanline length mismatch")
+    # the stream must also END here (no pending inflate output)
+    if dec.decompress(b"", 1) or not dec.eof:
+        raise ValueError("IDAT stream longer than the scanlines")
+    if not interlace:
+        return w, h, _unfilter(raw, h, stride, bpp), plte
+    out3 = np.zeros((h, w, bpp), dtype=np.uint8)
+    at = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+        if pw == 0 or ph == 0:
+            continue
+        seg = ph * (pw * bpp + 1)
+        sub = _unfilter(raw[at:at + seg], ph, pw * bpp, bpp)
+        at += seg
+        out3[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    return w, h, out3.reshape(h, stride), plte
 
 
 def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an 8-bit grayscale PNG; returns (width, height, raster
     uint8 [h, w]). Raises ValueError on anything outside the
     supported profile, truncated/corrupt chunks, or CRC mismatch."""
-    w, h, out = _decode_png(payload, want_ctype=0, bpp=1)
+    w, h, out, _ = _decode_png(payload, want_ctype=0, bpp=1)
     return w, h, out
 
 
@@ -172,5 +260,19 @@ def decode_png_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an 8-bit truecolor PNG (color type 2); returns (width,
     height, raster uint8 [h, w, 3]). Same ValueError contract as the
     grayscale path."""
-    w, h, out = _decode_png(payload, want_ctype=2, bpp=3)
+    w, h, out, _ = _decode_png(payload, want_ctype=2, bpp=3)
     return w, h, out.reshape(h, w, 3)
+
+
+def decode_png_palette(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an 8-bit palette PNG (color type 3): indices are mapped
+    through the PLTE chunk to RGB; returns (width, height, raster
+    uint8 [h, w, 3]). A missing PLTE or an index beyond the palette is
+    a ValueError row-drop like every other malformation."""
+    w, h, idx, plte = _decode_png(payload, want_ctype=3, bpp=1)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index beyond PLTE")
+    return w, h, pal[idx.reshape(h, w)]

@@ -2148,6 +2148,32 @@ def mm_decode_png_rgb(spark, sf_dir):
         mm.png_rgb_media_from_documents(docs))
 
 
+@register("mm_decode_png_palette",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def mm_decode_png_palette(spark, sf_dir):
+    """PALETTE + Adam7 PNG decode (round 15) — color type 3 is the
+    other big slice of real crawl images (icons, screenshots, older
+    web), and interlacing is orthogonal container structure the
+    decoder must also handle: each document becomes a genuine 8-bit
+    palette PNG whose 256-entry PLTE maps index v to exactly the
+    truecolor derivations (R = v, G = 255 - v, B = (v*37) % 256), with
+    every ODD doc_id Adam7-interlaced (seven independently-filtered
+    pass sub-images scattered on the 8x8 grid — functions/png.py).
+    The decode walks chunks with CRC checks, captures the PLTE,
+    inflates, reconstructs every scanline filter per pass,
+    de-interlaces, maps indices through the palette, and emits the
+    SAME per-channel band features as mm_decode_png_rgb — so the two
+    entries share one oracle while exercising disjoint container
+    paths (an index/PLTE bug or a pass-geometry bug flips the hash;
+    a cross-contamination bug would flip BOTH entries differently).
+    Cross-validated against an independent Adam7+filtered encoder in
+    tests/test_png.py. Malformed payloads drop per row; payloads
+    never shuffle (mapInPandas on the builder's partitioning)."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_png_palette_features(
+        mm.png_palette_media_from_documents(docs))
+
+
 @register("streaming_decode_jpeg", mm.sql_decode_jpeg("documents"))
 def streaming_decode_jpeg(spark, sf_dir):
     """Compressed-codec DECODE-ON-INGEST through the LIVE streaming

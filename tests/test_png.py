@@ -104,12 +104,19 @@ def test_decoder_rejects_malformed():
            + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
         decode_png_gray(bad)
-    # interlaced
-    il_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # interlace METHOD 2 does not exist (Adam7 = 1 is now supported)
+    il_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     il = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", il_ihdr)
           + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
           + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
+        decode_png_gray(il)
+    # an Adam7 stream with the WRONG total scanline byte count
+    il_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    il = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", il_ihdr)
+          + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+          + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="scanline length"):
         decode_png_gray(il)
     for payload in (b"", b"\x89PNG", good[:30], b"NOPE" * 10,
                     good[:-12]):  # missing IEND
@@ -202,3 +209,180 @@ def test_rgb_rejects_cross_type_and_malformed():
     for payload in (b"", rgb[:30], rgb[:-12]):
         with pytest.raises(ValueError):
             decode_png_rgb(payload)
+
+
+# --------------------------------------- palette + Adam7 interlace (r15)
+
+_ADAM7_REF = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def encode_filtered_adam7(r3, ctype, filter_of, palette=None):
+    """Independent Adam7 encoder written straight from RFC 2083 §2.6:
+    seven pass sub-images, each independently filtered with the filter
+    chosen per (pass, row) by the caller. Shares NO geometry or filter
+    code with the production module."""
+    h, w, bpp = r3.shape
+    lines = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7_REF):
+        sub = r3[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.astype(int).reshape(ph, pw * bpp)
+        for y in range(ph):
+            f = filter_of(pi, y)
+            lines.append(f)
+            for x in range(pw * bpp):
+                left = flat[y][x - bpp] if x >= bpp else 0
+                up = flat[y - 1][x] if y else 0
+                ul = flat[y - 1][x - bpp] if (x >= bpp and y) else 0
+                if f == 0:
+                    v = flat[y][x]
+                elif f == 1:
+                    v = flat[y][x] - left
+                elif f == 2:
+                    v = flat[y][x] - up
+                elif f == 3:
+                    v = flat[y][x] - ((left + up) >> 1)
+                else:
+                    v = flat[y][x] - _paeth_ref(left, up, ul)
+                lines.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (out + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape", [(13, 37), (8, 8), (3, 5), (1, 1),
+                                   (2, 9), (16, 4)])
+def test_adam7_gray_filtered_reconstructs_exactly(shape):
+    """Every pass filtered with a rotating filter type, across shapes
+    that exercise empty passes (w or h below the pass origin)."""
+    rng = np.random.RandomState(59)
+    raster = rng.randint(0, 256, shape, dtype=np.uint8)
+    p = encode_filtered_adam7(raster.reshape(*shape, 1), 0,
+                              lambda pi, y: (pi + y) % 5)
+    w, h, got = decode_png_gray(p)
+    assert (w, h) == (shape[1], shape[0])
+    assert (got == raster).all()
+
+
+@pytest.mark.parametrize("shape", [(11, 17), (7, 3), (1, 9)])
+def test_adam7_rgb_filtered_reconstructs_exactly(shape):
+    from mktd6_flink_spark.functions.png import decode_png_rgb
+
+    rng = np.random.RandomState(61)
+    raster = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+    p = encode_filtered_adam7(raster, 2, lambda pi, y: (2 * pi + y) % 5)
+    w, h, got = decode_png_rgb(p)
+    assert (w, h) == (shape[1], shape[0])
+    assert (got == raster).all()
+
+
+def test_adam7_production_encoders_roundtrip():
+    from mktd6_flink_spark.functions.png import (decode_png_rgb,
+                                                 encode_png_rgb)
+
+    rng = np.random.RandomState(67)
+    g = rng.randint(0, 256, (21, 13), dtype=np.uint8)
+    assert (decode_png_gray(encode_png_gray(g, interlace=True))[2]
+            == g).all()
+    c = rng.randint(0, 256, (10, 26, 3), dtype=np.uint8)
+    assert (decode_png_rgb(encode_png_rgb(c, interlace=True))[2]
+            == c).all()
+    # interlaced and plain decode to the SAME raster (losslessness of
+    # the pass scatter)
+    assert (decode_png_rgb(encode_png_rgb(c, interlace=True))[2]
+            == decode_png_rgb(encode_png_rgb(c))[2]).all()
+
+
+def test_palette_roundtrip_plain_and_interlaced():
+    from mktd6_flink_spark.functions.png import (decode_png_palette,
+                                                 encode_png_palette)
+
+    rng = np.random.RandomState(71)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (9, 14), dtype=np.uint8)
+    want = pal[idx]
+    for interlace in (False, True):
+        w, h, got = decode_png_palette(
+            encode_png_palette(idx, pal, interlace=interlace))
+        assert (w, h) == (14, 9)
+        assert (got == want).all()
+
+
+def test_palette_filtered_adam7_independent_encoder():
+    from mktd6_flink_spark.functions.png import decode_png_palette
+
+    rng = np.random.RandomState(73)
+    pal = rng.randint(0, 256, (64, 3), dtype=np.uint8)
+    idx = rng.randint(0, 64, (12, 7), dtype=np.uint8)
+    p = encode_filtered_adam7(idx.reshape(12, 7, 1), 3,
+                              lambda pi, y: (pi * 3 + y) % 5,
+                              palette=pal)
+    _w, _h, got = decode_png_palette(p)
+    assert (got == pal[idx]).all()
+
+
+def test_palette_error_contract():
+    from mktd6_flink_spark.functions.png import (decode_png_palette,
+                                                 encode_png_palette)
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png_palette(idx, pal)
+    # wrong color type in both directions
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_gray(good)
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_palette(encode_png_gray(idx))
+    # PLTE chunk missing entirely
+    plte_at = good.find(b"PLTE") - 4
+    plte_len = 12 + 48
+    no_plte = good[:plte_at] + good[plte_at + plte_len:]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_palette(no_plte)
+    # index beyond the palette (index 15 valid, shrink palette to 8)
+    idx2 = np.full((4, 4), 15, dtype=np.uint8)
+    shrunk = encode_png_palette(idx2, pal)  # valid at build time
+    # rebuild with an 8-entry PLTE but the same index raster
+    body = pal[:8].tobytes()
+    rebuilt = (shrunk[:plte_at] + _chunk(b"PLTE", body)
+               + shrunk[plte_at + plte_len:])
+    with pytest.raises(ValueError, match="beyond PLTE"):
+        decode_png_palette(rebuilt)
+    # PLTE with a non-multiple-of-3 length
+    rebuilt = (shrunk[:plte_at] + _chunk(b"PLTE", b"\x00" * 4)
+               + shrunk[plte_at + plte_len:])
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_png_palette(rebuilt)
+    # encoder refuses an index beyond its palette
+    with pytest.raises(ValueError, match="beyond palette"):
+        encode_png_palette(np.full((2, 2), 16, dtype=np.uint8), pal)
+
+
+def test_palette_fuzz_valueerror_only():
+    """Truncations / bit flips over a palette+Adam7 payload must stay
+    inside the ValueError drop-per-row contract."""
+    from mktd6_flink_spark.functions.png import (decode_png_palette,
+                                                 encode_png_palette)
+
+    rng = np.random.RandomState(79)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, (6, 11), dtype=np.uint8)
+    good = encode_png_palette(idx, pal, interlace=True)
+    for cut in range(0, len(good), 7):
+        try:
+            decode_png_palette(good[:cut])
+        except ValueError:
+            pass
+    for i in range(0, len(good), 5):
+        mut = bytearray(good)
+        mut[i] ^= 0x40
+        try:
+            decode_png_palette(bytes(mut))
+        except ValueError:
+            pass
