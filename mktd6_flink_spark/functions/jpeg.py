@@ -169,6 +169,36 @@ def _decode_block(br, dc_tbl, ac_tbl, pred: int,
     return _A.T @ fmat @ _A, dc
 
 
+def _parse_dqt(body: bytes, qtables: dict[int, np.ndarray]) -> None:
+    """DQT segment -> 8-bit quant tables (de-zigzagged), shared by the
+    baseline and progressive decoders."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        if i + 65 > len(body):
+            raise ValueError("truncated DQT")
+        tbl = np.zeros(64, dtype=np.float64)
+        tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+        qtables[tq] = tbl.reshape(8, 8)
+        i += 65
+
+
+def _parse_dht(body: bytes, htables: dict[tuple[int, int], _Huff]) -> None:
+    """DHT segment -> canonical Huffman tables keyed (class, id),
+    shared by the baseline and progressive decoders."""
+    i = 0
+    while i + 17 <= len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        counts = list(body[i + 1:i + 17])
+        nv = sum(counts)
+        if i + 17 + nv > len(body):
+            raise ValueError("truncated DHT")
+        htables[(tc, th)] = _Huff(counts, bytes(body[i + 17:i + 17 + nv]))
+        i += 17 + nv
+
+
 def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a baseline JPEG; returns (width, height, LUMA plane
     uint8 [h, w]). For 3-component images the chroma blocks are fully
@@ -200,29 +230,9 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         body = payload[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                if i + 65 > len(body):
-                    raise ValueError("truncated DQT")
-                tbl = np.zeros(64, dtype=np.float64)
-                tbl[ZIGZAG] = np.frombuffer(
-                    body[i + 1:i + 65], dtype=np.uint8)
-                qtables[tq] = tbl.reshape(8, 8)
-                i += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i + 17 <= len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                counts = list(body[i + 1:i + 17])
-                nv = sum(counts)
-                if i + 17 + nv > len(body):
-                    raise ValueError("truncated DHT")
-                htables[(tc, th)] = _Huff(
-                    counts, bytes(body[i + 17:i + 17 + nv]))
-                i += 17 + nv
+            _parse_dht(body, htables)
         elif marker == 0xC0:  # SOF0 baseline
             if len(body) < 6:
                 # an empty/short frame header would IndexError, which

@@ -1,0 +1,530 @@
+"""Progressive JPEG (ITU-T T.81 Annex G, Huffman) decoder in pure
+numpy — no codec libs.
+
+Progressive (SOF2) is the MAJORITY encoding of web-crawled JPEGs, so
+the baseline-only decoder silently dropped most of the modality (the
+round-14 verdict's largest remaining codec gap). Scope: 8-bit
+precision, spectral selection + successive approximation over 1- or
+3-component frames with the same sampling envelope as the baseline
+path (factors 1-2, luma at the frame max), interleaved or
+single-component DC scans, single-component AC scans (required by
+G.1.1.1.1), EOB-run coding, refinement correction bits, and restart
+markers inside any scan. Arithmetic coding stays rejected.
+
+Coefficients accumulate across scans per T.81 G.1.2: a first scan
+(Ah = 0) for a band installs values shifted by the point transform
+(``<< Al``); refinement scans (Ah = Al + 1) append one magnitude bit
+per coefficient. DC reconstruction is exact because the arithmetic
+right shift plus successive ORs of the appended bits reproduces the
+two's-complement value bit-for-bit — which is what lets the DC-only
+corpus builder (``encode_dc_jpeg_progressive``) stay oracle-exact.
+
+Validated in tests/test_jpeg_progressive.py against an INDEPENDENT
+progressive encoder written from Annex G (spectral bands, successive
+approximation, EOB runs, refinement bits), by asserting the
+progressive decode of a raster equals the baseline decode of the
+same quantized coefficients — plus truncation/bit-flip fuzzing pinned
+to the ValueError drop-per-row contract.
+
+Reference parity note: the reference repo (mktd6-flink) has no media
+path; this module extends the engine's multimodal layer (SURVEY.md
+LLM-pipeline additions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .jpeg import (ZIGZAG, _A, _BitReader, _destuff, _extend,
+                   _huff_decode, _parse_dht, _parse_dqt, _seg)
+
+# total coefficient-plane allocation cap (int32 words): 2^27 words =
+# 512 MB. A 4:2:0 progressive image hits this only beyond the 2^26 px
+# dimension cap; 4:4:4 frames cap out around 44 MP — crafted headers
+# beyond either bound drop as ValueError rows, never MemoryError.
+_COEF_WORD_CAP = 1 << 27
+
+
+class _Scan:
+    """Per-SOS decode state: component selection + band + shift."""
+
+    __slots__ = ("comps", "ss", "se", "ah", "al", "sel")
+
+    def __init__(self, comps, ss, se, ah, al, sel):
+        self.comps, self.sel = comps, sel
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+
+
+def _parse_sof2(body: bytes):
+    if len(body) < 6:
+        raise ValueError("truncated SOF2")
+    if body[0] != 8:
+        raise ValueError("only 8-bit precision supported")
+    h = int.from_bytes(body[1:3], "big")
+    w = int.from_bytes(body[3:5], "big")
+    nc = body[5]
+    if len(body) < 6 + 3 * nc:
+        raise ValueError("truncated SOF2 components")
+    if h == 0 or w == 0:
+        raise ValueError("zero image dimension")
+    if w * h > (1 << 26):
+        raise ValueError("image dimensions exceed decode cap")
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 components only")
+    comps = []
+    for c in range(nc):
+        cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError("sampling factors beyond 2 unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+        raise ValueError("luma sampling below frame max unsupported")
+    return w, h, comps
+
+
+def _geometry(w: int, h: int, comps: list[dict]):
+    """Frame-level MCU grid + per-component full (MCU-padded) and
+    tight (ceil of the component's own sample dims) block grids —
+    non-interleaved scans traverse the TIGHT grid (G.1.1.1.1)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    full, tight = [], []
+    for c in comps:
+        full.append((mcuy * c["v"], mcux * c["h"]))
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        tight.append((-(-ch // 8), -(-cw // 8)))
+    return mcux, mcuy, full, tight
+
+
+def _dc_scan_units(scan, geo, comps) -> int:
+    """Entropy units in a DC scan: MCUs when interleaved, tight-grid
+    blocks when single-component (G.1.1.1.1)."""
+    mcux, mcuy, _full, tight = geo
+    if len(scan.comps) > 1:
+        return mcux * mcuy
+    bh, bw = tight[scan.comps[0]]
+    return bh * bw
+
+
+def _dc_scan(segs, ri, scan, coefs, geo, htables, comps):
+    """DC scan (Ss = Se = 0): interleaved MCU traversal when the scan
+    holds >1 component, tight-grid raster traversal when 1. First
+    pass (Ah = 0) Huffman-decodes shifted diffs; refinement reads one
+    appended magnitude bit per block (G.1.2.1)."""
+    mcux, mcuy, full, tight = geo
+    first = scan.ah == 0
+    if first:
+        tbls = {}
+        for ci in scan.comps:
+            td = scan.sel[ci][0]
+            if (0, td) not in htables:
+                raise ValueError("missing Huffman table")
+            tbls[ci] = htables[(0, td)]
+    if len(scan.comps) > 1:
+        n_units = mcux * mcuy
+    else:
+        ci = scan.comps[0]
+        n_units = tight[ci][0] * tight[ci][1]
+    want = -(-n_units // ri) if ri else 1
+    if len(segs) != want:
+        raise ValueError("restart segment count mismatch")
+    br = _BitReader(segs[0])
+    seg_i = 0
+    preds = {ci: 0 for ci in scan.comps}
+
+    def one_block(ci, by, bx):
+        blk = coefs[ci][by, bx]
+        if first:
+            t = _huff_decode(br, tbls[ci])
+            if t > 11:
+                raise ValueError("invalid DC category")
+            diff = _extend(br.read_bits(t), t) if t else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << scan.al
+        elif br.read_bit():
+            blk[0] = int(blk[0]) | (1 << scan.al)
+
+    if len(scan.comps) > 1:
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and unit and unit % ri == 0:
+                    seg_i += 1
+                    br = _BitReader(segs[seg_i])
+                    preds.update({ci: 0 for ci in scan.comps})
+                for ci in scan.comps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            one_block(ci, my * c["v"] + by,
+                                      mx * c["h"] + bx)
+                unit += 1
+    else:
+        ci = scan.comps[0]
+        bh, bw = tight[ci]
+        for u in range(n_units):
+            if ri and u and u % ri == 0:
+                seg_i += 1
+                br = _BitReader(segs[seg_i])
+                preds[ci] = 0
+            one_block(ci, u // bw, u % bw)
+
+
+def _ac_scan(segs, ri, scan, coefs, geo, htables):
+    """AC scan over one component's tight grid: first pass (Ah = 0)
+    run-length + EOB-run decode of ``<< Al``-shifted values
+    (G.1.2.2); refinement (Ah > 0) inserts new +-(1 << Al)
+    coefficients and appends correction bits to already-nonzero ones
+    (G.1.2.3). EOBRUN resets at restart boundaries."""
+    if len(scan.comps) != 1:
+        raise ValueError("AC scans must be non-interleaved")
+    ci = scan.comps[0]
+    ta = scan.sel[ci][1]
+    if (1, ta) not in htables:
+        raise ValueError("missing Huffman table")
+    tbl = htables[(1, ta)]
+    _mcux, _mcuy, _full, tight = geo
+    bh, bw = tight[ci]
+    n_units = bh * bw
+    want = -(-n_units // ri) if ri else 1
+    if len(segs) != want:
+        raise ValueError("restart segment count mismatch")
+    br = _BitReader(segs[0])
+    seg_i = 0
+    eobrun = 0
+    p1 = 1 << scan.al
+    m1 = -p1
+    zz = ZIGZAG
+    for u in range(n_units):
+        if ri and u and u % ri == 0:
+            seg_i += 1
+            br = _BitReader(segs[seg_i])
+            eobrun = 0
+        blk = coefs[ci][u // bw, u % bw]
+        if scan.ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = scan.ss
+            while k <= scan.se:
+                rs = _huff_decode(br, tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                if k > scan.se:
+                    raise ValueError("AC run past band end")
+                blk[zz[k]] = _extend(br.read_bits(s), s) << scan.al
+                k += 1
+        else:
+            k = scan.ss
+            if eobrun == 0:
+                while k <= scan.se:
+                    rs = _huff_decode(br, tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    elif s == 1:
+                        val = p1 if br.read_bit() else m1
+                    else:
+                        raise ValueError("refinement size must be 1")
+                    # advance r zero-history positions, appending
+                    # correction bits to nonzero coefficients passed
+                    while k <= scan.se:
+                        cv = int(blk[zz[k]])
+                        if cv != 0:
+                            if br.read_bit() and not (cv & p1):
+                                blk[zz[k]] = cv + (p1 if cv >= 0
+                                                   else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= scan.se:
+                        blk[zz[k]] = val
+                    k += 1
+            if eobrun:
+                # EOB region: correction bits continue through the
+                # band's remaining nonzero coefficients
+                while k <= scan.se:
+                    cv = int(blk[zz[k]])
+                    if cv != 0 and br.read_bit() and not (cv & p1):
+                        blk[zz[k]] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_progressive_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a progressive (SOF2) JPEG; returns (width, height, LUMA
+    plane uint8 [h, w]) — the same contract as decode_baseline_jpeg:
+    chroma scans are fully entropy-decoded (their coefficient history
+    drives refinement control flow) but only luma is assembled.
+    Raises ValueError on anything outside the supported profile."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    n = len(payload)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict = {}
+    frame = None
+    geo = None
+    coefs = None
+    dc_done: set[int] = set()
+    saw_scan = False
+    ri = 0
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes (B.1.1.2)
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated segment")
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated segment")
+        body = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            _parse_dqt(body, qtables)
+        elif marker == 0xC4:
+            _parse_dht(body, htables)
+        elif marker == 0xC2:
+            if frame is not None:
+                raise ValueError("multiple frames")
+            frame = _parse_sof2(body)
+            geo = _geometry(*frame)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive (SOF2) frame")
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            ri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            w, h, comps = frame
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS")
+            ns = body[0]
+            by_id = {c["id"]: i for i, c in enumerate(comps)}
+            scomps, sel = [], {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError("scan component not in frame")
+                scomps.append(by_id[cs])
+                sel[by_id[cs]] = (tt >> 4, tt & 15)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 15
+            if al > 13 or ah > 13:
+                raise ValueError("point transform out of range")
+            if not (ss == se == 0 or 1 <= ss <= se <= 63):
+                raise ValueError("invalid spectral band")
+            if ah and ah != al + 1:
+                raise ValueError("refinement must step Al by one")
+            segs, pos = _destuff(payload, pos)
+            scan = _Scan(scomps, ss, se, ah, al, sel)
+            if coefs is None:
+                if ss != 0 or ah != 0:
+                    raise ValueError("first scan must be DC-first")
+                mcux, mcuy, full, _tight = geo
+                words = sum(bh * bw * 64 for bh, bw in full)
+                if words > _COEF_WORD_CAP:
+                    raise ValueError("coefficient planes exceed "
+                                     "decode cap")
+                # allocation precondition: every DC-first entropy unit
+                # costs >= 1 bit (one Huffman code per block), so
+                # crafted dims whose payload cannot carry them are
+                # rejected while nothing is allocated yet
+                blocks = _dc_scan_units(scan, geo, comps)
+                if len(scomps) > 1:
+                    blocks *= sum(comps[ci]["h"] * comps[ci]["v"]
+                                  for ci in scomps)
+                if blocks > sum(len(s) for s in segs) * 8:
+                    raise ValueError(
+                        "entropy data too small for declared dims")
+                coefs = [np.zeros((bh, bw, 64), dtype=np.int32)
+                         for bh, bw in full]
+            saw_scan = True
+            if ss == 0:
+                _dc_scan(segs, ri, scan, coefs, geo, htables, comps)
+                if ah == 0:
+                    dc_done.update(scomps)
+            else:
+                if scomps[0] not in dc_done:
+                    raise ValueError("AC scan before DC scan")
+                _ac_scan(segs, ri, scan, coefs, geo, htables)
+        # APPn / COM / anything else with a length: skipped
+    if not saw_scan or frame is None:
+        raise ValueError("no scan before EOI")
+    w, h, comps = frame
+    if comps[0]["tq"] not in qtables:
+        raise ValueError("missing quant table")
+    qt = qtables[comps[0]["tq"]]
+    bh, bw = coefs[0].shape[:2]
+    f = (coefs[0].reshape(bh * bw, 64).astype(np.float64)
+         * qt.ravel()[None, :])
+    f = f.reshape(bh * bw, 8, 8)
+    # orthonormal inverse DCT over all luma blocks at once, rounded to
+    # final bytes in float64 (the round-15 baseline contract)
+    sp = np.einsum("ij,njk,kl->nil", _A.T, f, _A)
+    sp = np.clip(np.round(sp), -128, 127).astype(np.int16)
+    plane = (sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+             .reshape(bh * 8, bw * 8))
+    out = (plane.astype(np.int64) + 128).astype(np.uint8)
+    return w, h, out[:h, :w]
+
+
+def decode_jpeg_any(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch on the frame marker: SOF0 -> baseline decoder, SOF2 ->
+    progressive decoder. The marker walk here only LOCATES the frame
+    type (skipping length-prefixed segments); each decoder re-walks
+    and fully validates. Same (w, h, luma uint8) contract."""
+    from .jpeg import decode_baseline_jpeg
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        while pos + 4 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xC0:
+            return decode_baseline_jpeg(payload)
+        if marker == 0xC2:
+            return decode_progressive_jpeg(payload)
+        if marker in (0xD9, 0xDA):
+            break  # a scan/EOI before any SOF: let baseline reject it
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError("truncated segment")
+        pos += 2 + seglen
+    raise ValueError("no supported SOF marker")
+
+
+# ---------------------------------------------------------------------------
+# DC-only progressive builder encoder: the corpus twin of
+# jpeg.encode_dc_jpeg, emitting the SAME block-constant image as a
+# progressive stream — DC first scan at Al = 4, four refinement scans
+# peeling one bit each (position 3 genuinely varies: DC = 8*(v-128)
+# makes bits 0-2 zero but bit 3 = (v-128) & 1), then an all-EOB-run AC
+# scan. DC reconstruction is bit-exact, so the decoded features equal
+# the baseline corpus's and sql_decode_jpeg stays the oracle.
+# ---------------------------------------------------------------------------
+
+_DC_AL = 4
+# DC table: categories 0-11 at length 4 (reused shape from jpeg.py's
+# builder tables); AC table: the 15 EOBn symbols (r << 4) at length 4.
+_P_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_P_DC_VALUES = bytes(range(12))
+_P_AC_COUNTS = [0, 0, 0, 15] + [0] * 12
+_P_AC_VALUES = bytes(r << 4 for r in range(15))
+
+
+class _BitWriter:
+    """Bigint bit accumulator (the jpeg.py builder trick): sentinel
+    top bit, 1-pad to a byte, stuff 0xFF afterwards."""
+
+    def __init__(self):
+        self.acc = 1
+        self.nbits = 0
+
+    def put(self, val: int, n: int) -> None:
+        if n:
+            self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+            self.nbits += n
+
+    def done(self) -> bytes:
+        pad = (-self.nbits) % 8
+        acc = (self.acc << pad) | ((1 << pad) - 1)
+        raw = acc.to_bytes((self.nbits + pad) // 8 + 1, "big")[1:]
+        return raw.replace(b"\xff", b"\xff\x00")
+
+
+def _dc_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def encode_dc_jpeg_progressive(vals: "np.ndarray") -> bytes:
+    """Encode an [hb, wb] uint8 matrix of block-constant 8x8 tiles as
+    a PROGRESSIVE grayscale JPEG (unit quant tables): six scans — DC
+    first (Al=4), four DC refinements (4->0), one AC first covering
+    the empty 1..63 band with maximal EOB runs. decode_progressive_jpeg
+    recovers every tile value exactly (same guarantee as
+    jpeg.encode_dc_jpeg gives the baseline path)."""
+    vals = np.asarray(vals, dtype=np.int64)
+    hb, wb = vals.shape
+    if hb == 0 or wb == 0 or hb * 8 > 65535 or wb * 8 > 65535:
+        raise ValueError("invalid block grid")
+    dcs = [8 * (int(v) - 128) for v in vals.ravel()]
+    qt = bytes([0x00]) + bytes([1] * 64)
+    sof = (bytes([8]) + (hb * 8).to_bytes(2, "big")
+           + (wb * 8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht_dc = bytes([0x00]) + bytes(_P_DC_COUNTS) + _P_DC_VALUES
+    dht_ac = bytes([0x10]) + bytes(_P_AC_COUNTS) + _P_AC_VALUES
+    out = (b"\xff\xd8" + _seg(0xDB, qt) + _seg(0xC2, sof)
+           + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac))
+
+    def sos(ss, se, ah, al, entropy):
+        return (_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+                     ) + entropy)
+
+    # scan 1: DC first at Al = _DC_AL (codes diffs of dc >> Al)
+    w = _BitWriter()
+    pred = 0
+    for dc in dcs:
+        hi = dc >> _DC_AL
+        diff = hi - pred
+        pred = hi
+        cat = _dc_cat(diff)
+        w.put(cat, 4)
+        if cat:
+            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    out += sos(0, 0, 0, _DC_AL, w.done())
+    # scans 2-5: DC refinement, one appended bit per block per level
+    for al in range(_DC_AL - 1, -1, -1):
+        w = _BitWriter()
+        for dc in dcs:
+            w.put((dc >> al) & 1, 1)
+        out += sos(0, 0, al + 1, al, w.done())
+    # scan 6: AC first over the all-zero 1..63 band — pure EOB runs
+    w = _BitWriter()
+    left = len(dcs)
+    while left > 0:
+        r = min(14, left.bit_length() - 1)
+        run = min(left, (1 << r) + ((1 << r) - 1))
+        # encode run as EOBn: symbol r << 4, whose canonical CODE in
+        # _P_AC_COUNTS/_P_AC_VALUES is its index r at length 4, then
+        # run - (1 << r) as r extra bits
+        r = run.bit_length() - 1
+        w.put(r, 4)
+        w.put(run - (1 << r), r)
+        left -= run
+    out += sos(1, 63, 0, 0, w.done())
+    return out + b"\xff\xd9"

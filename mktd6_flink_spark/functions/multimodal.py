@@ -1141,15 +1141,34 @@ def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
                                         encode_dc_jpeg)
 
 
-def decode_jpeg(media: DataFrame) -> DataFrame:
+def jpeg_progressive_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a PROGRESSIVE grayscale JPEG (round 15)
+    of the same block-constant tile grid as jpeg_media_from_documents:
+    six scans — DC first at point transform 4, four one-bit DC
+    refinements, an all-EOB-run AC scan (functions/jpeg_progressive.py
+    encode_dc_jpeg_progressive). DC reconstruction is bit-exact, so
+    the decoded features equal the baseline corpus's and
+    sql_decode_jpeg stays the oracle."""
+    from .jpeg_progressive import encode_dc_jpeg_progressive
+
+    return _raster_media_from_documents(docs, JPEG_BLOCKS_W,
+                                        encode_dc_jpeg_progressive)
+
+
+def decode_jpeg(media: DataFrame, progressive: bool = False) -> DataFrame:
     """REAL baseline-JPEG decode via mapInPandas: full T.81 decode of
     each payload, then integer band features over the 8x8-tile grid
     (the luma plane sampled at tile centers — exact for the
     block-constant corpus, well-defined for any JPEG): one scalar row
     per (media_id, band), feat_micro = (band tile sum * 1e6) //
     band_len. Malformed payloads drop per row (the 100 TB contract);
-    payloads never shuffle."""
-    from .jpeg import decode_baseline_jpeg
+    payloads never shuffle. ``progressive`` selects the SOF0/SOF2
+    dispatching decoder (decode_jpeg_any) so baseline AND progressive
+    payloads decode through one entry point (round 15)."""
+    if progressive:
+        from .jpeg_progressive import decode_jpeg_any as decode
+    else:
+        from .jpeg import decode_baseline_jpeg as decode
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -1160,7 +1179,7 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"].to_list(),
                                     pdf["payload"].to_list()):
                 try:
-                    w, h, plane = decode_baseline_jpeg(bytes(payload))
+                    w, h, plane = decode(bytes(payload))
                 except ValueError:
                     continue  # malformed blob: drop the row
                 tiles = plane[4::8, 4::8].astype(np.int64).ravel()
