@@ -766,6 +766,47 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
         .alias("meta"))
 
 
+def wav16_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a REAL 16-BIT PCM RIFF/WAVE file
+    (mono, 8 kHz, signed little-endian — round 15): sample
+    s16 = v*257 - 32768 for each cleaned-text codepoint v (both bytes
+    of every sample are live — low byte v, high byte (v+128) & 255 —
+    so the decode genuinely exercises the 16-bit lane), empty/NULL
+    text becomes one v=0 sample. The decoder's (s + 32768) >> 8 fold
+    recovers v exactly, so sql_decode_wav stays the oracle. Python
+    stdlib ``wave`` opens these payloads (asserted in tests). Built in
+    mapInPandas (16-bit LE packing is not a Column expression)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8).astype(np.int64)
+                if v.size == 0:
+                    v = np.zeros(1, dtype=np.int64)
+                data = (v * 257 - 32768).astype("<i2").tobytes()
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data))
+                       + b"WAVEfmt " + struct.pack(
+                           "<IHHIIHH", 16, 1, 1, WAV_RATE,
+                           WAV_RATE * 2, 2, 16)
+                       + b"data" + struct.pack("<I", len(data)))
+                out.append((did, bytearray(hdr + data)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
 def _parse_wav(payload: bytes):
     """Genuine RIFF walk: validate RIFF/WAVE magic, iterate chunks by
     4CC + little-endian size (odd sizes padded to even per the spec),
@@ -799,22 +840,36 @@ def _parse_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     afmt, channels, rate, bits = fmt
-    if (afmt, channels, bits) != (1, 1, 8):
-        raise ValueError("unsupported encoding (want PCM u8 mono)")
+    if afmt != 1 or channels != 1 or bits not in (8, 16):
+        raise ValueError("unsupported encoding (want PCM mono 8/16-bit)")
     if not 0 < rate < (1 << 31):
         # rate = 0 would divide-by-zero in duration math; an absurd
         # rate would overflow the int output column — both are
         # malformed DATA, so they drop per row like any parse failure
         raise ValueError("invalid sample rate")
-    return rate, np.frombuffer(data, dtype=np.uint8)
+    if bits == 8:
+        return rate, np.frombuffer(data, dtype=np.uint8)
+    # 16-bit signed little-endian PCM (round 15 — the width every
+    # real-world recorder emits; u8 is rare in the wild): fold to the
+    # same u8 feature domain as the 8-bit path so every downstream
+    # feature/oracle is width-independent. (s + 32768) >> 8 is the
+    # exact top-byte of the biased sample — lossless for payloads
+    # whose samples sit on the v*257 - 32768 grid (the builder's),
+    # standard 8-bit requantization for everything else.
+    if len(data) % 2:
+        raise ValueError("odd 16-bit data length")
+    s16 = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return rate, ((s16 + 32768) >> 8).astype(np.uint8)
 
 
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL decode of RIFF/WAV payloads via mapInPandas: walk the
-    chunk list, validate the PCM-u8-mono fmt, and emit exact integer
-    features per clip — sample count, rate, duration, mean level in
-    micros, peak. Scalar columns only; payloads never shuffle;
-    malformed payloads are dropped per row (the 100 TB contract)."""
+    chunk list, validate the PCM mono fmt (8- or 16-bit since round
+    15; 16-bit folds to the same u8 feature domain), and emit exact
+    integer features per clip — sample count, rate, duration, mean
+    level in micros, peak. Scalar columns only; payloads never
+    shuffle; malformed payloads are dropped per row (the 100 TB
+    contract)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

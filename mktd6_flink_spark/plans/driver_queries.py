@@ -2269,6 +2269,23 @@ def mm_decode_wav(spark, sf_dir):
     return mm.decode_wav(mm.wav_media_from_documents(docs))
 
 
+@register("mm_decode_wav16", mm.sql_decode_wav("documents"))
+def mm_decode_wav16(spark, sf_dir):
+    """16-BIT PCM WAV decode (round 15) — u8 WAV is rare in the wild;
+    16-bit signed LE is what every recorder/encoder emits, so the
+    u8-only parser was missing the real-world default: every document
+    becomes a genuine 16-bit mono RIFF/WAVE (sample v*257 - 32768 per
+    cleaned codepoint v — BOTH bytes of every sample are live; python
+    stdlib `wave` opens the payloads, asserted in tests), the RIFF
+    walk validates the 16-bit fmt block, and the samples fold to the
+    u8 feature domain via the exact top-byte bias ((s + 32768) >> 8),
+    recovering v bit-exactly — so sql_decode_wav stays the oracle and
+    a byte-order, bias, or fold bug flips the hash. Same clip
+    features, same drop-per-row contract; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_wav(mm.wav16_media_from_documents(docs))
+
+
 _VDUP_MAX_BUCKET = 64
 _VDUP_MIN_MATCH = 2
 

@@ -1,0 +1,114 @@
+"""Round-15 additions: 16-bit PCM WAV decode (+ builder honesty
+against python's stdlib `wave`), and the decode attrition report."""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+
+def _clean(t):
+    return re.sub(r"[^a-z0-9 ]+", "", (t or "").lower())
+
+
+def test_wav16_payloads_open_with_stdlib_wave(spark):
+    """Independent-reader honesty check for the 16-bit lane: stdlib
+    `wave` must open every synthesized payload as 16-bit mono at the
+    declared rate, and its frame bytes must equal the v*257 - 32768
+    samples of the cleaned text."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    texts = {1: "sixteen bit pcm", 2: "", 3: None,
+             4: "z" * 999, 5: "MIXED & punct?!"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    rows = mm.wav16_media_from_documents(docs).collect()
+    assert len(rows) == 5
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.payload))) as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getsampwidth() == 2
+            assert wf.getframerate() == mm.WAV_RATE
+            got = wf.readframes(wf.getnframes())
+        v = np.frombuffer(_clean(texts[r.media_id]).encode("ascii"),
+                          dtype=np.uint8).astype(np.int64)
+        if v.size == 0:
+            v = np.zeros(1, dtype=np.int64)
+        assert got == (v * 257 - 32768).astype("<i2").tobytes(), \
+            r.media_id
+
+
+def test_wav16_parse_folds_to_exact_codepoints():
+    """_parse_wav on a 16-bit payload recovers the u8 domain exactly
+    on the builder grid, and the (s + 32768) >> 8 fold matches an
+    independent biased-top-byte computation on arbitrary samples."""
+    from mktd6_flink_spark.functions.multimodal import (WAV_RATE,
+                                                        _parse_wav)
+
+    def wav16(samples_i16: np.ndarray) -> bytes:
+        data = samples_i16.astype("<i2").tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1,
+                                            WAV_RATE, WAV_RATE * 2,
+                                            2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    v = np.arange(256, dtype=np.int64)
+    rate, got = _parse_wav(wav16(v * 257 - 32768))
+    assert rate == WAV_RATE
+    assert (got == v).all()
+    rng = np.random.RandomState(15)
+    s = rng.randint(-32768, 32768, 500, dtype=np.int64)
+    _, got = _parse_wav(wav16(s))
+    want = ((s + 32768) // 256).astype(np.uint8)
+    assert (got == want).all()
+
+
+def test_wav16_error_contract():
+    from mktd6_flink_spark.functions.multimodal import (WAV_RATE,
+                                                        _parse_wav)
+
+    def wav(fmt_body: bytes, data: bytes) -> bytes:
+        return (b"RIFF" + struct.pack("<I", 20 + len(fmt_body)
+                                      + len(data))
+                + b"WAVEfmt " + struct.pack("<I", len(fmt_body))
+                + fmt_body
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    fmt16 = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    # odd byte count cannot be 16-bit samples
+    with pytest.raises(ValueError, match="odd 16-bit"):
+        _parse_wav(wav(fmt16, b"\x00\x01\x02"))
+    # 24-bit and stereo stay rejected
+    fmt24 = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 3, 3, 24)
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(wav(fmt24, b"\x00" * 6))
+    fmt_st = struct.pack("<HHIIHH", 1, 2, WAV_RATE, WAV_RATE * 4, 4, 16)
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(wav(fmt_st, b"\x00" * 8))
+    # 16-bit with a valid even payload parses: 0x8000 = -32768 folds
+    # to u8 0, 0x0000 = 0 folds to the u8 midpoint 128
+    rate, got = _parse_wav(wav(fmt16, b"\x00\x80\x00\x00"))
+    assert list(got) == [0, 128]
+
+
+def test_decode_wav16_equals_u8_twin(spark):
+    """The two widths must land on IDENTICAL clip features for the
+    same documents — the property that lets them share one oracle."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "same features either width"), (2, ""), (3, "a" * 300)],
+        "doc_id long, text string")
+    a = {r.media_id: r for r in mm.decode_wav(
+        mm.wav_media_from_documents(docs)).collect()}
+    b = {r.media_id: r for r in mm.decode_wav(
+        mm.wav16_media_from_documents(docs)).collect()}
+    assert a.keys() == b.keys() and len(a) == 3
+    for k in a:
+        assert a[k] == b[k]
