@@ -7,15 +7,20 @@ Codec coverage (no codec libs in this container — every decoder below
 is dependency-free):
 
 * REAL: NetPBM P5 images (+ concatenated-P5 video streams), RIFF/WAV
-  PCM audio, baseline JPEG incl. restart markers (full T.81 Huffman +
-  IDCT path, functions/jpeg.py), and PNG (CRC-verified, bounded
-  inflate, functions/png.py). These genuinely parse the bytes.
-* STUBBED: everything else (progressive JPEG, MP4, FLAC):
-  ``decode_media`` raises NotImplementedError unless ``fake=True``, in
-  which case it produces a deterministic fake decode (dimensions
-  derived from the payload hash) so the Spark-side plumbing — schema,
-  batch iteration, partitioning, UDF signatures — is real and testable
-  end to end.
+  PCM audio (8- and 16-bit mono), baseline JPEG incl. restart markers
+  (full T.81 Huffman + IDCT path, functions/jpeg.py), PROGRESSIVE
+  JPEG (Annex G multi-scan, functions/jpeg_progressive.py, round 15),
+  and PNG in grayscale/truecolor/palette with Adam7 interlace
+  (CRC-verified, bounded inflate, functions/png.py). These genuinely
+  parse the bytes.
+* STUBBED: everything else (MP4, FLAC, MP3/AAC): ``decode_media``
+  raises NotImplementedError unless ``fake=True``, in which case it
+  produces a deterministic fake decode (dimensions derived from the
+  payload hash) so the Spark-side plumbing — schema, batch iteration,
+  partitioning, UDF signatures — is real and testable end to end.
+* MEASURED: ``mm_decode_report`` (round 15) publishes per-modality,
+  per-reason drop counters so corpus attrition under the
+  drop-per-row contract is visible, never silent.
 
 Scale notes: media payloads are large blobs; the operators below keep them
 out of shuffles (metadata-only projections shuffle, payloads stay in their
@@ -1559,3 +1564,220 @@ def decode_png(media: DataFrame) -> DataFrame:
               "band int, feat_micro long")
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=schema)
+
+
+# -- Decode attrition report (round 15) --------------------------------------
+#
+# Every decoder above honors the drop-per-row contract — correct, but a
+# production pipeline must PUBLISH what it dropped ("no silent caps"):
+# a corpus of 90% progressive JPEGs fed to a baseline-only decoder
+# would otherwise report success. The report plants a deterministic
+# corruption class per document (doc_id % 5), attempts the real decode
+# map-side, classifies each failure by its ValueError message into an
+# enumerated reason, and aggregates (modality, reason) counts — only
+# the bounded-cardinality pairs ever shuffle, so the shape is
+# 100 TB-safe (one map-side partial agg over the decode pass).
+
+DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
+
+# ordered: first matching pattern wins. The patterns enumerate the
+# decoders' actual ValueError vocabularies (pinned per-class in
+# tests/test_round15.py so a reworded message cannot silently move a
+# failure into "other").
+_REASON_PATTERNS = (
+    ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
+                   "not a JPEG", "marker expected")),
+    # not planted by the report corpus (its corruptions re-sign their
+    # chunks), but real corpora hit it constantly — without the row a
+    # flipped-bit PNG would land in "other"
+    ("bad_crc", ("CRC mismatch",)),
+    ("truncated", ("truncated", "exhausted", "entropy data too small",
+                   "scanline length", "missing IHDR", "missing fmt",
+                   "odd 16-bit", "IDAT inflate", "IDAT stream",
+                   "restart segment count", "no scan before EOI",
+                   "no SOS", "DHT value count")),
+    ("unsupported_profile", ("non-baseline SOF", "not a progressive",
+                             "no supported SOF", "unsupported PNG",
+                             "unsupported encoding", "8-bit precision",
+                             "16-bit quant", "sampling factors",
+                             "components only", "point transform",
+                             "luma sampling", "refinement",
+                             "spectral band", "interleaved",
+                             "first scan must be DC",
+                             "AC scan before DC", "multiple frames")),
+    ("header_invalid", ("decode cap", "invalid dimensions",
+                        "invalid sample rate", "zero image dimension",
+                        "PLTE", "palette", "coefficient planes",
+                        "invalid DC category", "invalid Huffman",
+                        "AC run past", "unknown filter",
+                        "scan component")),
+)
+
+
+def classify_decode_error(msg: str) -> str:
+    """Map a decoder ValueError message to its enumerated attrition
+    reason; unrecognized messages land in 'other' (a nonzero 'other'
+    count in production means the taxonomy needs a new row, not that
+    data was silently lost)."""
+    for reason, pats in _REASON_PATTERNS:
+        if any(p in msg for p in pats):
+            return reason
+    return "other"
+
+
+_REPORT_CLS_REASON = ("ok", "bad_magic", "truncated",
+                      "unsupported_profile", "header_invalid")
+
+
+def _corrupt_for_report(payload: bytes, cls: int, modality: str) -> bytes:
+    """Deterministic corruption for class ``cls`` (doc_id % 5). Each
+    class is engineered to fail with exactly its mapped reason for
+    EVERY document (the oracle counts by class, so per-doc ambiguity
+    would flip the hash): truncation cuts a fixed PREFIX length that
+    always lands mid-header — progressive JPEGs are decodable with any
+    scan SUFFIX dropped (by design), so tail cuts could not guarantee
+    a failure."""
+    if cls == 0:
+        return payload
+    if cls == 1:  # bad_magic: break the signature's first byte
+        return bytes([payload[0] ^ 0xFF]) + payload[1:]
+    if cls == 2:  # truncated: mid-header prefix cut
+        keep = {"image_jpeg": 37,   # inside the 69-byte DQT segment
+                "image_png": 20,    # inside the IHDR chunk data
+                "audio_wav": 30,    # inside the fmt chunk
+                }[modality]
+        return payload[:keep]
+    if modality == "image_jpeg":
+        at = payload.find(b"\xff\xc0")
+        if at < 0:
+            at = payload.find(b"\xff\xc2")
+        if cls == 3:  # SOF3 lossless: a real but unsupported profile
+            return payload[:at + 1] + b"\xc3" + payload[at + 2:]
+        # oversize dims: 65535 x 65535 = 4.3 Gpx, over every cap
+        return (payload[:at + 5] + b"\xff\xff\xff\xff"
+                + payload[at + 9:])
+    if modality == "image_png":
+        import zlib as _z
+        data = bytearray(payload[16:29])  # IHDR data (13 bytes)
+        if cls == 3:
+            data[9] = 4  # gray+alpha: valid PNG, outside our profile
+        else:
+            data[0:4] = data[4:8] = (0x7FFFFFFF).to_bytes(4, "big")
+        crc = _z.crc32(b"IHDR" + bytes(data)).to_bytes(4, "big")
+        return payload[:16] + bytes(data) + crc + payload[33:]
+    b = bytearray(payload)  # audio_wav: fixed 44-byte header layout
+    if cls == 3:
+        b[34:36] = (24).to_bytes(2, "little")  # 24-bit: unsupported
+    else:
+        b[24:28] = (0).to_bytes(4, "little")   # rate 0: invalid field
+    return bytes(b)
+
+
+def attrition_media_from_documents(docs: DataFrame) -> DataFrame:
+    """The report corpus: every document in all three modalities —
+    JPEG (baseline for even doc_ids, PROGRESSIVE for odd), grayscale
+    PNG, WAV (PCM-u8 for even, 16-bit for odd) — each payload then
+    corrupted per its doc_id % 5 class. Returns (modality, media_id,
+    payload)."""
+
+    def mixed_jpeg(grid, did):
+        from .jpeg import encode_dc_jpeg
+        from .jpeg_progressive import encode_dc_jpeg_progressive
+
+        enc = encode_dc_jpeg if did % 2 == 0 else encode_dc_jpeg_progressive
+        return enc(grid)
+
+    jpeg = _raster_media_from_documents(docs, JPEG_BLOCKS_W,
+                                        mixed_jpeg, with_id=True)
+    png = png_media_from_documents(docs)
+    wav = (wav_media_from_documents(docs)
+           .filter(F.col("media_id") % 2 == 0)
+           .select("media_id", "payload")
+           .unionByName(wav16_media_from_documents(docs)
+                        .filter(F.col("media_id") % 2 == 1)))
+    tagged = None
+    for modality, media in (("image_jpeg", jpeg), ("image_png", png),
+                            ("audio_wav", wav)):
+        t = media.select(F.lit(modality).alias("modality"),
+                         "media_id", "payload")
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    def corrupt(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for modality, mid, payload in zip(
+                    pdf["modality"].to_list(),
+                    pdf["media_id"].to_list(),
+                    pdf["payload"].to_list()):
+                out.append((modality, mid, bytearray(
+                    _corrupt_for_report(bytes(payload), mid % 5,
+                                        modality))))
+            yield pd.DataFrame(
+                out, columns=["modality", "media_id", "payload"])
+
+    return tagged.mapInPandas(
+        corrupt, schema="modality string, media_id long, payload binary")
+
+
+def decode_attrition_report(media: DataFrame) -> DataFrame:
+    """Attempt the REAL decode of every payload (dispatching JPEG
+    decoder, gray PNG decoder, 8/16-bit WAV parser), classify each
+    outcome, and count per (modality, reason). Payloads never shuffle
+    — only the classified (modality, reason) pairs do, with map-side
+    partial aggregation."""
+
+    def classify(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .jpeg_progressive import decode_jpeg_any
+        from .png import decode_png_gray
+
+        decoders = {"image_jpeg": decode_jpeg_any,
+                    "image_png": decode_png_gray,
+                    "audio_wav": _parse_wav}
+        for pdf in it:
+            out = []
+            for modality, mid, payload in zip(
+                    pdf["modality"].to_list(),
+                    pdf["media_id"].to_list(),
+                    pdf["payload"].to_list()):
+                try:
+                    decoders[modality](bytes(payload))
+                    reason = "ok"
+                except ValueError as exc:
+                    reason = classify_decode_error(str(exc))
+                out.append((modality, mid, reason))
+            yield pd.DataFrame(
+                out, columns=["modality", "media_id", "reason"])
+
+    classified = media.mapInPandas(
+        classify, schema="modality string, media_id long, reason string")
+    return (classified.groupBy("modality", "reason")
+            .agg(F.count("*").alias("n")))
+
+
+def sql_decode_report(table: str = "documents") -> str:
+    """DuckDB twin of attrition_media_from_documents >>
+    decode_attrition_report: the planted class is a pure function of
+    doc_id, so the expected counts are arithmetic — any decoder that
+    fails on a class-0 payload, succeeds on a corrupted one, or
+    raises a message outside its class's mapped reason flips the
+    hash."""
+    return f"""
+    WITH _ar_cls AS (
+      SELECT doc_id % 5 AS cls, count(*) AS n
+      FROM {table} GROUP BY 1
+    ),
+    _ar_reason AS (
+      SELECT CASE cls WHEN 0 THEN 'ok' WHEN 1 THEN 'bad_magic'
+                      WHEN 2 THEN 'truncated'
+                      WHEN 3 THEN 'unsupported_profile'
+                      ELSE 'header_invalid' END AS reason,
+             n FROM _ar_cls
+    )
+    SELECT m.modality, r.reason, CAST(r.n AS BIGINT) AS n
+    FROM (SELECT unnest(['audio_wav', 'image_jpeg', 'image_png'])
+            AS modality) m, _ar_reason r
+    """

@@ -2269,6 +2269,34 @@ def mm_decode_wav(spark, sf_dir):
     return mm.decode_wav(mm.wav_media_from_documents(docs))
 
 
+@register("mm_decode_report", mm.sql_decode_report("documents"))
+def mm_decode_report(spark, sf_dir):
+    """DECODE ATTRITION REPORT (round 15) — the "no silent caps" rule
+    applied to the drop-per-row contract: every decoder drops
+    malformed blobs correctly, but a production pipeline must PUBLISH
+    what it dropped (a corpus of 90% progressive JPEGs fed to a
+    baseline-only decoder would otherwise report success). The corpus
+    carries every document in three modalities (JPEG — baseline even /
+    progressive odd doc_ids; grayscale PNG; WAV — u8 even / 16-bit
+    odd) with a deterministic corruption class per doc_id % 5: intact,
+    broken magic, mid-header prefix truncation (tail cuts can't work:
+    a progressive JPEG with scan suffixes dropped is decodable BY
+    DESIGN), a real-but-unsupported profile (SOF3 / gray+alpha /
+    24-bit PCM), and an invalid header field (4.3 Gpx dims / 2^62 px
+    PNG / rate 0). The decode attempts run map-side
+    (functions/multimodal.py:decode_attrition_report), each failure's
+    ValueError message is classified into the enumerated reason
+    taxonomy (classify_decode_error — pinned per class in
+    tests/test_round15.py), and only bounded-cardinality (modality,
+    reason) pairs shuffle into the count. The oracle recomputes the
+    expected counts arithmetically from doc_id — a decoder that fails
+    on an intact payload, survives a corrupted one, or raises outside
+    its class's reason flips the hash."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_attrition_report(
+        mm.attrition_media_from_documents(docs))
+
+
 @register("mm_decode_wav16", mm.sql_decode_wav("documents"))
 def mm_decode_wav16(spark, sf_dir):
     """16-BIT PCM WAV decode (round 15) — u8 WAV is rare in the wild;

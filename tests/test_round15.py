@@ -112,3 +112,62 @@ def test_decode_wav16_equals_u8_twin(spark):
     assert a.keys() == b.keys() and len(a) == 3
     for k in a:
         assert a[k] == b[k]
+
+
+# --------------------------------------- decode attrition report (r15)
+
+def test_attrition_classes_pin_reasons():
+    """One payload per (modality, class): the corrupted payload must
+    fail with a message classified to EXACTLY the class's mapped
+    reason, and the intact payload must decode — the per-class
+    contract the mm_decode_report oracle counts on."""
+    from mktd6_flink_spark.functions import multimodal as mm
+    from mktd6_flink_spark.functions.jpeg import encode_dc_jpeg
+    from mktd6_flink_spark.functions.jpeg_progressive import (
+        decode_jpeg_any, encode_dc_jpeg_progressive)
+    from mktd6_flink_spark.functions.png import (decode_png_gray,
+                                                 encode_png_gray)
+
+    grid = np.arange(6, dtype=np.uint8).reshape(2, 3) * 40
+    v = np.array([104, 105], dtype=np.int64)  # "hi"
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + 2) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 2) + bytes([104, 105]))
+    wav16 = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt "
+             + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+             + b"data" + struct.pack("<I", 4)
+             + (v * 257 - 32768).astype("<i2").tobytes())
+    cases = [
+        ("image_jpeg", encode_dc_jpeg(grid), decode_jpeg_any),
+        ("image_jpeg", encode_dc_jpeg_progressive(grid),
+         decode_jpeg_any),
+        ("image_png", encode_png_gray(grid), decode_png_gray),
+        ("audio_wav", wav8, mm._parse_wav),
+        ("audio_wav", wav16, mm._parse_wav),
+    ]
+    for modality, payload, decode in cases:
+        decode(bytes(payload))  # class 0 must decode
+        for cls in range(1, 5):
+            bad = mm._corrupt_for_report(bytes(payload), cls, modality)
+            with pytest.raises(ValueError) as exc:
+                decode(bytes(bad))
+            got = mm.classify_decode_error(str(exc.value))
+            want = mm._REPORT_CLS_REASON[cls]
+            assert got == want, (modality, cls, str(exc.value), got)
+
+
+def test_classify_decode_error_unknown_is_other():
+    from mktd6_flink_spark.functions.multimodal import (
+        classify_decode_error)
+
+    assert classify_decode_error("some future message") == "other"
+    assert classify_decode_error("chunk CRC mismatch") == "bad_crc"
+    # known vocabulary spot checks
+    assert classify_decode_error("not a JPEG payload (no SOI)") == \
+        "bad_magic"
+    assert classify_decode_error("entropy data exhausted") == \
+        "truncated"
+    assert classify_decode_error(
+        "unsupported PNG color type 4 (want 0)") == "unsupported_profile"
+    assert classify_decode_error(
+        "image dimensions exceed decode cap") == "header_invalid"
