@@ -12491,6 +12491,33 @@ _KHOP_HOPS = 3
 _KHOP_SEEDS = 3
 
 
+def _khop_graph(spark, sf_dir):
+    """Shared prep for the k-hop family (batch + streaming twins):
+    the undirected customer–supplier edge table and the top-degree
+    seed frame, both persisted — the expansion loop joins edges once
+    per hop (unpersisted, every hop re-ran the lineitem⋈orders
+    distinct ancestry; persist_audit: Join subtree size=72 x10), and
+    the tiny k-row seed frame is referenced once per hop (persists
+    never evict siblings)."""
+    from ..operators import cache
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = cache.maybe_persist(e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    seeds = cache.maybe_persist(
+        _topk_ranked(deg, [F.col("deg").desc(), F.col("node").asc()],
+                     _KHOP_SEEDS, "rn")
+        .select(F.col("node").alias("seed")))
+    return edges, seeds
+
+
 def _sql_khop(hops: int = _KHOP_HOPS, seeds: int = _KHOP_SEEDS) -> str:
     # AS MATERIALIZED throughout: each visited set is referenced twice
     # per hop (frontier anti-join + union), and DuckDB's default CTE
@@ -12540,26 +12567,8 @@ def graph_khop_reach(spark, sf_dir):
     lesson); an unbounded-depth variant would checkpoint per
     iteration like connected_components does."""
     from ..operators import cache
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
-          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-          .distinct())
-    # persist the edge table: the expansion loop joins it once per hop
-    # (plus deg) — unpersisted, every hop re-ran the lineitem⋈orders
-    # distinct ancestry (persist_audit: Join subtree size=72 x10)
-    edges = cache.maybe_persist(e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg"))
-    # ... and the (tiny, k-row) seed frame: the loop's visited/frontier
-    # lineage references it once per hop — it stays live alongside
-    # the edges cache above (persists never evict siblings)
-    seeds = cache.maybe_persist(
-        _topk_ranked(deg, [F.col("deg").desc(), F.col("node").asc()],
-                     _KHOP_SEEDS, "rn")
-        .select(F.col("node").alias("seed")))
+
+    edges, seeds = _khop_graph(spark, sf_dir)
     visited = seeds.select("seed", F.col("seed").alias("node"))
     frontier = visited
     out = seeds.select("seed", F.lit(0).cast("long").alias("hop"),
@@ -12585,6 +12594,71 @@ def graph_khop_reach(spark, sf_dir):
             visited.unionByName(new))
         frontier = new
     return out
+
+
+@register("streaming_khop_reach", ORACLES["graph_khop_reach"])
+def streaming_khop_reach(spark, sf_dir):
+    """K-hop frontier expansion on the LIVE streaming runtime (round
+    15 — the graph family's first on-ingest form): each hop is a
+    separate Structured Streaming query chained through a FileTopic
+    (plans/market.py — the broker-less Kafka stand-in the composed
+    market dataflow already uses, exactly the reference's
+    topic-chained DAG shape): the previous hop's frontier streams in,
+    stream-STATIC joins the persisted edge table on the node key,
+    anti-joins the statically-read union of all earlier hops'
+    topics (legal stream-static left_anti — each stage runs
+    availableNow to completion before the next starts, so "visited"
+    is immutable while a stage runs), and dedups within the hop via
+    the runtime's stateful dropDuplicates before sinking to the next
+    topic. The final report is a batch count over the hop topics —
+    identical exact set cardinalities to graph_khop_reach, so the two
+    twins share one oracle. State per stage is the (seed, node)
+    dedup set — pair-domain, bounded by seeds x |V| regardless of
+    event volume (growth-audit annotated). At 100 TB the topics are
+    Kafka, the per-hop joins stay partitioned on the node key, and
+    each hop's state is its frontier, never the stream history."""
+    import os
+    import tempfile
+
+    from .market import FileTopic
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edges, seeds = _khop_graph(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="khop_stream_")
+    schema = "seed string, node string"
+    topics = [os.path.join(base, "hop0")]
+    seeds.select("seed", F.col("seed").alias("node")).coalesce(1) \
+        .write.mode("overwrite").json(topics[0])
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for h in range(1, _KHOP_HOPS + 1):
+            visited = spark.read.schema(schema).json(topics)
+            frontier = spark.readStream.schema(schema).json(topics[-1])
+            expand = (frontier.join(edges,
+                                    frontier["node"] == edges["src"])
+                      .select("seed", F.col("dst").alias("node")))
+            new = (expand.join(visited, ["seed", "node"], "left_anti")
+                   .dropDuplicates(["seed", "node"]))
+            topic = FileTopic(os.path.join(base, f"hop{h}"), schema)
+            # pre-create: an empty frontier writes no files, and the
+            # next stage's readStream needs the directory to exist
+            os.makedirs(topic.path, exist_ok=True)
+            q = (topic.sink(new, os.path.join(base, f"ck{h}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            topics.append(topic.path)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    per_hop = [
+        spark.read.schema(schema).json(t)
+        .select("seed", F.lit(h).cast("long").alias("hop"))
+        for h, t in enumerate(topics)]
+    allr = per_hop[0]
+    for df in per_hop[1:]:
+        allr = allr.unionByName(df)
+    return allr.groupBy("seed", "hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"))
 
 
 @register("pipeline_incremental_dedup", f"""

@@ -211,6 +211,12 @@ GROWTH_ALLOWLIST = {
         "pair-domain: co-occurrence counts over item pairs, bounded "
         "by catalog^2 (not events); the synthetic catalog scales "
         "with SF, hence 1473 -> 14743"),
+    "streaming_khop_reach": (
+        "pair-domain: per-hop dropDuplicates state keyed "
+        "(seed, node), bounded by seeds x |V| (graph entities, which "
+        "scale with SF), independent of event volume; each stage's "
+        "stream is one finite frontier that terminates before the "
+        "next starts"),
 }
 
 
