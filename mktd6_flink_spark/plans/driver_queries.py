@@ -12821,57 +12821,78 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # locally at sf0.01 AND sf0.1) + 30 stalest fills from the r7 cohort
 # (per the r13 verdict's staleness burn-down; the last 4 of the
 # generator's fill are displaced by the manual adds and roll to r15).
+# r15 gate window (generated: gate_window.py --window --since 168dee6,
+# UNIFIED STALEST-FIRST — the r15 policy change the r14 verdict asked
+# for): 8 never-graded front (the 3 r14 late additions sim_ivf_assign /
+# streaming_ivf_assign / streaming_decode_png_rgb + the 5 round-15
+# additions mm_decode_jpeg_progressive / mm_decode_png_palette /
+# mm_decode_report / mm_decode_wav16 / streaming_khop_reach — each
+# locally oracle-green at sf0.01 AND sf0.1), then 42 stalest fills:
+# ALL 15 remaining r7-graded entries and 27 of the 41 r8 cohort.
+# Arithmetic: 3 + 5 + 56 stale = 64 must-grades > 50 slots, so 14 r8
+# entries necessarily roll to r16 (listed in the generator comment
+# above the list); after this gate, zero entries are last-graded
+# <= r7 and the r8 residue is 14. The 11 changed-but-recently-graded
+# entries (jpeg.py/png.py/multimodal importers re-fingerprinted by
+# this round's codec work; sim_pq_trained_recall via the sql default
+# mirror) are DEFERRED per the stalest-first policy — each was
+# re-verified locally at sf0.01 AND sf0.1 this round and their
+# oracles are unchanged; re-front them in r16:
+# graph_khop_reach, mm_audio_dedup, mm_decode_jpeg, mm_decode_png,
+# mm_decode_png_rgb, mm_decode_wav, mm_jpeg_phash_dedup,
+# mm_phash_dedup, pipeline_multimodal_curation, sim_pq_trained_recall,
+# streaming_decode_jpeg.
 _GATE_PRIORITY = [
-    "mm_decode_png_rgb",
-    "sim_sq_recall",
-    "sim_truncated_recall",
-    "pipeline_bpe_fertility",
-    "streaming_bpe_fertility",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_pq_recall",
-    "sim_pq_trained_recall",
-    "sim_ivfpq_ann",
-    "sim_ivfpq_recall",
-    "sim_mmr_rerank",
-    "sim_mmr_diversity",
-    "dedup_winnow_recall",
-    "pipeline_bpe_train",
-    "pipeline_bpe_encode",
-    "mm_decode_jpeg",
-    "streaming_decode_jpeg",
-    "mm_jpeg_phash_dedup",
-    "mm_decode_png",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q5ish",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "sim_lsh_ann",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "mm_media_meta",
-    "mm_resize_plan",
-    "mm_frame_plan",
-    "dedup_clusters",
-    "sim_ivf_ann",
-    "dedup_embedding_cosine",
-    "tpch_q4ish",
-    "tpch_q18ish",
-    "text_scrub",
-    "text_chunking",
-    "pipeline_train_val_split",
-    "text_repetition",
-    "sim_ivf_recall",
-    "pipeline_stratified_sample",
-    "text_vocab_top100",
-    "text_lang_confusion",
-    "sim_knn_label_accuracy",
-    "pipeline_source_report",
+    "mm_decode_jpeg_progressive",
+    "mm_decode_png_palette",
+    "streaming_decode_png_rgb",
+    "mm_decode_report",
+    "mm_decode_wav16",
+    "sim_ivf_assign",
+    "streaming_ivf_assign",
+    "streaming_khop_reach",
+    "pipeline_contamination",
+    "pipeline_dataset_manifest",
+    "sim_label_centroids",
+    "join_range_bucketed",
+    "text_bm25_search",
+    "sim_kmeans_centroids",
+    "streaming_dedup_exact",
+    "streaming_w5_sum_per_team",
+    "streaming_w5_top5_traders",
+    "tpch_q12ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q22ish",
+    "tpch_rollup",
+    "streaming_w7_sliding",
+    "p02_hashtag_filter",
+    "p03_sentiment",
+    "p04_non_neutral",
+    "p05_explode_chars",
+    "p07_order_size",
+    "p08_contains",
+    "p10_influence",
+    "st6_trader_ledger",
+    "hash_family_check",
+    "pipeline_curation",
+    "streaming_st1_ema",
+    "streaming_st6_ledger",
+    "streaming_w2_window",
+    "st8_return_amounts",
+    "w5_median_value_per_team",
+    "streaming_st2_product",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_daily_ohlc",
+    "streaming_w4_cogroup",
+    "join_salted_skew",
+    "streaming_st3_burst",
+    "streaming_st7_invest",
+    "streaming_st9_sequence",
+    "streaming_st4_combiner",
+    "tpch_q7ish",
+    "tpch_q13ish",
 ]
 
 

@@ -266,29 +266,43 @@ def changed_since(rev: str) -> list[str]:
 
 
 def build_window(size: int, rev: str | None) -> tuple[list[str], dict]:
+    """Round 15 policy change: UNIFIED stalest-first. The r14 policy
+    front-loaded every changed-fingerprint entry before any stale
+    fill, which let a large changed cohort (one shared-module edit
+    re-fronts every importer) crowd out entries whose last driver
+    grade is many rounds old — the r14 verdict's top task was exactly
+    that backlog, with the instruction "if a changed cohort preempts,
+    stalest-first". Now: never-graded entries front (oldest
+    registration first), then ALL remaining entries ordered by last
+    driver grade ascending, with changed-ness only breaking ties
+    within the same round. A recently-graded changed entry waits
+    (pytest + unchanged oracles cover the interim); a stale unchanged
+    entry gets the external driver row it has lacked longest. The
+    deferred changed cohort is reported so the next round can
+    re-front it."""
     from mktd6_flink_spark.plans import driver_queries as dq
 
     names = list(dq.QUERIES)
     last = _last_graded()
     never = [n for n in names if n not in last]
     changed = set(changed_since(rev)) if rev else set()
-    changed_known = [n for n in names
-                     if n in changed and n in last]
-    changed_known.sort(key=lambda n: last[n])  # stalest grading first
     window = list(never[:size])
-    for n in changed_known:
+    rest = [n for n in names if n in last]
+    rest.sort(key=lambda n: (last[n], n not in changed))
+    for n in rest:
         if len(window) >= size:
             break
         window.append(n)
-    stale_fill = sorted((n for n in names if n not in window),
-                        key=lambda n: last.get(n, 0))
-    while len(window) < size and stale_fill:
-        window.append(stale_fill.pop(0))
     info = {
         "never_graded": never,
         "deferred_never_graded": never[size:],
         "changed_since_rev": sorted(changed),
-        "changed_and_windowed": [n for n in changed_known if n in window],
+        "changed_and_windowed": sorted(
+            n for n in changed if n in window),
+        "changed_deferred": sorted(
+            n for n in changed if n in last and n not in window),
+        "stale_not_windowed": [
+            (n, last[n]) for n in rest if n not in window][:25],
     }
     return window, info
 
@@ -316,12 +330,17 @@ def main(argv: list[str]) -> int:
     if args.window:
         window, info = build_window(args.size, args.since)
         print("# generated by tools/gate_window.py --window"
-              + (f" --since {args.since}" if args.since else ""))
+              + (f" --since {args.since}" if args.since else "")
+              + "  (unified stalest-first, r15 policy)")
         print(f"# never-graded: {len(info['never_graded'])}"
               f" (deferred: {info['deferred_never_graded']})")
         if args.since:
-            print(f"# changed since {args.since} and re-windowed: "
+            print(f"# changed since {args.since} and windowed: "
                   f"{info['changed_and_windowed']}")
+            print(f"# changed but DEFERRED (recently graded; re-front "
+                  f"next round): {info['changed_deferred']}")
+        print(f"# stalest entries left outside the window: "
+              f"{info['stale_not_windowed']}")
         print("_GATE_PRIORITY = [")
         for n in window:
             print(f'    "{n}",')
