@@ -160,7 +160,15 @@ def _fold_body_imports(src, owner_mod, parts, visited, depth):
         for nm in nms:
             obj = getattr(mod, nm, None)
             if obj is None:
-                continue
+                # ``from . import png``: the package attribute exists
+                # only AFTER the submodule's first import, so a getattr
+                # miss here made the fold depend on import history
+                # (non-deterministic across calls in one process —
+                # caught by test_gate_registry). Import it explicitly.
+                try:
+                    obj = importlib.import_module(f"{base}.{nm}")
+                except ImportError:
+                    continue
             if inspect.ismodule(obj):
                 if not _is_ours(obj):
                     continue
