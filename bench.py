@@ -173,6 +173,16 @@ HEADLINE = [
     # round-14 head: truecolor PNG decode (3-byte filter taps,
     # per-channel band features)
     "mm_decode_png_rgb",
+    # round-15 heads: progressive (SOF2) JPEG decode, palette+Adam7
+    # PNG decode, the three-modality attrition report (runs every
+    # decoder over a 5-class corrupted corpus), 16-bit WAV, and the
+    # topic-chained streaming BFS (3 chained availableNow queries —
+    # compare against 3x the floor)
+    "mm_decode_jpeg_progressive",
+    "mm_decode_png_palette",
+    "mm_decode_report",
+    "mm_decode_wav16",
+    "streaming_khop_reach",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -192,6 +202,7 @@ _R11_SET = HEADLINE[:57]       # + the six round-11 heads
 _R12_SET = HEADLINE[:60]       # + the three round-12 heads
 _R12_LATE_SET = HEADLINE[:66]  # the full 66-head panel BENCH_r12 ran
 _R13_SET = HEADLINE[:70]       # the full 70-head panel BENCH_r13 ran
+_R14_SET = HEADLINE[:71]       # the full 71-head panel BENCH_r14 ran
 
 
 def streaming_floor(spark, sf_dir):
@@ -323,6 +334,8 @@ def main() -> int:
                 sum(timings[n] for n in _R12_LATE_SET), 3),
             "r13_comparable_70": round(
                 sum(timings[n] for n in _R13_SET), 3),
+            "r14_comparable_71": round(
+                sum(timings[n] for n in _R14_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -341,6 +354,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R12_LATE_SET), 3),
             "r13_comparable_70": round(
                 sum(tmin[n] for n in _R13_SET), 3),
+            "r14_comparable_71": round(
+                sum(tmin[n] for n in _R14_SET), 3),
         },
         "queries_min": tmin,
     }
