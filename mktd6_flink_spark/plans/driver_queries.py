@@ -2297,6 +2297,33 @@ def mm_decode_report(spark, sf_dir):
         mm.attrition_media_from_documents(docs))
 
 
+@register("streaming_decode_report", mm.sql_decode_report("documents"))
+def streaming_decode_report(spark, sf_dir):
+    """Attrition-on-INGEST (round 15): the mm_decode_report pipeline —
+    three-modality corrupted corpus, real decode attempts, ValueError
+    reason classification — as a LIVE Structured Streaming query, the
+    shape a production ingest actually has: drop counters accumulate
+    as media ARRIVES, not in a corpus-at-rest pass. The builders,
+    corruptor, and classifier are all stateless mapInPandas /
+    Column-expression stages, so they lift onto readStream unchanged;
+    the (modality, reason) count is a bounded-cardinality (3 x 6 max)
+    streaming aggregation finalized in UPDATE mode (per-key latest —
+    the unbounded-key-safe emission). Graded against the SAME
+    arithmetic oracle as the batch twin. Payloads never shuffle;
+    state is one row per (modality, reason) pair."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    report = mm.decode_attrition_report(
+        mm.attrition_media_from_documents(raw))
+    return _run_stream_update_latest(spark, report, "mm_attrition",
+                                     ["modality", "reason"])
+
+
 @register("mm_decode_wav16", mm.sql_decode_wav("documents"))
 def mm_decode_wav16(spark, sf_dir):
     """16-BIT PCM WAV decode (round 15) — u8 WAV is rare in the wild;
