@@ -514,3 +514,73 @@ def test_progressive_fuzz_valueerror_only():
             decode_jpeg_any(bytes(mut))
         except ValueError:
             pass
+
+
+def test_refinement_zrl_and_correction_bit_ordering():
+    """Deterministic crafted-coefficient block pinning the three
+    hardest refinement behaviors at once: a ZRL inside a refinement
+    scan (>15 zero-history positions before a newly-significant
+    coefficient), a correction bit for an already-nonzero coefficient
+    INTERLEAVED into that zero-run walk, and an EOB-region correction
+    bit after the last newly-significant position. Random-raster tests
+    cannot guarantee this shape arises; this one asserts the encoder
+    actually emitted the ZRL, then round-trips."""
+    # zigzag-position coefficients (qval = 1): pos 5 -> 3 (significant
+    # in the al=1 first pass, refinement correction bit 1), pos 30 ->
+    # 1 (newly significant in the al=0 refinement, 28 zero-history
+    # positions before it -> ZRL + (12<<4)|1), pos 40 -> 2
+    # (significant in first pass, correction bit 0 lands in the EOB
+    # region after pos 30).
+    cz = np.zeros((1, 1, 64), dtype=np.int64)
+    cz[0, 0, 0] = -24   # DC, exercised at al=1 with one refinement bit
+    cz[0, 0, 5] = 3
+    cz[0, 0, 30] = 1
+    cz[0, 0, 40] = 2
+
+    # assemble the scan streams directly from the crafted coefficients
+    # (planes cannot target exact quantized values), using the same
+    # token machinery the random tests validate
+    scans = [
+        ("dc0", _dc_first_tokens([cz], [(1, 1)], [0], 1, 1, 1, 8, 8, 0),
+         bytes([1, 1, 0x00, 0, 0, (0 << 4) | 1]), 0),
+        ("dc1", _dc_refine_tokens([cz], [(1, 1)], [0], 0, 1, 1, 8, 8, 0),
+         bytes([1, 1, 0x00, 0, 0, (1 << 4) | 0]), 0),
+        ("ac0", _ac_first_tokens(cz, 1, 63, 1, 1, 1, 0),
+         bytes([1, 1, 0x00, 1, 63, (0 << 4) | 1]), 1),
+        ("ac1", _ac_refine_tokens(cz, 1, 63, 0, 1, 1, 0),
+         bytes([1, 1, 0x00, 1, 63, (1 << 4) | 0]), 1),
+    ]
+    refine_syms = [t for tok in scans[3][1] for t in tok.syms]
+    assert 0xF0 in refine_syms, "crafted block must force a ZRL"
+    assert any((s & 15) == 1 and (s >> 4) > 0 for s in refine_syms)
+
+    qt_zz = bytes([0]) + bytes([1] * 64)
+    sof = (bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    out = b"\xff\xd8" + _seg(0xDB, qt_zz) + _seg(0xC2, sof)
+    for _name, runs, sos_body, tclass in scans:
+        syms = [s for t in runs for s in t.syms]
+        wtr = _Writer()
+        codes = {}
+        if syms:
+            counts, vals, codes = _fixed_codes(syms)
+            out += _seg(0xC4, bytes([tclass << 4]) + bytes(counts)
+                        + vals)
+        for t in runs:
+            for tok in t.toks:
+                if tok[0] == "sym":
+                    code, ln = codes[tok[1]]
+                    wtr.put(code, ln)
+                else:
+                    wtr.put(tok[1], tok[2])
+        out += _seg(0xDA, sos_body) + wtr.done()
+    out += b"\xff\xd9"
+
+    w, h, got = decode_progressive_jpeg(out)
+    assert (w, h) == (8, 8)
+    inv = np.zeros(64, dtype=np.int64)
+    inv[_ZZ] = np.arange(64)
+    f = cz[0, 0][inv].reshape(8, 8).astype(np.float64)
+    want = np.clip(np.round(_B.T @ f @ _B) + 128, 0, 255).astype(
+        np.uint8)
+    assert (got == want).all()
