@@ -3,10 +3,12 @@
 Scope: baseline sequential DCT, 8-bit precision (SOF0), Huffman entropy
 coding, 1-component grayscale or 3-component YCbCr with 4:4:4 / 4:2:0 /
 4:2:2 sampling, restart markers (DRI + RST0-7 — standard camera/encoder
-output, round 14), no progressive (SOF2) or arithmetic coding. That is
-the profile every camera/web "baseline" JPEG uses; the decoder REJECTS
-everything else with ValueError so multimodal callers keep the
-drop-per-row contract (one bad blob is data, not a dead job).
+output, round 14), no arithmetic coding. Progressive (SOF2) lives in
+the sibling module jpeg_progressive (round 15; ``decode_jpeg_any``
+dispatches on the frame marker). That is the profile every camera/web
+"baseline" JPEG uses; the decoder REJECTS everything else with
+ValueError so multimodal callers keep the drop-per-row contract (one
+bad blob is data, not a dead job).
 
 Implementation follows the public spec directly: canonical Huffman
 decode per T.81 §F.2.2.3 (mincode/maxcode/valptr), RECEIVE/EXTEND per
