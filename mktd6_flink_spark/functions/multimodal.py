@@ -812,6 +812,85 @@ def wav16_media_from_documents(docs: DataFrame) -> DataFrame:
         batches, schema="media_id long, payload binary")
 
 
+def wav_stereo_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a REAL STEREO RIFF/WAVE file (round 15
+    — music/podcast audio is overwhelmingly 2-channel): left channel
+    = cleaned-text codepoint v, right channel = (v*37) % 256 (the
+    modulo genuinely binds), interleaved L/R frames; EVEN doc_ids are
+    PCM-u8 stereo, ODD doc_ids 16-bit stereo on the lossless
+    v*257 - 32768 grid — the decoder's width fold + downmix lands
+    both on mono = (v + (v*37) % 256) // 2, so one arithmetic oracle
+    covers the whole corpus. stdlib ``wave`` opens the payloads
+    (asserted in tests)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8).astype(np.int64)
+                if v.size == 0:
+                    v = np.zeros(1, dtype=np.int64)
+                frames = np.stack([v, (v * 37) % 256], axis=-1)
+                if did % 2 == 0:
+                    data = frames.astype(np.uint8).tobytes()
+                    align, bits = 2, 8
+                else:
+                    data = (frames * 257 - 32768).astype("<i2").tobytes()
+                    align, bits = 4, 16
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data))
+                       + b"WAVEfmt " + struct.pack(
+                           "<IHHIIHH", 16, 1, 2, WAV_RATE,
+                           WAV_RATE * align, align, bits)
+                       + b"data" + struct.pack("<I", len(data)))
+                out.append((did, bytearray(hdr + data)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def sql_decode_wav_stereo(table: str = "documents") -> str:
+    """DuckDB twin of wav_stereo_media_from_documents >> decode_wav:
+    the downmixed mono sample is (v + (v*37) % 256) // 2 per cleaned
+    codepoint v (one v=0 frame for empty text) — identical for both
+    planted widths, so one oracle pins the deinterleave, the width
+    fold, and the integer downmix at once."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    mono = ("(unicode(substr(c, CAST(i AS INTEGER), 1))"
+            " + (unicode(substr(c, CAST(i AS INTEGER), 1)) * 37) % 256)"
+            " // 2")
+    return f"""
+    WITH _ws_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             greatest(length({clean}), 1) AS n,
+             length({clean}) AS raw_n
+      FROM {table}
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           (CAST(n AS BIGINT) * 1000) // {WAV_RATE} AS duration_ms,
+           (CAST(CASE WHEN raw_n = 0 THEN 0 ELSE list_aggregate(
+              list_transform(generate_series(1, raw_n),
+                i -> {mono}), 'sum') END AS BIGINT)
+            * 1000000) // n AS mean_micro,
+           CAST(CASE WHEN raw_n = 0 THEN 0 ELSE list_aggregate(
+              list_transform(generate_series(1, raw_n),
+                i -> {mono}), 'max') END AS INTEGER) AS peak
+    FROM _ws_base
+    """
+
+
 def _parse_wav(payload: bytes):
     """Genuine RIFF walk: validate RIFF/WAVE magic, iterate chunks by
     4CC + little-endian size (odd sizes padded to even per the spec),
@@ -845,32 +924,45 @@ def _parse_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     afmt, channels, rate, bits = fmt
-    if afmt != 1 or channels != 1 or bits not in (8, 16):
-        raise ValueError("unsupported encoding (want PCM mono 8/16-bit)")
+    if afmt != 1 or channels not in (1, 2) or bits not in (8, 16):
+        raise ValueError(
+            "unsupported encoding (want PCM mono/stereo 8/16-bit)")
     if not 0 < rate < (1 << 31):
         # rate = 0 would divide-by-zero in duration math; an absurd
         # rate would overflow the int output column — both are
         # malformed DATA, so they drop per row like any parse failure
         raise ValueError("invalid sample rate")
     if bits == 8:
-        return rate, np.frombuffer(data, dtype=np.uint8)
-    # 16-bit signed little-endian PCM (round 15 — the width every
-    # real-world recorder emits; u8 is rare in the wild): fold to the
-    # same u8 feature domain as the 8-bit path so every downstream
-    # feature/oracle is width-independent. (s + 32768) >> 8 is the
-    # exact top-byte of the biased sample — lossless for payloads
-    # whose samples sit on the v*257 - 32768 grid (the builder's),
-    # standard 8-bit requantization for everything else.
-    if len(data) % 2:
-        raise ValueError("odd 16-bit data length")
-    s16 = np.frombuffer(data, dtype="<i2").astype(np.int64)
-    return rate, ((s16 + 32768) >> 8).astype(np.uint8)
+        u8 = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    else:
+        # 16-bit signed little-endian PCM (round 15 — the width every
+        # real-world recorder emits; u8 is rare in the wild): fold to
+        # the same u8 feature domain as the 8-bit path so every
+        # downstream feature/oracle is width-independent.
+        # (s + 32768) >> 8 is the exact top-byte of the biased sample
+        # — lossless for payloads whose samples sit on the
+        # v*257 - 32768 grid (the builder's), standard 8-bit
+        # requantization for everything else.
+        if len(data) % 2:
+            raise ValueError("odd 16-bit data length")
+        s16 = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        u8 = (s16 + 32768) >> 8
+    if channels == 2:
+        # stereo (round 15): music/podcast audio is overwhelmingly
+        # 2-channel. Deinterleave L/R frames and DOWNMIX after the
+        # width fold — mono = (l + r) // 2, exact integer floor, so
+        # the oracle reproduces it arithmetically.
+        if u8.size % 2:
+            raise ValueError("stereo data length mismatch")
+        u8 = (u8[0::2] + u8[1::2]) // 2
+    return rate, u8.astype(np.uint8)
 
 
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL decode of RIFF/WAV payloads via mapInPandas: walk the
-    chunk list, validate the PCM mono fmt (8- or 16-bit since round
-    15; 16-bit folds to the same u8 feature domain), and emit exact
+    chunk list, validate the PCM fmt (mono or stereo, 8- or 16-bit
+    since round 15; 16-bit folds to the u8 feature domain, stereo
+    downmixes (l + r) // 2 after the fold), and emit exact
     integer features per clip — sample count, rate, duration, mean
     level in micros, peak. Scalar columns only; payloads never
     shuffle; malformed payloads are dropped per row (the 100 TB
@@ -1593,7 +1685,8 @@ _REASON_PATTERNS = (
     ("bad_crc", ("CRC mismatch",)),
     ("truncated", ("truncated", "exhausted", "entropy data too small",
                    "scanline length", "missing IHDR", "missing fmt",
-                   "odd 16-bit", "IDAT inflate", "IDAT stream",
+                   "odd 16-bit", "stereo data length", "IDAT inflate",
+                   "IDAT stream",
                    "restart segment count", "no scan before EOI",
                    "no SOS", "DHT value count")),
     ("unsupported_profile", ("non-baseline SOF", "not a progressive",

@@ -2344,6 +2344,25 @@ def mm_decode_wav16(spark, sf_dir):
     return mm.decode_wav(mm.wav16_media_from_documents(docs))
 
 
+@register("mm_decode_wav_stereo", mm.sql_decode_wav_stereo("documents"))
+def mm_decode_wav_stereo(spark, sf_dir):
+    """STEREO WAV decode (round 15) — music/podcast audio is
+    overwhelmingly 2-channel, so the mono-only fmt check was
+    rejecting the other real-world default: every document becomes a
+    genuine interleaved-L/R RIFF/WAVE (left = codepoint v, right =
+    (v*37) % 256; EVEN doc_ids PCM-u8, ODD 16-bit on the lossless
+    grid — stdlib `wave` opens both, asserted in tests), the RIFF
+    walk validates channels=2, deinterleaves frames, folds each
+    channel to the u8 domain, and DOWNMIXES mono = (l + r) // 2 as
+    exact integer floor — so one arithmetic oracle
+    (sql_decode_wav_stereo) pins deinterleave + width fold + downmix
+    for both widths at once, and a frame-alignment or channel-swap
+    bug flips the hash. Same clip features and drop-per-row contract
+    as the mono entries; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_wav(mm.wav_stereo_media_from_documents(docs))
+
+
 _VDUP_MAX_BUCKET = 64
 _VDUP_MIN_MATCH = 2
 

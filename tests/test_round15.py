@@ -84,13 +84,14 @@ def test_wav16_error_contract():
     # odd byte count cannot be 16-bit samples
     with pytest.raises(ValueError, match="odd 16-bit"):
         _parse_wav(wav(fmt16, b"\x00\x01\x02"))
-    # 24-bit and stereo stay rejected
+    # 24-bit stays rejected; stereo 16-bit PARSES since the stereo
+    # lane landed (downmix of equal channels = the channel value)
     fmt24 = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 3, 3, 24)
     with pytest.raises(ValueError, match="unsupported"):
         _parse_wav(wav(fmt24, b"\x00" * 6))
     fmt_st = struct.pack("<HHIIHH", 1, 2, WAV_RATE, WAV_RATE * 4, 4, 16)
-    with pytest.raises(ValueError, match="unsupported"):
-        _parse_wav(wav(fmt_st, b"\x00" * 8))
+    _rate, st = _parse_wav(wav(fmt_st, b"\x00" * 8))
+    assert list(st) == [128, 128]
     # 16-bit with a valid even payload parses: 0x8000 = -32768 folds
     # to u8 0, 0x0000 = 0 folds to the u8 midpoint 128
     rate, got = _parse_wav(wav(fmt16, b"\x00\x80\x00\x00"))
@@ -171,3 +172,70 @@ def test_classify_decode_error_unknown_is_other():
         "unsupported PNG color type 4 (want 0)") == "unsupported_profile"
     assert classify_decode_error(
         "image dimensions exceed decode cap") == "header_invalid"
+
+
+# ------------------------------------------------- stereo WAV (r15)
+
+def test_wav_stereo_payloads_open_with_stdlib_wave(spark):
+    """stdlib `wave` must open both planted stereo widths with 2
+    channels and the right sample width, and the frame bytes must
+    equal the interleaved L/R derivation."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    texts = {2: "even is u8 stereo", 3: "odd is sixteen bit", 4: "",
+             5: None}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    rows = mm.wav_stereo_media_from_documents(docs).collect()
+    assert len(rows) == 4
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.payload))) as wf:
+            assert wf.getnchannels() == 2
+            assert wf.getsampwidth() == (1 if r.media_id % 2 == 0
+                                         else 2)
+            assert wf.getframerate() == mm.WAV_RATE
+            got = wf.readframes(wf.getnframes())
+        v = np.frombuffer(_clean(texts[r.media_id]).encode("ascii"),
+                          dtype=np.uint8).astype(np.int64)
+        if v.size == 0:
+            v = np.zeros(1, dtype=np.int64)
+        frames = np.stack([v, (v * 37) % 256], axis=-1)
+        if r.media_id % 2 == 0:
+            want = frames.astype(np.uint8).tobytes()
+        else:
+            want = (frames * 257 - 32768).astype("<i2").tobytes()
+        assert got == want, r.media_id
+
+
+def test_wav_stereo_downmix_exact():
+    """Deinterleave + width-fold + (l + r) // 2 downmix, pinned on
+    crafted frames in both widths."""
+    from mktd6_flink_spark.functions.multimodal import (WAV_RATE,
+                                                        _parse_wav)
+
+    def wav(channels, bits, data):
+        align = channels * (bits // 8)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, channels, WAV_RATE,
+                    WAV_RATE * align, align, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # u8 stereo: frames (10, 21), (255, 0), (7, 8)
+    _, got = _parse_wav(wav(2, 8, bytes([10, 21, 255, 0, 7, 8])))
+    assert list(got) == [(10 + 21) // 2, (255 + 0) // 2, (7 + 8) // 2]
+    # 16-bit stereo on the lossless grid
+    v = np.array([[3, 200], [128, 129]], dtype=np.int64)
+    data = (v * 257 - 32768).astype("<i2").tobytes()
+    _, got = _parse_wav(wav(2, 16, data))
+    assert list(got) == [(3 + 200) // 2, (128 + 129) // 2]
+    # stereo with an odd FRAME count (u8: 3 bytes) is malformed and
+    # classifies as truncated
+    from mktd6_flink_spark.functions.multimodal import (
+        classify_decode_error)
+    with pytest.raises(ValueError) as exc:
+        _parse_wav(wav(2, 8, bytes([1, 2, 3])))
+    assert classify_decode_error(str(exc.value)) == "truncated"
+    # 3-channel stays rejected
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(wav(3, 8, bytes([1, 2, 3])))
