@@ -1564,17 +1564,24 @@ def png_palette_media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def sql_decode_png_rgb(table: str = "documents",
-                       cap: int | None = None) -> str:
+                       cap: int | None = None,
+                       vmap: str = "{v}") -> str:
     """DuckDB twin of png_rgb_media_from_documents >>
     decode_png_rgb_features: rebuild each channel arithmetically from
-    the cleaned text (R = v, G = 255 - v, B = (v*37) % 256; padding
-    v = 0) and compute the same integer band micro-means — PNG is
-    lossless, so every value pins the full chunk/inflate/filter path
-    bit-exactly."""
+    the cleaned text (R = u, G = 255 - u, B = (u*37) % 256 where
+    u = vmap(codepoint v); padding v = 0) and compute the same
+    integer band micro-means — PNG is lossless, so every value pins
+    the full chunk/inflate/filter path bit-exactly. ``vmap`` is a
+    format template over the raw byte (default identity); the 4-bit
+    palette entry maps v -> (v % 16) * 17 so the SAME channel
+    derivations cover the indexed corpus (round 15)."""
     clean = ("regexp_replace(lower(coalesce(text, '')),"
              " '[^a-z0-9 ]+', '', 'g')")
     if cap is not None:
         clean = f"substring({clean}, 1, {cap})"
+    v = vmap.format(
+        v="CASE WHEN band * band_len + i <= n THEN unicode(substr(c, "
+          "CAST(band * band_len + i AS INTEGER), 1)) ELSE 0 END")
     return f"""
     WITH _pc_base AS (
       SELECT doc_id AS media_id, {clean} AS c,
@@ -1598,25 +1605,35 @@ def sql_decode_png_rgb(table: str = "documents",
              AS channel, CAST(band AS INTEGER) AS band,
            (CAST(list_aggregate(list_transform(
               generate_series(1, band_len),
-              i -> CASE WHEN channel = 0 THEN
-                     CASE WHEN band * band_len + i <= n
-                          THEN unicode(substr(c,
-                            CAST(band * band_len + i AS INTEGER), 1))
-                          ELSE 0 END
-                   WHEN channel = 1 THEN
-                     255 - CASE WHEN band * band_len + i <= n
-                          THEN unicode(substr(c,
-                            CAST(band * band_len + i AS INTEGER), 1))
-                          ELSE 0 END
-                   ELSE
-                     (CASE WHEN band * band_len + i <= n
-                          THEN unicode(substr(c,
-                            CAST(band * band_len + i AS INTEGER), 1))
-                          ELSE 0 END * 37) % 256
+              i -> CASE WHEN channel = 0 THEN ({v})
+                   WHEN channel = 1 THEN 255 - ({v})
+                   ELSE (({v}) * 37) % 256
                    END), 'sum') AS BIGINT)
             * 1000000) // band_len AS feat_micro
     FROM _pc_ch
     """
+
+
+def png_pal4_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a real 4-BIT palette PNG (round 15 —
+    the classic icon profile: 16 colors, two pixels per byte): index
+    = v % 16 per text-raster byte, PLTE entry i = the truecolor
+    channel derivations of u = i*17 (u spans 0..255 exactly), so the
+    decoded RGB equals the vmap'd sql_decode_png_rgb oracle. Every
+    ODD doc_id is Adam7-interlaced — sub-byte pass scanlines pack
+    independently, the container variation the depth work must
+    survive. Same clean/cap/pad contract as every raster builder."""
+    from .png import encode_png_palette
+
+    def enc(grid, did):
+        import numpy as np
+
+        pal = _rgb_channels(np.arange(16, dtype=np.int64) * 17)
+        return encode_png_palette(grid % 16, pal, depth=4,
+                                  interlace=bool(did % 2))
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
 
 
 def decode_png(media: DataFrame) -> DataFrame:

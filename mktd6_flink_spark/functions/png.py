@@ -6,8 +6,11 @@ reproduce decoded features from the raster's source text.
 
 Decoder scope: color types 0 (grayscale), 2 (truecolor RGB — round
 14) and 3 (palette-indexed via PLTE — round 15; icons/screenshots and
-older web images are a large slice of real crawls), bit depth 8,
-compression 0, filter method 0 with ALL FIVE per-scanline filter types
+older web images are a large slice of real crawls), bit depths
+1/2/4/8 for gray and palette (icons are typically 4-bit or less;
+sub-byte samples unpack MSB-first per §2.3, gray scales by the exact
+255/(2^d - 1) factor) and 8 for truecolor, compression 0, filter
+method 0 with ALL FIVE per-scanline filter types
 reconstructed (None/Sub/Up/Average/Paeth — §6 of the spec; the
 left/upper-left taps step by the pixel's BYTE width, 1 or 3), and BOTH
 interlace methods (0 = none, 1 = Adam7 — round 15: each of the seven
@@ -51,12 +54,26 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data)))
 
 
-def _scanlines(r3: "np.ndarray", interlace: bool) -> bytes:
-    """Serialize an [h, w, bpp] raster as filter-0 scanlines, in
+def _pack_row(row: "np.ndarray", depth: int) -> bytes:
+    """One scanline of samples -> packed bytes: depth-bit values
+    MSB-first within each byte (RFC 2083 §2.3), zero-padded to the
+    byte boundary. depth 8 is the identity."""
+    flat = row.ravel()
+    if depth == 8:
+        return flat.astype(np.uint8).tobytes()
+    shifts = np.arange(depth - 1, -1, -1)
+    bits = ((flat[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+    return np.packbits(bits).tobytes()
+
+
+def _scanlines(r3: "np.ndarray", interlace: bool,
+               depth: int = 8) -> bytes:
+    """Serialize an [h, w, channels] raster as filter-0 scanlines, in
     Adam7 pass order when ``interlace`` (each pass an independent
-    sub-image; empty passes emit nothing)."""
+    sub-image; empty passes emit nothing). Sub-byte depths pack each
+    scanline independently (pass scanlines never share bytes)."""
     if not interlace:
-        return b"".join(b"\x00" + r3[y].tobytes()
+        return b"".join(b"\x00" + _pack_row(r3[y], depth)
                         for y in range(r3.shape[0]))
     parts = []
     for x0, y0, dx, dy in _ADAM7:
@@ -64,19 +81,25 @@ def _scanlines(r3: "np.ndarray", interlace: bool) -> bytes:
         if sub.shape[0] == 0 or sub.shape[1] == 0:
             continue
         for y in range(sub.shape[0]):
-            parts.append(b"\x00" + sub[y].tobytes())
+            parts.append(b"\x00" + _pack_row(sub[y], depth))
     return b"".join(parts)
 
 
-def encode_png_gray(raster: "np.ndarray", interlace: bool = False) -> bytes:
-    """Encode an [h, w] uint8 raster as an 8-bit grayscale PNG
-    (filter 0 scanlines — the decoder handles the rest)."""
+def encode_png_gray(raster: "np.ndarray", interlace: bool = False,
+                    depth: int = 8) -> bytes:
+    """Encode an [h, w] uint8 raster as a grayscale PNG (filter 0
+    scanlines — the decoder handles the rest). ``depth`` in
+    {1, 2, 4, 8}: sub-byte rasters must hold values < 2**depth."""
     raster = np.asarray(raster, dtype=np.uint8)
     h, w = raster.shape
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, int(interlace))
-    lines = _scanlines(raster.reshape(h, w, 1), interlace)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("unsupported bit depth")
+    if depth < 8 and int(raster.max(initial=0)) >= (1 << depth):
+        raise ValueError("sample beyond bit depth")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, int(interlace))
+    lines = _scanlines(raster.reshape(h, w, 1), interlace, depth)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(lines))
             + _chunk(b"IEND", b""))
@@ -99,22 +122,26 @@ def encode_png_rgb(raster: "np.ndarray", interlace: bool = False) -> bytes:
 
 
 def encode_png_palette(idx: "np.ndarray", palette: "np.ndarray",
-                       interlace: bool = False) -> bytes:
-    """Encode an [h, w] uint8 INDEX raster as an 8-bit palette PNG
-    (color type 3): ``palette`` is [n, 3] uint8 RGB entries emitted as
-    the PLTE chunk; every index must be < n."""
+                       interlace: bool = False,
+                       depth: int = 8) -> bytes:
+    """Encode an [h, w] uint8 INDEX raster as a palette PNG (color
+    type 3): ``palette`` is [n, 3] uint8 RGB entries emitted as the
+    PLTE chunk; every index must be < n and < 2**depth (``depth`` in
+    {1, 2, 4, 8} — icons are typically 4-bit or less)."""
     idx = np.asarray(idx, dtype=np.uint8)
     palette = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
     if h == 0 or w == 0:
         raise ValueError("empty raster")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("unsupported bit depth")
     if (palette.ndim != 2 or palette.shape[1] != 3
             or not 1 <= palette.shape[0] <= 256):
         raise ValueError("palette must be [1..256, 3]")
-    if int(idx.max(initial=0)) >= palette.shape[0]:
+    if int(idx.max(initial=0)) >= min(palette.shape[0], 1 << depth):
         raise ValueError("index beyond palette")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
-    lines = _scanlines(idx.reshape(h, w, 1), interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+    lines = _scanlines(idx.reshape(h, w, 1), interlace, depth)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"PLTE", palette.tobytes())
             + _chunk(b"IDAT", zlib.compress(lines))
@@ -164,13 +191,18 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(payload: bytes, want_ctype: int,
-                bpp: int) -> tuple[int, int, np.ndarray, bytes | None]:
-    """Shared chunk walk + inflate + filter reconstruction. Returns
-    (w, h, reconstructed scanline bytes [h, w*bpp], PLTE bytes or
-    None). Handles both interlace methods: Adam7 streams are seven
-    independently-filtered sub-images (each pass restarts the filter
-    predictor — its first line has an all-zero prior row) scattered
-    back onto the 8x8 grid."""
+                channels: int) -> tuple[int, int, np.ndarray,
+                                        bytes | None, int]:
+    """Shared chunk walk + inflate + filter reconstruction + sample
+    unpacking. Returns (w, h, samples [h, w*channels] — palette
+    indices or raw gray samples at the file's depth, NOT yet scaled —
+    PLTE bytes or None, bit depth). Handles both interlace methods
+    (Adam7 passes are independently-filtered sub-images scattered
+    back on the 8x8 grid) and bit depths 1/2/4/8 for gray/palette
+    (8 only for truecolor, per RFC 2083 §2.3): filtering always
+    operates on the packed BYTES (the left tap steps by the pixel
+    byte width, min 1), then each scanline's samples unpack
+    MSB-first."""
     if payload[:8] != _SIG:
         raise ValueError("not a PNG payload")
     pos, n = 8, len(payload)
@@ -206,18 +238,24 @@ def _decode_png(payload: bytes, want_ctype: int,
     if ihdr is None or not idat or not ended:
         raise ValueError("missing IHDR/IDAT/IEND")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if (depth, comp, filt) != (8, 0, 0) or interlace not in (0, 1):
-        raise ValueError("unsupported PNG profile "
-                         "(want 8-bit depth, methods 0)")
+    if (comp, filt) != (0, 0) or interlace not in (0, 1):
+        raise ValueError("unsupported PNG profile (methods 0)")
+    if depth not in ((8,) if want_ctype == 2 else (1, 2, 4, 8)):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
     if ctype_ != want_ctype:
         raise ValueError(f"unsupported PNG color type {ctype_} "
                          f"(want {want_ctype})")
-    if w == 0 or h == 0 or w * h * bpp > (1 << 26):
+    if w == 0 or h == 0 or w * h * channels > (1 << 26):
         raise ValueError("invalid dimensions")
-    stride = w * bpp
+    bpp = max(1, depth * channels // 8)
+
+    def stride_of(pw: int) -> int:
+        return -(-pw * depth * channels // 8)
+
+    stride = stride_of(w)
     if interlace:
         dims = _adam7_dims(w, h)
-        expected = sum(ph * (pw * bpp + 1)
+        expected = sum(ph * (stride_of(pw) + 1)
                        for pw, ph in dims if pw and ph)
     else:
         expected = h * (stride + 1)
@@ -234,25 +272,44 @@ def _decode_png(payload: bytes, want_ctype: int,
     # the stream must also END here (no pending inflate output)
     if dec.decompress(b"", 1) or not dec.eof:
         raise ValueError("IDAT stream longer than the scanlines")
+    def to_samples(rows: np.ndarray, pw: int) -> np.ndarray:
+        """Unfiltered scanline bytes [n, stride_of(pw)] -> samples
+        [n, pw*channels] (MSB-first within each byte; trailing pad
+        bits discarded per scanline)."""
+        if depth == 8:
+            return rows[:, :pw * channels]
+        bits = np.unpackbits(rows, axis=1)[:, :pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+        return (bits.reshape(rows.shape[0], pw, depth)
+                * weights).sum(axis=2).astype(np.uint8)
+
     if not interlace:
-        return w, h, _unfilter(raw, h, stride, bpp), plte
-    out3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        samples = to_samples(_unfilter(raw, h, stride, bpp), w)
+        return w, h, samples, plte, depth
+    out3 = np.zeros((h, w, channels), dtype=np.uint8)
     at = 0
     for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
         if pw == 0 or ph == 0:
             continue
-        seg = ph * (pw * bpp + 1)
-        sub = _unfilter(raw[at:at + seg], ph, pw * bpp, bpp)
+        seg = ph * (stride_of(pw) + 1)
+        sub = to_samples(
+            _unfilter(raw[at:at + seg], ph, stride_of(pw), bpp), pw)
         at += seg
-        out3[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
-    return w, h, out3.reshape(h, stride), plte
+        out3[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+    return w, h, out3.reshape(h, w * channels), plte, depth
 
 
 def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8-bit grayscale PNG; returns (width, height, raster
-    uint8 [h, w]). Raises ValueError on anything outside the
-    supported profile, truncated/corrupt chunks, or CRC mismatch."""
-    w, h, out, _ = _decode_png(payload, want_ctype=0, bpp=1)
+    """Decode a grayscale PNG (bit depth 1/2/4/8); returns (width,
+    height, raster uint8 [h, w]) with sub-byte samples scaled to the
+    full 0..255 range by the exact RFC factor 255 / (2**depth - 1)
+    (an integer for every legal depth). Raises ValueError on anything
+    outside the supported profile, truncated/corrupt chunks, or CRC
+    mismatch."""
+    w, h, out, _, depth = _decode_png(payload, want_ctype=0, channels=1)
+    if depth < 8:
+        out = (out.astype(np.int64)
+               * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return w, h, out
 
 
@@ -260,16 +317,20 @@ def decode_png_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an 8-bit truecolor PNG (color type 2); returns (width,
     height, raster uint8 [h, w, 3]). Same ValueError contract as the
     grayscale path."""
-    w, h, out, _ = _decode_png(payload, want_ctype=2, bpp=3)
+    w, h, out, _, _depth = _decode_png(payload, want_ctype=2,
+                                       channels=3)
     return w, h, out.reshape(h, w, 3)
 
 
 def decode_png_palette(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8-bit palette PNG (color type 3): indices are mapped
-    through the PLTE chunk to RGB; returns (width, height, raster
-    uint8 [h, w, 3]). A missing PLTE or an index beyond the palette is
-    a ValueError row-drop like every other malformation."""
-    w, h, idx, plte = _decode_png(payload, want_ctype=3, bpp=1)
+    """Decode a palette PNG (color type 3, bit depth 1/2/4/8):
+    indices are mapped through the PLTE chunk to RGB (indices are
+    never scaled — depth only changes the packing); returns (width,
+    height, raster uint8 [h, w, 3]). A missing PLTE or an index
+    beyond the palette is a ValueError row-drop like every other
+    malformation."""
+    w, h, idx, plte, _depth = _decode_png(payload, want_ctype=3,
+                                          channels=1)
     if plte is None:
         raise ValueError("palette PNG without PLTE")
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)

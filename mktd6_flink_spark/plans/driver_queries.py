@@ -2206,6 +2206,30 @@ def mm_decode_png_palette(spark, sf_dir):
         mm.png_palette_media_from_documents(docs))
 
 
+@register("mm_decode_png_pal4",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS,
+                                vmap="(({v}) % 16) * 17"))
+def mm_decode_png_pal4(spark, sf_dir):
+    """SUB-BYTE palette PNG decode (round 15) — the classic icon
+    profile (16 colors, 4 bits per pixel, two pixels per byte): each
+    document becomes a genuine depth-4 palette PNG (index = byte %
+    16; the 16-entry PLTE holds the truecolor derivations of u =
+    i*17, spanning 0..255 exactly), odd doc_ids Adam7-interlaced —
+    sub-byte PASS scanlines pack independently, so the depth work and
+    the interlace geometry compose. The decode unfilters the packed
+    BYTES (left tap = 1 byte regardless of depth, RFC 2083 §2.3),
+    unpacks MSB-first 4-bit indices per scanline discarding pad bits,
+    de-interlaces, maps through the PLTE, and emits the same
+    per-channel band features — the oracle is sql_decode_png_rgb with
+    v -> (v % 16) * 17, so a bit-order, stride-padding, or
+    pass-geometry bug flips the hash. Cross-validated against an
+    independent packed+filtered encoder in tests/test_png.py;
+    malformed payloads drop per row; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_png_palette_features(
+        mm.png_pal4_media_from_documents(docs))
+
+
 @register("streaming_decode_jpeg", mm.sql_decode_jpeg("documents"))
 def streaming_decode_jpeg(spark, sf_dir):
     """Compressed-codec DECODE-ON-INGEST through the LIVE streaming

@@ -386,3 +386,156 @@ def test_palette_fuzz_valueerror_only():
             decode_png_palette(bytes(mut))
         except ValueError:
             pass
+
+
+# ------------------------------------------ sub-byte depths (r15)
+
+def _pack_bits_ref(row, depth):
+    """Independent MSB-first packer (bit arithmetic, no numpy
+    packbits): depth-bit samples into bytes, zero pad."""
+    acc, nbits, out = 0, 0, bytearray()
+    for v in row:
+        acc = (acc << depth) | int(v)
+        nbits += depth
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def encode_filtered_subbyte(raster, depth, ctype, filter_of,
+                            palette=None, interlace=False):
+    """Independent sub-byte encoder: pack each scanline FIRST, then
+    filter the packed BYTES with 1-byte taps (RFC 2083 §2.3/§6.2) —
+    plain or Adam7 (each pass packs and filters independently)."""
+    h, w = raster.shape
+    r = raster.astype(int)
+
+    def filtered_lines(rows, tag):
+        lines = bytearray()
+        prev = [0] * len(rows[0]) if rows else []
+        for y, packed in enumerate(rows):
+            f = filter_of(tag, y)
+            lines.append(f)
+            cur = list(packed)
+            for x in range(len(cur)):
+                left = cur[x - 1] if x else 0
+                up = prev[x] if y else 0
+                ul = prev[x - 1] if (x and y) else 0
+                if f == 0:
+                    v = cur[x]
+                elif f == 1:
+                    v = cur[x] - left
+                elif f == 2:
+                    v = cur[x] - up
+                elif f == 3:
+                    v = cur[x] - ((left + up) >> 1)
+                else:
+                    v = cur[x] - _paeth_ref(left, up, ul)
+                lines.append(v & 0xFF)
+            prev = cur
+        return lines
+
+    lines = bytearray()
+    if not interlace:
+        rows = [_pack_bits_ref(r[y], depth) for y in range(h)]
+        lines += filtered_lines(rows, 0)
+    else:
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7_REF):
+            sub = r[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = [_pack_bits_ref(sub[y], depth)
+                    for y in range(sub.shape[0])]
+            lines += filtered_lines(rows, pi)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       int(interlace))
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return (out + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_subbyte_gray_filtered_reconstructs_exactly(depth, interlace):
+    """Sub-byte gray across filters and both interlace methods, with
+    widths that leave pad bits in the scanline; decoded samples scale
+    by the exact 255/(2^d - 1) factor."""
+    rng = np.random.RandomState(89 + depth)
+    raster = rng.randint(0, 1 << depth, (11, 13)).astype(np.uint8)
+    p = encode_filtered_subbyte(raster, depth, 0,
+                                lambda tag, y: (tag + y) % 5,
+                                interlace=interlace)
+    w, h, got = decode_png_gray(p)
+    assert (w, h) == (13, 11)
+    assert (got == raster.astype(int) * (255 // ((1 << depth) - 1))).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_filtered_adam7(depth):
+    from mktd6_flink_spark.functions.png import decode_png_palette
+
+    rng = np.random.RandomState(97)
+    pal = rng.randint(0, 256, (1 << depth, 3), dtype=np.uint8)
+    idx = rng.randint(0, 1 << depth, (9, 7)).astype(np.uint8)
+    p = encode_filtered_subbyte(idx, depth, 3,
+                                lambda tag, y: (2 * tag + y) % 5,
+                                palette=pal, interlace=True)
+    _w, _h, got = decode_png_palette(p)
+    assert (got == pal[idx]).all()
+
+
+def test_subbyte_production_encoders_roundtrip():
+    from mktd6_flink_spark.functions.png import (decode_png_palette,
+                                                 encode_png_palette)
+
+    rng = np.random.RandomState(101)
+    for depth in (1, 2, 4):
+        g = rng.randint(0, 1 << depth, (6, 19)).astype(np.uint8)
+        w, h, got = decode_png_gray(
+            encode_png_gray(g, interlace=True, depth=depth))
+        assert (got == g.astype(int) * (255 // ((1 << depth) - 1))).all()
+        pal = rng.randint(0, 256, (1 << depth, 3), dtype=np.uint8)
+        _w, _h, got = decode_png_palette(
+            encode_png_palette(g, pal, interlace=True, depth=depth))
+        assert (got == pal[g]).all()
+
+
+def test_subbyte_error_contract():
+    from mktd6_flink_spark.functions.png import (decode_png_rgb,
+                                                 encode_png_gray)
+
+    # depth 3 is not a PNG depth; depth 16 is real but unsupported;
+    # truecolor must stay 8-bit
+    g = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png_gray(g, depth=4)
+    ihdr_data = bytearray(good[16:29])
+    for bad_depth in (3, 16):
+        d = bytearray(ihdr_data)
+        d[8] = bad_depth
+        crc = zlib.crc32(b"IHDR" + bytes(d)).to_bytes(4, "big")
+        p = good[:16] + bytes(d) + crc + good[33:]
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png_gray(p)
+    rgb4 = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    p = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", rgb4)
+         + _chunk(b"IDAT", zlib.compress(b"\x00" * 28))
+         + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_rgb(p)
+    # encoder guards
+    with pytest.raises(ValueError, match="beyond bit depth"):
+        encode_png_gray(np.full((2, 2), 4, dtype=np.uint8), depth=2)
+    # 4-bit payload fuzz stays ValueError-only
+    from mktd6_flink_spark.functions.png import decode_png_gray as dg
+    for i in range(0, len(good), 5):
+        mut = bytearray(good)
+        mut[i] ^= 0x10
+        try:
+            dg(bytes(mut))
+        except ValueError:
+            pass
