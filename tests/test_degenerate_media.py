@@ -49,7 +49,10 @@ WAV_BAD = [
     _wav(data=False),                       # missing data chunk
     _wav(rate=0),                           # zero sample rate
     _wav(afmt=3),                           # float PCM (unsupported)
-    _wav(channels=2),                       # stereo (unsupported)
+    _wav(channels=3),                       # 3-channel (unsupported;
+                                            # stereo DECODES since r15)
+    _wav(channels=2, samples=b"\x01\x02\x03"),  # stereo with a
+                                            # misaligned frame count
     _wav(fmt_size=10),                      # short fmt block
     GOOD_WAV[:-2],                          # truncated final chunk
 ]
