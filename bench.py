@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -203,6 +204,7 @@ _R12_SET = HEADLINE[:60]       # + the three round-12 heads
 _R12_LATE_SET = HEADLINE[:66]  # the full 66-head panel BENCH_r12 ran
 _R13_SET = HEADLINE[:70]       # the full 70-head panel BENCH_r13 ran
 _R14_SET = HEADLINE[:71]       # the full 71-head panel BENCH_r14 ran
+_R15_SET = HEADLINE[:76]       # the full 76-head panel BENCH_r15 ran
 
 
 def streaming_floor(spark, sf_dir):
@@ -224,7 +226,9 @@ def streaming_floor(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("floor sentinel drain exceeded 300s")
     return spark.table(name)
 
 
@@ -234,6 +238,54 @@ def sf_from_dir(d: str) -> float:
         return float(base.removeprefix("sf"))
     except ValueError:
         return -1.0
+
+
+
+# Hard ceiling for the final stdout line. The driver captures only a
+# bounded tail (~2000 chars) of this process's output and parses the
+# LAST JSON line out of it; round 10 (51 heads of diagnostics) and
+# round 15 (76 per-head timings + floor_sec, ~2.1 KB) both overflowed
+# that window and were recorded as parsed:null. The fix is STRUCTURAL:
+# the final line carries only O(1) driver-contract fields — the total,
+# sf, the floor calibration constant, and the LATEST few comparability
+# subtotals — never anything proportional to panel size. Per-head
+# medians/mins/spreads live in BENCH_DETAIL.json next to this script.
+_COMPACT_LINE_MAX = 1200
+_COMPACT_SUBTOTAL_KEEP = 4  # latest N comparability subtotals inline
+
+
+def render_compact_line(total, sf, floor_sec, subtotals_min) -> str:
+    """Render the one machine-readable stdout line (driver contract).
+
+    Guaranteed <= _COMPACT_LINE_MAX bytes regardless of how many heads
+    the panel grows to: only the newest _COMPACT_SUBTOTAL_KEEP
+    subtotals ride inline (they sort lexically by round because the
+    keys embed zero-padded-enough round numbers r6..r15; if a two-digit
+    round ever sorts wrong the size cap still holds). If some future
+    edit still overflows, subtotals are dropped entirely rather than
+    risking a parsed:null round."""
+    def _round_no(k):
+        m = re.match(r"r(\d+)_", k)
+        return int(m.group(1)) if m else -1
+    keep = sorted(subtotals_min, key=_round_no)[-_COMPACT_SUBTOTAL_KEEP:]
+    line = json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        # environment calibration constant: the sentinel's median —
+        # pure query-lifecycle machinery, zero operator content — so
+        # cross-round comparisons self-normalize for VM speed drift
+        # (r13->r14 drifted 1.4x with zero code changes).
+        "floor_sec": floor_sec,
+        "subtotals_min": {k: subtotals_min[k] for k in keep},
+    }, separators=(",", ":"))
+    if len(line) > _COMPACT_LINE_MAX:  # belt-and-braces fallback
+        line = json.dumps({
+            "metric": "headline_total_wall", "value": total,
+            "unit": "sec", "sf": sf, "floor_sec": floor_sec,
+        }, separators=(",", ":"))
+    return line
 
 
 def main() -> int:
@@ -336,6 +388,8 @@ def main() -> int:
                 sum(timings[n] for n in _R13_SET), 3),
             "r14_comparable_71": round(
                 sum(timings[n] for n in _R14_SET), 3),
+            "r15_comparable_76": round(
+                sum(timings[n] for n in _R15_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -356,6 +410,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R13_SET), 3),
             "r14_comparable_71": round(
                 sum(tmin[n] for n in _R14_SET), 3),
+            "r15_comparable_76": round(
+                sum(tmin[n] for n in _R15_SET), 3),
         },
         "queries_min": tmin,
     }
@@ -363,20 +419,9 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    print(json.dumps({
-        "metric": "headline_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_from_dir(SF_DIR),
-        # environment calibration constant (round 15): the sentinel's
-        # median — pure machinery, zero operator content — so every
-        # cross-round comparison of this file can self-normalize for
-        # VM speed drift (r13->r14 drifted 1.4x with zero code
-        # changes and the headline looked like a regression on its
-        # face). Full per-pass series stays in BENCH_DETAIL.json.
-        "floor_sec": timings["streaming_floor"],
-    }, separators=(",", ":")))
+    print(render_compact_line(
+        total, sf_from_dir(SF_DIR), timings["streaming_floor"],
+        detail["subtotals_min"]))
     spark.stop()
     return 0
 

@@ -146,6 +146,14 @@ def _dc_scan(segs, ri, scan, coefs, geo, htables, comps):
                 raise ValueError("invalid DC category")
             diff = _extend(br.read_bits(t), t) if t else 0
             preds[ci] += diff
+            # T.81 bounds the dequantized DC of an 8-bit image well
+            # inside int16; a stream of repeated max-category diffs at
+            # a high Al can push the unbounded Python-int predictor
+            # past int32 — NumPy >= 2.0 raises OverflowError on the
+            # store (escaping the ValueError drop-per-row contract)
+            # and 1.x silently wraps. Reject as corrupt instead.
+            if not -32768 <= (preds[ci] << scan.al) <= 32767:
+                raise ValueError("DC predictor out of range")
             blk[0] = preds[ci] << scan.al
         elif br.read_bit():
             blk[0] = int(blk[0]) | (1 << scan.al)

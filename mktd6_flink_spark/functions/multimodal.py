@@ -1695,15 +1695,20 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 # failure into "other").
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
-                   "not a JPEG", "marker expected")),
+                   "not a JPEG")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
     ("bad_crc", ("CRC mismatch",)),
+    # "marker expected" fires only AFTER a valid SOI (the decoders
+    # check the signature first and raise "no SOI" there), so it is
+    # mid-stream corruption/truncation, never a wrong-format file —
+    # classifying it bad_magic misattributed deep bit-flips (r15
+    # advisory).
     ("truncated", ("truncated", "exhausted", "entropy data too small",
                    "scanline length", "missing IHDR", "missing fmt",
                    "odd 16-bit", "stereo data length", "IDAT inflate",
-                   "IDAT stream",
+                   "IDAT stream", "marker expected",
                    "restart segment count", "no scan before EOI",
                    "no SOS", "DHT value count")),
     ("unsupported_profile", ("non-baseline SOF", "not a progressive",
@@ -1718,7 +1723,8 @@ _REASON_PATTERNS = (
     ("header_invalid", ("decode cap", "invalid dimensions",
                         "invalid sample rate", "zero image dimension",
                         "PLTE", "palette", "coefficient planes",
-                        "invalid DC category", "invalid Huffman",
+                        "invalid DC category", "DC predictor",
+                        "invalid Huffman",
                         "AC run past", "unknown filter",
                         "scan component")),
 )

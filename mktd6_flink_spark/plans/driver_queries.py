@@ -66,6 +66,24 @@ ORACLES: dict[str, str] = {}
 _STREAM_PARTS = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
 
 
+def _await_done(q, secs: int = 300) -> None:
+    """Drain an availableNow query and FAIL LOUDLY on timeout.
+
+    ``q.awaitTermination(secs)`` returns False when the clock runs out
+    with the query still live — every caller here reads the sunk
+    table/topic right after, so ignoring that bool silently computes
+    over a partial drain (worst in the topic-chained loops, where hop
+    N+1 would treat hop N's incomplete topic as final). Stop the query
+    and raise instead; a slow VM becomes a visible failure, never a
+    wrong answer."""
+    if not q.awaitTermination(secs):
+        try:
+            q.stop()
+        finally:
+            raise RuntimeError(
+                f"streaming drain exceeded {secs}s (query {q.name or q.id})")
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         import functools
@@ -3274,7 +3292,7 @@ def streaming_ivf_assign(spark, sf_dir):
     q = (raw.writeStream.foreachBatch(_batch)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.read.parquet(os.path.join(out_dir, "b*"))
 
 
@@ -3923,7 +3941,7 @@ def _run_fertility_stream(spark, vdf, src_dir, schema,
          .foreachBatch(_fertility_spill_writer(vdf, out_dir))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return (spark.read.parquet(os.path.join(out_dir, "b*")),
             list(q.recentProgress))
 
@@ -4284,7 +4302,7 @@ def streaming_st1_ema(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name).select(
         "event_type", "event_id", round_portable(F.col("ema")).alias("ema"))
 
@@ -5152,7 +5170,7 @@ def streaming_st6_ledger(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name).select(
         "trader",
         F.col("txnId").alias("txn_id"),
@@ -5208,7 +5226,7 @@ def streaming_w2_window(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name)
 
 
@@ -5776,7 +5794,7 @@ def streaming_w3_running_sum(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name).select("event_id", "event_type", "running_sum")
 
 
@@ -6421,7 +6439,7 @@ def streaming_st2_product(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name).select(
         "event_type", "event_id",
         round_portable(F.col("price_mult")).alias("price_mult"))
@@ -8240,7 +8258,7 @@ def streaming_st8_timer(spark, sf_dir):
             break
         _time.sleep(0.5)
     q.stop()
-    q.awaitTermination(60)
+    _await_done(q, 60)
     got = spark.table(name).count()
     if got < expected:
         # A silent partial result would surface as a confusing gate
@@ -8340,7 +8358,7 @@ def streaming_st8_event_time(spark, sf_dir):
             break
         _time.sleep(0.5)
     q.stop()
-    q.awaitTermination(60)
+    _await_done(q, 60)
     got = spark.table(name).count()
     if got < expected:
         raise RuntimeError(
@@ -8421,7 +8439,7 @@ def streaming_w4_cogroup(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     # last emission per trader == the batch coGroup's final state
     emitted = spark.table(name)
     return emitted.groupBy("trader").agg(
@@ -8835,7 +8853,7 @@ def streaming_st5_settle(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name).select(
         F.col("txnId").cast("long").alias("event_id"), "settle_price")
 
@@ -8902,7 +8920,7 @@ def streaming_st3_burst(spark, sf_dir):
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set('spark.sql.shuffle.partitions', _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     emitted = spark.table(name)
     return emitted.groupBy("event_type").agg(
         F.max_by(F.struct("running", "diff", "step"),
@@ -9034,7 +9052,7 @@ def _run_stream_to_table(spark, out, prefix: str, mode: str = "append",
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     return spark.table(name)
 
 
@@ -9064,7 +9082,7 @@ def _run_stream_update_latest(spark, agg, prefix: str,
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     spark.conf.set("spark.sql.shuffle.partitions", _old_parts)
-    q.awaitTermination(300)
+    _await_done(q, 300)
     sunk = spark.read.parquet(out_dir)
     w = Window.partitionBy(*key_cols).orderBy(F.col("_batch").desc())
     return (sunk.withColumn("_rn", F.row_number().over(w))
@@ -12719,7 +12737,7 @@ def streaming_khop_reach(spark, sf_dir):
             os.makedirs(topic.path, exist_ok=True)
             q = (topic.sink(new, os.path.join(base, f"ck{h}"))
                  .trigger(availableNow=True).start())
-            q.awaitTermination(300)
+            _await_done(q, 300)
             topics.append(topic.path)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

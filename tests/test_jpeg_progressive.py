@@ -584,3 +584,35 @@ def test_refinement_zrl_and_correction_bit_ordering():
     want = np.clip(np.round(_B.T @ f @ _B) + 128, 0, 255).astype(
         np.uint8)
     assert (got == want).all()
+
+
+def test_dc_predictor_overflow_rejected_as_valueerror():
+    """r15 advisory: a crafted DC-first scan of repeated category-11
+    max diffs at Al=13 pushes the unbounded Python-int predictor past
+    int32 — the int32 coefficient-plane store would OverflowError on
+    NumPy >= 2.0 (escaping the drop-per-row contract) or silently wrap
+    on 1.x. The decoder must reject it as a plain ValueError, and the
+    attrition taxonomy must classify it (never 'other')."""
+    from mktd6_flink_spark.functions.multimodal import (
+        classify_decode_error)
+
+    counts, vals, codes = _fixed_codes([11])
+    w = _Writer()
+    for _block in range(4):               # 4 blocks = 8x32 image
+        code, ln = codes[11]
+        w.put(code, ln)
+        w.put((1 << 11) - 1, 11)          # diff = +2047 every block
+    sof = (bytes([8]) + (8).to_bytes(2, "big")       # h = 8
+           + (32).to_bytes(2, "big")                 # w = 32
+           + bytes([1, 1, 0x11, 0]))
+    sos = bytes([1, 1, 0x00, 0, 0, (0 << 4) | 13])   # DC first, Al=13
+    payload = (b"\xff\xd8"
+               + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+               + _seg(0xC2, sof)
+               + _seg(0xC4, bytes([0x00]) + bytes(counts) + vals)
+               + _seg(0xDA, sos) + w.done()
+               + b"\xff\xd9")
+    with pytest.raises(ValueError, match="DC predictor out of range"):
+        decode_progressive_jpeg(payload)
+    assert classify_decode_error(
+        "DC predictor out of range") == "header_invalid"
