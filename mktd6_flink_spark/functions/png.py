@@ -57,10 +57,13 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 def _pack_row(row: "np.ndarray", depth: int) -> bytes:
     """One scanline of samples -> packed bytes: depth-bit values
     MSB-first within each byte (RFC 2083 §2.3), zero-padded to the
-    byte boundary. depth 8 is the identity."""
+    byte boundary. depth 8 is the identity; depth 16 emits each
+    sample as two bytes, most significant first (§2.1)."""
     flat = row.ravel()
     if depth == 8:
         return flat.astype(np.uint8).tobytes()
+    if depth == 16:
+        return flat.astype(">u2").tobytes()
     shifts = np.arange(depth - 1, -1, -1)
     bits = ((flat[:, None] >> shifts) & 1).astype(np.uint8).ravel()
     return np.packbits(bits).tobytes()

@@ -2981,13 +2981,7 @@ def st1_ema_per_event(spark, sf_dir):
     out = stateful.apply_per_event_batch(
         ev.withColumn("_ems", F.col("event_id")),
         ["event_type"], ["ts", "event_id"],
-        lambda: (lambda state, row: (
-            ((float(row["value"]) if state is None
-              else float(row["value"]) * 0.1 + state[0] * 0.9),),
-            {"event_id": int(row["event_id"]),
-             "ema": (float(row["value"]) if state is None
-                     else float(row["value"]) * 0.1 + state[0] * 0.9)},
-        )),
+        lambda: stateful.ema_step(0.1, id_col="event_id"),
         "event_type string, event_id long, ema double")
     return out.select("event_type", "event_id",
                       round_portable(F.col("ema")).alias("ema"))
@@ -4285,13 +4279,7 @@ def streaming_st1_ema(spark, sf_dir):
         "event_type", "ts", "event_id", "value")
     out = stateful.apply_per_event_stream(
         raw, ["event_type"], ["ts", "event_id"],
-        lambda: (lambda state, row: (
-            ((float(row["value"]) if state is None
-              else float(row["value"]) * 0.1 + state[0] * 0.9),),
-            {"event_id": int(row["event_id"]),
-             "ema": (float(row["value"]) if state is None
-                     else float(row["value"]) * 0.1 + state[0] * 0.9)},
-        )),
+        lambda: stateful.ema_step(0.1, id_col="event_id"),
         "event_type string, event_id long, ema double",
         "ema double", stateful.pack1, stateful.unpack1)
     name = f"st1_stream_{uuid.uuid4().hex[:8]}"
@@ -6425,12 +6413,7 @@ def streaming_st2_product(spark, sf_dir):
         (F.lit(1.0) + F.col("value") / F.lit(10000.0)).alias("mult"))
     out = stateful.apply_per_event_stream(
         ev, ["event_type"], ["ts", "event_id"],
-        lambda: (lambda state, row: (
-            ((1.0 if state is None else state[0]) * float(row["mult"]),),
-            {"event_id": int(row["event_id"]),
-             "price_mult":
-                 (1.0 if state is None else state[0]) * float(row["mult"])},
-        )),
+        lambda: stateful.product_step(id_col="event_id"),
         "event_type string, event_id long, price_mult double",
         "acc double", stateful.pack1, stateful.unpack1)
     name = f"st2_stream_{uuid.uuid4().hex[:8]}"

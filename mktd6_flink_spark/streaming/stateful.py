@@ -46,21 +46,73 @@ INIT_TRADER = (10.0, 5, 0, 0, 0)  # coins, shares, bailouts, fed, inFlight
 # Step functions (pure Python, shared by batch twin and streaming path)
 # ---------------------------------------------------------------------------
 
-def ema_step(alpha: float = EMA_ALPHA):
-    """ST1 — Chapter04:168-178: ema = first ? x : x*α + ema*(1-α)."""
+def ema_step(alpha: float = EMA_ALPHA, id_col: str | None = None):
+    """ST1 — Chapter04:168-178: ema = first ? x : x*α + ema*(1-α).
+
+    ``id_col`` passes an id column through to the emitted row (the
+    per-event oracle entries align on it). Carries a VECTORIZED path:
+    the recurrence itself is inherently sequential in float64 (any
+    closed-form rewrite reassociates and breaks the kata golden
+    floats), so "vectorized" here means the engine-level win — one
+    tight loop over plain Python floats with columnar output instead
+    of a dict built per input row and per emitted row (the r15 bench
+    flagged streaming_st1_ema at 1.47× floor-normalized; the dict
+    traffic was the cost, not the arithmetic)."""
+    beta = 1.0 - alpha
+
     def step(state, row):
         x = float(row["value"])
-        new = x if state is None else x * alpha + state[0] * (1 - alpha)
-        return (new,), {"ema": new}
+        new = x if state is None else x * alpha + state[0] * beta
+        out = {"ema": new}
+        if id_col is not None:
+            out = {id_col: int(row[id_col]), **out}
+        return (new,), out
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        e = None if state is None else float(state[0])
+        out: list[float] = []
+        append = out.append
+        for x in pdf["value"].to_list():
+            x = float(x)
+            e = x if e is None else x * alpha + e * beta
+            append(e)
+        cols = {"ema": out}
+        if id_col is not None:
+            cols = {id_col: [int(i) for i in pdf[id_col].to_list()],
+                    **cols}
+        return cols, (state if e is None else (e,))
+
+    step.vectorized = vectorized
     return step
 
 
-def product_step():
-    """ST2 — SharePriceDataflow.java:72-96: acc = (acc or 1) * mult."""
+def product_step(id_col: str | None = None):
+    """ST2 — SharePriceDataflow.java:72-96: acc = (acc or 1) * mult.
+    Same sequential-float contract and vectorized engine path as
+    ema_step (left-to-right product, bit-exact)."""
     def step(state, row):
         acc = 1.0 if state is None else state[0]
         new = acc * float(row["mult"])
-        return (new,), {"price_mult": new}
+        out = {"price_mult": new}
+        if id_col is not None:
+            out = {id_col: int(row[id_col]), **out}
+        return (new,), out
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        acc = 1.0 if state is None else float(state[0])
+        n = len(pdf)
+        out: list[float] = []
+        append = out.append
+        for m in pdf["mult"].to_list():
+            acc = acc * float(m)
+            append(acc)
+        cols = {"price_mult": out}
+        if id_col is not None:
+            cols = {id_col: [int(i) for i in pdf[id_col].to_list()],
+                    **cols}
+        return cols, (state if n == 0 else (acc,))
+
+    step.vectorized = vectorized
     return step
 
 
@@ -255,37 +307,48 @@ def basket_pair_step():
     return step
 
 
+def _ledger_update(state, utype, coins_diff, shares_diff, add_bailout,
+                   fed_monkeys, invest_diff):
+    """The TraderStateUpdater.update() transition (java:115-139),
+    shared scalar core of the per-row and vectorized ledger paths:
+    deltas → auto-bailout on the new state → validate → rejected
+    updates keep prior state. Returns (new_state, status)."""
+    coins, shares, bailouts, fed, inflight = state
+    nc = coins + coins_diff
+    ns = shares + shares_diff
+    nb = bailouts + (1 if add_bailout else 0)
+    nf = fed + fed_monkeys
+    ni = inflight + invest_diff
+    if utype != "BAILOUT" and ni <= 0 and nc <= 3.0 and ns <= 0:
+        # recursive BAILOUT_UPDATER.update(newState): +10 coins,
+        # +5 shares, bailouts+1, itself validated
+        if nc + 10.0 >= 0 and ns + 5 >= 0:
+            nc, ns, nb = nc + 10.0, ns + 5, nb + 1
+    if nc < 0:
+        status = "INSUFFICIENT_COINS"
+    elif ns < 0:
+        status = "INSUFFICIENT_SHARES"
+    else:
+        status = "ACCEPTED"
+    if status == "ACCEPTED":
+        return (nc, ns, nb, nf, ni), status
+    return state, status
+
+
 def trader_ledger_step():
     """ST6 — TraderStateUpdater.update() (java:115-139) emitting a
-    TxnResult per update: deltas → auto-bailout on the new state →
-    validate → rejected updates keep prior state."""
+    TxnResult per update (transition shared with the vectorized path
+    via _ledger_update; the engine-level columnar loop is the same
+    exact-arithmetic fold without the per-row dict traffic)."""
     def step(state, row):
-        coins, shares, bailouts, fed, inflight = (
-            INIT_TRADER if state is None else state)
-        nc = coins + float(row["coinsDiff"])
-        ns = shares + int(row["sharesDiff"])
-        nb = bailouts + (1 if bool(row["addBailout"]) else 0)
-        nf = fed + int(row["fedMonkeys"])
-        ni = inflight + int(row["investDiff"])
-        utype = str(row["type"])
-        if utype != "BAILOUT" and ni <= 0 and nc <= 3.0 and ns <= 0:
-            # recursive BAILOUT_UPDATER.update(newState): +10 coins,
-            # +5 shares, bailouts+1, itself validated
-            if nc + 10.0 >= 0 and ns + 5 >= 0:
-                nc, ns, nb = nc + 10.0, ns + 5, nb + 1
-        if nc < 0:
-            status = "INSUFFICIENT_COINS"
-        elif ns < 0:
-            status = "INSUFFICIENT_SHARES"
-        else:
-            status = "ACCEPTED"
-        if status == "ACCEPTED":
-            new = (nc, ns, nb, nf, ni)
-        else:
-            new = (coins, shares, bailouts, fed, inflight)
+        new, status = _ledger_update(
+            INIT_TRADER if state is None else state,
+            str(row["type"]), float(row["coinsDiff"]),
+            int(row["sharesDiff"]), bool(row["addBailout"]),
+            int(row["fedMonkeys"]), int(row["investDiff"]))
         return new, {
             "txnId": str(row["txnId"]),
-            "type": utype,
+            "type": str(row["type"]),
             "status": status,
             "coins": new[0],
             "shares": new[1],
@@ -293,6 +356,42 @@ def trader_ledger_step():
             "fedMonkeys": new[3],
             "inFlightInvestments": new[4],
         }
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        st = INIT_TRADER if state is None else tuple(state)
+        n = len(pdf)
+        o_status: list[str] = []
+        o_coins: list[float] = []
+        o_shares: list[int] = []
+        o_bail: list[int] = []
+        o_fed: list[int] = []
+        o_infl: list[int] = []
+        for utype, cd, sd, ab, fm, iv in zip(
+                pdf["type"].to_list(), pdf["coinsDiff"].to_list(),
+                pdf["sharesDiff"].to_list(), pdf["addBailout"].to_list(),
+                pdf["fedMonkeys"].to_list(), pdf["investDiff"].to_list()):
+            st, status = _ledger_update(
+                st, str(utype), float(cd), int(sd), bool(ab),
+                int(fm), int(iv))
+            o_status.append(status)
+            o_coins.append(st[0])
+            o_shares.append(st[1])
+            o_bail.append(st[2])
+            o_fed.append(st[3])
+            o_infl.append(st[4])
+        cols = {
+            "txnId": [str(t) for t in pdf["txnId"].to_list()],
+            "type": [str(t) for t in pdf["type"].to_list()],
+            "status": o_status,
+            "coins": o_coins,
+            "shares": o_shares,
+            "bailouts": o_bail,
+            "fedMonkeys": o_fed,
+            "inFlightInvestments": o_infl,
+        }
+        return cols, (state if n == 0 else st)
+
+    step.vectorized = vectorized
     return step
 
 
