@@ -1563,6 +1563,224 @@ def png_palette_media_from_documents(docs: DataFrame) -> DataFrame:
                                         with_id=True)
 
 
+# Alpha derivation for the RGBA corpus (round 16): one more
+# deterministic per-byte function of the grayscale cell value v, so
+# the DuckDB oracle recomputes it from the cleaned text like the RGB
+# channels. A = (v*29 + 3) % 256 — padding cells (v=0) get A=3,
+# nearly transparent, so the composite genuinely binds on padding.
+def _alpha_channel(v: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    return ((v * 29 + 3) % 256).astype(np.uint8)
+
+
+def composite_over_white(c: "np.ndarray", a: "np.ndarray") -> "np.ndarray":
+    """THE engine's alpha-composite rule (documented contract): fold a
+    straight-alpha channel into the RGB feature domain by compositing
+    over a WHITE background in exact integer arithmetic —
+    out = (c*a + 255*(255 - a) + 127) // 255, i.e. round-half-up of
+    the real-valued source-over blend. Integer-exact, so the DuckDB
+    oracle reproduces it verbatim; white because crawl renderers
+    rasterize on white and it maximally exposes transparent-padding
+    bugs (a black background would map transparent padding to the
+    padding value 0 and hide them)."""
+    import numpy as np
+
+    c = c.astype(np.int64)
+    a = a.astype(np.int64)
+    return ((c * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+
+
+def png_rgba_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a real 8-bit RGBA PNG (color type 6 —
+    the dominant modern-web profile): RGB = the truecolor channel
+    derivations, A = _alpha_channel; every ODD doc_id is
+    Adam7-interlaced (4-byte pixel taps per pass). Same clean/cap/pad
+    contract as every raster builder."""
+    from .png import encode_png_rgba
+
+    def enc(grid, did):
+        import numpy as np
+
+        v = grid.astype("int64")
+        rgba = np.concatenate(
+            [_rgb_channels(v), _alpha_channel(v)[..., None]], axis=-1)
+        return encode_png_rgba(rgba, interlace=bool(did % 2))
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
+
+
+def decode_png_rgba_features(media: DataFrame) -> DataFrame:
+    """REAL RGBA PNG decode via mapInPandas — chunk walk with CRC
+    checks, inflate, filter reconstruction with 4-byte pixel taps,
+    Adam7 de-interlace — then per-channel band features where channels
+    0-2 are the RGB COMPOSITED OVER WHITE (composite_over_white, the
+    documented rule) and channel 3 is the raw alpha. Malformed
+    payloads drop per row; payloads never shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .png import decode_png_rgba
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, raster = decode_png_rgba(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                band_len = (w * h) // PGM_BANDS
+                if band_len == 0:
+                    continue
+                alpha = raster[:, :, 3]
+                for ch in range(4):
+                    plane = (alpha if ch == 3 else composite_over_white(
+                        raster[:, :, ch], alpha))
+                    flat = plane.ravel().astype("int64")
+                    sums = flat[:band_len * PGM_BANDS].reshape(
+                        PGM_BANDS, band_len).sum(axis=1)
+                    for b, s in enumerate(sums):
+                        out.append((mid, w, h, ch, b,
+                                    int(s) * 1_000_000 // band_len))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "channel",
+                              "band", "feat_micro"])
+
+    schema = ("media_id long, width int, height int, channel int, "
+              "band int, feat_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
+def sql_decode_png_rgba(table: str = "documents",
+                        cap: int | None = None) -> str:
+    """DuckDB twin of png_rgba_media_from_documents >>
+    decode_png_rgba_features: rebuild the four channels arithmetically
+    from the cleaned text (R = u, G = 255 - u, B = (u*37) % 256,
+    A = (u*29 + 3) % 256; padding u = 0), composite RGB over white
+    with the EXACT integer rule (c*a + 255*(255-a) + 127) // 255, and
+    compute the same integer band micro-means. PNG is lossless, so
+    every value pins the chunk/inflate/filter/alpha path bit-exactly —
+    including the composite rule itself."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    if cap is not None:
+        clean = f"substring({clean}, 1, {cap})"
+    v = ("CASE WHEN band * band_len + i <= n THEN unicode(substr(c, "
+         "CAST(band * band_len + i AS INTEGER), 1)) ELSE 0 END")
+    a = f"((({v}) * 29 + 3) % 256)"
+    u = (f"CASE WHEN channel = 0 THEN ({v}) "
+         f"WHEN channel = 1 THEN 255 - ({v}) "
+         f"ELSE (({v}) * 37) % 256 END")
+    return f"""
+    WITH _pa_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             length({clean}) AS n,
+             greatest(CAST(ceil(length({clean}) / {PGM_WIDTH}.0)
+                           AS INTEGER), 1) AS h
+      FROM {table}
+    ),
+    _pa_band AS (
+      SELECT media_id, h, c, n,
+             ({PGM_WIDTH} * h) // {PGM_BANDS} AS band_len,
+             unnest(generate_series(0, {PGM_BANDS - 1})) AS band
+      FROM _pa_base
+    ),
+    _pa_ch AS (
+      SELECT b.*, unnest(generate_series(0, 3)) AS channel
+      FROM _pa_band b
+    )
+    SELECT media_id, CAST({PGM_WIDTH} AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height, CAST(channel AS INTEGER)
+             AS channel, CAST(band AS INTEGER) AS band,
+           (CAST(list_aggregate(list_transform(
+              generate_series(1, band_len),
+              i -> CASE WHEN channel = 3 THEN ({a})
+                   ELSE (({u}) * ({a}) + 255 * (255 - ({a})) + 127)
+                        // 255
+                   END), 'sum') AS BIGINT)
+            * 1000000) // band_len AS feat_micro
+    FROM _pa_ch
+    """
+
+
+def png_gray16_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a WIDE-SAMPLE grayscale PNG (round 16):
+    EVEN doc_ids as 16-bit gray (sample = v * 257, so the decoder's
+    high-byte strip recovers v exactly — the same widening the WAV16
+    twin uses), ODD doc_ids as 8-bit GRAY+ALPHA (color type 4) with
+    alpha = 255 everywhere (fully opaque: composited over anything the
+    gray value survives unchanged, letting both container profiles
+    share the grayscale oracle; non-opaque alpha arithmetic is pinned
+    by the RGBA entry). Even-of-even interlaced so Adam7 composes with
+    both pixel widths. Same clean/cap/pad contract as every raster
+    builder."""
+    from .png import encode_png_gray, encode_png_gray_alpha
+
+    def enc(grid, did):
+        import numpy as np
+
+        il = bool((did // 2) % 2)
+        if did % 2 == 0:
+            return encode_png_gray(grid.astype(np.uint16) * 257,
+                                   interlace=il, depth=16)
+        ga = np.stack([grid, np.full_like(grid, 255)], axis=-1)
+        return encode_png_gray_alpha(ga, interlace=il)
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
+
+
+def decode_png_gray_wide_features(media: DataFrame) -> DataFrame:
+    """Decode the wide-sample grayscale corpus: dispatch on the IHDR
+    color type byte (offset 25 — garbage on malformed payloads simply
+    routes to a decoder that raises the taxonomy ValueError), strip
+    16-bit samples to the high byte, composite gray+alpha over white
+    (opaque in this corpus, so the gray survives — the rule still
+    executes), and emit the SAME band features as decode_png so
+    sql_decode_pgm stays the oracle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .png import decode_png_gray, decode_png_gray_alpha
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                payload = bytes(payload)
+                try:
+                    if len(payload) > 25 and payload[25] == 4:
+                        w, h, ga = decode_png_gray_alpha(payload)
+                        raster = composite_over_white(ga[:, :, 0],
+                                                      ga[:, :, 1])
+                    else:
+                        w, h, raster = decode_png_gray(payload)
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                flat = raster.ravel().astype("int64")
+                band_len = (w * h) // PGM_BANDS
+                if band_len == 0:
+                    continue
+                sums = flat[:band_len * PGM_BANDS].reshape(
+                    PGM_BANDS, band_len).sum(axis=1)
+                for b, s in enumerate(sums):
+                    out.append((mid, w, h, 1, b,
+                                int(s) * 1_000_000 // band_len))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_frames",
+                              "band", "feat_micro"])
+
+    schema = ("media_id long, width int, height int, n_frames int, "
+              "band int, feat_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def sql_decode_png_rgb(table: str = "documents",
                        cap: int | None = None,
                        vmap: str = "{v}") -> str:
@@ -1776,7 +1994,10 @@ def _corrupt_for_report(payload: bytes, cls: int, modality: str) -> bytes:
         import zlib as _z
         data = bytearray(payload[16:29])  # IHDR data (13 bytes)
         if cls == 3:
-            data[9] = 4  # gray+alpha: valid PNG, outside our profile
+            # compression method 1: spec-shaped but no decoder supports
+            # it (round 16 made gray+alpha a SUPPORTED profile, so the
+            # old color-type-4 plant would now decode successfully)
+            data[10] = 1
         else:
             data[0:4] = data[4:8] = (0x7FFFFFFF).to_bytes(4, "big")
         crc = _z.crc32(b"IHDR" + bytes(data)).to_bytes(4, "big")

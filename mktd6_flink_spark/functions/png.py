@@ -35,6 +35,13 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+# Legal bit depths per color type (RFC 2083 §4.1.1). Color types:
+# 0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 truecolor+alpha.
+_CTYPE_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+# channel count per color type
+_CTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
 # Adam7 pass grid (RFC 2083 §2.6): (x start, y start, x step, y step).
 _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
@@ -90,14 +97,16 @@ def _scanlines(r3: "np.ndarray", interlace: bool,
 
 def encode_png_gray(raster: "np.ndarray", interlace: bool = False,
                     depth: int = 8) -> bytes:
-    """Encode an [h, w] uint8 raster as a grayscale PNG (filter 0
+    """Encode an [h, w] raster as a grayscale PNG (filter 0
     scanlines — the decoder handles the rest). ``depth`` in
-    {1, 2, 4, 8}: sub-byte rasters must hold values < 2**depth."""
-    raster = np.asarray(raster, dtype=np.uint8)
+    {1, 2, 4, 8, 16}: sub-byte rasters must hold values < 2**depth;
+    depth 16 takes uint16 samples."""
+    raster = np.asarray(raster,
+                        dtype=np.uint16 if depth == 16 else np.uint8)
     h, w = raster.shape
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    if depth not in (1, 2, 4, 8):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError("unsupported bit depth")
     if depth < 8 and int(raster.max(initial=0)) >= (1 << depth):
         raise ValueError("sample beyond bit depth")
@@ -108,20 +117,48 @@ def encode_png_gray(raster: "np.ndarray", interlace: bool = False,
             + _chunk(b"IEND", b""))
 
 
-def encode_png_rgb(raster: "np.ndarray", interlace: bool = False) -> bytes:
-    """Encode an [h, w, 3] uint8 raster as an 8-bit truecolor PNG
-    (color type 2, filter 0 scanlines)."""
-    raster = np.asarray(raster, dtype=np.uint8)
-    if raster.ndim != 3 or raster.shape[2] != 3:
-        raise ValueError("expected [h, w, 3] raster")
+def encode_png_rgb(raster: "np.ndarray", interlace: bool = False,
+                   depth: int = 8) -> bytes:
+    """Encode an [h, w, 3] raster as a truecolor PNG (color type 2,
+    depth 8 or 16, filter 0 scanlines)."""
+    return _encode_multichannel(raster, 2, 3, interlace, depth)
+
+
+def _encode_multichannel(raster: "np.ndarray", ctype: int,
+                         nch: int, interlace: bool,
+                         depth: int) -> bytes:
+    """Shared encoder body for the whole-byte multi-channel color
+    types (2/4/6): [h, w, nch] raster, depth 8 (uint8) or 16
+    (uint16), filter-0 scanlines."""
+    if depth not in (8, 16):
+        raise ValueError("unsupported bit depth")
+    raster = np.asarray(raster,
+                        dtype=np.uint16 if depth == 16 else np.uint8)
+    if raster.ndim != 3 or raster.shape[2] != nch:
+        raise ValueError(f"expected [h, w, {nch}] raster")
     h, w, _ = raster.shape
     if h == 0 or w == 0:
         raise ValueError("empty raster")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
-    lines = _scanlines(raster, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       int(interlace))
+    lines = _scanlines(raster, interlace, depth)
     return (_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(lines))
             + _chunk(b"IEND", b""))
+
+
+def encode_png_gray_alpha(raster: "np.ndarray", interlace: bool = False,
+                          depth: int = 8) -> bytes:
+    """Encode an [h, w, 2] (gray, alpha) raster as a color-type-4 PNG
+    (depth 8 or 16, filter 0 scanlines)."""
+    return _encode_multichannel(raster, 4, 2, interlace, depth)
+
+
+def encode_png_rgba(raster: "np.ndarray", interlace: bool = False,
+                    depth: int = 8) -> bytes:
+    """Encode an [h, w, 4] RGBA raster as a color-type-6 PNG (depth 8
+    or 16, filter 0 scanlines; alpha stored straight per the spec)."""
+    return _encode_multichannel(raster, 6, 4, interlace, depth)
 
 
 def encode_png_palette(idx: "np.ndarray", palette: "np.ndarray",
@@ -243,11 +280,14 @@ def _decode_png(payload: bytes, want_ctype: int,
     w, h, depth, ctype_, comp, filt, interlace = ihdr
     if (comp, filt) != (0, 0) or interlace not in (0, 1):
         raise ValueError("unsupported PNG profile (methods 0)")
-    if depth not in ((8,) if want_ctype == 2 else (1, 2, 4, 8)):
-        raise ValueError(f"unsupported PNG bit depth {depth}")
     if ctype_ != want_ctype:
         raise ValueError(f"unsupported PNG color type {ctype_} "
                          f"(want {want_ctype})")
+    # legal depths per color type (RFC 2083 §4.1.1): sub-byte packing
+    # exists only for single-sample pixels (gray / palette indices);
+    # multi-channel pixels and 16-bit samples are whole-byte
+    if depth not in _CTYPE_DEPTHS[want_ctype]:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
     if w == 0 or h == 0 or w * h * channels > (1 << 26):
         raise ValueError("invalid dimensions")
     bpp = max(1, depth * channels // 8)
@@ -278,9 +318,14 @@ def _decode_png(payload: bytes, want_ctype: int,
     def to_samples(rows: np.ndarray, pw: int) -> np.ndarray:
         """Unfiltered scanline bytes [n, stride_of(pw)] -> samples
         [n, pw*channels] (MSB-first within each byte; trailing pad
-        bits discarded per scanline)."""
+        bits discarded per scanline; 16-bit samples are big-endian
+        byte pairs -> uint16)."""
         if depth == 8:
             return rows[:, :pw * channels]
+        if depth == 16:
+            m = pw * channels
+            return ((rows[:, 0:2 * m:2].astype(np.uint16) << 8)
+                    | rows[:, 1:2 * m:2])
         bits = np.unpackbits(rows, axis=1)[:, :pw * depth]
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
         return (bits.reshape(rows.shape[0], pw, depth)
@@ -289,7 +334,8 @@ def _decode_png(payload: bytes, want_ctype: int,
     if not interlace:
         samples = to_samples(_unfilter(raw, h, stride, bpp), w)
         return w, h, samples, plte, depth
-    out3 = np.zeros((h, w, channels), dtype=np.uint8)
+    out3 = np.zeros((h, w, channels),
+                    dtype=np.uint16 if depth == 16 else np.uint8)
     at = 0
     for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
         if pw == 0 or ph == 0:
@@ -302,27 +348,60 @@ def _decode_png(payload: bytes, want_ctype: int,
     return w, h, out3.reshape(h, w * channels), plte, depth
 
 
-def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a grayscale PNG (bit depth 1/2/4/8); returns (width,
-    height, raster uint8 [h, w]) with sub-byte samples scaled to the
-    full 0..255 range by the exact RFC factor 255 / (2**depth - 1)
-    (an integer for every legal depth). Raises ValueError on anything
-    outside the supported profile, truncated/corrupt chunks, or CRC
-    mismatch."""
-    w, h, out, _, depth = _decode_png(payload, want_ctype=0, channels=1)
+def _to_u8(out: np.ndarray, depth: int) -> np.ndarray:
+    """Normalize decoded samples to the 8-bit domain: sub-byte samples
+    scale up by the exact RFC factor 255 / (2**depth - 1) (an integer
+    for every legal depth); 16-bit samples STRIP TO THE HIGH BYTE
+    (v >> 8) — libpng's default 16->8 reduction, and the exact inverse
+    of the v * 257 widening our corpus and the WAV16 twin use."""
     if depth < 8:
-        out = (out.astype(np.int64)
-               * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    return w, h, out
+        return (out.astype(np.int64)
+                * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if depth == 16:
+        return (out >> 8).astype(np.uint8)
+    return out
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a grayscale PNG (bit depth 1/2/4/8/16); returns (width,
+    height, raster uint8 [h, w]) in the 8-bit domain (see _to_u8 for
+    the sub-byte scale-up and the 16-bit high-byte strip). Raises
+    ValueError on anything outside the supported profile,
+    truncated/corrupt chunks, or CRC mismatch."""
+    w, h, out, _, depth = _decode_png(payload, want_ctype=0, channels=1)
+    return w, h, _to_u8(out, depth)
 
 
 def decode_png_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8-bit truecolor PNG (color type 2); returns (width,
-    height, raster uint8 [h, w, 3]). Same ValueError contract as the
-    grayscale path."""
-    w, h, out, _, _depth = _decode_png(payload, want_ctype=2,
-                                       channels=3)
-    return w, h, out.reshape(h, w, 3)
+    """Decode a truecolor PNG (color type 2, depth 8/16); returns
+    (width, height, raster uint8 [h, w, 3]). Same ValueError contract
+    as the grayscale path."""
+    w, h, out, _, depth = _decode_png(payload, want_ctype=2,
+                                      channels=3)
+    return w, h, _to_u8(out, depth).reshape(h, w, 3)
+
+
+def decode_png_gray_alpha(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a grayscale+alpha PNG (color type 4, depth 8/16);
+    returns (width, height, raster uint8 [h, w, 2]) with channel 0 the
+    gray sample and channel 1 the alpha, both in the 8-bit domain.
+    Compositing is the CALLER's policy (see
+    multimodal.composite_over_white for the engine's documented rule);
+    the decoder returns the channels as stored."""
+    w, h, out, _, depth = _decode_png(payload, want_ctype=4,
+                                      channels=2)
+    return w, h, _to_u8(out, depth).reshape(h, w, 2)
+
+
+def decode_png_rgba(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a truecolor+alpha PNG (color type 6, depth 8/16 — the
+    dominant modern-web profile); returns (width, height, raster uint8
+    [h, w, 4], RGBA). Alpha is returned as stored (straight, not
+    premultiplied — PNG never premultiplies); compositing is the
+    caller's policy."""
+    w, h, out, _, depth = _decode_png(payload, want_ctype=6,
+                                      channels=4)
+    return w, h, _to_u8(out, depth).reshape(h, w, 4)
 
 
 def decode_png_palette(payload: bytes) -> tuple[int, int, np.ndarray]:

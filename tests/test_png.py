@@ -509,18 +509,30 @@ def test_subbyte_error_contract():
     from mktd6_flink_spark.functions.png import (decode_png_rgb,
                                                  encode_png_gray)
 
-    # depth 3 is not a PNG depth; depth 16 is real but unsupported;
-    # truecolor must stay 8-bit
+    # depth 3 is not a PNG depth; depth 16 is legal for gray since
+    # round 16, so a 4-bit payload relabeled 16 now dies later as a
+    # scanline-length mismatch (still a ValueError row-drop)
     g = np.zeros((4, 4), dtype=np.uint8)
     good = encode_png_gray(g, depth=4)
     ihdr_data = bytearray(good[16:29])
-    for bad_depth in (3, 16):
+    for bad_depth, msg in ((3, "bit depth"), (16, "scanline length")):
         d = bytearray(ihdr_data)
         d[8] = bad_depth
         crc = zlib.crc32(b"IHDR" + bytes(d)).to_bytes(4, "big")
         p = good[:16] + bytes(d) + crc + good[33:]
-        with pytest.raises(ValueError, match="bit depth"):
+        with pytest.raises(ValueError, match=msg):
             decode_png_gray(p)
+    # depth 16 stays ILLEGAL for palette files (RFC 2083 §4.1.1)
+    from mktd6_flink_spark.functions.png import (decode_png_palette,
+                                                 encode_png_palette)
+    pal = np.zeros((16, 3), dtype=np.uint8)
+    pgood = encode_png_palette(g, pal, depth=4)
+    pd = bytearray(pgood[16:29])
+    pd[8] = 16
+    crc = zlib.crc32(b"IHDR" + bytes(pd)).to_bytes(4, "big")
+    p = pgood[:16] + bytes(pd) + crc + pgood[33:]
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_palette(p)
     rgb4 = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
     p = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", rgb4)
          + _chunk(b"IDAT", zlib.compress(b"\x00" * 28))
@@ -539,3 +551,149 @@ def test_subbyte_error_contract():
             dg(bytes(mut))
         except ValueError:
             pass
+
+
+# ------------------------------- alpha + 16-bit profiles (round 16)
+
+def encode_filtered_any(raster, ctype, depth, filter_of_row):
+    """Independent non-interlaced encoder for ANY whole-byte profile
+    (gray/rgb/gray+alpha/rgba at depth 8 or 16): filtering operates on
+    the packed BYTES with the pixel's byte width as the tap step (RFC
+    2083 §6.2) — 16-bit samples are serialized big-endian FIRST, so
+    the filter taps straddle the two bytes of a sample exactly as the
+    spec demands. Shares no code with the production module."""
+    h, w = raster.shape[:2]
+    nch = 1 if raster.ndim == 2 else raster.shape[2]
+    r = raster.reshape(h, w, nch)
+    if depth == 16:
+        flat = np.frombuffer(r.astype(">u2").tobytes(),
+                             np.uint8).reshape(h, w * nch * 2).astype(int)
+        bpp = nch * 2
+    else:
+        flat = r.astype(int).reshape(h, w * nch)
+        bpp = nch
+    lines = bytearray()
+    for y in range(h):
+        f = filter_of_row(y)
+        lines.append(f)
+        for x in range(flat.shape[1]):
+            left = flat[y][x - bpp] if x >= bpp else 0
+            up = flat[y - 1][x] if y else 0
+            ul = flat[y - 1][x - bpp] if (x >= bpp and y) else 0
+            if f == 0:
+                v = flat[y][x]
+            elif f == 1:
+                v = flat[y][x] - left
+            elif f == 2:
+                v = flat[y][x] - up
+            elif f == 3:
+                v = flat[y][x] - ((left + up) >> 1)
+            else:
+                v = flat[y][x] - _paeth_ref(left, up, ul)
+            lines.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _chunk(b"IEND", b""))
+
+
+_POLICIES = [lambda y: 0, lambda y: 1, lambda y: 2, lambda y: 3,
+             lambda y: 4, lambda y: (y * 7) % 5]
+
+
+@pytest.mark.parametrize("policy", _POLICIES)
+@pytest.mark.parametrize("ctype,nch", [(4, 2), (6, 4)])
+def test_alpha_profiles_all_filter_types_depth8(ctype, nch, policy):
+    from mktd6_flink_spark.functions.png import (decode_png_gray_alpha,
+                                                 decode_png_rgba)
+
+    decode = decode_png_gray_alpha if ctype == 4 else decode_png_rgba
+    rng = np.random.RandomState(41 + ctype)
+    raster = rng.randint(0, 256, (11, 7, nch), dtype=np.uint8)
+    w, h, got = decode(encode_filtered_any(raster, ctype, 8, policy))
+    assert (w, h) == (7, 11)
+    assert (got == raster).all()
+
+
+@pytest.mark.parametrize("policy", _POLICIES)
+@pytest.mark.parametrize("ctype,nch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_16bit_profiles_all_filter_types(ctype, nch, policy):
+    """Depth-16 filtering straddles sample bytes (bpp = 2*nch); the
+    decoder must reconstruct then strip to the high byte."""
+    from mktd6_flink_spark.functions import png as P
+
+    decode = {0: P.decode_png_gray, 2: P.decode_png_rgb,
+              4: P.decode_png_gray_alpha, 6: P.decode_png_rgba}[ctype]
+    rng = np.random.RandomState(61 + ctype)
+    shape = (9, 6) if nch == 1 else (9, 6, nch)
+    raster = rng.randint(0, 65536, shape, dtype=np.uint16)
+    w, h, got = decode(encode_filtered_any(raster, ctype, 16, policy))
+    assert (got == (raster >> 8).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("ctype,nch,depth", [(4, 2, 8), (6, 4, 8),
+                                             (0, 1, 16), (6, 4, 16)])
+def test_adam7_alpha_and_16bit_production_roundtrip(ctype, nch, depth):
+    """Production encoder, interlaced, new profiles: every Adam7 pass
+    packs its scanlines independently at the wider pixel widths."""
+    from mktd6_flink_spark.functions import png as P
+
+    rng = np.random.RandomState(77 + ctype + depth)
+    hi = 65536 if depth == 16 else 256
+    dt = np.uint16 if depth == 16 else np.uint8
+    shape = (13, 5) if nch == 1 else (13, 5, nch)
+    raster = rng.randint(0, hi, shape, dtype=dt)
+    enc = {(0): P.encode_png_gray, (2): P.encode_png_rgb,
+           (4): P.encode_png_gray_alpha, (6): P.encode_png_rgba}[ctype]
+    dec = {0: P.decode_png_gray, 2: P.decode_png_rgb,
+           4: P.decode_png_gray_alpha, 6: P.decode_png_rgba}[ctype]
+    payload = enc(raster, interlace=True, depth=depth)
+    w, h, got = dec(payload)
+    want = (raster >> 8).astype(np.uint8) if depth == 16 else raster
+    assert (got == want).all()
+
+
+def test_alpha_16bit_fuzz_valueerror_only():
+    """Truncations and bit flips over RGBA-8 and RGBA-16 payloads
+    must stay inside the ValueError drop-per-row contract."""
+    from mktd6_flink_spark.functions.png import (decode_png_rgba,
+                                                 encode_png_rgba)
+
+    rng = np.random.RandomState(83)
+    for depth in (8, 16):
+        hi = 65536 if depth == 16 else 256
+        dt = np.uint16 if depth == 16 else np.uint8
+        raster = rng.randint(0, hi, (6, 9, 4), dtype=dt)
+        good = encode_png_rgba(raster, depth=depth)
+        for cut in range(0, len(good), 7):
+            try:
+                decode_png_rgba(good[:cut])
+            except ValueError:
+                pass
+        for i in range(0, len(good), 5):
+            mut = bytearray(good)
+            mut[i] ^= 0x55
+            try:
+                decode_png_rgba(bytes(mut))
+            except ValueError:
+                pass
+
+
+def test_cross_type_alpha_rejection_messages():
+    """The want-ctype mismatch message is part of the attrition
+    taxonomy: every pairwise mismatch must say 'color type'."""
+    from mktd6_flink_spark.functions import png as P
+
+    g = np.zeros((2, 2), dtype=np.uint8)
+    payloads = {0: P.encode_png_gray(g),
+                2: P.encode_png_rgb(np.zeros((2, 2, 3), np.uint8)),
+                4: P.encode_png_gray_alpha(np.zeros((2, 2, 2), np.uint8)),
+                6: P.encode_png_rgba(np.zeros((2, 2, 4), np.uint8))}
+    decoders = {0: P.decode_png_gray, 2: P.decode_png_rgb,
+                4: P.decode_png_gray_alpha, 6: P.decode_png_rgba}
+    for have, payload in payloads.items():
+        for want, dec in decoders.items():
+            if have == want:
+                continue
+            with pytest.raises(ValueError, match="color type"):
+                dec(payload)
