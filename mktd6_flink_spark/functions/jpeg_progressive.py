@@ -479,17 +479,25 @@ def _dc_cat(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def encode_dc_jpeg_progressive(vals: "np.ndarray") -> bytes:
+def encode_dc_jpeg_progressive(vals: "np.ndarray",
+                               restart_interval: int = 0) -> bytes:
     """Encode an [hb, wb] uint8 matrix of block-constant 8x8 tiles as
     a PROGRESSIVE grayscale JPEG (unit quant tables): six scans — DC
     first (Al=4), four DC refinements (4->0), one AC first covering
     the empty 1..63 band with maximal EOB runs. decode_progressive_jpeg
     recovers every tile value exactly (same guarantee as
-    jpeg.encode_dc_jpeg gives the baseline path)."""
+    jpeg.encode_dc_jpeg gives the baseline path).
+
+    ``restart_interval`` > 0 emits a DRI segment and splits EVERY
+    scan's entropy at that many units with RSTn markers — DC
+    predictors reset per segment and AC EOB runs never span a
+    boundary (the real-encoder compose the r15 verdict asked to pin
+    at corpus scale)."""
     vals = np.asarray(vals, dtype=np.int64)
     hb, wb = vals.shape
     if hb == 0 or wb == 0 or hb * 8 > 65535 or wb * 8 > 65535:
         raise ValueError("invalid block grid")
+    ri = int(restart_interval)
     dcs = [8 * (int(v) - 128) for v in vals.ravel()]
     qt = bytes([0x00]) + bytes([1] * 64)
     sof = (bytes([8]) + (hb * 8).to_bytes(2, "big")
@@ -498,41 +506,67 @@ def encode_dc_jpeg_progressive(vals: "np.ndarray") -> bytes:
     dht_ac = bytes([0x10]) + bytes(_P_AC_COUNTS) + _P_AC_VALUES
     out = (b"\xff\xd8" + _seg(0xDB, qt) + _seg(0xC2, sof)
            + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac))
+    if ri:
+        out += _seg(0xDD, ri.to_bytes(2, "big"))
+
+    def chunks(seq):
+        if not ri:
+            return [seq]
+        return [seq[i:i + ri] for i in range(0, len(seq), ri)]
+
+    def join(parts: list[bytes]) -> bytes:
+        ent = parts[0]
+        for i, p in enumerate(parts[1:]):
+            ent += bytes([0xFF, 0xD0 + (i % 8)]) + p
+        return ent
 
     def sos(ss, se, ah, al, entropy):
         return (_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
                      ) + entropy)
 
-    # scan 1: DC first at Al = _DC_AL (codes diffs of dc >> Al)
-    w = _BitWriter()
-    pred = 0
-    for dc in dcs:
-        hi = dc >> _DC_AL
-        diff = hi - pred
-        pred = hi
-        cat = _dc_cat(diff)
-        w.put(cat, 4)
-        if cat:
-            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-    out += sos(0, 0, 0, _DC_AL, w.done())
-    # scans 2-5: DC refinement, one appended bit per block per level
-    for al in range(_DC_AL - 1, -1, -1):
+    # scan 1: DC first at Al = _DC_AL (codes diffs of dc >> Al);
+    # the predictor resets at every restart boundary
+    parts = []
+    for seg in chunks(dcs):
         w = _BitWriter()
-        for dc in dcs:
-            w.put((dc >> al) & 1, 1)
-        out += sos(0, 0, al + 1, al, w.done())
-    # scan 6: AC first over the all-zero 1..63 band — pure EOB runs
-    w = _BitWriter()
-    left = len(dcs)
-    while left > 0:
-        r = min(14, left.bit_length() - 1)
-        run = min(left, (1 << r) + ((1 << r) - 1))
-        # encode run as EOBn: symbol r << 4, whose canonical CODE in
-        # _P_AC_COUNTS/_P_AC_VALUES is its index r at length 4, then
-        # run - (1 << r) as r extra bits
-        r = run.bit_length() - 1
-        w.put(r, 4)
-        w.put(run - (1 << r), r)
-        left -= run
-    out += sos(1, 63, 0, 0, w.done())
+        pred = 0
+        for dc in seg:
+            hi = dc >> _DC_AL
+            diff = hi - pred
+            pred = hi
+            cat = _dc_cat(diff)
+            w.put(cat, 4)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1,
+                      cat)
+        parts.append(w.done())
+    out += sos(0, 0, 0, _DC_AL, join(parts))
+    # scans 2-5: DC refinement, one appended bit per block per level
+    # (stateless per block, but each segment still byte-aligns)
+    for al in range(_DC_AL - 1, -1, -1):
+        parts = []
+        for seg in chunks(dcs):
+            w = _BitWriter()
+            for dc in seg:
+                w.put((dc >> al) & 1, 1)
+            parts.append(w.done())
+        out += sos(0, 0, al + 1, al, join(parts))
+    # scan 6: AC first over the all-zero 1..63 band — pure EOB runs,
+    # restarted per segment (a run may never span a boundary)
+    parts = []
+    for seg in chunks(dcs):
+        w = _BitWriter()
+        left = len(seg)
+        while left > 0:
+            r = min(14, left.bit_length() - 1)
+            run = min(left, (1 << r) + ((1 << r) - 1))
+            # encode run as EOBn: symbol r << 4, whose canonical CODE
+            # in _P_AC_COUNTS/_P_AC_VALUES is its index r at length 4,
+            # then run - (1 << r) as r extra bits
+            r = run.bit_length() - 1
+            w.put(r, 4)
+            w.put(run - (1 << r), r)
+            left -= run
+        parts.append(w.done())
+    out += sos(1, 63, 0, 0, join(parts))
     return out + b"\xff\xd9"

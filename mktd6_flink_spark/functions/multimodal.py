@@ -1298,13 +1298,20 @@ def jpeg_progressive_media_from_documents(docs: DataFrame) -> DataFrame:
     of the same block-constant tile grid as jpeg_media_from_documents:
     six scans — DC first at point transform 4, four one-bit DC
     refinements, an all-EOB-run AC scan (functions/jpeg_progressive.py
-    encode_dc_jpeg_progressive). DC reconstruction is bit-exact, so
-    the decoded features equal the baseline corpus's and
-    sql_decode_jpeg stays the oracle."""
+    encode_dc_jpeg_progressive). Every ODD doc_id additionally carries
+    a DRI/RSTn restart structure (interval 3 — round 16: real encoders
+    emit progressive + restarts together, so the corpus pins predictor
+    and EOB-run resets in every scan kind at scale). DC reconstruction
+    is bit-exact either way, so the decoded features equal the
+    baseline corpus's and sql_decode_jpeg stays the oracle."""
     from .jpeg_progressive import encode_dc_jpeg_progressive
 
-    return _raster_media_from_documents(docs, JPEG_BLOCKS_W,
-                                        encode_dc_jpeg_progressive)
+    def enc(grid, did):
+        return encode_dc_jpeg_progressive(
+            grid, restart_interval=3 if did % 2 else 0)
+
+    return _raster_media_from_documents(docs, JPEG_BLOCKS_W, enc,
+                                        with_id=True)
 
 
 def decode_jpeg(media: DataFrame, progressive: bool = False) -> DataFrame:

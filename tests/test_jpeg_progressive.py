@@ -616,3 +616,108 @@ def test_dc_predictor_overflow_rejected_as_valueerror():
         decode_progressive_jpeg(payload)
     assert classify_decode_error(
         "DC predictor out of range") == "header_invalid"
+
+
+# ------------------------- DRI x progressive compose (round 16)
+
+@pytest.mark.parametrize("interval", [1, 2, 3, 5, 7])
+def test_full_script_with_restarts_equals_direct(interval):
+    """The full spectral-selection + successive-approximation script
+    under restart markers: every scan kind — DC first, DC refine, AC
+    first, AC refine — must reset its predictor/EOB-run state at each
+    boundary, including intervals that land MID-EOB-RUN (interval 1
+    forces a reset before every unit)."""
+    rng = np.random.RandomState(53 + interval)
+    plane = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    p = encode_progressive([plane], [(1, 1)], 40, 24,
+                           _FULL_GRAY_SCRIPT, qval=8,
+                           restart_interval=interval)
+    w, h, got = decode_progressive_jpeg(p)
+    assert (w, h) == (40, 24)
+    assert (got == _direct_luma([plane], [(1, 1)], 40, 24, 8)).all()
+
+
+def test_color_420_with_restarts_equals_baseline():
+    """4:2:0 color + DRI in BOTH codings: the progressive decode with
+    restarts must equal the baseline decode with restarts of the same
+    planes (each resets per its own unit geometry — MCUs for the
+    interleaved DC scan, tight-grid blocks for per-component AC
+    scans)."""
+    rng = np.random.RandomState(59)
+    y = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    cb = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    cr = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    script = [
+        ("dc", [0, 1, 2], 0, 1),
+        ("ac", 0, 1, 5, 0, 1), ("ac", 1, 1, 63, 0, 0),
+        ("ac", 2, 1, 63, 0, 1),
+        ("dc", [0, 1, 2], 1, 0),
+        ("ac", 0, 6, 63, 0, 1),
+        ("ac", 0, 1, 5, 1, 0), ("ac", 0, 6, 63, 1, 0),
+        ("ac", 2, 1, 63, 1, 0),
+    ]
+    p = encode_progressive([y, cb, cr], samp, 32, 32, script, qval=2,
+                           restart_interval=3)
+    b = encode_baseline([y, cb, cr], samp, qval=2, restart_interval=3)
+    wp, hp, gp = decode_progressive_jpeg(p)
+    wb, hb, gb = decode_baseline_jpeg(b)
+    assert (gp == gb).all() and (wp, hp) == (wb, hb) == (32, 32)
+
+
+def test_non_aligned_restarts_progressive():
+    """Non-MCU-aligned frame + restarts: the AC scans' restart count
+    derives from the TIGHT grid, the DC scan's from the MCU grid —
+    a mismatch in either direction must have failed loudly at encode
+    parity time."""
+    rng = np.random.RandomState(61)
+    y = rng.randint(0, 256, (16, 32), dtype=np.uint8)
+    cb = rng.randint(0, 256, (8, 16), dtype=np.uint8)
+    cr = rng.randint(0, 256, (8, 16), dtype=np.uint8)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    script = [
+        ("dc", [0, 1, 2], 0, 0),
+        ("ac", 0, 1, 63, 0, 0), ("ac", 1, 1, 63, 0, 0),
+        ("ac", 2, 1, 63, 0, 0),
+    ]
+    p = encode_progressive([y, cb, cr], samp, 20, 12, script, qval=1,
+                           restart_interval=2)
+    w, h, got = decode_progressive_jpeg(p)
+    assert (w, h) == (20, 12)
+    assert (got == _direct_luma([y, cb, cr], samp, 20, 12, 1)).all()
+
+
+def test_decode_jpeg_any_dispatches_restarted_progressive():
+    from mktd6_flink_spark.functions.jpeg_progressive import (
+        decode_jpeg_any)
+
+    rng = np.random.RandomState(67)
+    plane = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    p = encode_progressive([plane], [(1, 1)], 16, 16,
+                           _FULL_GRAY_SCRIPT, qval=4,
+                           restart_interval=2)
+    w, h, got = decode_jpeg_any(p)
+    assert (got == _direct_luma([plane], [(1, 1)], 16, 16, 4)).all()
+
+
+def test_restarted_progressive_fuzz_valueerror_only():
+    """Truncations and bit flips over a restart-marked progressive
+    payload (RST bytes included) must stay ValueError-only."""
+    rng = np.random.RandomState(71)
+    plane = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    good = encode_progressive([plane], [(1, 1)], 24, 16,
+                              _FULL_GRAY_SCRIPT, qval=4,
+                              restart_interval=2)
+    assert b"\xff\xd0" in good or b"\xff\xd1" in good  # RSTn present
+    for cut in range(0, len(good), 11):
+        try:
+            decode_progressive_jpeg(good[:cut])
+        except ValueError:
+            pass
+    for i in range(0, len(good), 7):
+        mut = bytearray(good)
+        mut[i] ^= 0x24
+        try:
+            decode_progressive_jpeg(bytes(mut))
+        except ValueError:
+            pass
