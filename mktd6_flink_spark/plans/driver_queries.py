@@ -7214,6 +7214,12 @@ def graph_label_propagation(spark, sf_dir):
     edges = cache.maybe_persist(e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
     labels = gr.lpa_labels(edges, _LPA_ITERS)
+    return _lpa_top_communities(labels)
+
+
+def _lpa_top_communities(labels: DataFrame) -> DataFrame:
+    """Shared LPA finisher (batch + streaming twins — the twins-share-
+    finisher rule): community sizes, top-20 via TakeOrdered."""
     sizes = labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"))
     return (_topk_ranked(sizes, [F.col("n_members").desc(),
@@ -12773,6 +12779,76 @@ def streaming_khop_reach(spark, sf_dir):
         allr = allr.unionByName(df)
     return allr.groupBy("seed", "hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_new"))
+
+
+@register("streaming_label_propagation",
+          ORACLES["graph_label_propagation"])
+def streaming_label_propagation(spark, sf_dir):
+    """Label propagation ON-INGEST (round 16) — the graph family's
+    second live-runtime member, on the topic-chained availableNow
+    machinery streaming_khop_reach proved: each of the {3} synchronous
+    LPA iterations is a streaming stage whose FRONTIER (the previous
+    iteration's resolved labels) arrives on a topic, stream-static
+    equi-joins the persisted edge table on the node key to produce
+    neighbor votes, unions the self-vote (the oscillation damper the
+    batch twin uses), and folds the votes through a BOUNDED-STATE
+    applyInPandasWithState counter keyed by node (state = the node's
+    label→count map, bounded by its neighborhood label domain — graph
+    entities, never event volume; stateful.lpa_vote_step). Counts are
+    additive, so the per-node argmax emitted after the drain equals
+    the batch vote under ANY micro-batching; each stage batch-resolves
+    latest-seq argmaxes to the next topic (a stage's availableNow
+    query must terminate before its topic is treated as static —
+    plans/market.py FileTopic). Shares the batch entry's oracle AND
+    finisher (_lpa_top_communities), so the live runtime's own output
+    is what the driver verifies. At 100 TB the topics are Kafka, the
+    per-stage join stays partitioned on the node key, and state is
+    O(V·labels-per-node), independent of stream volume."""
+    import os
+    import tempfile
+
+    from ..streaming import stateful
+    from .market import FileTopic
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edges, _seeds = _khop_graph(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="lpa_stream_")
+    schema = "node string, lbl string"
+    cur = os.path.join(base, "r0")
+    (edges.select("src").distinct()
+     .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+     .coalesce(1).write.mode("overwrite").json(cur))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for it in range(1, _LPA_ITERS + 1):
+            frontier = spark.readStream.schema(schema).json(cur)
+            votes = (frontier.join(edges,
+                                   frontier["node"] == edges["src"])
+                     .select(F.col("dst").alias("node"), "lbl")
+                     .unionByName(frontier.select("node", "lbl")))
+            out = stateful.apply_per_event_stream(
+                votes, ["node"], ["lbl"], stateful.lpa_vote_step,
+                "node string, lbl string, seq long",
+                "lbls array<string>, cnts array<long>, seq long",
+                lambda s: (list(s[0]), list(s[1]), int(s[2])),
+                lambda s: (list(s[0]), list(s[1]), int(s[2])))
+            topic = FileTopic(os.path.join(base, f"v{it}"),
+                              "node string, lbl string, seq long")
+            os.makedirs(topic.path, exist_ok=True)
+            q = (topic.sink(out, os.path.join(base, f"ck{it}"))
+                 .trigger(availableNow=True).start())
+            _await_done(q, 300)
+            nxt = os.path.join(base, f"r{it}")
+            (spark.read.schema(topic.schema).json(topic.path)
+             .groupBy("node")
+             .agg(F.max_by("lbl", "seq").alias("lbl"))
+             .coalesce(1).write.mode("overwrite").json(nxt))
+            cur = nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    labels = spark.read.schema(schema).json(cur)
+    return _lpa_top_communities(labels)
 
 
 @register("pipeline_incremental_dedup", f"""

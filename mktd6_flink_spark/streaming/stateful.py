@@ -271,6 +271,35 @@ def holt_linear_step():
     return step
 
 
+def lpa_vote_step():
+    """Streaming label-propagation VOTE COUNTER (per node key): state
+    is the node's label→count map — bounded by the node's neighborhood
+    label domain (degree + the self-vote), graph entities, never event
+    volume — and each micro-batch emits the node's CURRENT argmax
+    (max count, ties to the SMALLEST label — the deterministic tie
+    order the batch twin and the DuckDB oracle use) plus a monotone
+    seq. Counts are additive, so the final state equals the batch vote
+    count under ANY micro-batching; the stage finalize keeps each
+    node's last emission (the update-mode-latest pattern)."""
+    def step(state, row):  # pragma: no cover - vectorized path used
+        raise NotImplementedError
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        d = dict(zip(state[0], (int(c) for c in state[1]))) if state \
+            else {}
+        seq = int(state[2]) if state else 0
+        for lb in pdf["lbl"].to_list():
+            d[lb] = d.get(lb, 0) + 1
+        seq += 1
+        best = min(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ks = sorted(d)
+        return ({"lbl": [best], "seq": [seq]},
+                (ks, [d[k] for k in ks], seq))
+
+    step.vectorized = vectorized
+    return step
+
+
 def basket_pair_step():
     """Incremental market-basket pair generation (per basket key):
     state is the basket's DISTINCT item set — bounded by basket size,

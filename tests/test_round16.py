@@ -110,3 +110,46 @@ def test_report_class3_png_plant_still_unsupported(spark):
         decode_png_gray(bad)
     assert mm.classify_decode_error(str(exc.value)) == \
         "unsupported_profile"
+
+
+# --------------------------- streaming label propagation (round 16)
+
+def test_lpa_vote_step_batching_invariant():
+    """The vote counter's final argmax must equal the brute-force
+    count under ANY micro-batching (counts are additive; ties to the
+    smallest label), with the per-key state bounded by the distinct
+    label domain."""
+    import pandas as pd
+
+    from mktd6_flink_spark.streaming import stateful
+
+    rng = np.random.RandomState(19)
+    labels = [f"n{rng.randint(0, 7)}" for _ in range(200)]
+    want_counts: dict = {}
+    for lb in labels:
+        want_counts[lb] = want_counts.get(lb, 0) + 1
+    want = min(want_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    for trial in range(20):
+        step = stateful.lpa_vote_step()
+        state, last = None, None
+        i = 0
+        while i < len(labels):
+            j = i + rng.randint(1, 40)
+            out, state = step.vectorized(
+                pd.DataFrame({"lbl": labels[i:j]}), state)
+            last = out["lbl"][-1]
+            i = j
+        assert last == want
+        assert dict(zip(state[0], state[1])) == want_counts
+        assert len(state[0]) == len(want_counts)  # bounded state
+
+
+def test_lpa_vote_step_tie_breaks_to_smallest_label():
+    import pandas as pd
+
+    from mktd6_flink_spark.streaming import stateful
+
+    step = stateful.lpa_vote_step()
+    out, state = step.vectorized(
+        pd.DataFrame({"lbl": ["z", "a", "z", "a"]}), None)
+    assert out["lbl"] == ["a"]

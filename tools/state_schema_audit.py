@@ -217,6 +217,12 @@ GROWTH_ALLOWLIST = {
         "scale with SF), independent of event volume; each stage's "
         "stream is one finite frontier that terminates before the "
         "next starts"),
+    "streaming_label_propagation": (
+        "entity-keyed: per-node label->count vote map, bounded by "
+        "the node's neighborhood label domain (degree + self-vote — "
+        "graph entities, which scale with SF), independent of event "
+        "volume; each stage's stream is one finite label frontier "
+        "that terminates before the next starts"),
 }
 
 
