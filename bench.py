@@ -45,6 +45,22 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 # Headliners: the scan/agg/join TPC-H set, the reference's core stateful
 # fold, window + running-sum operators, and the LLM-pipeline big hitters.
+#
+# PANEL POLICY (round 16, the r15 verdict's task 8): the panel is
+# CAPPED at 80 heads — 76 heads x 3 ABA passes already cost ~11 min of
+# driver bench, and unbounded growth trades pass count for coverage.
+# Within the cap:
+#   - every operator family keeps at least one head;
+#   - a head flagged `weak` in any verdict round stays on the panel
+#     until it has two consecutive clean rounds (regression watch);
+#   - new heads are appended ONLY for a genuinely new cost shape (a
+#     new family, or a new hot path no existing head exercises) — and
+#     once the cap is reached, only by RETIRING a same-family head
+#     whose cost shape another head already covers (retirements are
+#     recorded here and the retired head's subtotals stay frozen);
+#   - heads are append-only otherwise: the _R*_SET comparability
+#     prefixes below pin every historical panel, so insertion or
+#     reordering would silently corrupt cross-round subtotals.
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
@@ -184,6 +200,12 @@ HEADLINE = [
     "mm_decode_report",
     "mm_decode_wav16",
     "streaming_khop_reach",
+    # round 16 (panel 77/80): the RGBA decode + integer-composite hot
+    # path — 4-channel filter reconstruction per payload, the heaviest
+    # per-byte PNG shape. streaming_label_propagation is NOT added:
+    # its cost is 3 chained query lifecycles (~3x floor), the shape
+    # streaming_khop_reach already prices.
+    "mm_decode_png_rgba",
 ]
 
 # Cross-round comparability: the headline total only grows because the

@@ -13032,57 +13032,85 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # mm_decode_png_rgb, mm_decode_wav, mm_jpeg_phash_dedup,
 # mm_phash_dedup, pipeline_multimodal_curation, sim_pq_trained_recall,
 # streaming_decode_jpeg.
+# r16 gate window (generated: gate_window.py --window --since bfdf5ea,
+# then ONE verdict-mandated manual edit): the generator's unified
+# stalest-first window fronted the 6 never-graded (the 3 r15 late
+# additions mm_decode_png_pal4 / mm_decode_wav_stereo /
+# streaming_decode_report + the 3 round-16 additions mm_decode_png_rgba
+# / mm_decode_png_wide / streaming_label_propagation), took ALL 14
+# remaining r8-graded entries, and filled with 30 r9-graded. The r15
+# verdict's task 5 additionally mandates the 11 entries it DEFERRED as
+# changed-but-recently-graded be re-fronted as a NAMED cohort this
+# round (a changed implementation with a 2-round-old grade is where a
+# silent regression could hide) — so the 11 least-stale r9 fills
+# (events_markov_transitions .. join_fuzzy_names, per the generator's
+# own fill order; they roll to r17) are displaced by that cohort:
+# graph_khop_reach, mm_audio_dedup, mm_decode_jpeg, mm_decode_png,
+# mm_decode_png_rgb, mm_decode_wav, mm_jpeg_phash_dedup, mm_phash_dedup,
+# pipeline_multimodal_curation, sim_pq_trained_recall,
+# streaming_decode_jpeg. Final composition: 6 never + 11 named deferred
+# + 14 r8 + 19 r9 — after this gate, zero entries are last-graded <= r8.
+# This round's OWN changed-fingerprint-but-deferred cohort (the
+# generator lists 48 — dominated by the stateful.py vectorization and
+# multimodal.py composite work folding into every importer's
+# fingerprint) was re-verified locally: the FULL oracle gate ran green
+# at sf0.01 and sf0.1 this round (see CHANGES.md), the backstop for
+# everything un-windowed; re-front genuinely-changed ones in r17:
+# st1_ema, st1_ema_per_event, st6_per_event_ledger, streaming_st1_ema,
+# streaming_st2_product, streaming_st6_ledger, graph_label_propagation,
+# mm_decode_jpeg_progressive, mm_decode_report, streaming_khop_reach
+# (the rest re-fingerprinted without behavior change).
 _GATE_PRIORITY = [
-    "mm_decode_jpeg_progressive",
-    "mm_decode_png_palette",
-    "streaming_decode_png_rgb",
-    "mm_decode_report",
-    "mm_decode_wav16",
-    "sim_ivf_assign",
-    "streaming_ivf_assign",
-    "streaming_khop_reach",
-    "pipeline_contamination",
-    "pipeline_dataset_manifest",
-    "sim_label_centroids",
-    "join_range_bucketed",
-    "text_bm25_search",
-    "sim_kmeans_centroids",
-    "streaming_dedup_exact",
-    "streaming_w5_sum_per_team",
-    "streaming_w5_top5_traders",
-    "tpch_q12ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q22ish",
-    "tpch_rollup",
-    "streaming_w7_sliding",
-    "p02_hashtag_filter",
-    "p03_sentiment",
-    "p04_non_neutral",
-    "p05_explode_chars",
-    "p07_order_size",
-    "p08_contains",
-    "p10_influence",
-    "st6_trader_ledger",
-    "hash_family_check",
-    "pipeline_curation",
-    "streaming_st1_ema",
-    "streaming_st6_ledger",
-    "streaming_w2_window",
-    "st8_return_amounts",
-    "w5_median_value_per_team",
-    "streaming_st2_product",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_daily_ohlc",
-    "streaming_w4_cogroup",
-    "join_salted_skew",
-    "streaming_st3_burst",
-    "streaming_st7_invest",
-    "streaming_st9_sequence",
-    "streaming_st4_combiner",
-    "tpch_q7ish",
-    "tpch_q13ish",
+    "mm_decode_png_pal4",
+    "mm_decode_png_rgba",
+    "mm_decode_png_wide",
+    "streaming_decode_report",
+    "mm_decode_wav_stereo",
+    "streaming_label_propagation",
+    "graph_khop_reach",
+    "mm_audio_dedup",
+    "mm_decode_jpeg",
+    "mm_decode_png",
+    "mm_decode_png_rgb",
+    "mm_decode_wav",
+    "mm_jpeg_phash_dedup",
+    "mm_phash_dedup",
+    "pipeline_multimodal_curation",
+    "sim_pq_trained_recall",
+    "streaming_decode_jpeg",
+    "streaming_w6_session",
+    "streaming_join_interval",
+    "streaming_sketch_hll",
+    "streaming_sketch_cms",
+    "tpch_q14ish",
+    "tpch_q19ish",
+    "tpch_q2ish",
+    "tpch_q15ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
+    "sketch_hll_users",
+    "sketch_cms_user_counts",
+    "pipeline_temperature_mix",
+    "text_trigram_surprisal",
+    "streaming_gopher_rules",
+    "streaming_dedup_watermarked",
+    "streaming_join_static_dim",
+    "streaming_cdc_upsert",
+    "streaming_anomaly_zscore",
+    "text_gopher_rules",
+    "text_line_dedup",
+    "text_dup_ngram_fraction",
+    "text_length_log2_histogram",
+    "mm_dedup_content_hash",
+    "pipeline_keep_best_dedup",
+    "dedup_cluster_sizes",
+    "sim_dim_mean_report",
+    "pipeline_epoch_shuffle",
+    "pipeline_cdc_upsert",
+    "pipeline_dataset_diff",
+    "text_top_terms_per_doc",
+    "pipeline_length_quantiles",
+    "events_value_rank_report",
 ]
 
 
