@@ -812,6 +812,58 @@ def wav16_media_from_documents(docs: DataFrame) -> DataFrame:
         batches, schema="media_id long, payload binary")
 
 
+def wav_wide_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a WIDE-SAMPLE RIFF/WAVE file (round
+    16): EVEN doc_ids as 24-BIT PCM (sample = v * 0x010101 - 2^23, so
+    all three bytes are live and the decoder's top-byte fold recovers
+    v exactly), ODD doc_ids as IEEE FLOAT32 (fmt code 3; sample =
+    (v - 128) / 128 — dyadic, exactly representable, so the decoder's
+    round-half-up f*128 + 128 fold recovers v exactly). Both lanes
+    land on the same u8 feature domain, so sql_decode_wav stays the
+    oracle. Empty/NULL text becomes one v=0 sample. Python stdlib
+    ``wave`` opens the 24-bit lane (asserted in tests; stdlib wave
+    has no float support, so that lane is struct-verified
+    independently)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8).astype(np.int64)
+                if v.size == 0:
+                    v = np.zeros(1, dtype=np.int64)
+                if did % 2 == 0:
+                    s = v * 0x010101 - (1 << 23)
+                    b = (s + (1 << 24)) % (1 << 24)  # two's complement
+                    data = np.stack([b & 255, (b >> 8) & 255,
+                                     (b >> 16) & 255],
+                                    axis=1).astype(np.uint8).tobytes()
+                    afmt, width = 1, 3
+                else:
+                    data = ((v - 128) / 128.0).astype("<f4").tobytes()
+                    afmt, width = 3, 4
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data))
+                       + b"WAVEfmt " + struct.pack(
+                           "<IHHIIHH", 16, afmt, 1, WAV_RATE,
+                           WAV_RATE * width, width, width * 8)
+                       + b"data" + struct.pack("<I", len(data)))
+                out.append((did, bytearray(hdr + data)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
 def wav_stereo_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a REAL STEREO RIFF/WAVE file (round 15
     — music/podcast audio is overwhelmingly 2-channel): left channel
@@ -924,9 +976,12 @@ def _parse_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     afmt, channels, rate, bits = fmt
-    if afmt != 1 or channels not in (1, 2) or bits not in (8, 16):
+    if channels not in (1, 2) or not (
+            (afmt == 1 and bits in (8, 16, 24))
+            or (afmt == 3 and bits == 32)):
         raise ValueError(
-            "unsupported encoding (want PCM mono/stereo 8/16-bit)")
+            "unsupported encoding (want PCM 8/16/24-bit or "
+            "float32, mono/stereo)")
     if not 0 < rate < (1 << 31):
         # rate = 0 would divide-by-zero in duration math; an absurd
         # rate would overflow the int output column — both are
@@ -934,6 +989,31 @@ def _parse_wav(payload: bytes):
         raise ValueError("invalid sample rate")
     if bits == 8:
         u8 = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    elif bits == 24:
+        # 24-bit signed little-endian PCM (round 16 — the pro-audio
+        # export width): assemble the three bytes, bias by 2^23, and
+        # take the TOP byte — lossless for the builder's v * 0x010101
+        # grid (v*0x010101 >> 16 == v for v <= 255), standard 8-bit
+        # requantization for everything else.
+        if len(data) % 3:
+            raise ValueError("24-bit data length not a multiple of 3")
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        s24 = b[0::3] | (b[1::3] << 8) | (b[2::3] << 16)
+        s24 -= (s24 >> 23) << 24  # sign-extend bit 23
+        u8 = (s24 + (1 << 23)) >> 16
+    elif bits == 32:
+        # IEEE float32 (fmt code 3, round 16 — DAW/ML-pipeline
+        # exports): fold [-1, 1] to the u8 domain by round-half-up of
+        # f*128 + 128, clipped (f = +1.0 maps to 256 pre-clip) — the
+        # exact inverse of the builder's (v - 128) / 128 embedding
+        # (dyadic, exactly representable in float32).
+        if len(data) % 4:
+            raise ValueError("float32 data length not a multiple of 4")
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite float32 sample")
+        u8 = np.clip(np.floor(f * 128.0 + 128.5), 0, 255).astype(
+            np.int64)
     else:
         # 16-bit signed little-endian PCM (round 15 — the width every
         # real-world recorder emits; u8 is rare in the wild): fold to
@@ -1932,7 +2012,7 @@ _REASON_PATTERNS = (
     # advisory).
     ("truncated", ("truncated", "exhausted", "entropy data too small",
                    "scanline length", "missing IHDR", "missing fmt",
-                   "odd 16-bit", "stereo data length", "IDAT inflate",
+                   "odd 16-bit", "data length", "IDAT inflate",
                    "IDAT stream", "marker expected",
                    "restart segment count", "no scan before EOI",
                    "no SOS", "DHT value count")),
@@ -1946,7 +2026,8 @@ _REASON_PATTERNS = (
                              "first scan must be DC",
                              "AC scan before DC", "multiple frames")),
     ("header_invalid", ("decode cap", "invalid dimensions",
-                        "invalid sample rate", "zero image dimension",
+                        "invalid sample rate", "non-finite",
+                        "zero image dimension",
                         "PLTE", "palette", "coefficient planes",
                         "invalid DC category", "DC predictor",
                         "invalid Huffman",
@@ -2011,7 +2092,10 @@ def _corrupt_for_report(payload: bytes, cls: int, modality: str) -> bytes:
         return payload[:16] + bytes(data) + crc + payload[33:]
     b = bytearray(payload)  # audio_wav: fixed 44-byte header layout
     if cls == 3:
-        b[34:36] = (24).to_bytes(2, "little")  # 24-bit: unsupported
+        # fmt code 2 (ADPCM): spec-shaped but unsupported (round 16
+        # made 24-bit PCM a SUPPORTED width, so the old bits=24 plant
+        # would now decode successfully)
+        b[20:22] = (2).to_bytes(2, "little")
     else:
         b[24:28] = (0).to_bytes(4, "little")   # rate 0: invalid field
     return bytes(b)

@@ -2426,6 +2426,25 @@ def mm_decode_wav16(spark, sf_dir):
     return mm.decode_wav(mm.wav16_media_from_documents(docs))
 
 
+@register("mm_decode_wav_wide", mm.sql_decode_wav("documents"))
+def mm_decode_wav_wide(spark, sf_dir):
+    """24-BIT PCM + IEEE-FLOAT32 WAV decode (round 16): 24-bit is the
+    pro-audio export width and float32 (fmt code 3) the DAW/ML-
+    pipeline default — both previously dropped as unsupported
+    encodings. Even doc_ids become genuine 24-bit mono RIFF/WAVE
+    (sample v * 0x010101 - 2^23, all three bytes live; stdlib `wave`
+    opens them, asserted in tests), odd doc_ids float32 (sample
+    (v - 128)/128, dyadic-exact in float32). The RIFF walk validates
+    each fmt block and folds to the shared u8 feature domain —
+    top-byte bias for 24-bit, round-half-up f*128 + 128 for float —
+    recovering v bit-exactly in both lanes, so sql_decode_wav stays
+    the oracle and a byte-assembly, sign-extension, or float-fold bug
+    flips the hash. Same clip features, same drop-per-row contract;
+    payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_wav(mm.wav_wide_media_from_documents(docs))
+
+
 @register("mm_decode_wav_stereo", mm.sql_decode_wav_stereo("documents"))
 def mm_decode_wav_stereo(spark, sf_dir):
     """STEREO WAV decode (round 15) — music/podcast audio is

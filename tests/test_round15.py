@@ -84,11 +84,19 @@ def test_wav16_error_contract():
     # odd byte count cannot be 16-bit samples
     with pytest.raises(ValueError, match="odd 16-bit"):
         _parse_wav(wav(fmt16, b"\x00\x01\x02"))
-    # 24-bit stays rejected; stereo 16-bit PARSES since the stereo
-    # lane landed (downmix of equal channels = the channel value)
+    # 24-bit PCM PARSES since round 16 (0 bias-folds to u8 128);
+    # ADPCM (fmt 2) and a float fmt at a non-32 width stay rejected;
+    # stereo 16-bit PARSES since the stereo lane landed (downmix of
+    # equal channels = the channel value)
     fmt24 = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 3, 3, 24)
+    _rate, s24 = _parse_wav(wav(fmt24, b"\x00" * 6))
+    assert list(s24) == [128, 128]
+    fmt_adpcm = struct.pack("<HHIIHH", 2, 1, WAV_RATE, WAV_RATE, 1, 8)
     with pytest.raises(ValueError, match="unsupported"):
-        _parse_wav(wav(fmt24, b"\x00" * 6))
+        _parse_wav(wav(fmt_adpcm, b"\x00" * 4))
+    fmt_f16 = struct.pack("<HHIIHH", 3, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    with pytest.raises(ValueError, match="unsupported"):
+        _parse_wav(wav(fmt_f16, b"\x00" * 4))
     fmt_st = struct.pack("<HHIIHH", 1, 2, WAV_RATE, WAV_RATE * 4, 4, 16)
     _rate, st = _parse_wav(wav(fmt_st, b"\x00" * 8))
     assert list(st) == [128, 128]

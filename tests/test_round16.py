@@ -153,3 +153,136 @@ def test_lpa_vote_step_tie_breaks_to_smallest_label():
     out, state = step.vectorized(
         pd.DataFrame({"lbl": ["z", "a", "z", "a"]}), None)
     assert out["lbl"] == ["a"]
+
+
+# ------------------------------ 24-bit + float32 WAV (round 16)
+
+def test_wav_wide_payloads_verify_independently(spark):
+    """24-bit lane: stdlib `wave` must open every payload as 3-byte
+    mono and its frames must equal the v*0x010101 - 2^23 samples.
+    float32 lane (stdlib wave has no float support): struct-parse the
+    header independently and check the samples are exactly
+    (v - 128) / 128 as float32."""
+    import io
+    import wave
+
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        list(_TEXTS.items()), "doc_id long, text string")
+    rows = {r.media_id: bytes(r.payload)
+            for r in mm.wav_wide_media_from_documents(docs).collect()}
+    assert len(rows) == len(_TEXTS)
+    for did, text in _TEXTS.items():
+        clean = _clean(text)
+        v = np.frombuffer(clean.encode(), np.uint8).astype(np.int64)
+        if v.size == 0:
+            v = np.zeros(1, dtype=np.int64)
+        p = rows[did]
+        if did % 2 == 0:
+            with wave.open(io.BytesIO(p)) as wf:
+                assert wf.getnchannels() == 1
+                assert wf.getsampwidth() == 3
+                assert wf.getframerate() == mm.WAV_RATE
+                got = wf.readframes(wf.getnframes())
+            want = v * 0x010101 - (1 << 23)
+            b = (want + (1 << 24)) % (1 << 24)
+            assert got == np.stack(
+                [b & 255, (b >> 8) & 255, (b >> 16) & 255],
+                axis=1).astype(np.uint8).tobytes()
+        else:
+            afmt, nch, rate, bits = (
+                struct.unpack("<H", p[20:22])[0],
+                struct.unpack("<H", p[22:24])[0],
+                struct.unpack("<I", p[24:28])[0],
+                struct.unpack("<H", p[34:36])[0])
+            assert (afmt, nch, rate, bits) == (3, 1, mm.WAV_RATE, 32)
+            f = np.frombuffer(p[44:], dtype="<f4")
+            assert (f == ((v - 128) / 128.0).astype("<f4")).all()
+
+
+def test_wav_wide_folds_recover_v_exactly():
+    """Both wide folds must be bit-exact inverses of their embeddings
+    for every byte value, and the float fold must clip its legal
+    [-1, 1] endpoints sanely."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    v = np.arange(256, dtype=np.int64)
+    # 24-bit lane
+    s = v * 0x010101 - (1 << 23)
+    b = ((s + (1 << 24)) % (1 << 24)).astype(np.int64)
+    data = np.stack([b & 255, (b >> 8) & 255, (b >> 16) & 255],
+                    axis=1).astype(np.uint8).tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 24000, 3, 24)
+           + b"data" + struct.pack("<I", len(data)))
+    rate, u8 = mm._parse_wav(hdr + data)
+    assert (u8 == v).all()
+    # float32 lane
+    f = ((v - 128) / 128.0).astype("<f4")
+    data = f.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+           + b"data" + struct.pack("<I", len(data)))
+    rate, u8 = mm._parse_wav(hdr + data)
+    assert (u8 == v).all()
+    # +1.0 clips to 255; NaN is a row-drop, not a crash
+    one = np.array([1.0, -1.0], dtype="<f4").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+           + b"data" + struct.pack("<I", 8))
+    _, u8 = mm._parse_wav(hdr + one)
+    assert u8.tolist() == [255, 0]
+    nan = np.array([np.nan], dtype="<f4").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+           + b"data" + struct.pack("<I", 4))
+    with pytest.raises(ValueError, match="non-finite"):
+        mm._parse_wav(hdr + nan)
+    assert mm.classify_decode_error("non-finite float32 sample") == \
+        "header_invalid"
+
+
+def test_report_class3_wav_plant_still_unsupported():
+    """Round 16 made 24-bit PCM a SUPPORTED width; the report's
+    class-3 WAV plant moved to fmt code 2 (ADPCM), which must keep
+    failing as unsupported_profile."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    v = np.array([104, 105], dtype=np.int64)
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + 2) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 2) + bytes([104, 105]))
+    bad = mm._corrupt_for_report(wav8, 3, "audio_wav")
+    with pytest.raises(ValueError) as exc:
+        mm._parse_wav(bad)
+    assert mm.classify_decode_error(str(exc.value)) == \
+        "unsupported_profile"
+
+
+def test_wav_wide_fuzz_valueerror_only():
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    v = np.arange(64, dtype=np.int64)
+    for afmt, width, data in (
+            (1, 3, np.stack([(v) & 255, v, v], axis=1)
+             .astype(np.uint8).tobytes()),
+            (3, 4, ((v - 32) / 32.0).astype("<f4").tobytes())):
+        good = (b"RIFF" + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, afmt, 1, 8000,
+                              8000 * width, width, width * 8)
+                + b"data" + struct.pack("<I", len(data)) + data)
+        mm._parse_wav(good)
+        for cut in range(0, len(good), 5):
+            try:
+                mm._parse_wav(good[:cut])
+            except ValueError:
+                pass
+        for i in range(0, len(good), 3):
+            mut = bytearray(good)
+            mut[i] ^= 0x81
+            try:
+                mm._parse_wav(bytes(mut))
+            except ValueError:
+                pass
