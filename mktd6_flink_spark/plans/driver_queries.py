@@ -13056,7 +13056,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # stalest-first window fronted the 6 never-graded (the 3 r15 late
 # additions mm_decode_png_pal4 / mm_decode_wav_stereo /
 # streaming_decode_report + the 3 round-16 additions mm_decode_png_rgba
-# / mm_decode_png_wide / streaming_label_propagation), took ALL 14
+# / mm_decode_png_wide / streaming_label_propagation — plus the late
+# round-16 add mm_decode_wav_wide, displacing one more r9 fill), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13086,6 +13087,7 @@ _GATE_PRIORITY = [
     "streaming_decode_report",
     "mm_decode_wav_stereo",
     "streaming_label_propagation",
+    "mm_decode_wav_wide",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13129,7 +13131,6 @@ _GATE_PRIORITY = [
     "pipeline_dataset_diff",
     "text_top_terms_per_doc",
     "pipeline_length_quantiles",
-    "events_value_rank_report",
 ]
 
 
