@@ -1698,19 +1698,25 @@ def png_rgba_media_from_documents(docs: DataFrame) -> DataFrame:
                                         with_id=True)
 
 
-def decode_png_rgba_features(media: DataFrame) -> DataFrame:
-    """REAL RGBA PNG decode via mapInPandas — chunk walk with CRC
-    checks, inflate, filter reconstruction with 4-byte pixel taps,
-    Adam7 de-interlace — then per-channel band features where channels
-    0-2 are the RGB COMPOSITED OVER WHITE (composite_over_white, the
-    documented rule) and channel 3 is the raw alpha. Malformed
-    payloads drop per row; payloads never shuffle."""
+def decode_png_rgba_features(media: DataFrame,
+                             decoder_name: str = "decode_png_rgba",
+                             ) -> DataFrame:
+    """REAL RGBA-raster PNG decode via mapInPandas — chunk walk with
+    CRC checks, inflate, filter reconstruction, Adam7 de-interlace —
+    then per-channel band features where channels 0-2 are the RGB
+    COMPOSITED OVER WHITE (composite_over_white, the documented rule)
+    and channel 3 is the raw alpha. ``decoder_name`` selects any
+    functions.png decoder returning [h, w, 4] (truecolor-alpha or
+    palette+tRNS — the two container paths share this extractor AND
+    one oracle). Malformed payloads drop per row; payloads never
+    shuffle."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from .png import decode_png_rgba
+        from . import png as png_mod
 
+        decode_png_rgba = getattr(png_mod, decoder_name)
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"].to_list(),
@@ -1740,6 +1746,30 @@ def decode_png_rgba_features(media: DataFrame) -> DataFrame:
               "band int, feat_micro long")
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=schema)
+
+
+def png_pal_trns_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a PALETTE + tRNS PNG (round 16 — the
+    classic transparent-icon profile): the 256-entry PLTE holds the
+    truecolor derivations and the 256-entry tRNS the alpha derivation
+    (entry v = (v*29 + 3) % 256 — exactly the RGBA corpus), so the
+    decoded RGBA equals png_rgba_media_from_documents' and
+    sql_decode_png_rgba stays the oracle while the container path is
+    PLTE+tRNS index mapping instead of 4-channel scanlines. Every ODD
+    doc_id Adam7-interlaced. Same clean/cap/pad contract as every
+    raster builder."""
+    from .png import encode_png_palette
+
+    def enc(grid, did):
+        import numpy as np
+
+        rng = np.arange(256, dtype=np.int64)
+        pal = _rgb_channels(rng)
+        return encode_png_palette(grid, pal, interlace=bool(did % 2),
+                                  trns=_alpha_channel(rng))
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
 
 
 def sql_decode_png_rgba(table: str = "documents",
@@ -2028,7 +2058,7 @@ _REASON_PATTERNS = (
     ("header_invalid", ("decode cap", "invalid dimensions",
                         "invalid sample rate", "non-finite",
                         "zero image dimension",
-                        "PLTE", "palette", "coefficient planes",
+                        "PLTE", "palette", "tRNS", "coefficient planes",
                         "invalid DC category", "DC predictor",
                         "invalid Huffman",
                         "AC run past", "unknown filter",

@@ -163,11 +163,14 @@ def encode_png_rgba(raster: "np.ndarray", interlace: bool = False,
 
 def encode_png_palette(idx: "np.ndarray", palette: "np.ndarray",
                        interlace: bool = False,
-                       depth: int = 8) -> bytes:
+                       depth: int = 8,
+                       trns: "np.ndarray | None" = None) -> bytes:
     """Encode an [h, w] uint8 INDEX raster as a palette PNG (color
     type 3): ``palette`` is [n, 3] uint8 RGB entries emitted as the
     PLTE chunk; every index must be < n and < 2**depth (``depth`` in
-    {1, 2, 4, 8} — icons are typically 4-bit or less)."""
+    {1, 2, 4, 8} — icons are typically 4-bit or less). ``trns``
+    optionally emits per-entry alpha as a tRNS chunk (length <= n;
+    entries beyond it are opaque per §4.2.1.1)."""
     idx = np.asarray(idx, dtype=np.uint8)
     palette = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
@@ -182,9 +185,14 @@ def encode_png_palette(idx: "np.ndarray", palette: "np.ndarray",
         raise ValueError("index beyond palette")
     ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
     lines = _scanlines(idx.reshape(h, w, 1), interlace, depth)
-    return (_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"PLTE", palette.tobytes())
-            + _chunk(b"IDAT", zlib.compress(lines))
+    out = (_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"PLTE", palette.tobytes()))
+    if trns is not None:
+        trns = np.asarray(trns, dtype=np.uint8)
+        if trns.ndim != 1 or not 1 <= trns.size <= palette.shape[0]:
+            raise ValueError("trns must be [1..palette] alphas")
+        out += _chunk(b"tRNS", trns.tobytes())
+    return (out + _chunk(b"IDAT", zlib.compress(lines))
             + _chunk(b"IEND", b""))
 
 
@@ -246,7 +254,7 @@ def _decode_png(payload: bytes, want_ctype: int,
     if payload[:8] != _SIG:
         raise ValueError("not a PNG payload")
     pos, n = 8, len(payload)
-    ihdr, idat, plte, ended = None, bytearray(), None, False
+    ihdr, idat, plte, trns, ended = None, bytearray(), None, None, False
     while pos + 8 <= n:
         clen = int.from_bytes(payload[pos:pos + 4], "big")
         ctype = payload[pos + 4:pos + 8]
@@ -269,6 +277,15 @@ def _decode_png(payload: bytes, want_ctype: int,
             if len(data) % 3 or not 3 <= len(data) <= 768:
                 raise ValueError("PLTE length invalid")
             plte = bytes(data)
+        elif ctype == b"tRNS" and want_ctype == 3:
+            # palette transparency (ancillary, consumed only by the
+            # palette-RGBA decoder; entries beyond its length are
+            # opaque per §4.2.1.1). For other color types tRNS keys a
+            # single transparent color — outside the feature domain,
+            # skipped like every other ancillary chunk.
+            if len(data) > 256:
+                raise ValueError("tRNS length invalid")
+            trns = bytes(data)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -333,7 +350,7 @@ def _decode_png(payload: bytes, want_ctype: int,
 
     if not interlace:
         samples = to_samples(_unfilter(raw, h, stride, bpp), w)
-        return w, h, samples, plte, depth
+        return w, h, samples, plte, depth, trns
     out3 = np.zeros((h, w, channels),
                     dtype=np.uint16 if depth == 16 else np.uint8)
     at = 0
@@ -345,7 +362,7 @@ def _decode_png(payload: bytes, want_ctype: int,
             _unfilter(raw[at:at + seg], ph, stride_of(pw), bpp), pw)
         at += seg
         out3[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
-    return w, h, out3.reshape(h, w * channels), plte, depth
+    return w, h, out3.reshape(h, w * channels), plte, depth, trns
 
 
 def _to_u8(out: np.ndarray, depth: int) -> np.ndarray:
@@ -368,7 +385,8 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, np.ndarray]:
     the sub-byte scale-up and the 16-bit high-byte strip). Raises
     ValueError on anything outside the supported profile,
     truncated/corrupt chunks, or CRC mismatch."""
-    w, h, out, _, depth = _decode_png(payload, want_ctype=0, channels=1)
+    w, h, out, _, depth, _t = _decode_png(payload, want_ctype=0,
+                                          channels=1)
     return w, h, _to_u8(out, depth)
 
 
@@ -376,8 +394,8 @@ def decode_png_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a truecolor PNG (color type 2, depth 8/16); returns
     (width, height, raster uint8 [h, w, 3]). Same ValueError contract
     as the grayscale path."""
-    w, h, out, _, depth = _decode_png(payload, want_ctype=2,
-                                      channels=3)
+    w, h, out, _, depth, _t = _decode_png(payload, want_ctype=2,
+                                          channels=3)
     return w, h, _to_u8(out, depth).reshape(h, w, 3)
 
 
@@ -388,8 +406,8 @@ def decode_png_gray_alpha(payload: bytes) -> tuple[int, int, np.ndarray]:
     Compositing is the CALLER's policy (see
     multimodal.composite_over_white for the engine's documented rule);
     the decoder returns the channels as stored."""
-    w, h, out, _, depth = _decode_png(payload, want_ctype=4,
-                                      channels=2)
+    w, h, out, _, depth, _t = _decode_png(payload, want_ctype=4,
+                                          channels=2)
     return w, h, _to_u8(out, depth).reshape(h, w, 2)
 
 
@@ -399,8 +417,8 @@ def decode_png_rgba(payload: bytes) -> tuple[int, int, np.ndarray]:
     [h, w, 4], RGBA). Alpha is returned as stored (straight, not
     premultiplied — PNG never premultiplies); compositing is the
     caller's policy."""
-    w, h, out, _, depth = _decode_png(payload, want_ctype=6,
-                                      channels=4)
+    w, h, out, _, depth, _t = _decode_png(payload, want_ctype=6,
+                                          channels=4)
     return w, h, _to_u8(out, depth).reshape(h, w, 4)
 
 
@@ -411,11 +429,36 @@ def decode_png_palette(payload: bytes) -> tuple[int, int, np.ndarray]:
     height, raster uint8 [h, w, 3]). A missing PLTE or an index
     beyond the palette is a ValueError row-drop like every other
     malformation."""
-    w, h, idx, plte, _depth = _decode_png(payload, want_ctype=3,
-                                          channels=1)
+    w, h, idx, plte, _depth, _t = _decode_png(payload, want_ctype=3,
+                                              channels=1)
     if plte is None:
         raise ValueError("palette PNG without PLTE")
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("palette index beyond PLTE")
     return w, h, pal[idx.reshape(h, w)]
+
+
+def decode_png_palette_rgba(payload: bytes) -> tuple[int, int,
+                                                     np.ndarray]:
+    """Decode a palette PNG WITH its tRNS transparency (round 16 —
+    the classic transparent-icon profile): indices map through PLTE
+    to RGB and through tRNS to alpha (entries beyond the tRNS length
+    are opaque 255 per §4.2.1.1; a file with no tRNS decodes fully
+    opaque); returns (width, height, raster uint8 [h, w, 4] RGBA) —
+    the same output contract as decode_png_rgba, so downstream
+    compositing is shared."""
+    w, h, idx, plte, _depth, trns = _decode_png(payload, want_ctype=3,
+                                                channels=1)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index beyond PLTE")
+    alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+    if trns is not None:
+        if len(trns) > pal.shape[0]:
+            raise ValueError("tRNS longer than the palette")
+        alpha[:len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    pal4 = np.concatenate([pal, alpha[:, None]], axis=1)
+    return w, h, pal4[idx.reshape(h, w)]

@@ -2269,6 +2269,30 @@ def mm_decode_png_rgba(spark, sf_dir):
         mm.png_rgba_media_from_documents(docs))
 
 
+@register("mm_decode_png_pal_trns",
+          mm.sql_decode_png_rgba("documents", cap=mm.RASTER_MAX_CHARS))
+def mm_decode_png_pal_trns(spark, sf_dir):
+    """PALETTE + tRNS PNG decode (round 16) — the classic
+    transparent-icon profile: indexed color with per-entry alpha in an
+    ancillary tRNS chunk. Each document becomes a genuine palette PNG
+    whose 256-entry PLTE holds the truecolor derivations and whose
+    tRNS holds the alpha derivation (exactly the RGBA corpus's
+    channels, so this entry SHARES sql_decode_png_rgba with
+    mm_decode_png_rgba while exercising a disjoint container path —
+    PLTE+tRNS index mapping vs 4-channel scanlines; a tRNS-length
+    default bug, an index bug, or a composite bug flips the hash
+    differently in the two entries). Odd doc_ids Adam7-interlaced.
+    Decode maps indices through PLTE to RGB and tRNS to alpha
+    (entries beyond the tRNS length opaque per §4.2.1.1), composites
+    over white with the documented exact-integer rule, and emits the
+    same per-channel band features through the SHARED extractor
+    (decode_png_rgba_features). Malformed payloads drop per row."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_png_rgba_features(
+        mm.png_pal_trns_media_from_documents(docs),
+        decoder_name="decode_png_palette_rgba")
+
+
 @register("mm_decode_png_wide",
           mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_png_wide(spark, sf_dir):
@@ -13057,7 +13081,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # additions mm_decode_png_pal4 / mm_decode_wav_stereo /
 # streaming_decode_report + the 3 round-16 additions mm_decode_png_rgba
 # / mm_decode_png_wide / streaming_label_propagation — plus the late
-# round-16 add mm_decode_wav_wide, displacing one more r9 fill), took ALL 14
+# round-16 adds mm_decode_wav_wide and mm_decode_png_pal_trns,
+# displacing two more r9 fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13088,6 +13113,7 @@ _GATE_PRIORITY = [
     "mm_decode_wav_stereo",
     "streaming_label_propagation",
     "mm_decode_wav_wide",
+    "mm_decode_png_pal_trns",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13130,7 +13156,6 @@ _GATE_PRIORITY = [
     "pipeline_cdc_upsert",
     "pipeline_dataset_diff",
     "text_top_terms_per_doc",
-    "pipeline_length_quantiles",
 ]
 
 

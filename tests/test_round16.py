@@ -286,3 +286,52 @@ def test_wav_wide_fuzz_valueerror_only():
                 mm._parse_wav(bytes(mut))
             except ValueError:
                 pass
+
+
+# ------------------------------- palette + tRNS (round 16)
+
+def test_pal_trns_corpus_equals_rgba_corpus_features(spark):
+    """The PLTE+tRNS corpus must decode to EXACTLY the RGBA corpus's
+    features (same derivations through a disjoint container path) —
+    the property that lets the two entries share one oracle."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        list(_TEXTS.items()), "doc_id long, text string")
+    a = {(r.media_id, r.channel, r.band): r.feat_micro
+         for r in mm.decode_png_rgba_features(
+             mm.png_rgba_media_from_documents(docs)).collect()}
+    b = {(r.media_id, r.channel, r.band): r.feat_micro
+         for r in mm.decode_png_rgba_features(
+             mm.png_pal_trns_media_from_documents(docs),
+             decoder_name="decode_png_palette_rgba").collect()}
+    assert a == b and len(a) == len(_TEXTS) * 4 * mm.PGM_BANDS
+
+
+def test_trns_short_table_defaults_opaque_and_fuzz():
+    """Entries beyond the tRNS length must decode opaque (§4.2.1.1);
+    an over-long tRNS is a row-drop; fuzz stays ValueError-only."""
+    from mktd6_flink_spark.functions.png import (decode_png_palette_rgba,
+                                                 encode_png_palette)
+
+    rng = np.random.RandomState(29)
+    idx = rng.randint(0, 16, (5, 6), dtype=np.uint8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    tr = rng.randint(0, 256, 4, dtype=np.uint8)
+    p = encode_png_palette(idx, pal, trns=tr)
+    _, _, out = decode_png_palette_rgba(p)
+    want_a = np.concatenate([tr, np.full(12, 255, np.uint8)])
+    assert (out[:, :, 3] == want_a[idx]).all()
+    assert (out[:, :, :3] == pal[idx]).all()
+    for cut in range(0, len(p), 9):
+        try:
+            decode_png_palette_rgba(p[:cut])
+        except ValueError:
+            pass
+    for i in range(0, len(p), 5):
+        mut = bytearray(p)
+        mut[i] ^= 0x42
+        try:
+            decode_png_palette_rgba(bytes(mut))
+        except ValueError:
+            pass
