@@ -1,0 +1,335 @@
+"""GIF (GIF87a/GIF89a) codec in pure Python + numpy.
+
+GIFs remain a real slice of web crawls (icons, small animations'
+first frames, legacy charts). Decoder scope: both version magics, a
+logical screen with a GLOBAL color table (1..256 entries), optional
+local color table on the image descriptor (takes precedence per the
+spec), ONE image block (the first frame; later frames and loop
+extensions are beyond the feature domain and raise), every extension
+block skipped by the sub-block grammar except the Graphic Control
+Extension whose transparency index is honored (alpha 0), BOTH row
+orders (sequential and the 4-pass GIF interlace), and the full
+variable-width LZW decompression (clear/end codes, dictionary growth
+to 4096, width bumps at powers of two). Everything outside the
+profile raises ValueError so multimodal callers keep the
+drop-per-row contract.
+
+The encoder (corpus builder) emits REAL LZW (greedy longest-match
+dictionary, the reference GIF algorithm); an independent
+clear-code-per-symbol encoder lives in tests/test_gif.py so the
+decoder's dictionary growth is cross-validated against a stream no
+production path produces.
+
+References: GIF89a specification (CompuServe, 1990); Welch, "A
+Technique for High-Performance Data Compression", IEEE Computer 1984.
+The reference repo has no GIF path; this extends the engine's
+multimodal layer (SURVEY.md §2 'beyond the reference' mandate) next
+to the JPEG/PNG/WAV codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TRAILER = 0x3B
+_IMAGE_SEP = 0x2C
+_EXTENSION = 0x21
+_GCE_LABEL = 0xF9
+
+# GIF interlace passes: (row start, row step)
+_ILACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _sub_blocks(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a sub-block chain (len byte + payload, 0 ends)."""
+    out = bytearray()
+    n = len(buf)
+    while True:
+        if pos >= n:
+            raise ValueError("GIF sub-block chain truncated")
+        ln = buf[pos]
+        pos += 1
+        if ln == 0:
+            return bytes(out), pos
+        if pos + ln > n:
+            raise ValueError("GIF sub-block chain truncated")
+        out.extend(buf[pos:pos + ln])
+        pos += ln
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LZW (GIF flavor): little-endian bit packing,
+    clear code resets the dictionary, width bumps AFTER the dictionary
+    reaches the current width's capacity, hard 4096-entry ceiling.
+    Decodes exactly ``n_pixels`` indices (trailing entropy beyond the
+    pixel count is legal padding and ignored, matching real encoders
+    that only guarantee the pixel run)."""
+    if not 2 <= min_code <= 11:
+        raise ValueError("bad LZW minimum code size")
+    clear = 1 << min_code
+    end = clear + 1
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    width = min_code + 1
+    prev: tuple | None = None
+    out: list[int] = []
+
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        # width bump: the NEXT code is wider once the table fills the
+        # current width (capped at 12 bits)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream truncated")
+    return np.asarray(out[:n_pixels], dtype=np.int64)
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """Reference greedy-longest-match GIF LZW encoder (Welch 1984):
+    starts with a clear code, emits clear + reset when the table hits
+    4096, ends with the end code. Used by the corpus builder — the
+    independent per-symbol encoder lives in the tests."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    put(clear, width)
+    run: tuple = ()
+    for v in indices.tolist():
+        cand = run + (int(v),)
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        run = (int(v),)
+    if run:
+        put(table[run], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(idx: "np.ndarray", palette: "np.ndarray",
+               interlace: bool = False,
+               transparent: int | None = None) -> bytes:
+    """Encode an [h, w] uint8 INDEX raster as a single-frame GIF89a:
+    ``palette`` is [n, 3] uint8 RGB entries padded to the next power
+    of two as the global color table; real LZW entropy coding;
+    optional GIF 4-pass interlace; optional Graphic Control Extension
+    declaring ``transparent`` as the transparent index."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    if (palette.ndim != 2 or palette.shape[1] != 3
+            or not 2 <= palette.shape[0] <= 256):
+        raise ValueError("palette must be [2..256, 3]")
+    if int(idx.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index beyond palette")
+    # GCT size field: 2^(k+1) entries
+    k = max(1, (palette.shape[0] - 1).bit_length()) - 1
+    gct = np.zeros(((1 << (k + 1)), 3), dtype=np.uint8)
+    gct[:palette.shape[0]] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (k << 4) | k, 0, 0)
+    out += gct.tobytes()
+    if transparent is not None:
+        out += bytes([_EXTENSION, _GCE_LABEL, 4, 0x01, 0, 0,
+                      int(transparent), 0])
+    out += bytes([_IMAGE_SEP]) + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        rows = [r for start, step in _ILACE
+                for r in range(start, h, step)]
+        seq = idx[rows].ravel()
+    else:
+        seq = idx.ravel()
+    min_code = max(2, k + 1)
+    out.append(min_code)
+    lzw = _lzw_encode(seq, min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a single-frame GIF; returns (width, height, raster
+    uint8 [h, w, 4] RGBA — alpha 0 only on a GCE-declared transparent
+    index, else 255; the RGBA contract matches decode_png_rgba /
+    decode_png_palette_rgba so downstream compositing is shared).
+    Raises ValueError on anything outside the profile, truncation, or
+    corrupt LZW."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB",
+                                                 payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF header truncated")
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise ValueError("GIF trailer missing")
+        block = payload[pos]
+        pos += 1
+        if block == _TRAILER:
+            raise ValueError("GIF has no image block")
+        if block == _EXTENSION:
+            if pos >= n:
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            data, pos = _sub_blocks(payload, pos)
+            if label == _GCE_LABEL:
+                if len(data) != 4:
+                    raise ValueError("GIF control block malformed")
+                if data[0] & 0x01:
+                    transparent = data[3]
+            continue
+        if block == _IMAGE_SEP:
+            break
+        raise ValueError("GIF block type unknown")
+    if pos + 9 > n:
+        raise ValueError("GIF image descriptor truncated")
+    left, top, w, h, ipacked = struct.unpack("<HHHHB",
+                                             payload[pos:pos + 9])
+    pos += 9
+    if (left, top) != (0, 0) or (w, h) != (sw, sh):
+        raise ValueError("unsupported GIF sub-rectangle frame")
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        raise ValueError("invalid dimensions")
+    ct = gct
+    if ipacked & 0x80:  # local color table takes precedence
+        m = 1 << ((ipacked & 0x07) + 1)
+        if pos + 3 * m > n:
+            raise ValueError("GIF image descriptor truncated")
+        ct = np.frombuffer(payload[pos:pos + 3 * m],
+                           dtype=np.uint8).reshape(m, 3)
+        pos += 3 * m
+    if ct is None:
+        raise ValueError("unsupported GIF without a color table")
+    if pos >= n:
+        raise ValueError("GIF image descriptor truncated")
+    min_code = payload[pos]
+    pos += 1
+    data, pos = _sub_blocks(payload, pos)
+    # image must terminate the stream (single-frame profile): only
+    # the trailer (optionally preceded by skippable extensions) may
+    # follow
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == _TRAILER:
+            break
+        if block == _EXTENSION:
+            if pos >= n:
+                raise ValueError("GIF extension truncated")
+            pos += 1
+            _skip, pos = _sub_blocks(payload, pos)
+            continue
+        if block == _IMAGE_SEP:
+            raise ValueError("unsupported multi-frame GIF")
+        raise ValueError("GIF block type unknown")
+    else:
+        raise ValueError("GIF trailer missing")
+    seq = _lzw_decode(data, min_code, w * h)
+    if int(seq.max(initial=0)) >= ct.shape[0]:
+        raise ValueError("GIF index beyond color table")
+    if ipacked & 0x40:
+        rows = [r for start, step in _ILACE
+                for r in range(start, h, step)]
+        idx = np.zeros((h, w), dtype=np.int64)
+        idx[rows] = seq.reshape(h, w)
+    else:
+        idx = seq.reshape(h, w)
+    alpha = np.full(ct.shape[0], 255, dtype=np.uint8)
+    if transparent is not None and transparent < ct.shape[0]:
+        alpha[transparent] = 0
+    ct4 = np.concatenate([ct, alpha[:, None]], axis=1)
+    return w, h, ct4[idx]
+
+
+def decode_gif_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RGB view of decode_gif for fully-opaque corpora: [h, w, 3],
+    same ValueError contract (the alpha plumbing is pinned separately
+    by the transparency unit tests)."""
+    w, h, rgba = decode_gif(payload)
+    return w, h, rgba[:, :, :3]

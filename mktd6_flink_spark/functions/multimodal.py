@@ -1567,7 +1567,8 @@ def png_rgb_media_from_documents(docs: DataFrame) -> DataFrame:
             _rgb_channels(grid.astype("int64"))))
 
 
-def _rgb_png_features(media: DataFrame, decoder_name: str) -> DataFrame:
+def _rgb_png_features(media: DataFrame, decoder_name: str,
+                      module: str = "png") -> DataFrame:
     """Shared feature extractor for the RGB-raster PNG decoders
     (truecolor + palette): decode each payload with the named
     functions.png decoder, then per-CHANNEL integer band features over
@@ -1578,9 +1579,10 @@ def _rgb_png_features(media: DataFrame, decoder_name: str) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        from . import png as png_mod
+        import importlib
 
-        decode = getattr(png_mod, decoder_name)
+        mod = importlib.import_module(f"{__package__}.{module}")
+        decode = getattr(mod, decoder_name)
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"].to_list(),
@@ -1746,6 +1748,28 @@ def decode_png_rgba_features(media: DataFrame,
               "band int, feat_micro long")
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=schema)
+
+
+def gif_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a single-frame GIF89a (round 16): the
+    256-entry global color table holds the truecolor channel
+    derivations (entry v = (v, 255 - v, (v*37) % 256)) and the index
+    raster is the PGM text grid, so the decoded RGB equals the
+    truecolor/palette PNG corpora's and sql_decode_png_rgb stays the
+    oracle — while the container path is GIF block grammar + REAL
+    variable-width LZW (dictionary growth, width bumps, clear/reset
+    cycles at 4096). Every ODD doc_id uses the 4-pass GIF interlace.
+    Same clean/cap/pad contract as every raster builder."""
+    from .gif import encode_gif
+
+    def enc(grid, did):
+        import numpy as np
+
+        pal = _rgb_channels(np.arange(256, dtype=np.int64))
+        return encode_gif(grid, pal, interlace=bool(did % 2))
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
 
 
 def png_pal_trns_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -2030,7 +2054,7 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 # failure into "other").
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
-                   "not a JPEG")),
+                   "not a JPEG", "not a GIF")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
@@ -2045,8 +2069,11 @@ _REASON_PATTERNS = (
                    "odd 16-bit", "data length", "IDAT inflate",
                    "IDAT stream", "marker expected",
                    "restart segment count", "no scan before EOI",
-                   "no SOS", "DHT value count")),
-    ("unsupported_profile", ("non-baseline SOF", "not a progressive",
+                   "no SOS", "DHT value count", "trailer missing",
+                   "no image block")),
+    ("unsupported_profile", ("unsupported GIF", "multi-frame GIF",
+                             "sub-rectangle frame",
+                             "non-baseline SOF", "not a progressive",
                              "no supported SOF", "unsupported PNG",
                              "unsupported encoding", "8-bit precision",
                              "16-bit quant", "sampling factors",
@@ -2062,7 +2089,9 @@ _REASON_PATTERNS = (
                         "invalid DC category", "DC predictor",
                         "invalid Huffman",
                         "AC run past", "unknown filter",
-                        "scan component")),
+                        "scan component", "LZW", "color table",
+                        "block type unknown",
+                        "control block malformed")),
 )
 
 

