@@ -2382,6 +2382,29 @@ def streaming_decode_png_rgb(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_png_rgb_ingest")
 
 
+@register("streaming_decode_gif",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def streaming_decode_gif(spark, sf_dir):
+    """GIF decode-on-ingest (round 16): the GIF encode → block-walk/
+    LZW decode → per-channel band-feature pipeline of mm_decode_gif
+    as a LIVE Structured Streaming query — the new compression
+    algorithm in the production ingest shape. Stateless per row
+    (mapInPandas on the source partitioning), so append mode needs no
+    watermark and the result equals the batch twin under ANY
+    micro-batching; graded against the SAME shared oracle. Payloads
+    never shuffle; malformed blobs drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm._rgb_png_features(mm.gif_media_from_documents(raw),
+                               "decode_gif_rgb", module="gif")
+    return _run_stream_to_table(spark, out, "mm_gif_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
@@ -13107,7 +13130,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # streaming_decode_report + the 3 round-16 additions mm_decode_png_rgba
 # / mm_decode_png_wide / streaming_label_propagation — plus the late
 # round-16 adds mm_decode_wav_wide, mm_decode_png_pal_trns and
-# mm_decode_gif, displacing three more r9 fills), took ALL 14
+# mm_decode_gif + its on-ingest twin streaming_decode_gif, displacing
+# four more r9 fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13140,6 +13164,7 @@ _GATE_PRIORITY = [
     "mm_decode_wav_wide",
     "mm_decode_png_pal_trns",
     "mm_decode_gif",
+    "streaming_decode_gif",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13180,7 +13205,6 @@ _GATE_PRIORITY = [
     "sim_dim_mean_report",
     "pipeline_epoch_shuffle",
     "pipeline_cdc_upsert",
-    "pipeline_dataset_diff",
 ]
 
 
