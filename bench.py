@@ -200,12 +200,16 @@ HEADLINE = [
     "mm_decode_report",
     "mm_decode_wav16",
     "streaming_khop_reach",
-    # round 16 (panel 77/80): the RGBA decode + integer-composite hot
+    # round 16 (panel 78/80): the RGBA decode + integer-composite hot
     # path — 4-channel filter reconstruction per payload, the heaviest
-    # per-byte PNG shape. streaming_label_propagation is NOT added:
-    # its cost is 3 chained query lifecycles (~3x floor), the shape
-    # streaming_khop_reach already prices.
+    # per-byte PNG shape — and the GIF decode, a genuinely new cost
+    # shape (variable-width LZW is sequential per payload, unlike the
+    # vectorizable PNG filter/JPEG DCT inner loops).
+    # streaming_label_propagation is NOT added: its cost is 3 chained
+    # query lifecycles (~3x floor), the shape streaming_khop_reach
+    # already prices.
     "mm_decode_png_rgba",
+    "mm_decode_gif",
 ]
 
 # Cross-round comparability: the headline total only grows because the

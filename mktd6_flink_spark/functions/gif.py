@@ -333,3 +333,141 @@ def decode_gif_rgb(payload: bytes) -> tuple[int, int, np.ndarray]:
     by the transparency unit tests)."""
     w, h, rgba = decode_gif(payload)
     return w, h, rgba[:, :, :3]
+
+
+def encode_gif_anim(frames: "np.ndarray", palette: "np.ndarray",
+                    delay_cs: int = 4) -> bytes:
+    """Encode an [n, h, w] uint8 index stack as an ANIMATED GIF89a:
+    every frame is a full-rectangle image block preceded by a Graphic
+    Control Extension carrying ``delay_cs`` (centiseconds) and
+    disposal 1 (leave in place — with full-rect frames each simply
+    replaces the last). Real LZW per frame, shared global table."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if frames.ndim != 3 or frames.shape[0] == 0:
+        raise ValueError("expected [n, h, w] frame stack")
+    n_frames, h, w = frames.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    if (palette.ndim != 2 or palette.shape[1] != 3
+            or not 2 <= palette.shape[0] <= 256):
+        raise ValueError("palette must be [2..256, 3]")
+    if int(frames.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index beyond palette")
+    k = max(1, (palette.shape[0] - 1).bit_length()) - 1
+    gct = np.zeros(((1 << (k + 1)), 3), dtype=np.uint8)
+    gct[:palette.shape[0]] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (k << 4) | k, 0, 0)
+    out += gct.tobytes()
+    min_code = max(2, k + 1)
+    for f in range(n_frames):
+        out += bytes([_EXTENSION, _GCE_LABEL, 4, 0x04])  # disposal 1
+        out += struct.pack("<H", delay_cs) + bytes([0, 0])
+        out += bytes([_IMAGE_SEP]) + struct.pack("<HHHHB", 0, 0, w, h,
+                                                 0)
+        out.append(min_code)
+        lzw = _lzw_encode(frames[f].ravel(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, every: int = 1):
+    """Decode an animated GIF's frames (restricted profile: every
+    image block FULL-RECTANGLE, so each frame replaces the last and
+    disposal methods are moot — partial-rect compositing raises).
+    Returns (width, height, n_frames, [(frame_idx, raster
+    uint8 [h, w, 4])]) for frames with ``frame_idx % every == 0``.
+
+    The SPARSE-DECODE property the video family relies on holds here
+    too: an unsampled frame is skipped by WALKING its sub-block chain
+    (length bytes only) without running LZW — at 100 TB, sampling
+    every k-th frame costs ~1/k of the entropy-decode work."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB",
+                                                 payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        m = 1 << ((packed & 0x07) + 1)
+        if pos + 3 * m > len(payload):
+            raise ValueError("GIF header truncated")
+        gct = np.frombuffer(payload[pos:pos + 3 * m],
+                            dtype=np.uint8).reshape(m, 3)
+        pos += 3 * m
+    if gct is None:
+        raise ValueError("unsupported GIF without a color table")
+    if sw == 0 or sh == 0 or sw * sh > (1 << 26):
+        raise ValueError("invalid dimensions")
+    transparent = None
+    n = len(payload)
+    frames = []
+    fidx = 0
+    while True:
+        if pos >= n:
+            raise ValueError("GIF trailer missing")
+        block = payload[pos]
+        pos += 1
+        if block == _TRAILER:
+            break
+        if block == _EXTENSION:
+            if pos >= n:
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            data, pos = _sub_blocks(payload, pos)
+            if label == _GCE_LABEL:
+                if len(data) != 4:
+                    raise ValueError("GIF control block malformed")
+                transparent = data[3] if data[0] & 0x01 else None
+            continue
+        if block != _IMAGE_SEP:
+            raise ValueError("GIF block type unknown")
+        if pos + 9 > n:
+            raise ValueError("GIF image descriptor truncated")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise ValueError("unsupported GIF sub-rectangle frame")
+        ct = gct
+        if ipacked & 0x80:
+            m = 1 << ((ipacked & 0x07) + 1)
+            if pos + 3 * m > n:
+                raise ValueError("GIF image descriptor truncated")
+            ct = np.frombuffer(payload[pos:pos + 3 * m],
+                               dtype=np.uint8).reshape(m, 3)
+            pos += 3 * m
+        if pos >= n:
+            raise ValueError("GIF image descriptor truncated")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = _sub_blocks(payload, pos)
+        if fidx % every == 0:
+            seq = _lzw_decode(data, min_code, w * h)
+            if int(seq.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("GIF index beyond color table")
+            if ipacked & 0x40:
+                rows = [r for start, step in _ILACE
+                        for r in range(start, h, step)]
+                idx = np.zeros((h, w), dtype=np.int64)
+                idx[rows] = seq.reshape(h, w)
+            else:
+                idx = seq.reshape(h, w)
+            alpha = np.full(ct.shape[0], 255, dtype=np.uint8)
+            if transparent is not None and transparent < ct.shape[0]:
+                alpha[transparent] = 0
+            ct4 = np.concatenate([ct, alpha[:, None]], axis=1)
+            frames.append((fidx, ct4[idx]))
+        fidx += 1
+    if fidx == 0:
+        raise ValueError("GIF has no image block")
+    return sw, sh, fidx, frames

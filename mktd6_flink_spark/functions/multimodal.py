@@ -1750,6 +1750,86 @@ def decode_png_rgba_features(media: DataFrame,
         batches, schema=schema)
 
 
+def gif_anim_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as an ANIMATED GIF89a (round 16): the
+    cleaned text splits into FRAME_W x FRAME_H frames (zero-padded
+    final frame; empty/NULL text = one black frame — the exact layout
+    of the P5 video stream, so sql_frame_sample stays the oracle),
+    each frame a full-rect image block with its own Graphic Control
+    Extension, LZW-coded against the 256-entry IDENTITY-GRAY global
+    table (entry v = (v, v, v) — channel 0 of a decoded pixel IS the
+    text byte). Built in mapInPandas (LZW is not a Column
+    expression)."""
+    from .gif import encode_gif_anim
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        fb = FRAME_W * FRAME_H
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8)
+                nf = max(-(-v.size // fb), 1)
+                padded = np.zeros(nf * fb, dtype=np.uint8)
+                padded[:v.size] = v
+                frames = padded.reshape(nf, FRAME_H, FRAME_W)
+                out.append((did,
+                            bytearray(encode_gif_anim(frames, pal))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def gif_frame_sample(media: DataFrame,
+                     every: int = FRAME_EVERY) -> DataFrame:
+    """Frame sampling over animated GIFs: walk the block grammar,
+    LZW-decode ONLY every ``every``-th frame (unsampled frames skip by
+    sub-block length walking, never entering the entropy coder — the
+    sparse-decode property, ~k x cheaper at sample rate 1/k), and emit
+    each sampled frame's exact integer mean over channel 0 (the
+    identity-gray table makes that the text-byte mean, pinning LZW +
+    block walk + palette against sql_frame_sample). Malformed streams
+    drop per row; payloads never shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .gif import decode_gif_frames
+
+        fb = FRAME_W * FRAME_H
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, nf, frames = decode_gif_frames(
+                        bytes(payload), every)
+                except ValueError:
+                    continue  # malformed stream: drop the row
+                for fi, raster in frames:
+                    mean = (int(raster[:, :, 0].astype("int64").sum())
+                            * 1_000_000 // fb)
+                    out.append((mid, fi, nf, w, h, mean))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_frames",
+                              "width", "height", "mean_micro"])
+
+    schema = ("media_id long, frame_idx int, n_frames int, "
+              "width int, height int, mean_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def gif_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a single-frame GIF89a (round 16): the
     256-entry global color table holds the truecolor channel

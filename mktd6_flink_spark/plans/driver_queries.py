@@ -2294,6 +2294,24 @@ def mm_decode_gif(spark, sf_dir):
                                 "decode_gif_rgb", module="gif")
 
 
+@register("mm_gif_frame_sample", mm.sql_frame_sample("documents"))
+def mm_gif_frame_sample(spark, sf_dir):
+    """ANIMATED-GIF frame sampling (round 16): each document becomes a
+    real multi-frame GIF89a (full-rect frames over the identity-gray
+    global table, per-frame Graphic Control Extensions, real LZW per
+    frame — the same frame layout as the P5 video stream, so
+    sql_frame_sample is SHARED across both video containers), and the
+    sampler walks the block grammar LZW-decoding ONLY every 2nd frame
+    — unsampled frames skip by sub-block length bytes without entering
+    the entropy coder, the sparse-decode property that makes 1/k-rate
+    sampling ~k x cheaper at 100 TB (the P5 path's header-arithmetic
+    skip, now on a compressed container). A cursor bug, an LZW bug, or
+    a GCE mis-walk flips the hash. Malformed streams drop per row;
+    payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.gif_frame_sample(mm.gif_anim_media_from_documents(docs))
+
+
 @register("mm_decode_png_pal_trns",
           mm.sql_decode_png_rgba("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_png_pal_trns(spark, sf_dir):
@@ -13130,8 +13148,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # streaming_decode_report + the 3 round-16 additions mm_decode_png_rgba
 # / mm_decode_png_wide / streaming_label_propagation — plus the late
 # round-16 adds mm_decode_wav_wide, mm_decode_png_pal_trns and
-# mm_decode_gif + its on-ingest twin streaming_decode_gif, displacing
-# four more r9 fills), took ALL 14
+# mm_decode_gif + its on-ingest twin streaming_decode_gif +
+# mm_gif_frame_sample, displacing five more r9 fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13165,6 +13183,7 @@ _GATE_PRIORITY = [
     "mm_decode_png_pal_trns",
     "mm_decode_gif",
     "streaming_decode_gif",
+    "mm_gif_frame_sample",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13204,7 +13223,6 @@ _GATE_PRIORITY = [
     "dedup_cluster_sizes",
     "sim_dim_mean_report",
     "pipeline_epoch_shuffle",
-    "pipeline_cdc_upsert",
 ]
 
 

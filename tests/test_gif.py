@@ -165,3 +165,60 @@ def test_gif_fuzz_valueerror_only():
                 decode_gif(bytes(mut))
             except ValueError:
                 pass
+
+
+# ------------------------------- animated GIF (round 16)
+
+def test_anim_roundtrip_and_sparse_skip_parity():
+    from mktd6_flink_spark.functions.gif import (decode_gif_frames,
+                                                 encode_gif_anim)
+
+    rng = np.random.RandomState(23)
+    fr = rng.randint(0, 256, (7, 8, 8), dtype=np.uint8)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    p = encode_gif_anim(fr, pal)
+    w, h, nf, full = decode_gif_frames(p)
+    assert (w, h, nf) == (8, 8, 7)
+    for i, r in full:
+        assert (r[:, :, 0] == fr[i]).all()
+    for every in (2, 3, 7):
+        _, _, nf2, sampled = decode_gif_frames(p, every=every)
+        assert nf2 == 7
+        want = {i: r for i, r in full if i % every == 0}
+        assert {i for i, _ in sampled} == set(want)
+        for i, r in sampled:
+            assert (r == want[i]).all()
+
+
+def test_anim_single_frame_decoder_rejects_multi():
+    """decode_gif (the single-frame API) must keep rejecting animated
+    payloads — multi-frame handling is decode_gif_frames' contract."""
+    from mktd6_flink_spark.functions.gif import (decode_gif,
+                                                 encode_gif_anim)
+
+    fr = np.zeros((2, 4, 4), dtype=np.uint8)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multi-frame"):
+        decode_gif(encode_gif_anim(fr, pal))
+
+
+def test_anim_fuzz_valueerror_only():
+    from mktd6_flink_spark.functions.gif import (decode_gif_frames,
+                                                 encode_gif_anim)
+
+    rng = np.random.RandomState(27)
+    fr = rng.randint(0, 64, (4, 6, 6), dtype=np.uint8)
+    pal = rng.randint(0, 256, (64, 3), dtype=np.uint8)
+    good = encode_gif_anim(fr, pal)
+    for cut in range(0, len(good), 9):
+        try:
+            decode_gif_frames(good[:cut], every=2)
+        except ValueError:
+            pass
+    for i in range(0, len(good), 5):
+        mut = bytearray(good)
+        mut[i] ^= 0x33
+        try:
+            decode_gif_frames(bytes(mut), every=2)
+        except ValueError:
+            pass
