@@ -2312,6 +2312,29 @@ def mm_gif_frame_sample(spark, sf_dir):
     return mm.gif_frame_sample(mm.gif_anim_media_from_documents(docs))
 
 
+@register("streaming_gif_frame_sample", mm.sql_frame_sample("documents"))
+def streaming_gif_frame_sample(spark, sf_dir):
+    """ANIMATED-GIF frame sampling ON-INGEST (round 16): the
+    mm_gif_frame_sample pipeline (animated-GIF encode → block walk →
+    sparse LZW decode of every 2nd frame) as a LIVE Structured
+    Streaming query — sampled-frame feature extraction at arrival
+    time, with unsampled frames skipping the entropy coder exactly as
+    in batch. Stateless per row, so append mode needs no watermark and
+    the result equals the batch twin under ANY micro-batching; graded
+    against the SAME shared oracle (sql_frame_sample — now pinning
+    FOUR paths: P5 batch+streaming, GIF batch+streaming). Payloads
+    never shuffle; malformed streams drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.gif_frame_sample(mm.gif_anim_media_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_gif_anim_ingest")
+
+
 @register("mm_decode_png_pal_trns",
           mm.sql_decode_png_rgba("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_png_pal_trns(spark, sf_dir):
@@ -13149,7 +13172,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # / mm_decode_png_wide / streaming_label_propagation — plus the late
 # round-16 adds mm_decode_wav_wide, mm_decode_png_pal_trns and
 # mm_decode_gif + its on-ingest twin streaming_decode_gif +
-# mm_gif_frame_sample, displacing five more r9 fills), took ALL 14
+# mm_gif_frame_sample + streaming_gif_frame_sample, displacing six
+# more r9 fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13184,6 +13208,7 @@ _GATE_PRIORITY = [
     "mm_decode_gif",
     "streaming_decode_gif",
     "mm_gif_frame_sample",
+    "streaming_gif_frame_sample",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13222,7 +13247,6 @@ _GATE_PRIORITY = [
     "pipeline_keep_best_dedup",
     "dedup_cluster_sizes",
     "sim_dim_mean_report",
-    "pipeline_epoch_shuffle",
 ]
 
 
