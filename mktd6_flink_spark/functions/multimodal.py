@@ -812,6 +812,61 @@ def wav16_media_from_documents(docs: DataFrame) -> DataFrame:
         batches, schema="media_id long, payload binary")
 
 
+def wav_ulaw_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a G.711 MU-LAW RIFF/WAVE file (round
+    16, fmt code 7 — the telephony standard): each cleaned-text byte
+    IS the mu-law code (so the full 256-code table is exercised at
+    corpus scale), empty/NULL text becomes one code-0 sample. Pure
+    Column expressions like the u8 builder (a mu-law stream is just
+    bytes); the decoder expands codes with the exact ITU integer
+    transform, which the DuckDB oracle replays verbatim."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '')")
+    n = f"greatest(length({clean}), 1)"
+    data = f"rpad({clean}, {n}, chr(0))"
+    hdr = (
+        f"concat('RIFF', {_le(4, f'36 + {n}')}, 'WAVE',"
+        f" 'fmt ', {_le(4, '16')}, {_le(2, '7')}, {_le(2, '1')},"
+        f" {_le(4, str(WAV_RATE))}, {_le(4, str(WAV_RATE))},"
+        f" {_le(2, '1')}, {_le(2, '8')},"
+        f" 'data', {_le(4, n)}, {data})")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(f"encode({hdr}, 'ISO-8859-1')").alias("payload"))
+
+
+def sql_decode_wav_ulaw(table: str = "documents") -> str:
+    """DuckDB twin of wav_ulaw_media_from_documents >> decode_wav:
+    replay the ITU mu-law expansion per codepoint (u = 255 - c;
+    magnitude ((u%16)*8 + 132) << exponent; sign from bit 7; bias
+    132) and the top-byte fold, then the same clip features."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    u = ("(255 - (CASE WHEN i <= raw_n THEN unicode(substr(c, "
+         "CAST(i AS INTEGER), 1)) ELSE 0 END))")
+    t = f"((({u}) % 16) * 8 + 132) * (1 << ((({u}) // 16) % 8))"
+    pcm = f"(CASE WHEN ({u}) >= 128 THEN 132 - ({t}) ELSE ({t}) - 132 END)"
+    u8 = f"((({pcm}) + 32768) // 256)"
+    return f"""
+    WITH _wu_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             greatest(length({clean}), 1) AS n,
+             length({clean}) AS raw_n
+      FROM {table}
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           (CAST(n AS BIGINT) * 1000) // {WAV_RATE} AS duration_ms,
+           (CAST(list_aggregate(list_transform(
+              generate_series(1, n), i -> {u8}), 'sum') AS BIGINT)
+            * 1000000) // n AS mean_micro,
+           CAST(list_aggregate(list_transform(
+              generate_series(1, n), i -> {u8}), 'max') AS INTEGER)
+             AS peak
+    FROM _wu_base
+    """
+
+
 def wav_wide_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a WIDE-SAMPLE RIFF/WAVE file (round
     16): EVEN doc_ids as 24-BIT PCM (sample = v * 0x010101 - 2^23, so
@@ -978,16 +1033,29 @@ def _parse_wav(payload: bytes):
     afmt, channels, rate, bits = fmt
     if channels not in (1, 2) or not (
             (afmt == 1 and bits in (8, 16, 24))
-            or (afmt == 3 and bits == 32)):
+            or (afmt == 3 and bits == 32)
+            or (afmt == 7 and bits == 8)):
         raise ValueError(
-            "unsupported encoding (want PCM 8/16/24-bit or "
-            "float32, mono/stereo)")
+            "unsupported encoding (want PCM 8/16/24-bit, float32, "
+            "or G.711 mu-law, mono/stereo)")
     if not 0 < rate < (1 << 31):
         # rate = 0 would divide-by-zero in duration math; an absurd
         # rate would overflow the int output column — both are
         # malformed DATA, so they drop per row like any parse failure
         raise ValueError("invalid sample rate")
-    if bits == 8:
+    if afmt == 7:
+        # G.711 mu-law (fmt code 7, round 16 — the telephony
+        # standard): each byte expands to 14-bit-magnitude PCM by the
+        # exact ITU integer transform (complement, 3-bit exponent,
+        # 4-bit mantissa, bias 0x84), then folds to the u8 feature
+        # domain by the same top-byte bias as linear 16-bit. Fully
+        # integer, so a DuckDB oracle replays it verbatim.
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        u = 255 - b  # ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        pcm = np.where(u & 0x80, 0x84 - t, t - 0x84)
+        u8 = (pcm + 32768) >> 8
+    elif bits == 8:
         u8 = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
     elif bits == 24:
         # 24-bit signed little-endian PCM (round 16 — the pro-audio

