@@ -835,6 +835,61 @@ def wav_ulaw_media_from_documents(docs: DataFrame) -> DataFrame:
         F.expr(f"encode({hdr}, 'ISO-8859-1')").alias("payload"))
 
 
+def wav_alaw_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a G.711 A-LAW RIFF/WAVE file (round
+    16, fmt code 6 — Europe's telephony standard): each cleaned-text
+    byte IS the A-law code, empty/NULL text one code-0 sample. Same
+    pure-Column shape as the mu-law builder, fmt code 6."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '')")
+    n = f"greatest(length({clean}), 1)"
+    data = f"rpad({clean}, {n}, chr(0))"
+    hdr = (
+        f"concat('RIFF', {_le(4, f'36 + {n}')}, 'WAVE',"
+        f" 'fmt ', {_le(4, '16')}, {_le(2, '6')}, {_le(2, '1')},"
+        f" {_le(4, str(WAV_RATE))}, {_le(4, str(WAV_RATE))},"
+        f" {_le(2, '1')}, {_le(2, '8')},"
+        f" 'data', {_le(4, n)}, {data})")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(f"encode({hdr}, 'ISO-8859-1')").alias("payload"))
+
+
+def sql_decode_wav_alaw(table: str = "documents") -> str:
+    """DuckDB twin of wav_alaw_media_from_documents >> decode_wav:
+    replay the ITU A-law expansion per codepoint (u = xor(c, 85);
+    segment 0 linear + 8, else (quant*16 + 264) << (seg-1); sign bit
+    SET = positive) and the top-byte fold, then the clip features."""
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    u = ("xor(CASE WHEN i <= raw_n THEN unicode(substr(c, "
+         "CAST(i AS INTEGER), 1)) ELSE 0 END, 85)")
+    t = (f"(CASE WHEN (({u}) // 16) % 8 = 0"
+         f" THEN (({u}) % 16) * 16 + 8"
+         f" ELSE ((({u}) % 16) * 16 + 264)"
+         f" * (1 << (((({u}) // 16) % 8) - 1)) END)")
+    pcm = f"(CASE WHEN ({u}) >= 128 THEN ({t}) ELSE -({t}) END)"
+    u8 = f"((({pcm}) + 32768) // 256)"
+    return f"""
+    WITH _wa_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             greatest(length({clean}), 1) AS n,
+             length({clean}) AS raw_n
+      FROM {table}
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           (CAST(n AS BIGINT) * 1000) // {WAV_RATE} AS duration_ms,
+           (CAST(list_aggregate(list_transform(
+              generate_series(1, n), i -> {u8}), 'sum') AS BIGINT)
+            * 1000000) // n AS mean_micro,
+           CAST(list_aggregate(list_transform(
+              generate_series(1, n), i -> {u8}), 'max') AS INTEGER)
+             AS peak
+    FROM _wa_base
+    """
+
+
 def sql_decode_wav_ulaw(table: str = "documents") -> str:
     """DuckDB twin of wav_ulaw_media_from_documents >> decode_wav:
     replay the ITU mu-law expansion per codepoint (u = 255 - c;
@@ -1034,16 +1089,30 @@ def _parse_wav(payload: bytes):
     if channels not in (1, 2) or not (
             (afmt == 1 and bits in (8, 16, 24))
             or (afmt == 3 and bits == 32)
-            or (afmt == 7 and bits == 8)):
+            or (afmt in (6, 7) and bits == 8)):
         raise ValueError(
             "unsupported encoding (want PCM 8/16/24-bit, float32, "
-            "or G.711 mu-law, mono/stereo)")
+            "or G.711 A-law/mu-law, mono/stereo)")
     if not 0 < rate < (1 << 31):
         # rate = 0 would divide-by-zero in duration math; an absurd
         # rate would overflow the int output column — both are
         # malformed DATA, so they drop per row like any parse failure
         raise ValueError("invalid sample rate")
-    if afmt == 7:
+    if afmt == 6:
+        # G.711 A-law (fmt code 6 — Europe's telephony standard):
+        # toggle the even bits (0x55), split 3-bit segment + 4-bit
+        # quantization, segment 0 is linear; sign bit SET means
+        # positive (the A-law polarity inversion vs mu-law). Exact
+        # ITU integers end to end; same top-byte fold.
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        u = b ^ 0x55
+        t0 = (u & 0x0F) << 4
+        seg = (u >> 4) & 0x07
+        t = np.where(seg == 0, t0 + 8,
+                     (t0 + 0x108) << np.maximum(seg - 1, 0))
+        pcm = np.where(u & 0x80, t, -t)
+        u8 = (pcm + 32768) >> 8
+    elif afmt == 7:
         # G.711 mu-law (fmt code 7, round 16 — the telephony
         # standard): each byte expands to 14-bit-magnitude PCM by the
         # exact ITU integer transform (complement, 3-bit exponent,

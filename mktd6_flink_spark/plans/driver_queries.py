@@ -2575,6 +2575,23 @@ def mm_decode_wav_ulaw(spark, sf_dir):
     return mm.decode_wav(mm.wav_ulaw_media_from_documents(docs))
 
 
+@register("mm_decode_wav_alaw", mm.sql_decode_wav_alaw("documents"))
+def mm_decode_wav_alaw(spark, sf_dir):
+    """G.711 A-LAW WAV decode (round 16, fmt code 6 — Europe's
+    telephony standard, completing the G.711 pair): every
+    cleaned-text byte IS an A-law code, expanded via the exact ITU
+    integer transform — even-bit toggle (xor 0x55), 3-bit segment
+    with a linear segment 0, sign bit SET meaning positive (the
+    polarity inversion vs mu-law that a shared-code shortcut would
+    get wrong) — then folded by the 16-bit top-byte bias. The oracle
+    replays the expansion verbatim in SQL; the decode is additionally
+    cross-checked against the Sun reference implementation for all
+    256 codes in tests. Same clip features, same drop-per-row
+    contract; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_wav(mm.wav_alaw_media_from_documents(docs))
+
+
 @register("mm_decode_wav_stereo", mm.sql_decode_wav_stereo("documents"))
 def mm_decode_wav_stereo(spark, sf_dir):
     """STEREO WAV decode (round 15) — music/podcast audio is
@@ -13190,7 +13207,8 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # round-16 adds mm_decode_wav_wide, mm_decode_png_pal_trns and
 # mm_decode_gif + its on-ingest twin streaming_decode_gif +
 # mm_gif_frame_sample + streaming_gif_frame_sample +
-# mm_decode_wav_ulaw, displacing seven more r9 fills), took ALL 14
+# mm_decode_wav_ulaw + mm_decode_wav_alaw, displacing eight more r9
+# fills), took ALL 14
 # remaining r8-graded entries, and filled with 30 r9-graded. The r15
 # verdict's task 5 additionally mandates the 11 entries it DEFERRED as
 # changed-but-recently-graded be re-fronted as a NAMED cohort this
@@ -13227,6 +13245,7 @@ _GATE_PRIORITY = [
     "mm_gif_frame_sample",
     "streaming_gif_frame_sample",
     "mm_decode_wav_ulaw",
+    "mm_decode_wav_alaw",
     "graph_khop_reach",
     "mm_audio_dedup",
     "mm_decode_jpeg",
@@ -13263,7 +13282,6 @@ _GATE_PRIORITY = [
     "text_length_log2_histogram",
     "mm_dedup_content_hash",
     "pipeline_keep_best_dedup",
-    "dedup_cluster_sizes",
 ]
 
 

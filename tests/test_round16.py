@@ -400,3 +400,41 @@ def test_ulaw_rejects_wrong_widths():
            + b"data" + struct.pack("<I", 2) + b"\x00\x00")
     with pytest.raises(ValueError, match="unsupported"):
         mm._parse_wav(hdr)
+
+
+def test_alaw_expansion_matches_sun_reference():
+    """The arithmetic A-law expansion must equal the Sun reference
+    implementation (switch-style, table-free) for all 256 codes —
+    including the polarity inversion vs mu-law (sign bit SET means
+    POSITIVE in A-law)."""
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    def ref(a_val):  # Sun alaw2linear, verbatim control flow
+        a_val ^= 0x55
+        t = (a_val & 0x0F) << 4
+        seg = (a_val & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a_val & 0x80) else -t
+
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 6, 1, 8000, 8000, 1, 8)
+           + b"data" + struct.pack("<I", 256))
+    _, u8 = mm._parse_wav(hdr + bytes(range(256)))
+    for c in range(256):
+        assert u8[c] == (ref(c) + 32768) >> 8, c
+
+
+def test_alaw_corpus_header_and_builder(spark):
+    from mktd6_flink_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        list(_TEXTS.items()), "doc_id long, text string")
+    for r in mm.wav_alaw_media_from_documents(docs).collect():
+        p = bytes(r.payload)
+        assert struct.unpack("<H", p[20:22])[0] == 6
+        assert struct.unpack("<H", p[34:36])[0] == 8
