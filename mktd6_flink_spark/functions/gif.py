@@ -377,6 +377,236 @@ def encode_gif_anim(frames: "np.ndarray", palette: "np.ndarray",
     return bytes(out)
 
 
+def encode_gif_anim_delta(frames: "np.ndarray", palette: "np.ndarray",
+                          delay_cs: int = 4,
+                          transparent: int = 255) -> bytes:
+    """Encode an [n, h, w] uint8 index stack as an ANIMATED GIF89a in
+    the dominant wild profile (round 17): frame 0 aside, each image
+    block covers only the BOUNDING RECTANGLE of pixels that changed
+    since the previous canvas state, unchanged pixels inside the rect
+    are coded as the ``transparent`` index (compositing passthrough),
+    and a NETSCAPE2.0 loop extension precedes the frames. Disposal
+    methods exercise the composited decoder: frames with
+    ``k % 5 == 3`` carry disposal 2 (restore rect to background) —
+    the encoder SIMULATES the canvas including disposals, so the
+    composited playback reproduces each target frame exactly. Frames
+    with ``k % 2 == 1`` carry a LOCAL color table that is the global
+    table under the index permutation j -> (j*7) % 256 (content
+    indices remapped by the inverse 183 = 7^-1 mod 256), so the
+    decoder's LCT-precedence path is exercised without changing the
+    decoded colors. Requires a full 256-entry palette (the
+    permutation is a bijection of 0..255) and content indices that
+    never collide with ``transparent``."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if frames.ndim != 3 or frames.shape[0] == 0:
+        raise ValueError("expected [n, h, w] frame stack")
+    n_frames, h, w = frames.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty raster")
+    if palette.shape != (256, 3):
+        raise ValueError("delta encoder needs a full 256-entry palette")
+    if not 0 <= transparent <= 255:
+        raise ValueError("transparent index out of range")
+    if (frames == transparent).any():
+        raise ValueError("content collides with the transparent index")
+    if ((np.arange(256, dtype=np.int64) * 183) % 256 == transparent)[
+            frames.reshape(-1)].any():  # pragma: no cover - 249 unused
+        raise ValueError("content collides with the transparent index")
+    k = 7  # 256-entry global color table
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (k << 4) | k, 0, 0)
+    out += palette.tobytes()
+    # NETSCAPE2.0 loop extension (infinite): exercises the walker's
+    # application-extension skip path on every payload
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = 8
+    canvas = np.zeros((h, w), dtype=np.uint8)  # background index 0
+    perm = ((np.arange(256, dtype=np.int64) * 183) % 256).astype(
+        np.uint8)
+    for f in range(n_frames):
+        target = frames[f]
+        diff = target != canvas
+        if diff.any():
+            rows = np.flatnonzero(diff.any(axis=1))
+            cols = np.flatnonzero(diff.any(axis=0))
+            t0, t1 = int(rows[0]), int(rows[-1]) + 1
+            l0, l1 = int(cols[0]), int(cols[-1]) + 1
+        else:  # nothing changed: a legal fully-transparent 1x1 frame
+            t0, t1, l0, l1 = 0, 1, 0, 1
+        rect = np.where(diff[t0:t1, l0:l1], target[t0:t1, l0:l1],
+                        np.uint8(transparent))
+        disposal = 2 if f % 5 == 3 else 1
+        out += bytes([_EXTENSION, _GCE_LABEL, 4,
+                      (disposal << 2) | 0x01])
+        out += struct.pack("<H", delay_cs) + bytes([transparent, 0])
+        use_lct = f % 2 == 1
+        interlace = f % 3 == 1
+        ipacked = (0x80 | k if use_lct else 0) | (
+            0x40 if interlace else 0)
+        out += bytes([_IMAGE_SEP]) + struct.pack(
+            "<HHHHB", l0, t0, l1 - l0, t1 - t0, ipacked)
+        if use_lct:
+            # LCT[j] = palette[(j*7) % 256], so LCT[perm[v]] = palette[v]
+            out += palette[
+                (np.arange(256, dtype=np.int64) * 7) % 256].tobytes()
+            # remap content indices by the inverse permutation; the
+            # transparent index is NOT remapped (it is an index, and
+            # (v*183)%256 == transparent requires v == 249, unused)
+            rect = np.where(rect == transparent, rect, perm[rect])
+        rh, rw = rect.shape
+        if interlace:
+            ilrows = [r for start, step in _ILACE
+                      for r in range(start, rh, step)]
+            seq = rect[ilrows].ravel()
+        else:
+            seq = rect.ravel()
+        out.append(min_code)
+        lzw = _lzw_encode(seq, min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+        canvas = target.copy()
+        if disposal == 2:
+            canvas[t0:t1, l0:l1] = 0
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+def decode_gif_frames_composited(payload: bytes, every: int = 1):
+    """Composited animated-GIF playback (round 17) — the dominant
+    wild profile decode_gif_frames' full-rect restriction excludes:
+    image blocks may cover any SUB-RECTANGLE of the logical screen,
+    a GCE-transparent index inside a frame means "keep the canvas
+    pixel" (delta passthrough), per-frame LOCAL color tables take
+    precedence, and disposal methods 0/1 (leave in place) and
+    2 (restore rect to background) are honored between frames.
+    Disposal 3 (restore-to-previous) raises — it needs a saved-canvas
+    stack and is rare in crawls; such payloads land in the attrition
+    report's unsupported_profile row rather than decoding wrongly.
+
+    Returns (width, height, n_frames, [(frame_idx, canvas uint8
+    [sh, sw, 4] RGBA)]) for frames with ``frame_idx % every == 0``;
+    the canvas alpha is 255 except where no frame has ever drawn over
+    a background pixel and the screen has no usable background color.
+
+    HONESTY NOTE on the sparse-skip property: unlike the full-rect
+    walker, a composited frame DEPENDS on every prior frame's draw
+    and disposal, so every frame's LZW must be decoded even when
+    sampled out — sampling saves only the snapshot copies, not the
+    entropy work. At 100 TB, route known full-rect corpora through
+    decode_gif_frames (true 1/k entropy cost) and reserve this walker
+    for delta-encoded animations."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB",
+                                                payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        m = 1 << ((packed & 0x07) + 1)
+        if pos + 3 * m > len(payload):
+            raise ValueError("GIF header truncated")
+        gct = np.frombuffer(payload[pos:pos + 3 * m],
+                            dtype=np.uint8).reshape(m, 3)
+        pos += 3 * m
+    if gct is None:
+        raise ValueError("unsupported GIF without a color table")
+    if sw == 0 or sh == 0 or sw * sh > (1 << 26):
+        raise ValueError("invalid dimensions")
+    # canvas init: background color if the index is usable, else
+    # opaque black (the spec leaves junk bg indices to the decoder;
+    # raising here would drop otherwise-valid payloads)
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    canvas[:, :, 3] = 255
+    if bg < gct.shape[0]:
+        canvas[:, :, :3] = gct[bg]
+    bg_rgba = canvas[0, 0].copy()
+    transparent = None
+    disposal = 0
+    n = len(payload)
+    frames = []
+    fidx = 0
+    while True:
+        if pos >= n:
+            raise ValueError("GIF trailer missing")
+        block = payload[pos]
+        pos += 1
+        if block == _TRAILER:
+            break
+        if block == _EXTENSION:
+            if pos >= n:
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            data, pos = _sub_blocks(payload, pos)
+            if label == _GCE_LABEL:
+                if len(data) != 4:
+                    raise ValueError("GIF control block malformed")
+                transparent = data[3] if data[0] & 0x01 else None
+                disposal = (data[0] >> 2) & 0x07
+                if disposal >= 3:
+                    raise ValueError(
+                        "unsupported GIF disposal method")
+            continue
+        if block != _IMAGE_SEP:
+            raise ValueError("GIF block type unknown")
+        if pos + 9 > n:
+            raise ValueError("GIF image descriptor truncated")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("invalid dimensions (frame rect)")
+        ct = gct
+        if ipacked & 0x80:
+            m = 1 << ((ipacked & 0x07) + 1)
+            if pos + 3 * m > n:
+                raise ValueError("GIF image descriptor truncated")
+            ct = np.frombuffer(payload[pos:pos + 3 * m],
+                               dtype=np.uint8).reshape(m, 3)
+            pos += 3 * m
+        if pos >= n:
+            raise ValueError("GIF image descriptor truncated")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = _sub_blocks(payload, pos)
+        seq = _lzw_decode(data, min_code, w * h)
+        if int(seq.max(initial=0)) >= ct.shape[0]:
+            raise ValueError("GIF index beyond color table")
+        if ipacked & 0x40:
+            rows = [r for start, step in _ILACE
+                    for r in range(start, h, step)]
+            idx = np.zeros((h, w), dtype=np.int64)
+            idx[rows] = seq.reshape(h, w)
+        else:
+            idx = seq.reshape(h, w)
+        ct4 = np.concatenate(
+            [ct, np.full((ct.shape[0], 1), 255, dtype=np.uint8)],
+            axis=1)
+        patch = ct4[idx]
+        window = canvas[top:top + h, left:left + w]
+        if transparent is not None:
+            opaque = idx != transparent
+            window[opaque] = patch[opaque]
+        else:
+            window[:, :, :] = patch
+        if fidx % every == 0:
+            frames.append((fidx, canvas.copy()))
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = bg_rgba
+        transparent = None
+        disposal = 0
+        fidx += 1
+    if fidx == 0:
+        raise ValueError("GIF has no image block")
+    return sw, sh, fidx, frames
+
+
 def decode_gif_frames(payload: bytes, every: int = 1):
     """Decode an animated GIF's frames (restricted profile: every
     image block FULL-RECTANGLE, so each frame replaces the last and

@@ -1967,6 +1967,91 @@ def gif_frame_sample(media: DataFrame,
         batches, schema=schema)
 
 
+def gif_anim_delta_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a DELTA-CODED animated GIF89a
+    (round 17 — the dominant wild animated-GIF profile): the same
+    FRAME_W x FRAME_H text-grid frame layout as
+    gif_anim_media_from_documents (so sql_frame_sample stays the
+    oracle), but after frame 0 each image block covers only the
+    bounding rectangle of changed pixels, unchanged pixels inside the
+    rect are the GCE-transparent index (compositing passthrough),
+    odd frames carry a permuted LOCAL color table, every 5th frame
+    disposes restore-to-background, and a NETSCAPE2.0 loop extension
+    precedes the frames. Built in mapInPandas (LZW is not a Column
+    expression)."""
+    from .gif import encode_gif_anim_delta
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        fb = FRAME_W * FRAME_H
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8)
+                nf = max(-(-v.size // fb), 1)
+                padded = np.zeros(nf * fb, dtype=np.uint8)
+                padded[:v.size] = v
+                frames = padded.reshape(nf, FRAME_H, FRAME_W)
+                out.append((did, bytearray(
+                    encode_gif_anim_delta(frames, pal))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def gif_frame_composite(media: DataFrame,
+                        every: int = FRAME_EVERY) -> DataFrame:
+    """Composited frame sampling over delta-coded animated GIFs:
+    walk the block grammar, COMPOSITE every frame onto the logical
+    screen (partial rects, transparency passthrough, LCT precedence,
+    disposal 0/1/2 — functions/gif.py decode_gif_frames_composited),
+    and emit each sampled frame's exact integer mean over channel 0
+    of the FULL canvas — which equals the target text-grid frame, so
+    sql_frame_sample stays the oracle. Unlike the full-rect sampler,
+    every frame's LZW must run (a composited frame depends on all
+    prior draws/disposals — the honesty note on the decoder); the
+    saving at sample rate 1/k is only the snapshot copies. Malformed
+    streams drop per row; payloads never shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .gif import decode_gif_frames_composited
+
+        fb = FRAME_W * FRAME_H
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, nf, frames = decode_gif_frames_composited(
+                        bytes(payload), every)
+                except ValueError:
+                    continue  # malformed stream: drop the row
+                for fi, canvas in frames:
+                    mean = (int(canvas[:, :, 0].astype("int64").sum())
+                            * 1_000_000 // fb)
+                    out.append((mid, fi, nf, w, h, mean))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_frames",
+                              "width", "height", "mean_micro"])
+
+    schema = ("media_id long, frame_idx int, n_frames int, "
+              "width int, height int, mean_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def gif_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a single-frame GIF89a (round 16): the
     256-entry global color table holds the truecolor channel

@@ -2335,6 +2335,56 @@ def streaming_gif_frame_sample(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_gif_anim_ingest")
 
 
+@register("mm_gif_frame_composite", mm.sql_frame_sample("documents"))
+def mm_gif_frame_composite(spark, sf_dir):
+    """COMPOSITED animated-GIF playback (round 17 — the dominant wild
+    profile the full-rect sampler excludes): each document becomes a
+    DELTA-CODED animated GIF89a — after frame 0, every image block
+    covers only the bounding rectangle of changed pixels, unchanged
+    pixels inside the rect are the GCE-transparent index, odd frames
+    carry a permuted LOCAL color table, every 5th frame disposes
+    restore-to-background, and a NETSCAPE2.0 loop extension leads —
+    and the sampler composites every frame onto the logical screen
+    (partial-rect placement, transparency passthrough, LCT
+    precedence, disposal 0/1/2) before emitting the sampled frames'
+    channel-0 means. Because the composited canvas at frame k equals
+    the full text-grid frame k, sql_frame_sample is STILL the oracle
+    — one SQL twin now pins full-rect and delta-composited playback
+    against each other. Unlike the full-rect walker, every frame's
+    LZW must run (a composited frame depends on all prior
+    draws/disposals — the documented honesty note); disposal 3
+    (restore-to-previous) raises into the attrition taxonomy rather
+    than decoding wrongly. Malformed streams drop per row; payloads
+    never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.gif_frame_composite(
+        mm.gif_anim_delta_media_from_documents(docs))
+
+
+@register("streaming_gif_frame_composite",
+          mm.sql_frame_sample("documents"))
+def streaming_gif_frame_composite(spark, sf_dir):
+    """Composited animated-GIF playback ON-INGEST (round 17): the
+    mm_gif_frame_composite pipeline (delta encode → composited
+    partial-rect/disposal/LCT playback → sampled canvas means) as a
+    LIVE Structured Streaming query. Stateless per row (compositing
+    state lives WITHIN one payload's decode, never across rows), so
+    append mode needs no watermark and the result equals the batch
+    twin under ANY micro-batching; graded against the SAME shared
+    oracle (sql_frame_sample — five paths pinned by one SQL twin).
+    Payloads never shuffle; malformed streams drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.gif_frame_composite(
+        mm.gif_anim_delta_media_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_gif_delta_ingest")
+
+
 @register("mm_decode_png_pal_trns",
           mm.sql_decode_png_rgba("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_png_pal_trns(spark, sf_dir):

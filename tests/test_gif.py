@@ -222,3 +222,122 @@ def test_anim_fuzz_valueerror_only():
             decode_gif_frames(bytes(mut), every=2)
         except ValueError:
             pass
+
+# ------------------------- composited animated GIF (round 17)
+
+def _delta_frames(rng, n, h, w):
+    """A delta-friendly target stack: each frame mutates a few pixels
+    of the previous one (content values 0..122, the cleaned-text
+    domain — never the 255 transparent index)."""
+    fr = np.empty((n, h, w), dtype=np.uint8)
+    fr[0] = rng.randint(0, 123, (h, w), dtype=np.uint8)
+    for k in range(1, n):
+        fr[k] = fr[k - 1]
+        for _ in range(3):
+            fr[k, rng.randint(0, h), rng.randint(0, w)] = \
+                rng.randint(0, 123)
+    return fr
+
+
+def test_composited_roundtrip_partial_rect_disposal_lct():
+    """The delta encoder exercises partial rects, transparency
+    passthrough, per-frame permuted LCTs (odd frames), interlaced
+    rects (k%3==1) and disposal 2 (k%5==3); composited playback must
+    reproduce every target frame exactly on the full canvas."""
+    from mktd6_flink_spark.functions.gif import (
+        decode_gif_frames, decode_gif_frames_composited,
+        encode_gif_anim_delta)
+
+    rng = np.random.RandomState(31)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    fr = _delta_frames(rng, 11, 7, 9)
+    p = encode_gif_anim_delta(fr, pal)
+    w, h, nf, frames = decode_gif_frames_composited(p)
+    assert (w, h, nf) == (9, 7, 11)
+    for i, canvas in frames:
+        assert (canvas[:, :, 0] == fr[i]).all()
+        assert (canvas[:, :, 3] == 255).all()
+    for every in (2, 3, 5):
+        _, _, nf2, sampled = decode_gif_frames_composited(p, every)
+        assert nf2 == 11
+        assert [i for i, _ in sampled] == [i for i in range(11)
+                                           if i % every == 0]
+        for i, c in sampled:
+            assert (c[:, :, 0] == fr[i]).all()
+    # the full-rect walker must keep REJECTING delta payloads — the
+    # two profiles stay honestly separated
+    with pytest.raises(ValueError, match="sub-rectangle"):
+        decode_gif_frames(p)
+    # identical consecutive frames: legal fully-transparent 1x1 delta
+    flat = np.tile(fr[0], (4, 1, 1))
+    p2 = encode_gif_anim_delta(flat, pal)
+    _, _, _, f2 = decode_gif_frames_composited(p2)
+    assert all((c[:, :, 0] == fr[0]).all() for _, c in f2)
+
+
+def test_composited_full_rect_parity():
+    """On a FULL-RECT payload (the r16 encoder's profile) the
+    composited walker and the sparse walker must agree frame-byte for
+    frame-byte — one decode semantic, two cost profiles."""
+    from mktd6_flink_spark.functions.gif import (
+        decode_gif_frames, decode_gif_frames_composited,
+        encode_gif_anim)
+
+    rng = np.random.RandomState(37)
+    fr = rng.randint(0, 256, (6, 8, 8), dtype=np.uint8)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    p = encode_gif_anim(fr, pal)
+    a = decode_gif_frames(p, every=2)
+    b = decode_gif_frames_composited(p, every=2)
+    assert a[:3] == b[:3]
+    for (ia, ra), (ib, rb) in zip(a[3], b[3]):
+        assert ia == ib and (ra == rb).all()
+
+
+def test_composited_disposal3_and_bad_rect_raise():
+    from mktd6_flink_spark.functions.gif import (
+        decode_gif_frames_composited, encode_gif_anim_delta)
+    from mktd6_flink_spark.functions.multimodal import (
+        classify_decode_error)
+
+    rng = np.random.RandomState(41)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    p = bytearray(encode_gif_anim_delta(_delta_frames(rng, 3, 5, 5),
+                                        pal))
+    # first GCE packed byte: find the first 21 F9 04 sequence
+    at = bytes(p).find(b"\x21\xf9\x04") + 3
+    good_packed = p[at]
+    p[at] = (good_packed & ~0x1C) | (3 << 2)  # disposal 3
+    with pytest.raises(ValueError, match="disposal") as exc:
+        decode_gif_frames_composited(bytes(p))
+    assert classify_decode_error(str(exc.value)) == \
+        "unsupported_profile"
+    p[at] = good_packed
+    # image descriptor rect beyond the logical screen: the descriptor
+    # follows the GCE (21 F9 04 xx d d t 00) at +8, then 2C + left(2)
+    ds = bytes(p).find(b"\x2c", at)
+    p[ds + 1:ds + 3] = (4000).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="invalid dimensions") as exc:
+        decode_gif_frames_composited(bytes(p))
+    assert classify_decode_error(str(exc.value)) == "header_invalid"
+
+
+def test_composited_fuzz_valueerror_only():
+    from mktd6_flink_spark.functions.gif import (
+        decode_gif_frames_composited, encode_gif_anim_delta)
+
+    rng = np.random.RandomState(43)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    good = encode_gif_anim_delta(_delta_frames(rng, 5, 6, 6), pal)
+    for cut in range(0, len(good), 7):
+        try:
+            decode_gif_frames_composited(good[:cut], every=2)
+        except ValueError:
+            pass
+    for i in range(0, len(good), 3):
+        mut = bytearray(good)
+        mut[i] ^= 0x5A
+        try:
+            decode_gif_frames_composited(bytes(mut), every=2)
+        except ValueError:
+            pass
