@@ -732,6 +732,24 @@ def sql_frame_sample(table: str = "documents",
 
 WAV_RATE = 8000
 
+# IMA/DVI ADPCM (round 17 — fmt code 0x11, the common compressed WAV
+# in telephony and games; IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", 1992). The step-size table (89
+# entries) and index-adjust table are the published constants; the
+# decode recurrence is exact integer end to end, so a DuckDB oracle
+# replays it verbatim with a list_reduce fold.
+ADPCM_BLOCK = 128      # nBlockAlign: 4-byte header + 124 data bytes
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)  # indexed by nibble & 7
+
 
 def _le(width: int, value_expr: str) -> str:
     """SQL string expr: ``width``-byte little-endian encoding of a
@@ -922,6 +940,143 @@ def sql_decode_wav_ulaw(table: str = "documents") -> str:
     """
 
 
+def wav_adpcm_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as an IMA-ADPCM RIFF/WAVE file (round 17,
+    fmt code 0x11): each cleaned-text byte IS one data byte of the
+    nibble stream (low nibble = c % 16, high = c // 16 — ASCII <= 122
+    keeps the high nibble in 0..7, so sign nibbles come from the low
+    positions), packed into ADPCM_BLOCK-byte blocks whose 4-byte
+    headers carry predictor 0 and step index (b*11) % 89 (block b —
+    every block starts from a different rung of the step table). The
+    final block is SHORT (its actual byte count, no fact chunk);
+    empty/NULL text is one header-only block (1 sample). Built in
+    mapInPandas (the per-block header interleave is not a Column
+    expression); the decoder replays the published IMA recurrence,
+    which the DuckDB oracle folds verbatim."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+        import struct as st
+
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        dcap = ADPCM_BLOCK - 4
+        spb = dcap * 2 + 1
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower()).encode(
+                    "ascii")
+                nb = max(-(-len(clean) // dcap), 1)
+                body = bytearray()
+                for b in range(nb):
+                    body += st.pack("<hBB", 0, (b * 11) % 89, 0)
+                    body += clean[b * dcap:(b + 1) * dcap]
+                fmt = st.pack("<HHIIHHHH", 0x11, 1, WAV_RATE,
+                              WAV_RATE * ADPCM_BLOCK // spb,
+                              ADPCM_BLOCK, 4, 2, spb)
+                payload = (b"RIFF"
+                           + (4 + 8 + len(fmt) + 8 + len(body))
+                           .to_bytes(4, "little")
+                           + b"WAVEfmt "
+                           + len(fmt).to_bytes(4, "little") + fmt
+                           + b"data"
+                           + len(body).to_bytes(4, "little") + body)
+                out.append((did, bytearray(payload)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def sql_decode_wav_adpcm(table: str = "documents") -> str:
+    """DuckDB twin of wav_adpcm_media_from_documents >> decode_wav:
+    replay the exact IMA recurrence per block with a homogeneous
+    list_reduce fold (state [predictor, step_index, u8_sum, u8_max]
+    prepended to single-element [nibble] lists; the published step /
+    index-adjust tables as SQL literals), block b starting from
+    predictor 0 / index (b*11) % 89 with the header contributing one
+    u8 sample of 128, then the same clip features."""
+    # Precompute the recurrence's two lookups over the FULL
+    # (step_index, nibble) domain — 89*16 = 1424 entries each — so
+    # the fold lambda does table INDEXING only (the naive spelling
+    # inlined the 89-literal step table ~24x per nibble through the
+    # diff/clamp expansions and ran minutes at sf0.1):
+    #   sdiff[idx*16 + nib + 1] = signed predictor delta
+    #   nidx [idx*16 + nib + 1] = next step index, already clamped
+    sdiff_t, nidx_t = [], []
+    for idx in range(89):
+        step = _IMA_STEPS[idx]
+        for n in range(16):
+            d = step >> 3
+            if n & 1:
+                d += step >> 2
+            if n & 2:
+                d += step >> 1
+            if n & 4:
+                d += step
+            sdiff_t.append(-d if n & 8 else d)
+            nidx_t.append(min(max(idx + _IMA_INDEX_ADJ[n & 7], 0), 88))
+    sdiff = "[" + ",".join(map(str, sdiff_t)) + "]"
+    nidxl = "[" + ",".join(map(str, nidx_t)) + "]"
+    dcap = ADPCM_BLOCK - 4
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    # nibble j (1-based) of block b: char at text position
+    # b*dcap + (j+1)//2, low nibble on odd j
+    ch = (f"unicode(substr(c, CAST(b * {dcap} + (j + 1) // 2"
+          " AS INTEGER), 1))")
+    nib = (f"CASE WHEN j % 2 = 1 THEN ({ch}) % 16"
+           f" ELSE ({ch}) // 16 END")
+    pred = ("least(greatest(acc[1]"
+            " + sd[CAST(acc[2] * 16 + x[1] + 1 AS INTEGER)],"
+            " -32768), 32767)")
+    nidx = "ni[CAST(acc[2] * 16 + x[1] + 1 AS INTEGER)]"
+    u8 = f"(({pred}) + 32768) // 256"
+    fold = (f"list_reduce(list_prepend("
+            f"CAST([0, (b * 11) % 89, 128, 128] AS BIGINT[]),"
+            f" list_transform(generate_series(1,"
+            f" 2 * (least((b + 1) * {dcap}, raw_n) - b * {dcap})),"
+            f" j -> [CAST({nib} AS BIGINT)])),"
+            f" (acc, x) -> [{pred}, {nidx}, acc[3] + ({u8}),"
+            f" greatest(acc[4], {u8})])")
+    return f"""
+    WITH _wd_tbl AS (
+      SELECT CAST({sdiff} AS BIGINT[]) AS sd,
+             CAST({nidxl} AS BIGINT[]) AS ni
+    ),
+    _wd_base AS (
+      SELECT doc_id AS media_id, {clean} AS c,
+             length({clean}) AS raw_n,
+             greatest(CAST(ceil(length({clean}) / {dcap}.0)
+                           AS INTEGER), 1) AS nb
+      FROM {table}
+    ),
+    _wd_blk AS (
+      SELECT media_id, c, raw_n, nb,
+             unnest(generate_series(0, nb - 1)) AS b
+      FROM _wd_base
+    ),
+    _wd_fold AS (
+      SELECT media_id, nb, raw_n, {fold} AS st
+      FROM _wd_blk CROSS JOIN _wd_tbl
+    )
+    SELECT media_id,
+           CAST(any_value(nb) + 2 * any_value(raw_n) AS BIGINT)
+             AS n_samples,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           (CAST(any_value(nb) + 2 * any_value(raw_n) AS BIGINT)
+            * 1000) // {WAV_RATE} AS duration_ms,
+           (CAST(sum(st[3]) AS BIGINT) * 1000000)
+             // (any_value(nb) + 2 * any_value(raw_n)) AS mean_micro,
+           CAST(max(st[4]) AS INTEGER) AS peak
+    FROM _wd_fold
+    GROUP BY media_id
+    """
+
+
 def wav_wide_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a WIDE-SAMPLE RIFF/WAVE file (round
     16): EVEN doc_ids as 24-BIT PCM (sample = v * 0x010101 - 2^23, so
@@ -1079,26 +1234,71 @@ def _parse_wav(payload: bytes):
             fmt = (int.from_bytes(body[0:2], "little"),   # audio format
                    int.from_bytes(body[2:4], "little"),   # channels
                    int.from_bytes(body[4:8], "little"),   # sample rate
-                   int.from_bytes(body[14:16], "little"))  # bits/sample
+                   int.from_bytes(body[14:16], "little"),  # bits/sample
+                   int.from_bytes(body[12:14], "little"))  # block align
         elif cc == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF word alignment
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    afmt, channels, rate, bits = fmt
+    afmt, channels, rate, bits, block_align = fmt
     if channels not in (1, 2) or not (
             (afmt == 1 and bits in (8, 16, 24))
             or (afmt == 3 and bits == 32)
-            or (afmt in (6, 7) and bits == 8)):
+            or (afmt in (6, 7) and bits == 8)
+            or (afmt == 0x11 and bits == 4 and channels == 1)):
         raise ValueError(
             "unsupported encoding (want PCM 8/16/24-bit, float32, "
-            "or G.711 A-law/mu-law, mono/stereo)")
+            "G.711 A-law/mu-law mono/stereo, or mono IMA-ADPCM)")
     if not 0 < rate < (1 << 31):
         # rate = 0 would divide-by-zero in duration math; an absurd
         # rate would overflow the int output column — both are
         # malformed DATA, so they drop per row like any parse failure
         raise ValueError("invalid sample rate")
-    if afmt == 6:
+    if afmt == 0x11:
+        # IMA/DVI ADPCM (fmt code 0x11, round 17 — the common
+        # compressed WAV in telephony/games): the stream is a
+        # sequence of nBlockAlign-byte blocks, each a 4-byte header
+        # (initial predictor int16 LE, initial step index, reserved)
+        # followed by 4-bit nibbles, LOW nibble first; the header
+        # predictor is the block's sample 0. The recurrence is the
+        # published exact-integer IMA decode (diff assembled from
+        # step >> 3/2/1/0 by nibble bits, predictor clamped to int16,
+        # index clamped to 0..88). Inherently SEQUENTIAL within a
+        # block, but blocks reset the state by construction — at
+        # 100 TB the unit of parallelism is the block, and a short
+        # FINAL block decodes with its actual byte count (the robust
+        # no-fact-chunk convention). Same top-byte u8 fold as 16-bit.
+        if block_align < 4:
+            raise ValueError("invalid ADPCM block align")
+        out: list[int] = []
+        for off in range(0, len(data), block_align):
+            blk = data[off:off + block_align]
+            if len(blk) < 4:
+                raise ValueError("truncated ADPCM block")
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            idx = blk[2]
+            if idx > 88:
+                raise ValueError("invalid ADPCM step index")
+            out.append((pred + 32768) >> 8)
+            for byte in blk[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _IMA_STEPS[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = (-32768 if pred < -32768
+                            else 32767 if pred > 32767 else pred)
+                    nxt = idx + _IMA_INDEX_ADJ[nib & 7]
+                    idx = 0 if nxt < 0 else 88 if nxt > 88 else nxt
+                    out.append((pred + 32768) >> 8)
+        u8 = np.asarray(out, dtype=np.int64)
+    elif afmt == 6:
         # G.711 A-law (fmt code 6 — Europe's telephony standard):
         # toggle the even bits (0x55), split 3-bit segment + 4-bit
         # quantization, segment 0 is linear; sign bit SET means
@@ -2393,7 +2593,8 @@ _REASON_PATTERNS = (
                         "AC run past", "unknown filter",
                         "scan component", "LZW", "color table",
                         "block type unknown",
-                        "control block malformed")),
+                        "control block malformed",
+                        "block align", "step index")),
 )
 
 
@@ -2453,9 +2654,10 @@ def _corrupt_for_report(payload: bytes, cls: int, modality: str) -> bytes:
         return payload[:16] + bytes(data) + crc + payload[33:]
     b = bytearray(payload)  # audio_wav: fixed 44-byte header layout
     if cls == 3:
-        # fmt code 2 (ADPCM): spec-shaped but unsupported (round 16
-        # made 24-bit PCM a SUPPORTED width, so the old bits=24 plant
-        # would now decode successfully)
+        # fmt code 2 (MICROSOFT ADPCM): spec-shaped but unsupported
+        # (round 16 made 24-bit PCM a SUPPORTED width; round 17 made
+        # IMA ADPCM fmt 0x11 supported — MS ADPCM's per-block linear
+        # predictors are a different codec and remain the plant)
         b[20:22] = (2).to_bytes(2, "little")
     else:
         b[24:28] = (0).to_bytes(4, "little")   # rate 0: invalid field

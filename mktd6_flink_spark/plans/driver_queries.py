@@ -2642,6 +2642,29 @@ def mm_decode_wav_alaw(spark, sf_dir):
     return mm.decode_wav(mm.wav_alaw_media_from_documents(docs))
 
 
+@register("mm_decode_wav_adpcm", mm.sql_decode_wav_adpcm("documents"))
+def mm_decode_wav_adpcm(spark, sf_dir):
+    """IMA-ADPCM WAV decode (round 17, fmt code 0x11 — the common
+    COMPRESSED WAV in telephony and games, and the attrition
+    taxonomy's last big real-world WAV class; the report's
+    unsupported plant stays fmt code 2, MICROSOFT ADPCM, a different
+    codec): every cleaned-text byte becomes one data byte of the
+    nibble stream inside ADPCM_BLOCK-byte blocks whose headers reset
+    predictor 0 / step index (b*11) % 89 per block, and the decoder
+    replays the published IMA recurrence — diff assembled from
+    step >> 3/2/1/0 by nibble bits, int16 predictor clamp, 0..88
+    index clamp, low nibble first, header predictor as sample 0, a
+    SHORT final block decoded by its actual byte count. The oracle
+    folds the identical integer recurrence in SQL (homogeneous
+    list_reduce, published tables as literals), so a table, clamp,
+    nibble-order, or block-reset bug flips the hash. Decode is
+    sequential WITHIN a block by nature but blocks are independent —
+    the 100 TB unit of parallelism. Same clip features, same
+    drop-per-row contract; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_wav(mm.wav_adpcm_media_from_documents(docs))
+
+
 @register("mm_decode_wav_stereo", mm.sql_decode_wav_stereo("documents"))
 def mm_decode_wav_stereo(spark, sf_dir):
     """STEREO WAV decode (round 15) — music/podcast audio is
