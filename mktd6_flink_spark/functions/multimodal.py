@@ -1623,6 +1623,130 @@ def sql_afp_wav(table_expr: str) -> str:
     """
 
 
+# Landmark fingerprint thresholds (round 17 — shift-invariant audio
+# near-dup; Wang, "An Industrial-Strength Audio Search Algorithm",
+# ISMIR 2003 is the landmark/peak-pair idea, here in the time domain):
+AFP_LM_DF_CAP = 64     # drop hashes seen in > 64 docs (stop motifs)
+AFP_LM_MIN_SHARED = 3  # a pair needs >= 3 shared rare hashes
+AFP_LM_GAP_CAP = 31    # landmark gaps quantized to 5 bits
+
+
+def afp_landmarks(media: DataFrame) -> DataFrame:
+    """SHIFT-INVARIANT audio fingerprints — the landmark answer to
+    afp_wav's measured weakness (its integer window boundaries are
+    n-relative, so an appended suffix or prepended shift scatters the
+    whole hash: 0/40 recall, documented since r12). Each clip's
+    LANDMARKS are strict local maxima over a +/-2 sample window; every
+    THREE consecutive landmarks hash as (v1, v2, v3, gap12, gap21)
+    packed into 34 bits — positions appear only as GAPS, so the hash
+    set of an unchanged region is invariant under any time shift.
+    Emits one row per distinct hash per clip (media_id, h) —
+    fingerprints are computed map-side next to the waveform bytes and
+    only the ~n/5 8-byte hashes shuffle, never samples. Malformed
+    clips drop per row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        g = AFP_LM_GAP_CAP
+        for pdf in it:
+            out_mid: list = []
+            out_h: list = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    _, samples = _parse_wav(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                v = samples.astype(np.int64)
+                if v.size < 5:
+                    continue
+                c = v[2:-2]
+                is_lm = ((c > v[1:-3]) & (c > v[:-4])
+                         & (c > v[3:-1]) & (c > v[4:]))
+                pos = np.flatnonzero(is_lm) + 2
+                if pos.size < 3:
+                    continue
+                val = v[pos]
+                v1, v2, v3 = val[:-2], val[1:-1], val[2:]
+                d1 = np.minimum(pos[1:-1] - pos[:-2], g)
+                d2 = np.minimum(pos[2:] - pos[1:-1], g)
+                hs = np.unique(
+                    (((v1 * 256 + v2) * 256 + v3) * 32 + d1) * 32 + d2)
+                out_mid.extend([mid] * hs.size)
+                out_h.extend(hs.tolist())
+            yield pd.DataFrame({"media_id": out_mid, "h": out_h})
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, h long")
+
+
+def sql_audio_dedup_shift(table: str = "documents") -> str:
+    """DuckDB twin of the shift-invariant audio near-dup pipeline
+    (corpus build + wav encode + afp_landmarks + DF filter + pair
+    join): rebuild the samples arithmetically (codepoint == byte),
+    find the same strict local maxima, hash the same landmark
+    trigrams, drop hashes with document frequency > AFP_LM_DF_CAP,
+    and keep pairs sharing >= AFP_LM_MIN_SHARED hashes that cover at
+    least half of the smaller fingerprint."""
+    def u(e: str) -> str:
+        return f"unicode(substr(c, CAST({e} AS INTEGER), 1))"
+
+    lm = (f"{u('i')} > {u('i-1')} AND {u('i')} > {u('i-2')}"
+          f" AND {u('i')} > {u('i+1')} AND {u('i')} > {u('i+2')}")
+    g = AFP_LM_GAP_CAP
+    tri = (f"(((({u('lms[k]')} * 256 + {u('lms[k+1]')}) * 256"
+           f" + {u('lms[k+2]')}) * 32)"
+           f" + least(lms[k+1] - lms[k], {g})) * 32"
+           f" + least(lms[k+2] - lms[k+1], {g})")
+    clean = ("regexp_replace(lower(coalesce(text, '')),"
+             " '[^a-z0-9 ]+', '', 'g')")
+    return f"""
+    WITH _sa_raw AS (
+      SELECT doc_id, {clean} AS c FROM {table}
+      UNION ALL
+      SELECT doc_id + 20000, {clean} || ' qq shifted suffix block qq'
+      FROM {table} WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 40000, 'zz prefix shift zz ' || {clean}
+      FROM {table} WHERE doc_id < 40
+    ),
+    _sa_lm AS (
+      SELECT doc_id, c,
+             list_filter(generate_series(3, length(c) - 2),
+                         i -> {lm}) AS lms
+      FROM _sa_raw
+    ),
+    _sa_tri AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(lms) - 2),
+                                   k -> {tri})) AS h
+      FROM _sa_lm
+    ),
+    _sa_fp AS (SELECT DISTINCT doc_id, h FROM _sa_tri),
+    _sa_df AS (SELECT h FROM _sa_fp GROUP BY h
+               HAVING count(*) <= {AFP_LM_DF_CAP}),
+    _sa_keep AS (SELECT f.doc_id, f.h
+                 FROM _sa_fp f JOIN _sa_df d USING (h)),
+    _sa_cnt AS (SELECT doc_id, count(*) AS cnt FROM _sa_keep
+                GROUP BY doc_id),
+    _sa_pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS shared
+      FROM _sa_keep a JOIN _sa_keep b
+        ON b.h = a.h AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+    FROM _sa_pair p
+    JOIN _sa_cnt ca ON ca.doc_id = p.doc_a
+    JOIN _sa_cnt cb ON cb.doc_id = p.doc_b
+    WHERE shared >= {AFP_LM_MIN_SHARED}
+      AND 2 * shared >= least(ca.cnt, cb.cnt)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Compressed-codec media: baseline JPEG (round 13). The builder encodes
 # each document as a REAL baseline JPEG of block-constant 8x8 tiles

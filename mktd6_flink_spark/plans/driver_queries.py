@@ -2857,6 +2857,75 @@ def mm_audio_dedup(spark, sf_dir):
                              _ADUP_MAX_BUCKET, _ADUP_HAM_T)
 
 
+@register("mm_audio_dedup_shift", mm.sql_audio_dedup_shift("documents"))
+def mm_audio_dedup_shift(spark, sf_dir):
+    """SHIFT-INVARIANT audio near-dup detection (round 17) — closes
+    mm_audio_dedup's documented weakness: afp_wav's integer window
+    boundaries are n-relative, so an APPENDED suffix (let alone a
+    prepended shift) scatters the whole fingerprint — measured 0/40
+    since r12, while a time-shifted near-duplicate is the common real
+    case for audio. The landmark fingerprint (the peak-pair idea of
+    Wang's ISMIR 2003 audio search, time-domain variant): strict
+    local maxima over a +/-2 window anchor the hash, every three
+    consecutive landmarks pack (v1, v2, v3, gap, gap) into 34 bits —
+    positions enter only as GAPS, so unchanged audio regions hash
+    identically under ANY time shift. The plant family here is
+    exactly what the window fingerprint cannot catch: 40
+    suffix-APPENDED and 40 prefix-PREPENDED copies — measured
+    80/80 recovered at sf0.01 AND sf0.1 (pinned in tests).
+
+    100 TB shape: fingerprints are computed map-side next to the
+    waveform bytes (only ~n/5 8-byte hashes shuffle, never samples);
+    hashes seen in > {mm.AFP_LM_DF_CAP} docs are dropped BEFORE the
+    pair join (the stop-motif defense — candidate volume is bounded
+    by cap * |fingerprints|, and a near-dup pair still shares its
+    RARE hashes); the verify is a count over the bucketed equi-join
+    with a relative threshold (>= half the smaller fingerprint), so
+    no all-pairs scan exists anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    plants = docs.filter(F.col("doc_id") < 40)
+    corpus = base.unionByName(
+        plants.select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" qq shifted suffix block qq"))
+            .alias("text"))
+    ).unionByName(
+        plants.select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.concat(F.lit("zz prefix shift zz "),
+                     F.coalesce(F.col("text"), F.lit("")))
+            .alias("text")))
+    from ..operators import cache
+    # persist the fingerprint table (FORCED — mapInPandas bogus
+    # estimate): the DF filter, per-doc counts, and both pair-join
+    # arms consume it
+    fp = cache.maybe_persist(
+        mm.afp_landmarks(mm.wav_media_from_documents(corpus)),
+        force=True)
+    rare = (fp.groupBy("h").count()
+            .filter(F.col("count") <= mm.AFP_LM_DF_CAP)
+            .select("h"))
+    keep = cache.maybe_persist(fp.join(rare, "h"), force=True)
+    cnt = keep.groupBy("media_id").agg(F.count("*").alias("cnt"))
+    a = keep.select(F.col("media_id").alias("doc_a"), "h")
+    b = keep.select(F.col("media_id").alias("doc_b"), "h")
+    pair = (a.join(b, "h")
+            .filter(F.col("doc_b") > F.col("doc_a"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("shared")))
+    ca = cnt.select(F.col("media_id").alias("doc_a"),
+                    F.col("cnt").alias("cnt_a"))
+    cb = cnt.select(F.col("media_id").alias("doc_b"),
+                    F.col("cnt").alias("cnt_b"))
+    return (pair.join(ca, "doc_a").join(cb, "doc_b")
+            .filter((F.col("shared") >= mm.AFP_LM_MIN_SHARED)
+                    & (2 * F.col("shared")
+                       >= F.least("cnt_a", "cnt_b")))
+            .select("doc_a", "doc_b", "shared"))
+
+
 _MCUR_SQL = f"""
 WITH _mc_gopher AS (
   SELECT doc_id FROM ({tx.sql_gopher_rules('documents')}) WHERE keep

@@ -173,3 +173,45 @@ def test_adpcm_builder_layout(spark):
     for did in (1, 2):
         _, u8e = mm._parse_wav(rows[did])
         assert u8e.tolist() == [128]
+
+
+# ---------------- shift-invariant audio dedup (round 17)
+
+def test_afp_landmarks_shift_invariance(spark):
+    """The landmark trigram hash set is invariant under time shifts:
+    a prepended AND an appended block leave every interior landmark
+    trigram intact (positions enter the hash only as gaps), so the
+    original's hashes are a subset of the shifted clip's — exactly
+    the property afp_wav's n-relative windows lack (0/40, documented
+    since r12)."""
+    base = ("sphinx of black quartz judge my vow 123 pack my box "
+            "with five dozen liquor jugs 456 how vexingly quick "
+            "daft zebras jump 789 the five boxing wizards jump "
+            "quickly over two dozen lazy dogs")
+    docs = spark.createDataFrame(
+        [(0, base),
+         (1, base + " qq appended suffix qq"),
+         (2, "zz prepended prefix zz " + base)],
+        "doc_id long, text string")
+    fp = mm.afp_landmarks(mm.wav_media_from_documents(docs))
+    rows = fp.collect()
+    hs = {d: set() for d in (0, 1, 2)}
+    for r in rows:
+        hs[r["media_id"]].add(r["h"])
+    assert len(hs[0]) > 20
+    assert hs[0] <= hs[1]
+    assert hs[0] <= hs[2]
+
+
+def test_audio_dedup_shift_planted_recall(spark):
+    """Pinned recall: ALL 80 planted shifted copies (40 appended-
+    suffix + 40 prepended-prefix) are recovered at sf0.001 — the
+    plant family the window fingerprint measures 0/40 on."""
+    from mktd6_flink_spark.plans import driver_queries as dq
+
+    out = dq.QUERIES["mm_audio_dedup_shift"](
+        spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    planted = {(a, b) for a, b in pairs
+               if b - a in (20000, 40000) and a < 40}
+    assert len(planted) == 80
