@@ -117,11 +117,27 @@ def product_step(id_col: str | None = None):
 
 
 def running_sum_step():
-    """W3 — keyBy().sum(): emit the running total on every element."""
+    """W3 — keyBy().sum(): emit the running total on every element.
+    Carries the VECTORIZED engine path (round 17): the float
+    accumulation stays a tight left-to-right scalar loop — bit-exact
+    sequencing — and only the per-row dict traffic is replaced by
+    columnar output (the proven ema_step pattern)."""
     def step(state, row):
         acc = 0.0 if state is None else state[0]
         new = acc + float(row["value"])
         return (new,), {"running_sum": new}
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        acc = 0.0 if state is None else float(state[0])
+        n = len(pdf)
+        out: list[float] = []
+        append = out.append
+        for x in pdf["value"].to_list():
+            acc = acc + float(x)
+            append(acc)
+        return {"running_sum": out}, (state if n == 0 else (acc,))
+
+    step.vectorized = vectorized
     return step
 
 
@@ -430,7 +446,14 @@ def order_buffer_step():
     immediately at the latest price. Rows are the tagged union
     (routing.tagged_union) of orders (_side=L: txnId, shares) and prices
     (_side=R: price). State: (latest_price | None, buffered [(time_ms,
-    txnId, shares), ...])."""
+    txnId, shares), ...]).
+
+    NO vectorized path, deliberately (round 17): the control flow is
+    a BUFFER DRAIN, not an elementwise map — a price event flushes a
+    variable-length batch of buffered orders in event-time order, so
+    output rows are not 1:1 with input rows and the loop body is
+    dominated by the sort/flush, not dict traffic. Not a bench-head
+    bottleneck (streaming_st5 rides the machinery floor)."""
     def step(state, row):
         price, buffered = (None, ()) if state is None else state
         if str(row["_side"]) == "R":
@@ -462,13 +485,20 @@ def ema_combiner_step(alpha: float = EMA_ALPHA,
     hypePrice state only; side R (base price) emits newValue = base+hype,
     forecast = ema/newValue with ema over newValue. State: (hype, ema,
     seen). ``id_col`` optionally passes an id column through to the
-    emitted row (per-event oracle checks need it)."""
+    emitted row (per-event oracle checks need it). Carries the
+    VECTORIZED engine path (round 17): the EMA recurrence stays a
+    scalar left-to-right loop — identical float sequencing — with
+    columnar output replacing the per-row dicts (the ema_step
+    pattern; side-L rows emit nothing, so outputs are the R-row
+    subsequence)."""
+    beta = 1.0 - alpha
+
     def step(state, row):
         hype, ema, seen = (0.0, 0.0, False) if state is None else state
         if str(row["_side"]) == "L":
             return (float(row["v"]), ema, seen), None
         newv = float(row["v"]) + hype
-        ema = newv if not seen else newv * alpha + ema * (1 - alpha)
+        ema = newv if not seen else newv * alpha + ema * beta
         out = {
             "new_value": newv,
             "forecast_mult": ema / newv if newv else float("nan"),
@@ -476,6 +506,34 @@ def ema_combiner_step(alpha: float = EMA_ALPHA,
         if id_col is not None:
             out = {id_col: int(row[id_col]), **out}
         return (hype, ema, True), out
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        hype, ema, seen = ((0.0, 0.0, False) if state is None
+                           else state)
+        nv_out: list[float] = []
+        fc_out: list[float] = []
+        id_out: list[int] = []
+        ids = (pdf[id_col].to_list() if id_col is not None
+               else None)
+        for i, (side, v) in enumerate(zip(pdf["_side"].to_list(),
+                                          pdf["v"].to_list())):
+            if str(side) == "L":
+                hype = float(v)
+                continue
+            newv = float(v) + hype
+            ema = newv if not seen else newv * alpha + ema * beta
+            seen = True
+            nv_out.append(newv)
+            fc_out.append(ema / newv if newv else float("nan"))
+            if ids is not None:
+                id_out.append(int(ids[i]))
+        cols = {"new_value": nv_out, "forecast_mult": fc_out}
+        if id_col is not None:
+            cols = {id_col: id_out, **cols}
+        return cols, ((hype, ema, seen)
+                      if len(pdf) else state)
+
+    step.vectorized = vectorized
     return step
 
 
@@ -483,7 +541,9 @@ def latest_side_value_step(id_col: str | None = None):
     """ST10 — MonkeyStockTrader.java:208-236: side R stores the latest
     price; side L emits value - storedPrice (dropped before any price).
     ``id_col`` optionally passes an id column through to the emitted
-    row."""
+    row. Carries the VECTORIZED engine path (round 17): one scalar
+    loop carrying the latest price, columnar output for the L-row
+    emissions (the ema_step pattern — arithmetic order unchanged)."""
     def step(state, row):
         price = None if state is None else state[0]
         if str(row["_side"]) == "R":
@@ -494,6 +554,27 @@ def latest_side_value_step(id_col: str | None = None):
         if id_col is not None:
             out = {id_col: int(row[id_col]), **out}
         return (price,), out
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        price = None if state is None else state[0]
+        deltas: list[float] = []
+        id_out: list[int] = []
+        ids = (pdf[id_col].to_list() if id_col is not None
+               else None)
+        for i, (side, v) in enumerate(zip(pdf["_side"].to_list(),
+                                          pdf["v"].to_list())):
+            if str(side) == "R":
+                price = float(v)
+            elif price is not None:
+                deltas.append(float(v) - price)
+                if ids is not None:
+                    id_out.append(int(ids[i]))
+        cols = {"coins_delta": deltas}
+        if id_col is not None:
+            cols = {id_col: id_out, **cols}
+        return cols, (state if len(pdf) == 0 else (price,))
+
+    step.vectorized = vectorized
     return step
 
 
@@ -516,7 +597,13 @@ def cep_step(window_us: int, id_col: str = "user_id"):
     discards both partial anchors. Non-matching events never clear
     state (followedBy is relaxed contiguity). Emits one row per
     completed match: (match_n, start_us, end_us) where start is the
-    matched signup's ts."""
+    matched signup's ts.
+
+    NO vectorized path, deliberately (round 17): this is an NFA
+    transition per event — three data-dependent branches mutating two
+    monotone timestamps — and emissions are SPARSE (completed matches
+    only), so the vectorized protocol's one real win, per-row dict
+    traffic on dense output, does not exist here."""
     def step(state, row):
         s_last, c_s, n = (-1, -1, 0) if state is None else state
         t = int(row["t_us"])
@@ -551,7 +638,12 @@ def cep_absence_step(window_us: int):
     ignored — skip-till-next on the anchor), so state is one
     timestamp. Emits (signup_us, outcome, resolve_us) per resolved
     anchor; resolve_us is the purchase ts or the churn deadline
-    t0 + W."""
+    t0 + W.
+
+    NO vectorized path, deliberately (round 17): same NFA shape as
+    cep_step — per-event expiry check + data-dependent anchor
+    mutation, sparse emissions (resolved anchors only) — so columnar
+    output buys nothing."""
     def step(state, row):
         pend, = (-1,) if state is None else state
         t = int(row["t_us"])
@@ -863,6 +955,13 @@ def bubble_burst_step():
     injected as data so tests and the DuckDB oracle can pin it
     deterministically (portable md5-based uniforms) while production
     feeds real entropy. State: (prev_diff, step_idx 0=not-bursting).
+
+    Carries the VECTORIZED engine path (round 17): the state machine
+    is data-dependent per event (the randomness branch reads the
+    running diff), so the transition stays a scalar left-to-right
+    loop with identical float sequencing — only the per-row dict
+    traffic is replaced by columnar output (the ema_step pattern;
+    this step emits on EVERY row, so the dense-output win applies).
     """
     def step(state, row):
         prev_diff, step_idx = (0.0, 0) if state is None else state
@@ -874,6 +973,27 @@ def bubble_burst_step():
         elif float(row["rand"]) < diff * 0.01:
             step_idx = 1
         return (diff, step_idx), {"diff": diff, "burst_step": step_idx}
+
+    def vectorized(pdf: "pd.DataFrame", state):
+        prev_diff, step_idx = (0.0, 0) if state is None else state
+        n = len(pdf)
+        d_out: list[float] = []
+        s_out: list[int] = []
+        for value, rand in zip(pdf["value"].to_list(),
+                               pdf["rand"].to_list()):
+            diff = float(value) - prev_diff
+            if step_idx > 0:
+                diff = diff * BURST_MULTS[step_idx]
+                step_idx = step_idx + 1 if step_idx < 10 else 0
+            elif float(rand) < diff * 0.01:
+                step_idx = 1
+            prev_diff = diff
+            d_out.append(diff)
+            s_out.append(step_idx)
+        return ({"diff": d_out, "burst_step": s_out},
+                (state if n == 0 else (prev_diff, step_idx)))
+
+    step.vectorized = vectorized
     return step
 
 
