@@ -387,9 +387,11 @@ def encode_gif_anim_delta(frames: "np.ndarray", palette: "np.ndarray",
     are coded as the ``transparent`` index (compositing passthrough),
     and a NETSCAPE2.0 loop extension precedes the frames. Disposal
     methods exercise the composited decoder: frames with
-    ``k % 5 == 3`` carry disposal 2 (restore rect to background) —
-    the encoder SIMULATES the canvas including disposals, so the
-    composited playback reproduces each target frame exactly. Frames
+    ``k % 5 == 3`` carry disposal 2 (restore rect to background) and
+    frames with ``k % 5 == 2`` carry disposal 3 (restore-to-previous,
+    round-17 late addition) — the encoder SIMULATES the canvas
+    including disposals, so the composited playback reproduces each
+    target frame exactly. Frames
     with ``k % 2 == 1`` carry a LOCAL color table that is the global
     table under the index permutation j -> (j*7) % 256 (content
     indices remapped by the inverse 183 = 7^-1 mod 256), so the
@@ -436,7 +438,7 @@ def encode_gif_anim_delta(frames: "np.ndarray", palette: "np.ndarray",
             t0, t1, l0, l1 = 0, 1, 0, 1
         rect = np.where(diff[t0:t1, l0:l1], target[t0:t1, l0:l1],
                         np.uint8(transparent))
-        disposal = 2 if f % 5 == 3 else 1
+        disposal = 2 if f % 5 == 3 else (3 if f % 5 == 2 else 1)
         out += bytes([_EXTENSION, _GCE_LABEL, 4,
                       (disposal << 2) | 0x01])
         out += struct.pack("<H", delay_cs) + bytes([transparent, 0])
@@ -468,9 +470,15 @@ def encode_gif_anim_delta(frames: "np.ndarray", palette: "np.ndarray",
             out.append(len(chunk))
             out += chunk
         out.append(0)
-        canvas = target.copy()
-        if disposal == 2:
-            canvas[t0:t1, l0:l1] = 0
+        if disposal == 3:
+            # restore-to-previous: the drawn rect reverts, and target
+            # differs from the pre-frame canvas only inside the rect,
+            # so the post-disposal canvas IS the pre-frame canvas
+            pass
+        else:
+            canvas = target.copy()
+            if disposal == 2:
+                canvas[t0:t1, l0:l1] = 0
     out.append(_TRAILER)
     return bytes(out)
 
@@ -481,11 +489,15 @@ def decode_gif_frames_composited(payload: bytes, every: int = 1):
     image blocks may cover any SUB-RECTANGLE of the logical screen,
     a GCE-transparent index inside a frame means "keep the canvas
     pixel" (delta passthrough), per-frame LOCAL color tables take
-    precedence, and disposal methods 0/1 (leave in place) and
-    2 (restore rect to background) are honored between frames.
-    Disposal 3 (restore-to-previous) raises — it needs a saved-canvas
-    stack and is rare in crawls; such payloads land in the attrition
-    report's unsupported_profile row rather than decoding wrongly.
+    precedence, and disposal methods 0/1 (leave in place),
+    2 (restore rect to background), and 3 (restore-to-previous,
+    round-17 late addition) are honored between frames. Disposal 3
+    needs no canvas STACK: the spec restores only "the area
+    overwritten by the graphic", so saving the frame's own rect
+    before drawing and putting it back after the snapshot is exact —
+    O(rect) extra memory for that frame only, not O(frames) history.
+    Undefined disposal codes 4-7 raise (unsupported_profile in the
+    attrition taxonomy) rather than decoding wrongly.
 
     Returns (width, height, n_frames, [(frame_idx, canvas uint8
     [sh, sw, 4] RGBA)]) for frames with ``frame_idx % every == 0``;
@@ -549,7 +561,7 @@ def decode_gif_frames_composited(payload: bytes, every: int = 1):
                     raise ValueError("GIF control block malformed")
                 transparent = data[3] if data[0] & 0x01 else None
                 disposal = (data[0] >> 2) & 0x07
-                if disposal >= 3:
+                if disposal >= 4:
                     raise ValueError(
                         "unsupported GIF disposal method")
             continue
@@ -590,6 +602,7 @@ def decode_gif_frames_composited(payload: bytes, every: int = 1):
             axis=1)
         patch = ct4[idx]
         window = canvas[top:top + h, left:left + w]
+        saved = window.copy() if disposal == 3 else None
         if transparent is not None:
             opaque = idx != transparent
             window[opaque] = patch[opaque]
@@ -599,6 +612,8 @@ def decode_gif_frames_composited(payload: bytes, every: int = 1):
             frames.append((fidx, canvas.copy()))
         if disposal == 2:
             canvas[top:top + h, left:left + w] = bg_rgba
+        elif disposal == 3:
+            canvas[top:top + h, left:left + w] = saved
         transparent = None
         disposal = 0
         fidx += 1

@@ -242,8 +242,9 @@ def _delta_frames(rng, n, h, w):
 def test_composited_roundtrip_partial_rect_disposal_lct():
     """The delta encoder exercises partial rects, transparency
     passthrough, per-frame permuted LCTs (odd frames), interlaced
-    rects (k%3==1) and disposal 2 (k%5==3); composited playback must
-    reproduce every target frame exactly on the full canvas."""
+    rects (k%3==1), disposal 2 (k%5==3), and disposal 3
+    restore-to-previous (k%5==2); composited playback must reproduce
+    every target frame exactly on the full canvas."""
     from mktd6_flink_spark.functions.gif import (
         decode_gif_frames, decode_gif_frames_composited,
         encode_gif_anim_delta)
@@ -294,7 +295,7 @@ def test_composited_full_rect_parity():
         assert ia == ib and (ra == rb).all()
 
 
-def test_composited_disposal3_and_bad_rect_raise():
+def test_composited_disposal4_and_bad_rect_raise():
     from mktd6_flink_spark.functions.gif import (
         decode_gif_frames_composited, encode_gif_anim_delta)
     from mktd6_flink_spark.functions.multimodal import (
@@ -307,7 +308,9 @@ def test_composited_disposal3_and_bad_rect_raise():
     # first GCE packed byte: find the first 21 F9 04 sequence
     at = bytes(p).find(b"\x21\xf9\x04") + 3
     good_packed = p[at]
-    p[at] = (good_packed & ~0x1C) | (3 << 2)  # disposal 3
+    # disposal 3 (restore-to-previous) is SUPPORTED since late round
+    # 17; the undefined codes 4-7 are the unsupported_profile class
+    p[at] = (good_packed & ~0x1C) | (4 << 2)  # disposal 4: undefined
     with pytest.raises(ValueError, match="disposal") as exc:
         decode_gif_frames_composited(bytes(p))
     assert classify_decode_error(str(exc.value)) == \
