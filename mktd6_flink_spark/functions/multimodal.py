@@ -2338,7 +2338,7 @@ def gif_frame_composite(media: DataFrame,
     """Composited frame sampling over delta-coded animated GIFs:
     walk the block grammar, COMPOSITE every frame onto the logical
     screen (partial rects, transparency passthrough, LCT precedence,
-    disposal 0/1/2 — functions/gif.py decode_gif_frames_composited),
+    disposal 0-3 — functions/gif.py decode_gif_frames_composited),
     and emit each sampled frame's exact integer mean over channel 0
     of the FULL canvas — which equals the target text-grid frame, so
     sql_frame_sample stays the oracle. Unlike the full-rect sampler,
@@ -2393,6 +2393,37 @@ def gif_media_from_documents(docs: DataFrame) -> DataFrame:
 
         pal = _rgb_channels(np.arange(256, dtype=np.int64))
         return encode_gif(grid, pal, interlace=bool(did % 2))
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
+
+
+def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a Windows BMP (round 17 late addition —
+    a container with NO entropy coder: fixed headers, BGR byte order,
+    bottom-up rows, 4-byte stride padding, optional RLE8). Three
+    profiles rotate by doc_id so one entry prices every decode path:
+    ``did % 3 == 0`` a 24-bit BI_RGB raster of the truecolor channel
+    derivations; ``did % 3 == 1`` an 8-bit BI_RLE8 palettized raster
+    (encoded runs + absolute-mode stretches + word padding);
+    ``did % 3 == 2`` an 8-bit uncompressed palettized raster — with
+    TOP-DOWN row order (negative biHeight) on odd doc_ids of the
+    BI_RGB profiles. All three decode to the same RGB as the
+    PNG-truecolor/palette/GIF corpora, so sql_decode_png_rgb stays the
+    oracle and a stride-padding, BGR-swap, row-order, or RLE bug flips
+    the hash. Same clean/cap/pad contract as every raster builder."""
+    from .bmp import encode_bmp_pal8, encode_bmp_rgb24, encode_bmp_rle8
+
+    def enc(grid, did):
+        import numpy as np
+
+        if did % 3 == 0:
+            return encode_bmp_rgb24(_rgb_channels(grid.astype("int64")),
+                                    topdown=bool(did % 2))
+        pal = _rgb_channels(np.arange(256, dtype=np.int64))
+        if did % 3 == 1:
+            return encode_bmp_rle8(grid, pal)
+        return encode_bmp_pal8(grid, pal, topdown=bool(did % 2))
 
     return _raster_media_from_documents(docs, PGM_WIDTH, enc,
                                         with_id=True)
@@ -2680,7 +2711,7 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 # failure into "other").
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
-                   "not a JPEG", "not a GIF")),
+                   "not a JPEG", "not a GIF", "not a BMP")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
@@ -2697,7 +2728,8 @@ _REASON_PATTERNS = (
                    "restart segment count", "no scan before EOI",
                    "no SOS", "DHT value count", "trailer missing",
                    "no image block")),
-    ("unsupported_profile", ("unsupported GIF", "multi-frame GIF",
+    ("unsupported_profile", ("unsupported GIF", "unsupported BMP",
+                             "multi-frame GIF",
                              "sub-rectangle frame",
                              "non-baseline SOF", "not a progressive",
                              "no supported SOF", "unsupported PNG",
@@ -2715,7 +2747,7 @@ _REASON_PATTERNS = (
                         "invalid DC category", "DC predictor",
                         "invalid Huffman",
                         "AC run past", "unknown filter",
-                        "scan component", "LZW", "color table",
+                        "scan component", "LZW", "RLE", "color table",
                         "block type unknown",
                         "control block malformed",
                         "block align", "step index")),

@@ -1,0 +1,228 @@
+"""Windows BMP codec (round 17 late addition): roundtrips for all
+three supported profiles, an INDEPENDENT absolute-mode-only RLE8
+encoder as the cross-check (no stdlib BMP reader exists — the GIF
+precedent), the RLE8 delta/early-EOB semantics, the error contract's
+attrition-taxonomy mapping, and ValueError-totality fuzz."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mktd6_flink_spark.functions.bmp import (decode_bmp,
+                                             encode_bmp_pal8,
+                                             encode_bmp_rgb24,
+                                             encode_bmp_rle8)
+from mktd6_flink_spark.functions.multimodal import classify_decode_error
+
+
+def _pal() -> np.ndarray:
+    v = np.arange(256, dtype=np.int64)
+    return np.stack([v, 255 - v, (v * 37) % 256],
+                    axis=1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("topdown", [False, True])
+@pytest.mark.parametrize("w", [1, 3, 4, 64])  # hit every stride pad
+def test_rgb24_roundtrip(w, topdown):
+    rng = np.random.RandomState(w + topdown)
+    rgb = rng.randint(0, 256, (5, w, 3), dtype=np.uint8)
+    ww, hh, out = decode_bmp(encode_bmp_rgb24(rgb, topdown=topdown))
+    assert (ww, hh) == (w, 5)
+    assert (out == rgb).all()
+
+
+@pytest.mark.parametrize("topdown", [False, True])
+@pytest.mark.parametrize("w", [1, 2, 5, 64])
+def test_pal8_roundtrip(w, topdown):
+    rng = np.random.RandomState(w * 2 + topdown)
+    idx = rng.randint(0, 256, (7, w), dtype=np.uint8)
+    pal = _pal()
+    ww, hh, out = decode_bmp(encode_bmp_pal8(idx, pal,
+                                             topdown=topdown))
+    assert (ww, hh) == (w, 7)
+    assert (out == pal[idx.astype(np.int64)]).all()
+
+
+def test_rle8_roundtrip_runs_and_absolute():
+    pal = _pal()
+    rng = np.random.RandomState(11)
+    # mixed content: long runs (encoded mode, incl. >255 splits),
+    # singleton stretches >= 3 (absolute mode + word padding)
+    row_runs = np.repeat(np.arange(4, dtype=np.uint8), 300)[:1000]
+    row_mix = rng.randint(0, 256, 1000).astype(np.uint8)
+    idx = np.stack([row_runs, row_mix,
+                    np.full(1000, 7, dtype=np.uint8), row_mix[::-1]])
+    payload = encode_bmp_rle8(idx, pal)
+    w, h, out = decode_bmp(payload)
+    assert (w, h) == (1000, 4)
+    assert (out == pal[idx.astype(np.int64)]).all()
+    # the encoder really used both packet kinds
+    body = payload[14 + 40 + 4 * 256:]
+    kinds = set()
+    pos = 0
+    while pos + 2 <= len(body):
+        b0, b1 = body[pos], body[pos + 1]
+        pos += 2
+        if b0 > 0:
+            kinds.add("encoded")
+        elif b1 >= 3:
+            kinds.add("absolute")
+            pos += b1 + (b1 % 2)
+        elif b1 == 2:
+            pos += 2
+    assert kinds == {"encoded", "absolute"}
+
+
+def test_rle8_parity_with_independent_encoder():
+    """Independent cross-check: a trivial absolute-mode-only RLE8
+    encoder (every row one absolute packet per <=254-byte slice) must
+    decode to the same raster as the production encoder's output."""
+    pal = _pal()
+    rng = np.random.RandomState(13)
+    idx = rng.randint(0, 256, (6, 37), dtype=np.uint8)
+
+    body = bytearray()
+    for r in range(5, -1, -1):  # bottom-up
+        row = idx[r]
+        for at in range(0, row.shape[0], 254):
+            chunk = row[at:at + 254]
+            if chunk.shape[0] >= 3:
+                body += bytes((0, chunk.shape[0])) + chunk.tobytes()
+                if chunk.shape[0] % 2:
+                    body.append(0)
+            else:
+                for v in chunk:
+                    body += bytes((1, int(v)))
+        body += b"\x00\x00"
+    body[-2:] = b"\x00\x01"
+    off = 14 + 40 + 4 * 256
+    quad = np.zeros((256, 4), dtype=np.uint8)
+    quad[:, :3] = pal[:, ::-1]
+    naive = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+             + struct.pack("<IiiHHIIiiII", 40, 37, 6, 1, 8, 1,
+                           len(body), 0, 0, 256, 0)
+             + quad.tobytes() + bytes(body))
+    a = decode_bmp(naive)
+    b = decode_bmp(encode_bmp_rle8(idx, pal))
+    assert a[:2] == b[:2]
+    assert (a[2] == b[2]).all()
+
+
+def test_rle8_delta_and_early_eob_fill_zero():
+    """Delta escapes skip pixels and an early end-of-bitmap leaves the
+    rest unwritten — both fill with palette index 0 (the documented
+    deterministic choice)."""
+    pal = _pal()
+    # 4x3, bottom-up: row y=0 is the BOTTOM row
+    body = bytes((2, 5,            # bottom row: 2 pixels of idx 5
+                  0, 2, 1, 1,      # delta: right 1, up 1
+                  3, 9,            # row 1 from x=3: 3 px... x=3+3=6>4?
+                  ))
+    # rebuild legally: delta lands at (x=3, y=1); 1 pixel fits
+    body = bytes((2, 5, 0, 2, 1, 1, 1, 9, 0, 1))
+    off = 14 + 40 + 4 * 256
+    quad = np.zeros((256, 4), dtype=np.uint8)
+    quad[:, :3] = pal[:, ::-1]
+    payload = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+               + struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1,
+                             len(body), 0, 0, 256, 0)
+               + quad.tobytes() + body)
+    w, h, out = decode_bmp(payload)
+    expect_idx = np.zeros((3, 4), dtype=np.int64)
+    expect_idx[2, 0:2] = 5      # bottom storage row = output row 2
+    expect_idx[1, 3] = 9        # delta target
+    assert (out == pal[expect_idx]).all()
+
+
+def test_bmp_error_contract_and_taxonomy():
+    pal = _pal()
+    good = encode_bmp_pal8(np.zeros((4, 4), dtype=np.uint8), pal)
+    cases = [
+        (b"XX" + good[2:], "not a BMP", "bad_magic"),
+        (good[:30], "truncated", "truncated"),
+        # biSize != 40 (a BITMAPV5HEADER-sized value)
+        (good[:14] + struct.pack("<I", 124) + good[18:],
+         "unsupported BMP header", "unsupported_profile"),
+        # 16bpp
+        (good[:28] + struct.pack("<H", 16) + good[30:],
+         "unsupported BMP bit depth", "unsupported_profile"),
+        # compression 4 (BI_JPEG)
+        (good[:30] + struct.pack("<I", 4) + good[34:],
+         "unsupported BMP compression", "unsupported_profile"),
+        # zero width
+        (good[:18] + struct.pack("<i", 0) + good[22:],
+         "invalid dimensions", "header_invalid"),
+        # oversize dims
+        (good[:18] + struct.pack("<ii", 1 << 14, 1 << 14) + good[26:],
+         "invalid dimensions", "header_invalid"),
+        # palette cut off
+        (good[:100], "truncated", "truncated"),
+    ]
+    for payload, frag, reason in cases:
+        with pytest.raises(ValueError, match=frag) as exc:
+            decode_bmp(bytes(payload))
+        assert classify_decode_error(str(exc.value)) == reason, frag
+    # top-down RLE is spec-invalid
+    rle = bytearray(encode_bmp_rle8(np.zeros((4, 4), dtype=np.uint8),
+                                    pal))
+    rle[22:26] = struct.pack("<i", -4)
+    with pytest.raises(ValueError, match="top-down RLE") as exc:
+        decode_bmp(bytes(rle))
+    assert classify_decode_error(str(exc.value)) == \
+        "unsupported_profile"
+    # RLE run past the row
+    body = bytes((9, 1, 0, 1))  # 9 px into a 4-wide row
+    off = 14 + 40 + 4 * 256
+    quad = np.zeros((256, 4), dtype=np.uint8)
+    quad[:, :3] = pal[:, ::-1]
+    bad = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1,
+                         len(body), 0, 0, 256, 0)
+           + quad.tobytes() + body)
+    with pytest.raises(ValueError, match="RLE run beyond") as exc:
+        decode_bmp(bad)
+    assert classify_decode_error(str(exc.value)) == "header_invalid"
+
+
+_BMP_HEAD = b"BM" + struct.pack("<IHHI", 1000, 0, 0, 54)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=300))
+def test_bmp_decoder_total_on_garbage(tail):
+    for payload in (tail, _BMP_HEAD + tail):
+        try:
+            decode_bmp(payload)
+        except ValueError:
+            pass
+
+
+def test_bmp_mutation_fuzz_valueerror_only():
+    pal = _pal()
+    rng = np.random.RandomState(17)
+    goods = [
+        encode_bmp_rgb24(rng.randint(0, 256, (5, 6, 3),
+                                     dtype=np.uint8)),
+        encode_bmp_rle8(rng.randint(0, 256, (5, 6), dtype=np.uint8),
+                        pal),
+        encode_bmp_pal8(rng.randint(0, 256, (5, 6), dtype=np.uint8),
+                        pal, topdown=True),
+    ]
+    for good in goods:
+        for cut in range(0, len(good), 5):
+            try:
+                decode_bmp(good[:cut])
+            except ValueError:
+                pass
+        for i in range(0, len(good), 3):
+            mut = bytearray(good)
+            mut[i] ^= 0x5A
+            try:
+                decode_bmp(bytes(mut))
+            except ValueError:
+                pass
