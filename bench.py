@@ -21,6 +21,16 @@ Methodology:
   (max - min) across passes and "floor_per_pass" the sentinel's timing
   in every pass — a regression claim is only credible when the delta
   exceeds both the head's own spread and the floor drift.
+- DENSE FLOOR SERIES (round-17 protocol): the sentinel additionally
+  runs UNTIMED-panel at the START and END of every pass —
+  "floor_series" carries the [pre, post] pair per pass (6 samples per
+  recording on top of the in-panel head's 3). r16's single-sample-per-
+  pass floor spread was ±14% WITHIN one recording, making single-floor
+  normalization ambiguous; with a bracketing pair per pass, a head's
+  per-pass ratio normalizes against the mean of ITS OWN pass's
+  bracket, separating code regressions from mid-recording VM drift
+  without burning isolated A/B runs. The bracket runs are excluded
+  from every total/subtotal (they are calibration, not panel).
 - "streaming_floor" is a SENTINEL, not an operator: file source →
   passthrough → memory sink over the same events file. It measures the
   irreducible streaming-machinery cost (source listing, planning, state
@@ -210,6 +220,18 @@ HEADLINE = [
     # already prices.
     "mm_decode_png_rgba",
     "mm_decode_gif",
+    # round 17 (panel 80/80 — AT the cap; any future head must retire
+    # a covered same-family head per the policy above): composited
+    # animated-GIF playback (every frame's LZW must run + per-frame
+    # canvas compositing — a different cost shape from the sparse
+    # full-rect sampler and the single-frame decode), and IMA-ADPCM
+    # WAV (a sequential per-nibble integer recurrence in Python —
+    # every other WAV head is a vectorized numpy fold).
+    # mm_audio_dedup_shift is NOT added: its fingerprint+banded-join
+    # shape is priced by mm_audio_dedup/mm_phash_dedup (the r17
+    # verdict said exactly this).
+    "mm_gif_frame_composite",
+    "mm_decode_wav_adpcm",
 ]
 
 # Cross-round comparability: the headline total only grows because the
@@ -231,6 +253,7 @@ _R12_LATE_SET = HEADLINE[:66]  # the full 66-head panel BENCH_r12 ran
 _R13_SET = HEADLINE[:70]       # the full 70-head panel BENCH_r13 ran
 _R14_SET = HEADLINE[:71]       # the full 71-head panel BENCH_r14 ran
 _R15_SET = HEADLINE[:76]       # the full 76-head panel BENCH_r15 ran
+_R16_SET = HEADLINE[:78]       # the full 78-head panel BENCH_r16 ran
 
 
 def streaming_floor(spark, sf_dir):
@@ -342,9 +365,21 @@ def main() -> int:
             spark.catalog.dropTempView(tbl.name)
     spark.streams.resetTerminated()
 
+    def _floor_sample() -> float:
+        t0 = time.perf_counter()
+        streaming_floor(spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                spark.catalog.dropTempView(tbl.name)
+        spark.streams.resetTerminated()
+        return round(dt, 3)
+
     t_run0 = time.perf_counter()
     reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    floor_series: list[list[float]] = []  # [pre, post] per pass
     for p in range(REPEATS):
+        floor_series.append([_floor_sample()])
         order = HEADLINE if p % 2 == 0 else list(reversed(HEADLINE))
         for name in order:
             fn = (streaming_floor if name == "streaming_floor"
@@ -366,6 +401,7 @@ def main() -> int:
             # through them their memory sinks' rows) until reset —
             # without this the driver heap grows across the whole run
             spark.streams.resetTerminated()
+        floor_series[p].append(_floor_sample())
     timings = {name: round(statistics.median(r), 3)
                for name, r in reps.items()}
     spread = {name: round(max(r) - min(r), 3) for name, r in reps.items()}
@@ -388,6 +424,13 @@ def main() -> int:
         "protocol": "interleaved-passes-ABA",
         "spread": spread,
         "floor_per_pass": [round(x, 3) for x in reps["streaming_floor"]],
+        # round-17 dense floor series: [pre, post] bracket per pass
+        # (calibration runs, excluded from totals) plus the per-pass
+        # bracket mean — normalize a head's pass timing against ITS
+        # pass's bracket to separate code change from VM drift
+        "floor_series": floor_series,
+        "floor_pass_mean": [round((a + b) / 2, 3)
+                            for a, b in floor_series],
         "total_wall": round(time.perf_counter() - t_run0, 3),
         "subtotals": {
             "r6_comparable_31": round(
@@ -416,6 +459,8 @@ def main() -> int:
                 sum(timings[n] for n in _R14_SET), 3),
             "r15_comparable_76": round(
                 sum(timings[n] for n in _R15_SET), 3),
+            "r16_comparable_78": round(
+                sum(timings[n] for n in _R16_SET), 3),
         },
         "subtotals_min": {
             "r8_comparable_43": round(
@@ -438,6 +483,8 @@ def main() -> int:
                 sum(tmin[n] for n in _R14_SET), 3),
             "r15_comparable_76": round(
                 sum(tmin[n] for n in _R15_SET), 3),
+            "r16_comparable_78": round(
+                sum(tmin[n] for n in _R16_SET), 3),
         },
         "queries_min": tmin,
     }

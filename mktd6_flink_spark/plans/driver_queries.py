@@ -2496,6 +2496,52 @@ def streaming_decode_gif(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_gif_ingest")
 
 
+@register("mm_decode_bmp",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def mm_decode_bmp(spark, sf_dir):
+    """Windows BMP decode (round 17 late addition) — the container
+    with NO entropy coder, so the decode cost is header walk + stride
+    arithmetic: each document becomes a real BMP rotating three
+    profiles by doc_id (24-bit BI_RGB with BGR byte order; 8-bit
+    BI_RLE8 with encoded runs, absolute-mode stretches, and word
+    padding; 8-bit uncompressed palettized — bottom-up rows with
+    4-byte stride padding, TOP-DOWN on odd BI_RGB doc_ids via
+    negative biHeight). The decode validates the BITMAPINFOHEADER,
+    reads the BGRA palette, reverses storage row order, strips stride
+    padding, expands RLE8 escapes (functions/bmp.py, written from the
+    public Windows GDI documentation), and emits the SAME per-channel
+    band features as the PNG/GIF truecolor entries — so
+    sql_decode_png_rgb now pins FOUR container families and a
+    BGR-swap, stride, row-order, or RLE bug flips only this hash.
+    Malformed payloads drop per row; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm._rgb_png_features(mm.bmp_media_from_documents(docs),
+                                "decode_bmp_rgb", module="bmp")
+
+
+@register("streaming_decode_bmp",
+          mm.sql_decode_png_rgb("documents", cap=mm.RASTER_MAX_CHARS))
+def streaming_decode_bmp(spark, sf_dir):
+    """BMP decode-on-ingest (round 17 late addition): the
+    mm_decode_bmp pipeline (three-profile BMP encode → header walk /
+    RLE8 expand → per-channel band features) as a LIVE Structured
+    Streaming query. Stateless per row (mapInPandas on the source
+    partitioning), so append mode needs no watermark and the result
+    equals the batch twin under ANY micro-batching; graded against
+    the SAME shared oracle. Payloads never shuffle; malformed blobs
+    drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm._rgb_png_features(mm.bmp_media_from_documents(raw),
+                               "decode_bmp_rgb", module="bmp")
+    return _run_stream_to_table(spark, out, "mm_bmp_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
@@ -13373,57 +13419,93 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # streaming_st2_product, streaming_st6_ledger, graph_label_propagation,
 # mm_decode_jpeg_progressive, mm_decode_report, streaming_khop_reach
 # (the rest re-fingerprinted without behavior change).
+# r17 gate window (generated: gate_window.py --window --since dc20105,
+# then ONE verdict-mandated manual edit, the same shape as r16's): the
+# generator fronted the 4 never-graded round-17 additions
+# (mm_gif_frame_composite + its on-ingest twin, mm_decode_wav_adpcm,
+# mm_audio_dedup_shift — each locally oracle-green at sf0.01 AND
+# sf0.1), took ALL 30 remaining r9-graded entries, and filled with 16
+# r10-graded. The r17 verdict's task 1 mandates the 10 entries r16
+# DEFERRED as changed-but-recently-graded be re-fronted as a NAMED
+# cohort (listed above; a changed implementation with a stale grade is
+# the only place a silent regression can hide), displacing the 10
+# least-stale r10 fills; the 2 LATE round-17 additions (mm_decode_bmp
+# + its on-ingest twin, oracle-green at sf0.001/0.01/0.1 locally)
+# front as never-graded, displacing 2 more. Final composition:
+# 6 never + 10 named + 30 r9 + 4 r10 — after this gate, zero entries
+# are last-graded <= r9; the 16 displaced r10 entries
+# (text_bpe_pair_stats, graph_degree_stats, scan_orc_roundtrip,
+# join_bloom_prefilter, sketch_hll_daily_merge, text_char_entropy,
+# events_sliding_hll_uniques, streaming_sliding_hll_uniques,
+# sketch_kmv_jaccard, basket_lift_pairs, events_cusum_changepoint,
+# pipeline_quality_classifier, p12_updaters, dedup_semantic,
+# p06b_invalid_orders, p09_hype_words) are exactly 7 rounds stale
+# (the enforced ceiling — gate_window.py's generation assertion) and
+# re-front in r18. This
+# round's OWN genuinely-changed-but-deferred cohort (executed code
+# changed, latest grade predates it; full sf0.01 + sf0.1 local sweeps
+# this round are the backstop) to re-front in r18: st3_bubble_burst,
+# streaming_st3_burst, streaming_st10_delta, streaming_st4_combiner
+# (bubble_burst/latest_side/ema_combiner steps gained vectorized
+# paths), and the _parse_wav consumers graded r16 — mm_decode_wav,
+# mm_decode_wav16, mm_decode_wav_stereo, mm_decode_wav_wide,
+# mm_decode_wav_ulaw, mm_decode_wav_alaw, streaming_decode_report,
+# mm_audio_dedup (the fmt-gate expression gained the 0x11 branch;
+# their outputs are pinned unchanged by tests). The rest of the
+# generator's changed-deferred list re-fingerprinted without executed-
+# code change (module-fold coarseness: docstring justifications on
+# cep/order-buffer steps, additive gif.py/multimodal.py functions).
 _GATE_PRIORITY = [
-    "mm_decode_png_pal4",
-    "mm_decode_png_rgba",
-    "mm_decode_png_wide",
-    "streaming_decode_report",
-    "mm_decode_wav_stereo",
-    "streaming_label_propagation",
-    "mm_decode_wav_wide",
-    "mm_decode_png_pal_trns",
-    "mm_decode_gif",
-    "streaming_decode_gif",
-    "mm_gif_frame_sample",
-    "streaming_gif_frame_sample",
-    "mm_decode_wav_ulaw",
-    "mm_decode_wav_alaw",
-    "graph_khop_reach",
-    "mm_audio_dedup",
-    "mm_decode_jpeg",
-    "mm_decode_png",
-    "mm_decode_png_rgb",
-    "mm_decode_wav",
-    "mm_jpeg_phash_dedup",
-    "mm_phash_dedup",
-    "pipeline_multimodal_curation",
-    "sim_pq_trained_recall",
-    "streaming_decode_jpeg",
-    "streaming_w6_session",
-    "streaming_join_interval",
-    "streaming_sketch_hll",
-    "streaming_sketch_cms",
-    "tpch_q14ish",
-    "tpch_q19ish",
-    "tpch_q2ish",
-    "tpch_q15ish",
-    "tpch_q20ish",
-    "tpch_q21ish",
-    "sketch_hll_users",
-    "sketch_cms_user_counts",
-    "pipeline_temperature_mix",
-    "text_trigram_surprisal",
-    "streaming_gopher_rules",
-    "streaming_dedup_watermarked",
-    "streaming_join_static_dim",
-    "streaming_cdc_upsert",
-    "streaming_anomaly_zscore",
-    "text_gopher_rules",
-    "text_line_dedup",
-    "text_dup_ngram_fraction",
-    "text_length_log2_histogram",
-    "mm_dedup_content_hash",
-    "pipeline_keep_best_dedup",
+    "mm_gif_frame_composite",
+    "streaming_gif_frame_composite",
+    "mm_decode_wav_adpcm",
+    "mm_audio_dedup_shift",
+    "mm_decode_bmp",
+    "streaming_decode_bmp",
+    "st1_ema",
+    "st1_ema_per_event",
+    "st6_per_event_ledger",
+    "streaming_st1_ema",
+    "streaming_st2_product",
+    "streaming_st6_ledger",
+    "graph_label_propagation",
+    "mm_decode_jpeg_progressive",
+    "mm_decode_report",
+    "streaming_khop_reach",
+    "dedup_cluster_sizes",
+    "sim_dim_mean_report",
+    "pipeline_epoch_shuffle",
+    "pipeline_cdc_upsert",
+    "pipeline_dataset_diff",
+    "text_top_terms_per_doc",
+    "pipeline_length_quantiles",
+    "events_value_rank_report",
+    "events_markov_transitions",
+    "events_session_paths",
+    "events_page_dwell",
+    "events_rolling_7d",
+    "events_trend_slope",
+    "events_max_drawdown",
+    "events_type_correlation",
+    "events_dau_wau",
+    "join_bucketed_colocated",
+    "scan_partition_pruned",
+    "join_fuzzy_names",
+    "scan_jsonl_permissive",
+    "scan_csv_permissive",
+    "scan_schema_evolution",
+    "events_anomaly_zscore",
+    "tpch_cube",
+    "events_type_pivot",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q10ish",
+    "tpch_q11ish",
+    "sketch_kmv_distinct",
+    "streaming_basket_pairs",
+    "streaming_sketch_kmv",
+    "p01_buy_sell",
+    "p06_parse_orders",
 ]
 
 

@@ -287,7 +287,26 @@ def build_window(size: int, rev: str | None) -> tuple[list[str], dict]:
     (pytest + unchanged oracles cover the interim); a stale unchanged
     entry gets the external driver row it has lacked longest. The
     deferred changed cohort is reported so the next round can
-    re-front it."""
+    re-front it.
+
+    STALENESS CEILING (round 17, a generator assertion instead of a
+    per-round manual policy): with the driver grading ``size`` (50)
+    entries per round, a registry of N entries cycles every
+    ceil(N / 50) rounds under stalest-first — 6 rounds at N <= 300 —
+    but each round some slots go to never-graded adds and
+    verdict-named changed cohorts (both bounded ~10/round), so the
+    enforceable ceiling is that cycle length PLUS one round of
+    displacement slack = 7. Concretely at round 17: 4 never + 10
+    named + all 30 r9-graded = 44 must-grades leave 6 slots for the
+    20 r10-graded; the 14 leftovers are exactly 7 rounds stale and
+    re-front in r18 (the r17 verdict's own done-criterion is "zero
+    entries last-graded <= r9", i.e. leftover age 7 is the designed
+    steady state, not drift). The generation ASSERTS the invariant:
+    if any already-graded entry would be left outside the window
+    with a grade more than 7 rounds older than the round being
+    generated, the registry has structurally outgrown the window —
+    generation fails loudly (raise size or retire entries) rather
+    than silently deferring it."""
     from mktd6_flink_spark.plans import driver_queries as dq
 
     names = list(dq.QUERIES)
@@ -301,6 +320,15 @@ def build_window(size: int, rev: str | None) -> tuple[list[str], dict]:
         if len(window) >= size:
             break
         window.append(n)
+    cur_round = max(last.values(), default=0) + 1
+    stale_out = [(n, last[n]) for n in rest
+                 if n not in window and cur_round - last[n] > 7]
+    if stale_out:
+        raise RuntimeError(
+            f"staleness ceiling violated: {len(stale_out)} entries "
+            f"would leave round {cur_round} with a grade > 7 rounds "
+            f"old (registry has outgrown the {size}-slot window — "
+            f"raise size or retire entries): {stale_out[:10]}")
     info = {
         "never_graded": never,
         "deferred_never_graded": never[size:],
