@@ -2429,6 +2429,75 @@ def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
                                         with_id=True)
 
 
+def tiff_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a baseline grayscale TIFF (round 17
+    late addition — the only container family with DUAL BYTE ORDER):
+    odd doc_ids are big-endian ``MM``, ``did % 3 == 1`` PackBits-
+    compressed per strip, ``did % 4 >= 2`` split into 2-row strips
+    (exercising StripOffsets/StripByteCounts array reassembly and the
+    out-of-line value-array path), and ``did % 5 == 4`` stored
+    photometric 0 / WhiteIsZero with inverted bytes (the decoder
+    re-inverts). Every variant decodes to the PGM raster, so
+    sql_decode_pgm stays the oracle and an endianness, inline-value
+    justification, strip, or PackBits bug flips the hash. Same
+    clean/cap/pad contract as every raster builder."""
+    from .tiff import encode_tiff_gray
+
+    def enc(grid, did):
+        return encode_tiff_gray(
+            grid, big_endian=bool(did % 2),
+            packbits=did % 3 == 1,
+            rows_per_strip=2 if did % 4 >= 2 else None,
+            white_is_zero=did % 5 == 4)
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
+
+
+def _gray_features(media: DataFrame, decoder_name: str,
+                   module: str) -> DataFrame:
+    """Shared feature extractor for single-channel raster decoders
+    (the decode_png shape, decoder-parametrized like
+    _rgb_png_features): decode each payload with the named
+    functions.<module> decoder returning (w, h, [h, w] uint8), then
+    the SAME integer band features as decode_pgm — scalars only (the
+    driver canonicalizer contract). Malformed payloads drop per row;
+    payloads never shuffle."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import importlib
+
+        import pandas as pd
+
+        mod = importlib.import_module(f"{__package__}.{module}")
+        decode = getattr(mod, decoder_name)
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    w, h, raster = decode(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                flat = raster.ravel().astype("int64")
+                band_len = (w * h) // PGM_BANDS
+                if band_len == 0:
+                    continue
+                sums = flat[:band_len * PGM_BANDS].reshape(
+                    PGM_BANDS, band_len).sum(axis=1)
+                for b, s in enumerate(sums):
+                    out.append((mid, w, h, 1, b,
+                                int(s) * 1_000_000 // band_len))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height",
+                              "n_frames", "band", "feat_micro"])
+
+    schema = ("media_id long, width int, height int, n_frames int, "
+              "band int, feat_micro long")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def png_pal_trns_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a PALETTE + tRNS PNG (round 16 — the
     classic transparent-icon profile): the 256-entry PLTE holds the
@@ -2711,7 +2780,8 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 # failure into "other").
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
-                   "not a JPEG", "not a GIF", "not a BMP")),
+                   "not a JPEG", "not a GIF", "not a BMP",
+                   "not a TIFF")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
@@ -2729,6 +2799,7 @@ _REASON_PATTERNS = (
                    "no SOS", "DHT value count", "trailer missing",
                    "no image block")),
     ("unsupported_profile", ("unsupported GIF", "unsupported BMP",
+                             "unsupported TIFF",
                              "multi-frame GIF",
                              "sub-rectangle frame",
                              "non-baseline SOF", "not a progressive",
@@ -2747,7 +2818,8 @@ _REASON_PATTERNS = (
                         "invalid DC category", "DC predictor",
                         "invalid Huffman",
                         "AC run past", "unknown filter",
-                        "scan component", "LZW", "RLE", "color table",
+                        "scan component", "LZW", "RLE", "PackBits",
+                        "required tag", "strip layout", "color table",
                         "block type unknown",
                         "control block malformed",
                         "block align", "step index")),

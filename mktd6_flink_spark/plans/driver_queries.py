@@ -2542,6 +2542,51 @@ def streaming_decode_bmp(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_bmp_ingest")
 
 
+@register("mm_decode_tiff",
+          mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS))
+def mm_decode_tiff(spark, sf_dir):
+    """Baseline TIFF decode (round 17 late addition) — the only
+    container family with DUAL BYTE ORDER: each document becomes a
+    real grayscale TIFF rotating profiles by doc_id (II vs MM byte
+    order; PackBits per strip; 2-row multi-strip layouts whose
+    StripOffsets/StripByteCounts arrays live out-of-line; stored
+    WhiteIsZero with inverted bytes). The decode re-reads every
+    offset, typed tag, and LEFT-JUSTIFIED inline value under the
+    declared order, walks the IFD, reassembles strips, expands
+    PackBits, and normalizes photometric 0 (functions/tiff.py,
+    written from the public TIFF 6.0 spec) — then emits the SAME
+    integer band features as mm_decode_pgm/mm_decode_png, so
+    sql_decode_pgm pins a third gray container and an endianness,
+    inline-justification, strip, or PackBits bug flips only this
+    hash. Malformed payloads drop per row; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm._gray_features(mm.tiff_media_from_documents(docs),
+                             "decode_tiff_gray", module="tiff")
+
+
+@register("streaming_decode_tiff",
+          mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS))
+def streaming_decode_tiff(spark, sf_dir):
+    """TIFF decode-on-ingest (round 17 late addition): the
+    mm_decode_tiff pipeline (dual-endian encode → IFD walk / strip
+    reassembly / PackBits expand → band features) as a LIVE
+    Structured Streaming query. Stateless per row (mapInPandas on
+    the source partitioning), so append mode needs no watermark and
+    the result equals the batch twin under ANY micro-batching;
+    graded against the SAME shared oracle. Payloads never shuffle;
+    malformed blobs drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm._gray_features(mm.tiff_media_from_documents(raw),
+                            "decode_tiff_gray", module="tiff")
+    return _run_stream_to_table(spark, out, "mm_tiff_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
@@ -13429,19 +13474,19 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # DEFERRED as changed-but-recently-graded be re-fronted as a NAMED
 # cohort (listed above; a changed implementation with a stale grade is
 # the only place a silent regression can hide), displacing the 10
-# least-stale r10 fills; the 2 LATE round-17 additions (mm_decode_bmp
-# + its on-ingest twin, oracle-green at sf0.001/0.01/0.1 locally)
-# front as never-graded, displacing 2 more. Final composition:
-# 6 never + 10 named + 30 r9 + 4 r10 — after this gate, zero entries
-# are last-graded <= r9; the 16 displaced r10 entries
-# (text_bpe_pair_stats, graph_degree_stats, scan_orc_roundtrip,
-# join_bloom_prefilter, sketch_hll_daily_merge, text_char_entropy,
-# events_sliding_hll_uniques, streaming_sliding_hll_uniques,
-# sketch_kmv_jaccard, basket_lift_pairs, events_cusum_changepoint,
-# pipeline_quality_classifier, p12_updaters, dedup_semantic,
-# p06b_invalid_orders, p09_hype_words) are exactly 7 rounds stale
-# (the enforced ceiling — gate_window.py's generation assertion) and
-# re-front in r18. This
+# least-stale r10 fills; the 4 LATE round-17 additions (mm_decode_bmp
+# and mm_decode_tiff + their on-ingest twins, each oracle-green at
+# sf0.001/0.01/0.1 locally) front as never-graded, displacing 4 more.
+# Final composition: 8 never + 10 named + 30 r9 + 2 r10 — after this
+# gate, zero entries are last-graded <= r9; the 18 displaced r10
+# entries (text_bpe_pair_stats, graph_degree_stats,
+# scan_orc_roundtrip, join_bloom_prefilter, sketch_hll_daily_merge,
+# text_char_entropy, events_sliding_hll_uniques,
+# streaming_sliding_hll_uniques, sketch_kmv_jaccard, basket_lift_pairs,
+# events_cusum_changepoint, pipeline_quality_classifier, p12_updaters,
+# dedup_semantic, p06b_invalid_orders, p09_hype_words, p01_buy_sell,
+# p06_parse_orders) are exactly 7 rounds stale (the enforced ceiling —
+# gate_window.py's generation assertion) and re-front in r18. This
 # round's OWN genuinely-changed-but-deferred cohort (executed code
 # changed, latest grade predates it; full sf0.01 + sf0.1 local sweeps
 # this round are the backstop) to re-front in r18: st3_bubble_burst,
@@ -13462,6 +13507,8 @@ _GATE_PRIORITY = [
     "mm_audio_dedup_shift",
     "mm_decode_bmp",
     "streaming_decode_bmp",
+    "mm_decode_tiff",
+    "streaming_decode_tiff",
     "st1_ema",
     "st1_ema_per_event",
     "st6_per_event_ledger",
@@ -13504,8 +13551,6 @@ _GATE_PRIORITY = [
     "sketch_kmv_distinct",
     "streaming_basket_pairs",
     "streaming_sketch_kmv",
-    "p01_buy_sell",
-    "p06_parse_orders",
 ]
 
 
