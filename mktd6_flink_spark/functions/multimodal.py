@@ -1375,6 +1375,181 @@ def _parse_wav(payload: bytes):
     return rate, u8.astype(np.uint8)
 
 
+def _ext80_encode(value: int) -> bytes:
+    """Encode a positive integer as an IEEE 754 80-bit extended float
+    (the AIFF COMM sampleRate field — sign(1) + biased exponent(15) +
+    64-bit mantissa with an EXPLICIT integer bit)."""
+    if value <= 0:
+        raise ValueError("invalid sample rate")
+    k = value.bit_length() - 1
+    exp = 16383 + k
+    mant = value << (63 - k)
+    return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _ext80_to_int(raw: bytes) -> int:
+    """Decode an 80-bit extended float to its exact positive-integer
+    value; raises ValueError for negative, zero, non-integer, or
+    out-of-int-range rates (all malformed DATA for a sample rate —
+    they drop per row like any parse failure)."""
+    if len(raw) != 10:
+        raise ValueError("invalid sample rate")
+    se = int.from_bytes(raw[0:2], "big")
+    mant = int.from_bytes(raw[2:10], "big")
+    if se & 0x8000 or mant == 0:
+        raise ValueError("invalid sample rate")
+    e = (se & 0x7FFF) - 16383
+    if not 0 <= e <= 62:
+        raise ValueError("invalid sample rate")
+    shift = 63 - e
+    value = mant >> shift
+    if value << shift != mant:  # fractional rates unsupported
+        raise ValueError("invalid sample rate")
+    return value
+
+
+def _parse_aiff(payload: bytes):
+    """Genuine IFF walk (round 17 late addition — the audio family's
+    second container, and its first BIG-ENDIAN one): validate the
+    FORM/AIFF magic, iterate chunks by 4CC + big-endian size with
+    odd-size pad alignment, parse COMM (channels, frame count, sample
+    width, and the 80-bit EXTENDED-FLOAT sample rate — decoded with
+    exact integer math, no float detour), honor SSND's leading
+    offset/blockSize pair, and fold the signed big-endian 16-bit
+    samples to the u8 feature domain with the same (s + 32768) >> 8
+    rule as the 16-bit WAV lane. Returns (sample_rate, samples
+    ndarray[int64]). Raises ValueError on malformed/unsupported
+    payloads — messages inside the public attrition taxonomy."""
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    form_size = int.from_bytes(payload[4:8], "big")
+    if form_size + 8 > len(payload):
+        raise ValueError("truncated FORM")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cc = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated chunk")
+        if cc == b"COMM":
+            if size < 18:
+                raise ValueError("short COMM block")
+            comm = (int.from_bytes(body[0:2], "big"),    # channels
+                    int.from_bytes(body[2:6], "big"),    # sample frames
+                    int.from_bytes(body[6:8], "big"),    # bits/sample
+                    _ext80_to_int(body[8:18]))           # sample rate
+        elif cc == b"SSND":
+            if size < 8:
+                raise ValueError("short SSND block")
+            off = int.from_bytes(body[0:4], "big")
+            if 8 + off > size:
+                raise ValueError("truncated AIFF samples")
+            ssnd = body[8 + off:]  # blockSize: alignment hint only
+        pos += 8 + size + (size & 1)  # IFF word alignment
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM or SSND chunk")
+    channels, n_frames, bits, rate = comm
+    if channels != 1 or bits != 16:
+        raise ValueError("unsupported AIFF profile "
+                         "(want mono 16-bit PCM)")
+    if not 0 < rate < (1 << 31):
+        raise ValueError("invalid sample rate")
+    if len(ssnd) < 2 * n_frames:
+        raise ValueError("truncated AIFF samples")
+    s16 = np.frombuffer(ssnd[:2 * n_frames], dtype=">i2")
+    return rate, ((s16.astype(np.int64) + 32768) >> 8)
+
+
+def aiff_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a REAL AIFF file (round 17 late
+    addition — mono 8 kHz 16-bit big-endian PCM): sample
+    s16 = v*257 - 32768 for each cleaned-text codepoint v (the wav16
+    lane's derivation, so the (s + 32768) >> 8 fold recovers v and
+    sql_decode_wav stays the oracle), empty/NULL text one v=0 sample.
+    The COMM sample rate is a genuine 80-bit extended float; odd
+    doc_ids carry a nonzero SSND offset (2 junk lead bytes);
+    ``did % 3 == 0`` prepends an odd-length ANNO chunk so the walker's
+    pad alignment is exercised at corpus scale. Built in mapInPandas
+    (big-endian packing is not a Column expression)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        rate80 = _ext80_encode(WAV_RATE)
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8).astype(np.int64)
+                if v.size == 0:
+                    v = np.zeros(1, dtype=np.int64)
+                data = (v * 257 - 32768).astype(">i2").tobytes()
+                off = 2 if did % 2 else 0
+                ssnd_body = (struct.pack(">II", off, 0)
+                             + b"\xee" * off + data)
+                chunks = b""
+                if did % 3 == 0:  # odd-size chunk: pad-walk coverage
+                    chunks += b"ANNO" + struct.pack(">I", 5) \
+                        + b"mktd6" + b"\x00"
+                chunks += (b"COMM" + struct.pack(">IHIH", 18, 1,
+                                                 v.size, 16) + rate80
+                           + b"SSND" + struct.pack(
+                               ">I", len(ssnd_body)) + ssnd_body)
+                payload = (b"FORM"
+                           + struct.pack(">I", 4 + len(chunks))
+                           + b"AIFF" + chunks)
+                out.append((did, bytearray(payload)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def decode_aiff(media: DataFrame) -> DataFrame:
+    """REAL decode of AIFF payloads via mapInPandas — the decode_wav
+    feature contract (sample count, rate, duration, mean level in
+    micros, peak) over the big-endian IFF walk, so the WAV oracle
+    pins a second audio container. Scalar columns only; payloads
+    never shuffle; malformed payloads drop per row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    rate, samples = _parse_aiff(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                if samples.size == 0:
+                    continue
+                out.append((mid, int(samples.size), rate,
+                            int(samples.size) * 1000 // rate,
+                            int(samples.sum(dtype="int64"))
+                            * 1_000_000 // int(samples.size),
+                            int(samples.max())))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "sample_rate",
+                              "duration_ms", "mean_micro", "peak"])
+
+    schema = ("media_id long, n_samples long, sample_rate int, "
+              "duration_ms long, mean_micro long, peak int")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL decode of RIFF/WAV payloads via mapInPandas: walk the
     chunk list, validate the PCM fmt (mono or stereo, 8- or 16-bit
@@ -2781,7 +2956,7 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
                    "not a JPEG", "not a GIF", "not a BMP",
-                   "not a TIFF")),
+                   "not a TIFF", "not a FORM/AIFF")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
@@ -2793,13 +2968,15 @@ _REASON_PATTERNS = (
     # advisory).
     ("truncated", ("truncated", "exhausted", "entropy data too small",
                    "scanline length", "missing IHDR", "missing fmt",
+                   "missing COMM", "short fmt", "short COMM",
+                   "short SSND",
                    "odd 16-bit", "data length", "IDAT inflate",
                    "IDAT stream", "marker expected",
                    "restart segment count", "no scan before EOI",
                    "no SOS", "DHT value count", "trailer missing",
                    "no image block")),
     ("unsupported_profile", ("unsupported GIF", "unsupported BMP",
-                             "unsupported TIFF",
+                             "unsupported TIFF", "unsupported AIFF",
                              "multi-frame GIF",
                              "sub-rectangle frame",
                              "non-baseline SOF", "not a progressive",

@@ -2587,6 +2587,47 @@ def streaming_decode_tiff(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_tiff_ingest")
 
 
+@register("mm_decode_aiff", mm.sql_decode_wav("documents"))
+def mm_decode_aiff(spark, sf_dir):
+    """AIFF decode (round 17 late addition) — the audio family's
+    second container and its first BIG-ENDIAN one: every document
+    becomes a real mono 8 kHz 16-bit AIFF (the wav16 sample
+    derivation s16 = v*257 - 32768, big-endian), with the COMM sample
+    rate stored as a genuine IEEE 80-bit EXTENDED FLOAT (decoded with
+    exact integer math), nonzero SSND lead offsets on odd doc_ids,
+    and odd-length ANNO chunks exercising IFF pad alignment. The
+    decode walks FORM/AIFF chunks big-endian, parses COMM/SSND, folds
+    samples with the same (s + 32768) >> 8 rule as the 16-bit WAV
+    lane, and emits the decode_wav feature contract — so
+    sql_decode_wav pins a second audio container and an endianness,
+    extended-float, offset, or pad-walk bug flips only this hash.
+    Python stdlib ``aifc`` opens these payloads (asserted in tests).
+    Malformed payloads drop per row; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_aiff(mm.aiff_media_from_documents(docs))
+
+
+@register("streaming_decode_aiff", mm.sql_decode_wav("documents"))
+def streaming_decode_aiff(spark, sf_dir):
+    """AIFF decode-on-ingest (round 17 late addition): the
+    mm_decode_aiff pipeline (big-endian AIFF encode → IFF walk /
+    extended-float rate parse → clip features) as a LIVE Structured
+    Streaming query. Stateless per row (mapInPandas on the source
+    partitioning), so append mode needs no watermark and the result
+    equals the batch twin under ANY micro-batching; graded against
+    the SAME shared oracle. Payloads never shuffle; malformed blobs
+    drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.decode_aiff(mm.aiff_media_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_aiff_ingest")
+
+
 @register("mm_decode_wav", mm.sql_decode_wav("documents"))
 def mm_decode_wav(spark, sf_dir):
     """REAL audio decode — RIFF/WAV needs no codec library for PCM:
@@ -13474,19 +13515,23 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # DEFERRED as changed-but-recently-graded be re-fronted as a NAMED
 # cohort (listed above; a changed implementation with a stale grade is
 # the only place a silent regression can hide), displacing the 10
-# least-stale r10 fills; the 4 LATE round-17 additions (mm_decode_bmp
-# and mm_decode_tiff + their on-ingest twins, each oracle-green at
-# sf0.001/0.01/0.1 locally) front as never-graded, displacing 4 more.
-# Final composition: 8 never + 10 named + 30 r9 + 2 r10 — after this
-# gate, zero entries are last-graded <= r9; the 18 displaced r10
-# entries (text_bpe_pair_stats, graph_degree_stats,
-# scan_orc_roundtrip, join_bloom_prefilter, sketch_hll_daily_merge,
-# text_char_entropy, events_sliding_hll_uniques,
-# streaming_sliding_hll_uniques, sketch_kmv_jaccard, basket_lift_pairs,
-# events_cusum_changepoint, pipeline_quality_classifier, p12_updaters,
-# dedup_semantic, p06b_invalid_orders, p09_hype_words, p01_buy_sell,
-# p06_parse_orders) are exactly 7 rounds stale (the enforced ceiling —
-# gate_window.py's generation assertion) and re-front in r18. This
+# least-stale r10 fills; the 6 LATE round-17 additions (mm_decode_bmp,
+# mm_decode_tiff and mm_decode_aiff + their on-ingest twins, each
+# oracle-green at sf0.001/0.01/0.1 locally) front as never-graded,
+# displacing 6 more. Final composition: 10 never + 10 named + 30 r9 —
+# the window is now saturated: any further round-17 addition would
+# displace an r9 entry past the staleness ceiling, so additions after
+# this point must defer to r18 as never-graded. After this gate, zero
+# entries are last-graded <= r9; ALL 20 r10 entries
+# (text_bpe_pair_stats, graph_degree_stats, scan_orc_roundtrip,
+# join_bloom_prefilter, sketch_hll_daily_merge, text_char_entropy,
+# events_sliding_hll_uniques, streaming_sliding_hll_uniques,
+# sketch_kmv_jaccard, basket_lift_pairs, events_cusum_changepoint,
+# pipeline_quality_classifier, p12_updaters, dedup_semantic,
+# p06b_invalid_orders, p09_hype_words, p01_buy_sell, p06_parse_orders,
+# streaming_basket_pairs, streaming_sketch_kmv) are exactly 7 rounds
+# stale (the enforced ceiling — gate_window.py's generation assertion)
+# and MUST lead r18's fills. This
 # round's OWN genuinely-changed-but-deferred cohort (executed code
 # changed, latest grade predates it; full sf0.01 + sf0.1 local sweeps
 # this round are the backstop) to re-front in r18: st3_bubble_burst,
@@ -13509,6 +13554,8 @@ _GATE_PRIORITY = [
     "streaming_decode_bmp",
     "mm_decode_tiff",
     "streaming_decode_tiff",
+    "mm_decode_aiff",
+    "streaming_decode_aiff",
     "st1_ema",
     "st1_ema_per_event",
     "st6_per_event_ledger",
@@ -13549,8 +13596,6 @@ _GATE_PRIORITY = [
     "tpch_q10ish",
     "tpch_q11ish",
     "sketch_kmv_distinct",
-    "streaming_basket_pairs",
-    "streaming_sketch_kmv",
 ]
 
 
