@@ -142,7 +142,9 @@ def encode_bmp_rle8(idx: "np.ndarray",
 
 
 def _decode_rle8(data: bytes, w: int, h: int) -> "np.ndarray":
-    """BI_RLE8 decode to a bottom-up [h, w] index raster. Pixels never
+    """BI_RLE8 decode to a TOP-ROW-FIRST [h, w] index raster (the
+    stream's bottom-up storage order is unflipped here via the
+    out[h-1-y] write — the caller gets display order). Pixels never
     written (delta skips, early end-of-bitmap) stay index 0 — the
     documented Windows behavior is 'undefined'; zero is the
     deterministic choice and matches the background convention of the

@@ -4,15 +4,26 @@ GIFs remain a real slice of web crawls (icons, small animations'
 first frames, legacy charts). Decoder scope: both version magics, a
 logical screen with a GLOBAL color table (1..256 entries), optional
 local color table on the image descriptor (takes precedence per the
-spec), ONE image block (the first frame; later frames and loop
-extensions are beyond the feature domain and raise), every extension
-block skipped by the sub-block grammar except the Graphic Control
-Extension whose transparency index is honored (alpha 0), BOTH row
-orders (sequential and the 4-pass GIF interlace), and the full
-variable-width LZW decompression (clear/end codes, dictionary growth
-to 4096, width bumps at powers of two). Everything outside the
-profile raises ValueError so multimodal callers keep the
-drop-per-row contract.
+spec), every extension block skipped by the sub-block grammar except
+the Graphic Control Extension (transparency index honored; disposal
+methods 0-3 in the composited walker), BOTH row orders (sequential
+and the 4-pass GIF interlace), and the full variable-width LZW
+decompression (clear/end codes, dictionary growth to 4096, width
+bumps at powers of two). Everything outside the profile raises
+ValueError so multimodal callers keep the drop-per-row contract.
+
+THREE walkers share the block grammar deliberately, each tuned to a
+different cost shape: ``decode_gif`` (single frame, stops at the
+first image block), ``decode_gif_frames`` (full-rect animation,
+SPARSE LZW skip for unsampled frames — the 1/k path), and
+``decode_gif_frames_composited`` (partial-rect/disposal delta
+animation, every frame's LZW must run). The header/GCT parse, GCE
+parse, image-descriptor/LCT parse, and interlace de-interleave are
+intentionally repeated in all three rather than threaded through a
+shared generator whose yield protocol each caller would partially
+ignore — but that means A GRAMMAR FIX MUST BE APPLIED TO ALL THREE
+WALKERS; tests/test_gif.py exercises each walker against the same
+corpora so a one-sided edit fails there.
 
 The encoder (corpus builder) emits REAL LZW (greedy longest-match
 dictionary, the reference GIF algorithm); an independent
@@ -501,8 +512,10 @@ def decode_gif_frames_composited(payload: bytes, every: int = 1):
 
     Returns (width, height, n_frames, [(frame_idx, canvas uint8
     [sh, sw, 4] RGBA)]) for frames with ``frame_idx % every == 0``;
-    the canvas alpha is 255 except where no frame has ever drawn over
-    a background pixel and the screen has no usable background color.
+    the canvas is always fully opaque (alpha 255 everywhere) — a
+    junk background index paints never-drawn pixels opaque black
+    rather than transparent, so downstream feature math never sees
+    an alpha hole.
 
     HONESTY NOTE on the sparse-skip property: unlike the full-rect
     walker, a composited frame DEPENDS on every prior frame's draw

@@ -1221,13 +1221,18 @@ def _parse_wav(payload: bytes):
     riff_size = int.from_bytes(payload[4:8], "little")
     if riff_size + 8 > len(payload):
         raise ValueError("truncated RIFF")
+    # walk only the DECLARED riff span: wild WAVs commonly carry
+    # trailing non-RIFF bytes (ID3 tags, padding) after a complete
+    # FORM — those must not parse as bogus chunk headers and kill an
+    # intact payload (same rule as the AIFF walker)
+    end = 8 + riff_size
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cc = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        body = payload[pos + 8:pos + 8 + size]
-        if len(body) != size:
+        if pos + 8 + size > end:
             raise ValueError("truncated chunk")
+        body = payload[pos + 8:pos + 8 + size]
         if cc == b"fmt ":
             if size < 16:
                 raise ValueError("short fmt block")
@@ -1427,13 +1432,18 @@ def _parse_aiff(payload: bytes):
     form_size = int.from_bytes(payload[4:8], "big")
     if form_size + 8 > len(payload):
         raise ValueError("truncated FORM")
+    # the chunk walk is bounded by the DECLARED form size, not the
+    # blob length: wild AIFFs commonly carry trailing non-IFF bytes
+    # (ID3v1 tags, padding) after a complete FORM, and those must not
+    # kill an intact payload by parsing as a bogus chunk header
+    end = 8 + form_size
     pos, comm, ssnd = 12, None, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cc = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "big")
-        body = payload[pos + 8:pos + 8 + size]
-        if len(body) != size:
+        if pos + 8 + size > end:
             raise ValueError("truncated chunk")
+        body = payload[pos + 8:pos + 8 + size]
         if cc == b"COMM":
             if size < 18:
                 raise ValueError("short COMM block")

@@ -2342,20 +2342,21 @@ def mm_gif_frame_composite(spark, sf_dir):
     DELTA-CODED animated GIF89a — after frame 0, every image block
     covers only the bounding rectangle of changed pixels, unchanged
     pixels inside the rect are the GCE-transparent index, odd frames
-    carry a permuted LOCAL color table, every 5th frame disposes
-    restore-to-background, and a NETSCAPE2.0 loop extension leads —
-    and the sampler composites every frame onto the logical screen
-    (partial-rect placement, transparency passthrough, LCT
-    precedence, disposal 0/1/2) before emitting the sampled frames'
-    channel-0 means. Because the composited canvas at frame k equals
-    the full text-grid frame k, sql_frame_sample is STILL the oracle
-    — one SQL twin now pins full-rect and delta-composited playback
-    against each other. Unlike the full-rect walker, every frame's
-    LZW must run (a composited frame depends on all prior
-    draws/disposals — the documented honesty note); disposal 3
-    (restore-to-previous) raises into the attrition taxonomy rather
-    than decoding wrongly. Malformed streams drop per row; payloads
-    never shuffle."""
+    carry a permuted LOCAL color table, frames cycle through disposal
+    2 (restore-to-background, k%5==3) and disposal 3
+    (restore-to-previous, k%5==2), and a NETSCAPE2.0 loop extension
+    leads — and the sampler composites every frame onto the logical
+    screen (partial-rect placement, transparency passthrough, LCT
+    precedence, all four defined disposal methods 0-3) before
+    emitting the sampled frames' channel-0 means. Because the
+    composited canvas at frame k equals the full text-grid frame k,
+    sql_frame_sample is STILL the oracle — one SQL twin now pins
+    full-rect and delta-composited playback against each other.
+    Unlike the full-rect walker, every frame's LZW must run (a
+    composited frame depends on all prior draws/disposals — the
+    documented honesty note); only the UNDEFINED disposal codes 4-7
+    raise into the attrition taxonomy rather than decoding wrongly.
+    Malformed streams drop per row; payloads never shuffle."""
     docs = load(spark, sf_dir, "documents")
     return mm.gif_frame_composite(
         mm.gif_anim_delta_media_from_documents(docs))
@@ -3008,7 +3009,7 @@ def mm_audio_dedup_shift(spark, sf_dir):
 
     100 TB shape: fingerprints are computed map-side next to the
     waveform bytes (only ~n/5 8-byte hashes shuffle, never samples);
-    hashes seen in > {mm.AFP_LM_DF_CAP} docs are dropped BEFORE the
+    hashes seen in > AFP_LM_DF_CAP (64) docs are dropped BEFORE the
     pair join (the stop-motif defense — candidate volume is bounded
     by cap * |fingerprints|, and a near-dup pair still shares its
     RARE hashes); the verify is a count over the bucketed equi-join
@@ -13540,8 +13541,11 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # paths), and the _parse_wav consumers graded r16 — mm_decode_wav,
 # mm_decode_wav16, mm_decode_wav_stereo, mm_decode_wav_wide,
 # mm_decode_wav_ulaw, mm_decode_wav_alaw, streaming_decode_report,
-# mm_audio_dedup (the fmt-gate expression gained the 0x11 branch;
-# their outputs are pinned unchanged by tests). The rest of the
+# mm_audio_dedup (the fmt-gate expression gained the 0x11 branch,
+# and the round-close review bounded the RIFF/FORM chunk walks by the
+# DECLARED size so trailing non-IFF junk can't kill intact payloads —
+# corpus outputs pinned unchanged by tests + a 13-entry oracle
+# re-verify). The rest of the
 # generator's changed-deferred list re-fingerprinted without executed-
 # code change (module-fold coarseness: docstring justifications on
 # cep/order-buffer steps, additive gif.py/multimodal.py functions).

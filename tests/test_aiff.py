@@ -162,3 +162,27 @@ def test_aiff_mutation_fuzz_valueerror_only():
                 _parse_aiff(bytes(mut))
             except ValueError:
                 pass
+
+
+def test_trailing_junk_after_declared_form_is_ignored():
+    """Wild AIFFs commonly carry trailing non-IFF bytes after the
+    declared FORM (ID3v1 'TAG' blocks, padding). The chunk walk is
+    bounded by form_size, so an intact payload must decode
+    identically with any suffix appended — and a chunk that overruns
+    the DECLARED span must still raise."""
+    v = np.arange(40, dtype=np.uint8)
+    for did in (0, 1, 2, 3):
+        good = _build(v, did)
+        rate, samples = _parse_aiff(good)
+        for junk in (b"TAG" + b"\x00" * 125,   # ID3v1-shaped
+                     b"\xff" * 8, b"A"):
+            rate2, samples2 = _parse_aiff(good + junk)
+            assert rate2 == rate
+            assert np.array_equal(samples2, samples)
+    # a chunk header whose size runs past the declared FORM raises
+    good = _build(v, 1)
+    ssnd_at = good.find(b"SSND")
+    over = (good[:ssnd_at + 4] + struct.pack(">I", 10 ** 5)
+            + good[ssnd_at + 8:])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_aiff(over)

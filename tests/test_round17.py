@@ -308,3 +308,21 @@ def test_bubble_burst_step_vectorized_parity():
         "rand": rng.rand(n),
     })
     _parity_over_chunkings(stateful.bubble_burst_step, pdf)
+
+
+def test_wav_trailing_junk_after_declared_riff_is_ignored():
+    """Wild WAVs commonly carry trailing non-RIFF bytes after the
+    declared FORM (ID3 tags, padding). The chunk walk is bounded by
+    riff_size, so an intact payload decodes identically with any
+    suffix appended; a chunk overrunning the DECLARED span raises."""
+    good = _wav_adpcm([(0, 0, bytes(range(16)))])
+    rate, u8 = mm._parse_wav(good)
+    for junk in (b"TAG" + b"\x00" * 125, b"\xff" * 8, b"A"):
+        rate2, u8b = mm._parse_wav(good + junk)
+        assert rate2 == rate
+        assert np.array_equal(u8b, u8)
+    data_at = good.find(b"data")
+    over = (good[:data_at + 4] + (10 ** 5).to_bytes(4, "little")
+            + good[data_at + 8:])
+    with pytest.raises(ValueError, match="truncated"):
+        mm._parse_wav(over)

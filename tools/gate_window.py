@@ -296,10 +296,11 @@ def build_window(size: int, rev: str | None) -> tuple[list[str], dict]:
     but each round some slots go to never-graded adds and
     verdict-named changed cohorts (both bounded ~10/round), so the
     enforceable ceiling is that cycle length PLUS one round of
-    displacement slack = 7. Concretely at round 17: 4 never + 10
-    named + all 30 r9-graded = 44 must-grades leave 6 slots for the
-    20 r10-graded; the 14 leftovers are exactly 7 rounds stale and
-    re-front in r18 (the r17 verdict's own done-criterion is "zero
+    displacement slack = 7. Concretely at round 17 (the committed
+    window, after the late BMP/TIFF/AIFF additions): 10 never-graded
+    + 10 named + ALL 30 r9-graded saturate the 50 slots, so all 20
+    r10-graded entries are left out at exactly 7 rounds stale and
+    must LEAD r18's fills (the r16 verdict's done-criterion is "zero
     entries last-graded <= r9", i.e. leftover age 7 is the designed
     steady state, not drift). The generation ASSERTS the invariant:
     if any already-graded entry would be left outside the window
