@@ -2614,6 +2614,52 @@ def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
                                         with_id=True)
 
 
+ICO_MAX_ROWS = 256  # ICONDIRENTRY dimensions are u8 (0 means 256)
+ICO_MAX_CHARS = ICO_MAX_ROWS * PGM_WIDTH
+
+
+def ico_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a Windows ICO (round 17 late addition —
+    the first DIRECTORY-shaped container: ICONDIR + per-image entries
+    + headerless DIBs or embedded PNGs). Three image profiles rotate
+    by doc_id so one entry prices every dispatch path:
+    ``did % 3 == 0`` an embedded truecolor PNG (the Vista-era
+    PNG-in-ICO convention — signature dispatch + the full PNG lane);
+    ``did % 3 == 1`` an 8-bit palettized DIB (doubled biHeight,
+    BGRA palette, bottom-up XOR rows, opaque AND mask);
+    ``did % 3 == 2`` a 24-bit BGR DIB. Every ODD doc_id adds a 1x1
+    24-bit DECOY entry FIRST so the largest-image selection rule is
+    exercised at corpus scale (the decoy loses to every real raster).
+    The raster is the standard text grid CAPPED AT 256 ROWS
+    (ICONDIRENTRY dimensions are u8), so sql_decode_png_rgb with
+    cap=ICO_MAX_CHARS stays the oracle and a dispatch, doubled-height,
+    mask, palette, or selection bug flips only this hash."""
+    from .ico import encode_ico
+    from .png import encode_png_rgb
+
+    def enc(grid, did):
+        import numpy as np
+
+        grid = grid[:ICO_MAX_ROWS]
+        h, w = grid.shape
+        if did % 3 == 0:
+            rgb = _rgb_channels(grid.astype("int64"))
+            img = ("png", encode_png_rgb(rgb), w, h)
+        elif did % 3 == 1:
+            img = ("dib8", grid,
+                   _rgb_channels(np.arange(256, dtype=np.int64)))
+        else:
+            img = ("dib24", _rgb_channels(grid.astype("int64")))
+        images = [img]
+        if did % 2:
+            decoy = ("dib24", np.full((1, 1, 3), 7, dtype=np.uint8))
+            images.insert(0, decoy)
+        return encode_ico(images)
+
+    return _raster_media_from_documents(docs, PGM_WIDTH, enc,
+                                        with_id=True)
+
+
 def tiff_media_from_documents(docs: DataFrame) -> DataFrame:
     """Encode each document as a baseline grayscale TIFF (round 17
     late addition — the only container family with DUAL BYTE ORDER):
@@ -2966,7 +3012,7 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
                    "not a JPEG", "not a GIF", "not a BMP",
-                   "not a TIFF", "not a FORM/AIFF")),
+                   "not a TIFF", "not a FORM/AIFF", "not an ICO")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
@@ -2987,6 +3033,7 @@ _REASON_PATTERNS = (
                    "no image block")),
     ("unsupported_profile", ("unsupported GIF", "unsupported BMP",
                              "unsupported TIFF", "unsupported AIFF",
+                             "unsupported ICO",
                              "multi-frame GIF",
                              "sub-rectangle frame",
                              "non-baseline SOF", "not a progressive",
@@ -3009,7 +3056,8 @@ _REASON_PATTERNS = (
                         "required tag", "strip layout", "color table",
                         "block type unknown",
                         "control block malformed",
-                        "block align", "step index")),
+                        "block align", "step index",
+                        "out of bounds", "size mismatch")),
 )
 
 

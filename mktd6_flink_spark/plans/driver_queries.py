@@ -2543,6 +2543,57 @@ def streaming_decode_bmp(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_bmp_ingest")
 
 
+@register("mm_decode_ico",
+          mm.sql_decode_png_rgb("documents", cap=mm.ICO_MAX_CHARS))
+def mm_decode_ico(spark, sf_dir):
+    """Windows ICO decode (round 17 late addition) — the first
+    DIRECTORY-shaped container: each document becomes a real icon
+    whose ICONDIR points at an embedded truecolor PNG (did%3==0, the
+    Vista-era PNG-in-ICO convention), an 8-bit palettized headerless
+    DIB (did%3==1 — DOUBLED biHeight, BGRA palette, bottom-up XOR
+    rows, 1-bpp AND mask), or a 24-bit BGR DIB (did%3==2); every odd
+    doc_id leads with a 1x1 DECOY entry so the consumer selection
+    rule (largest directory area wins) is exercised on half the
+    corpus. The decode walks the directory with per-entry bounds
+    checks, picks the largest image, dispatches on the PNG signature,
+    decodes the DIB under the doubled-height rule, composites
+    AND-masked pixels over white (the PNG-alpha lane's rule), and
+    cross-checks directory vs decoded dimensions (functions/ico.py,
+    written from the public ICONDIR/GDI documentation). Features are
+    the SAME per-channel bands as the PNG/GIF/BMP truecolor entries
+    over the text grid capped at 256 rows (ICONDIRENTRY dims are u8)
+    — sql_decode_png_rgb with cap=ICO_MAX_CHARS now pins FIVE
+    container families, and a dispatch, selection, doubled-height,
+    mask, or palette bug flips only this hash. Malformed payloads
+    drop per row; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm._rgb_png_features(mm.ico_media_from_documents(docs),
+                                "decode_ico_rgb", module="ico")
+
+
+@register("streaming_decode_ico",
+          mm.sql_decode_png_rgb("documents", cap=mm.ICO_MAX_CHARS))
+def streaming_decode_ico(spark, sf_dir):
+    """ICO decode-on-ingest (round 17 late addition): the
+    mm_decode_ico pipeline (directory-shaped encode → largest-image
+    selection → PNG/DIB dispatch → per-channel band features) as a
+    LIVE Structured Streaming query. Stateless per row (mapInPandas
+    on the source partitioning), so append mode needs no watermark
+    and the result equals the batch twin under ANY micro-batching;
+    graded against the SAME shared oracle. Payloads never shuffle;
+    malformed blobs drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm._rgb_png_features(mm.ico_media_from_documents(raw),
+                               "decode_ico_rgb", module="ico")
+    return _run_stream_to_table(spark, out, "mm_ico_ingest")
+
+
 @register("mm_decode_tiff",
           mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_tiff(spark, sf_dir):
@@ -13545,7 +13596,10 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # and the round-close review bounded the RIFF/FORM chunk walks by the
 # DECLARED size so trailing non-IFF junk can't kill intact payloads —
 # corpus outputs pinned unchanged by tests + a 13-entry oracle
-# re-verify). The rest of the
+# re-verify). Registered after this window locked and therefore
+# never-graded, auto-fronting r18: mm_decode_ico,
+# streaming_decode_ico (round-close additions, oracle-green at all
+# three SFs + audited individually). The rest of the
 # generator's changed-deferred list re-fingerprinted without executed-
 # code change (module-fold coarseness: docstring justifications on
 # cep/order-buffer steps, additive gif.py/multimodal.py functions).
