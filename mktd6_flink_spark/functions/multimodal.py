@@ -1560,6 +1560,89 @@ def decode_aiff(media: DataFrame) -> DataFrame:
         batches, schema=schema)
 
 
+def flac_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Encode each document as a REAL FLAC stream (round 17 late
+    addition — the audio family's first COMPRESSED lossless
+    container): sample s16 = v*257 - 32768 per cleaned-text codepoint
+    v (the wav16/AIFF lane derivation, so the (s + 32768) >> 8 fold
+    recovers v and sql_decode_wav stays the oracle), empty/NULL text
+    one v=0 sample. Subframe kinds rotate per (doc_id + frame):
+    VERBATIM / FIXED order 1 / FIXED order 2, with all-equal frames
+    forced CONSTANT, odd frames split into 4 rice partitions, every
+    third partition escape-coded raw, real CRC-8/CRC-16 everywhere,
+    and the true MD5 of the sample stream in STREAMINFO;
+    ``did % 3 == 0`` appends a PADDING metadata block and
+    ``did % 5 == 0`` a VORBIS_COMMENT so the skip path runs at corpus
+    scale. Built in mapInPandas (bit packing is not a Column
+    expression)."""
+    from .flac import encode_flac
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        strip = re.compile(r"[^a-z0-9 ]+")
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                clean = strip.sub("", (text or "").lower())
+                v = np.frombuffer(clean.encode("ascii"),
+                                  dtype=np.uint8).astype(np.int64)
+                if v.size == 0:
+                    v = np.zeros(1, dtype=np.int64)
+                s = v * 257 - 32768
+                kinds = (lambda f, d=did:
+                         ("verbatim", "fixed1", "fixed2")[(d + f) % 3])
+                out.append((did, bytearray(encode_flac(
+                    s, WAV_RATE, padding=did % 3 == 0,
+                    vorbis=did % 5 == 0, kinds=kinds))))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="media_id long, payload binary")
+
+
+def decode_flac(media: DataFrame) -> DataFrame:
+    """REAL decode of FLAC payloads via mapInPandas — the decode_wav
+    feature contract (sample count, rate, duration, mean level in
+    micros, peak) over the frame walk / rice-residual / fixed-
+    predictor reconstruction with CRC-8/CRC-16/MD5 verification, so
+    the WAV oracle pins a THIRD audio container. Scalar columns only;
+    payloads never shuffle; malformed payloads drop per row."""
+    from .flac import _parse_flac
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"].to_list(),
+                                    pdf["payload"].to_list()):
+                try:
+                    rate, s16 = _parse_flac(bytes(payload))
+                except ValueError:
+                    continue  # malformed blob: drop the row
+                if s16.size == 0:
+                    continue
+                samples = (s16 + 32768) >> 8
+                out.append((mid, int(samples.size), rate,
+                            int(samples.size) * 1000 // rate,
+                            int(samples.sum(dtype="int64"))
+                            * 1_000_000 // int(samples.size),
+                            int(samples.max())))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "sample_rate",
+                              "duration_ms", "mean_micro", "peak"])
+
+    schema = ("media_id long, n_samples long, sample_rate int, "
+              "duration_ms long, mean_micro long, peak int")
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=schema)
+
+
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL decode of RIFF/WAV payloads via mapInPandas: walk the
     chunk list, validate the PCM fmt (mono or stereo, 8- or 16-bit
@@ -3012,11 +3095,12 @@ DECODE_REPORT_MODALITIES = ("audio_wav", "image_jpeg", "image_png")
 _REASON_PATTERNS = (
     ("bad_magic", ("no SOI", "not a PNG", "not a RIFF/WAVE",
                    "not a JPEG", "not a GIF", "not a BMP",
-                   "not a TIFF", "not a FORM/AIFF", "not an ICO")),
+                   "not a TIFF", "not a FORM/AIFF", "not an ICO",
+                   "not a FLAC")),
     # not planted by the report corpus (its corruptions re-sign their
     # chunks), but real corpora hit it constantly — without the row a
     # flipped-bit PNG would land in "other"
-    ("bad_crc", ("CRC mismatch",)),
+    ("bad_crc", ("CRC mismatch", "MD5 mismatch")),
     # "marker expected" fires only AFTER a valid SOI (the decoders
     # check the signature first and raise "no SOI" there), so it is
     # mid-stream corruption/truncation, never a wrong-format file —
@@ -3033,7 +3117,7 @@ _REASON_PATTERNS = (
                    "no image block")),
     ("unsupported_profile", ("unsupported GIF", "unsupported BMP",
                              "unsupported TIFF", "unsupported AIFF",
-                             "unsupported ICO",
+                             "unsupported ICO", "unsupported FLAC",
                              "multi-frame GIF",
                              "sub-rectangle frame",
                              "non-baseline SOF", "not a progressive",
@@ -3057,7 +3141,12 @@ _REASON_PATTERNS = (
                         "block type unknown",
                         "control block malformed",
                         "block align", "step index",
-                        "out of bounds", "size mismatch")),
+                        "out of bounds", "size mismatch",
+                        "STREAMINFO", "sync lost", "sync bit",
+                        "reserved bit", "coding invalid",
+                        "partition order", "wasted bits",
+                        "predictor order", "out of range",
+                        "rate mismatch")),
 )
 
 

@@ -2594,6 +2594,52 @@ def streaming_decode_ico(spark, sf_dir):
     return _run_stream_to_table(spark, out, "mm_ico_ingest")
 
 
+@register("mm_decode_flac", mm.sql_decode_wav("documents"))
+def mm_decode_flac(spark, sf_dir):
+    """FLAC decode (round 17 late addition) — the audio family's
+    first COMPRESSED lossless container and the engine's second
+    bit-granular entropy path (after JPEG's Huffman lane): each
+    document becomes a real FLAC stream — STREAMINFO with packed
+    20/3/5/36-bit fields plus skippable PADDING/VORBIS_COMMENT
+    blocks, fixed-blocksize frames (short last frame via the
+    end-of-header 16-bit size field), UTF-8-coded frame numbers,
+    subframes rotating VERBATIM / FIXED order 1 / FIXED order 2 per
+    (doc_id + frame) with all-equal frames forced CONSTANT,
+    partitioned Rice-coded residuals (4 partitions on odd frames,
+    every third partition escape-coded raw), and REAL CRC-8, CRC-16,
+    and sample-stream MD5 — and the decoder walks the metadata,
+    re-syncs each frame, verifies all three integrity fields,
+    reconstructs the fixed predictors from the rice residuals
+    (functions/flac.py, written from the public RFC 9639 spec), and
+    folds to the same u8 feature domain as the WAV/AIFF lanes, so
+    sql_decode_wav pins a THIRD audio container and a bit-packing,
+    rice, predictor, CRC, or UTF-8-coding bug flips only this hash.
+    Malformed payloads drop per row; payloads never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_flac(mm.flac_media_from_documents(docs))
+
+
+@register("streaming_decode_flac", mm.sql_decode_wav("documents"))
+def streaming_decode_flac(spark, sf_dir):
+    """FLAC decode-on-ingest (round 17 late addition): the
+    mm_decode_flac pipeline (frame walk → rice/fixed-predictor
+    reconstruction → CRC/MD5 verify → clip features) as a LIVE
+    Structured Streaming query. Stateless per row (mapInPandas on
+    the source partitioning), so append mode needs no watermark and
+    the result equals the batch twin under ANY micro-batching;
+    graded against the SAME shared oracle. Payloads never shuffle;
+    malformed blobs drop per row."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = mm.decode_flac(mm.flac_media_from_documents(raw))
+    return _run_stream_to_table(spark, out, "mm_flac_ingest")
+
+
 @register("mm_decode_tiff",
           mm.sql_decode_pgm("documents", cap=mm.RASTER_MAX_CHARS))
 def mm_decode_tiff(spark, sf_dir):
@@ -13598,8 +13644,9 @@ def pipeline_incremental_dedup(spark, sf_dir):
 # corpus outputs pinned unchanged by tests + a 13-entry oracle
 # re-verify). Registered after this window locked and therefore
 # never-graded, auto-fronting r18: mm_decode_ico,
-# streaming_decode_ico (round-close additions, oracle-green at all
-# three SFs + audited individually). The rest of the
+# streaming_decode_ico, mm_decode_flac, streaming_decode_flac
+# (round-close additions, oracle-green at all three SFs + audited
+# individually). The rest of the
 # generator's changed-deferred list re-fingerprinted without executed-
 # code change (module-fold coarseness: docstring justifications on
 # cep/order-buffer steps, additive gif.py/multimodal.py functions).
