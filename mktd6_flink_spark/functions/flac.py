@@ -457,7 +457,14 @@ def _parse_flac(payload: bytes):
     if not 0 < rate < (1 << 20):
         raise ValueError("invalid sample rate")
     out: list = []
+    decoded = 0
     while pos < len(payload):
+        if total and decoded >= total:
+            # all declared samples decoded: whatever follows is
+            # trailing non-FLAC junk (ID3-style tags, padding) — the
+            # same tolerance rule as the RIFF/FORM walks, with the
+            # STREAMINFO total-samples field as the declared bound
+            break
         frame_start = pos
         if pos + 4 > len(payload):
             raise ValueError("truncated FLAC stream")
@@ -484,15 +491,29 @@ def _parse_flac(payload: bytes):
         if bs_code == 0:
             raise ValueError("FLAC frame header reserved bit")
         elif bs_code == 6:
+            if pos + 1 > len(payload):
+                raise ValueError("truncated FLAC stream")
             bs = payload[pos] + 1
             pos += 1
         elif bs_code == 7:
+            if pos + 2 > len(payload):
+                raise ValueError("truncated FLAC stream")
             bs = int.from_bytes(payload[pos:pos + 2], "big") + 1
             pos += 2
         else:
             bs = _BS_TABLE[bs_code]
         if rate_code in (12, 13, 14):
-            pos += 1 if rate_code == 12 else 2
+            # explicit end-of-header rate: validate against
+            # STREAMINFO exactly like the table codes do
+            nb = 1 if rate_code == 12 else 2
+            if pos + nb > len(payload):
+                raise ValueError("truncated FLAC stream")
+            v = int.from_bytes(payload[pos:pos + nb], "big")
+            frate = (v * 1000 if rate_code == 12
+                     else v if rate_code == 13 else v * 10)
+            pos += nb
+            if frate != rate:
+                raise ValueError("FLAC frame rate mismatch")
         elif rate_code == 15:
             raise ValueError("FLAC frame header reserved bit")
         elif rate_code != 0 and _RATE_TABLE[rate_code] != rate:
@@ -515,6 +536,7 @@ def _parse_flac(payload: bytes):
         if np.any(s < -32768) or np.any(s > 32767):
             raise ValueError("FLAC sample out of range")
         out.append(s)
+        decoded += s.size
     samples = (np.concatenate(out) if out
                else np.empty(0, dtype=np.int64))
     if total and samples.size != total:

@@ -138,6 +138,15 @@ def _decode_dib(blob: bytes) -> tuple[int, int, "np.ndarray"]:
         pos += 4 * m
         stride = (w + 3) & ~3
     else:
+        # a 24-bit BI_RGB DIB may still carry biClrUsed "optimal
+        # palette" hint entries before the pixel rows — skip them, or
+        # the palette bytes would silently decode as pixels
+        if clr_used:
+            if not 0 < clr_used <= 256:
+                raise ValueError("ICO palette size invalid")
+            if pos + 4 * clr_used > len(blob):
+                raise ValueError("ICO palette truncated")
+            pos += 4 * clr_used
         stride = (3 * w + 3) & ~3
     if pos + stride * h > len(blob):
         raise ValueError("ICO pixel data truncated")

@@ -269,3 +269,56 @@ def test_bit_reader_writer_inverse():
     r = _BitReader(w.bytes())
     for v, nb in fields:
         assert r.read(nb) == v
+
+
+def test_trailing_junk_after_declared_total_is_ignored():
+    """The RIFF/FORM trailing-junk rule, with STREAMINFO's
+    total-samples field as the declared bound: an intact stream
+    decodes identically with an ID3v1-style trailer appended."""
+    rng = np.random.RandomState(17)
+    v = rng.randint(0, 128, 300).astype(np.int64)
+    s = v * 257 - 32768
+    good = encode_flac(s, 8000)
+    rate, out = _parse_flac(good)
+    for junk in (b"TAG" + b"\x00" * 125, b"\xff" * 9, b"A"):
+        rate2, out2 = _parse_flac(good + junk)
+        assert rate2 == rate
+        assert np.array_equal(out2, out)
+
+
+def test_truncated_bs_code6_header_is_valueerror():
+    """A frame header ending right where the 8-bit blocksize byte
+    should be must raise ValueError (the drop-per-row contract),
+    never IndexError."""
+    s = np.array([1, 2, 3], dtype=np.int64)
+    good = bytearray(encode_flac(s, 8000))
+    hdr = bytearray(good[42:47])  # sync, codes, utf8(0)
+    hdr[2] = (6 << 4) | (hdr[2] & 0x0F)  # bs_code 6: 8-bit field
+    cut = bytes(good[:42]) + bytes(hdr)  # ends before the size byte
+    with pytest.raises(ValueError, match="truncated FLAC"):
+        _parse_flac(cut)
+
+
+def test_explicit_rate_codes_validated_against_streaminfo():
+    """Rate codes 12-14 carry the rate at the header's end; they must
+    agree with STREAMINFO exactly like the table codes (a mismatch
+    decoded silently before this test)."""
+    s = np.array([5, -5, 9, 0], dtype=np.int64)
+    good = bytearray(encode_flac(s, 8000))
+    frame_at = 42
+    # rebuild the header with rate_code 12 and an 8 kHz explicit byte
+    hdr = bytearray(good[frame_at:frame_at + 7])  # FF F8 7x 08 00 HH HH
+    hdr[2] = (hdr[2] & 0xF0) | 12
+    ok_hdr = hdr + bytes([8])  # 8 kHz in kHz units
+    bad_hdr = hdr + bytes([44])  # 44 kHz: mismatch
+    body = good[frame_at + 8:-2]  # subframe bits after the old crc8
+    for h, match in ((ok_hdr, None), (bad_hdr, "rate mismatch")):
+        frame = bytes(h) + bytes([crc8(bytes(h))]) + bytes(body)
+        full = (bytes(good[:frame_at]) + frame
+                + struct.pack(">H", crc16(frame)))
+        if match is None:
+            rate, out = _parse_flac(full)
+            assert np.array_equal(out, s)
+        else:
+            with pytest.raises(ValueError, match=match):
+                _parse_flac(full)

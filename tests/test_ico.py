@@ -152,3 +152,17 @@ def test_truncation_and_mutation_fuzz_valueerror_only():
                 decode_ico(bytes(mut))
             except ValueError:
                 pass
+
+
+def test_24bit_dib_with_clr_used_hint_skips_palette():
+    """A 24-bit BI_RGB DIB may carry biClrUsed 'optimal palette'
+    entries before the pixels; decoding must skip them (before this
+    test the palette bytes silently decoded as pixel rows)."""
+    rgb = _rgb_channels(_grid(3, 4, 9).astype("int64"))
+    blob = bytearray(_dib_encode(rgb, None))
+    hint = bytes(range(64))  # 16 BGRA quads
+    blob[32:36] = struct.pack("<I", 16)  # biClrUsed = 16
+    with_pal = bytes(blob[:40]) + hint + bytes(blob[40:])
+    w, h, out = _decode_dib(with_pal)
+    assert (w, h) == (4, 3)
+    assert np.array_equal(out, rgb)
