@@ -28,7 +28,7 @@ SAME parameters (seeded hash family, shingle size, bands).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -547,32 +547,34 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 F.least("src", "_m").alias("label"))
     )
     labels = _materialize(labels)
-    for _ in range(max_iter):
+    # The convergence check rides the checkpoint's own action as an
+    # Observation (CollectMetrics is a pass-through node): the old
+    # spelling re-joined the materialized sweep against the previous
+    # labels and counted — one extra join job PER SWEEP whose only
+    # output was a boolean. Same fixed point, same early stop (a
+    # changed label is exactly a row where least(old, nmin) != old).
+    for sweep in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min,
                         labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"),
                         F.coalesce(F.col("nlabel"), F.col("label")))
                 .alias("label"),
             )
+            .observe(obs, F.sum((F.col("label") != F.col("_old"))
+                                .cast("long")).alias("changed"))
+            .select("id", "label")
         )
-        # checkpoint FIRST, then early-stop-check the materialized result
-        # (counting before checkpointing would compute the sweep twice)
-        prev = labels
         labels = _materialize(new_labels)
-        changed = (
-            labels.alias("n")
-            .join(prev.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return (
         nodes.select(F.col(id_col).alias("id"))

@@ -87,11 +87,23 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     pos = 0
     n = len(data)
 
-    base = [(i,) for i in range(clear)] + [(), ()]
+    # Table entries are ``bytes`` when every symbol fits in one byte
+    # (min_code <= 8 — every real GIF, since the color table caps at
+    # 256): appends and output writes are then C-level memcpys per
+    # CODE instead of Python-int work per PIXEL (~10x on this loop).
+    # Symbols >= 256 (min_code 9-11, tolerated for robustness) keep
+    # the tuple spelling. Control flow, error messages and the width
+    # bump are identical in both lanes.
+    wide = min_code > 8
+    if wide:
+        base = [(i,) for i in range(clear)] + [(), ()]
+        out: list[int] = []
+    else:
+        base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+        out = bytearray()
     table = list(base)
     width = min_code + 1
-    prev: tuple | None = None
-    out: list[int] = []
+    prev = None
 
     while len(out) < n_pixels:
         while nbits < width:
@@ -131,7 +143,10 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
             width += 1
     if len(out) < n_pixels:
         raise ValueError("LZW stream truncated")
-    return np.asarray(out[:n_pixels], dtype=np.int64)
+    if wide:
+        return np.asarray(out[:n_pixels], dtype=np.int64)
+    return np.frombuffer(bytes(out[:n_pixels]),
+                         dtype=np.uint8).astype(np.int64)
 
 
 def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
@@ -154,30 +169,41 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table = {(i,): i for i in range(clear)}
+    # The dictionary is keyed by (prefix_code, symbol) rather than the
+    # sequence tuple itself: every table sequence's prefix is in the
+    # table (LZW invariant), so the pair key names the same sequence
+    # with O(1) hashing instead of an O(run-length) tuple build per
+    # symbol. Emission order, width bumps and the 4096 reset are
+    # identical to the sequence-keyed spelling; the independent
+    # per-symbol encoder in the tests pins the byte stream.
+    table: dict[tuple[int, int], int] = {}
     next_code = end + 1
     width = min_code + 1
     put(clear, width)
-    run: tuple = ()
+    cur = -1  # current run's table code; -1 = empty run
     for v in indices.tolist():
-        cand = run + (int(v),)
-        if cand in table:
-            run = cand
+        v = int(v)
+        if cur < 0:
+            cur = v
             continue
-        put(table[run], width)
+        nxt = table.get((cur, v))
+        if nxt is not None:
+            cur = nxt
+            continue
+        put(cur, width)
         if next_code < 4096:
-            table[cand] = next_code
+            table[(cur, v)] = next_code
             if next_code >= (1 << width) and width < 12:
                 width += 1
             next_code += 1
         else:
             put(clear, width)
-            table = {(i,): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             width = min_code + 1
-        run = (int(v),)
-    if run:
-        put(table[run], width)
+        cur = v
+    if cur >= 0:
+        put(cur, width)
     put(end, width)
     if nbits:
         out.append(acc & 0xFF)

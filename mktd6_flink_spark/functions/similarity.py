@@ -56,6 +56,30 @@ def sql_dot(a: str, b: str, dim: int) -> str:
     )
 
 
+def l2sq_pre(aa: Column, ab: Column, bb: Column) -> Column:
+    """``l2sq`` from PRE-computed per-side self-dots: the identical
+    expression tree ``aa - 2.0*ab + bb``, for call sites that hoist
+    ``dot(a,a)``/``dot(b,b)`` below a join. The HOF fold lambdas
+    defeat common-subexpression elimination, so the inline spelling
+    re-evaluates both self-dots per PAIR; hoisting evaluates each
+    once per ROW — same doubles, ~1/3 the fold work on an n×Q scored
+    product (guide: project/compute before the exchange)."""
+    return aa - 2.0 * ab + bb
+
+
+def cosine_pre(ab: Column, an: Column, bn: Column) -> Column:
+    """``cosine`` from PRE-computed per-side norms ``sqrt(dot(x,x))``:
+    same expression tree and zero-norm nullif guard as ``cosine``,
+    with the two norm folds hoisted to once per row (see
+    ``l2sq_pre``)."""
+    return ab / F.nullif(an * bn, F.lit(0.0))
+
+
+def norm_col(v: Column) -> Column:
+    """The per-row vector norm ``sqrt(dot(v,v))`` for ``cosine_pre``."""
+    return F.sqrt(dot(v, v))
+
+
 def cosine(a: Column, b: Column) -> Column:
     # zero-norm guard via nullif: cosine against the zero vector is
     # undefined — NULL, not an ANSI divide-by-zero crash (a 100 TB
@@ -85,18 +109,24 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     cheap per-partition top-k via the rank window on (query, score)."""
     q = F.broadcast(
         embeddings.filter(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+            norm_col(F.col(vec_col)).alias("_qn")
         )
     )
+    # self-norms hoisted below the cross join: inline cosine() would
+    # re-fold each side's dot(x,x) per PAIR (HOFs defeat CSE)
     c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("_cv"))
+                          F.col(vec_col).alias("_cv"),
+                          norm_col(F.col(vec_col)).alias("_cn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            round_portable(cosine(F.col("_qv"), F.col("_cv"))).alias("cosine"),
+            round_portable(cosine_pre(dot(F.col("_qv"), F.col("_cv")),
+                                      F.col("_qn"), F.col("_cn")))
+            .alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -175,16 +205,19 @@ def lsh_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
     bucket. The bucket equi-join replaces the cross join — O(candidates).
     Queries whose bucket has < k neighbors return fewer rows (recall trade,
     standard for single-probe LSH)."""
+    # per-row norm hoisted below the bucket join (see l2sq_pre)
     with_sig = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_signature(F.col(vec_col), dim, bits).alias("_bucket"),
+        norm_col(F.col(vec_col)).alias("_n"),
     )
     q = F.broadcast(
         with_sig.filter(F.col(id_col).isin(query_ids)).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             F.col("_bucket").alias("_qb"),
+            F.col("_n").alias("_qn"),
         )
     )
     scored = (
@@ -193,7 +226,9 @@ def lsh_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            round_portable(cosine(F.col("_qv"), F.col(vec_col))).alias("cosine"),
+            round_portable(cosine_pre(dot(F.col("_qv"), F.col(vec_col)),
+                                      F.col("_qn"), F.col("_n")))
+            .alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -271,14 +306,24 @@ def kmeans_centroids(embeddings: DataFrame, dim: int, k: int = KMEANS_K,
     sequential dimension. Empty clusters drop out (both engines).
     Returns (centroid_id, dim, centroid) rows.
     """
+    # per-vector self-dot hoisted below the assignment cross join:
+    # inline l2sq re-folds dot(v,v) once per (vector, centroid) PAIR
+    # and dot(c,c) once per pair too (K and n times the needed work —
+    # HOF lambdas defeat CSE); hoisting keeps the same doubles
+    emb_pre = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_vv"))
     cents = embeddings.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("centroid_id"),
         F.col(vec_col).alias("_cvec"))
     for _ in range(iters):
-        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        cpre = F.broadcast(cents.withColumn(
+            "_cc", dot(F.col("_cvec"), F.col("_cvec"))))
+        scored = emb_pre.crossJoin(cpre).select(
             id_col, vec_col, "centroid_id",
-            round_portable(l2sq(F.col(vec_col), F.col("_cvec")))
-            .alias("_d"))
+            round_portable(l2sq_pre(F.col("_vv"),
+                                    dot(F.col(vec_col), F.col("_cvec")),
+                                    F.col("_cc"))).alias("_d"))
         best = scored.groupBy(id_col).agg(
             F.min_by(
                 F.struct(F.col("centroid_id"), F.col(vec_col).alias("_v")),
@@ -374,11 +419,17 @@ def ivf_assign(embeddings: DataFrame, dim: int,
     the aggregate gets map-side partial combining — the shuffle carries
     ONE row per vector, not the n×K scored product a row_number window
     would sort."""
+    # centroid-side norm hoisted below the cross join (see l2sq_pre);
+    # the vector-side norm is hoisted too — n rows once vs n×K times
     cents = F.broadcast(
-        ivf_centroids(embeddings, n_centroids, id_col, vec_col))
-    scored = embeddings.crossJoin(cents).select(
+        ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+        .withColumn("_cn", norm_col(F.col("_cvec"))))
+    scored = embeddings.select(
+        id_col, vec_col, norm_col(F.col(vec_col)).alias("_vn")
+    ).crossJoin(cents).select(
         id_col, vec_col, "centroid_id",
-        round_portable(cosine(F.col(vec_col), F.col("_cvec")))
+        round_portable(cosine_pre(dot(F.col(vec_col), F.col("_cvec")),
+                                  F.col("_vn"), F.col("_cn")))
         .alias("_ccos"),
     )
     # max of struct(_ccos, -centroid_id) == highest cosine, then lowest
@@ -405,21 +456,28 @@ def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
     """IVF search: each query probes its ``nprobe`` nearest centroids and
     ranks only those inverted lists by exact cosine — candidates are
     O(n * nprobe / n_centroids) instead of O(n)."""
-    assigned = ivf_assign(embeddings, dim, n_centroids, id_col, vec_col)
+    # norms hoisted below both joins (see l2sq_pre): corpus-side once
+    # per vector (vs once per candidate pair), query-side once per query
+    assigned = ivf_assign(embeddings, dim, n_centroids, id_col, vec_col) \
+        .withColumn("_an", norm_col(F.col(vec_col)))
     cents = F.broadcast(
-        ivf_centroids(embeddings, n_centroids, id_col, vec_col))
+        ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+        .withColumn("_cn", norm_col(F.col("_cvec"))))
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm_col(F.col(vec_col)).alias("_qn"))
     probe_scored = q.crossJoin(cents).select(
-        "query_id", "_qv", "centroid_id",
-        round_portable(cosine(F.col("_qv"), F.col("_cvec"))).alias("_pcos"),
+        "query_id", "_qv", "_qn", "centroid_id",
+        round_portable(cosine_pre(dot(F.col("_qv"), F.col("_cvec")),
+                                  F.col("_qn"), F.col("_cn")))
+        .alias("_pcos"),
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("_pcos").desc(), F.col("centroid_id").asc())
     probes = (
         probe_scored.withColumn("_rn", F.row_number().over(wp))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
+        .select("query_id", "_qv", "_qn", "centroid_id")
     )
     # Broadcast the probe list (|Q| x nprobe rows) so the corpus-sized
     # inverted lists are never shuffled — the scan stays map-side.  No
@@ -430,7 +488,9 @@ def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
     scored = cands.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        round_portable(cosine(F.col("_qv"), F.col(vec_col))).alias("cosine"),
+        round_portable(cosine_pre(dot(F.col("_qv"), F.col(vec_col)),
+                                  F.col("_qn"), F.col("_an")))
+        .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -557,11 +617,18 @@ def pq_codes(embeddings: DataFrame, dim: int, m: int = PQ_M,
     # once, broadcast the 1-row count, and fold an assert_true into the
     # distance as +0 — values unchanged, incomplete codebooks fatal.
     ncent, cguard = _codebook_count_guard(cents, m, k, "pq_codes")
-    scored = subs.join(F.broadcast(cents),
-                       F.col("subspace") == F.col("_cs")).crossJoin(
+    # subvector/code self-dots hoisted below the k-way encode join
+    # (see l2sq_pre): n·m + m·k rows once vs n·m·k pairs
+    scored = subs.withColumn(
+        "_svv", dot(F.col("_sv"), F.col("_sv"))
+    ).join(F.broadcast(cents.withColumn(
+        "_cvv", dot(F.col("_cv"), F.col("_cv")))),
+        F.col("subspace") == F.col("_cs")).crossJoin(
         F.broadcast(ncent)).select(
         id_col, "subspace", "_code",
-        (F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
+        (F.floor(l2sq_pre(F.col("_svv"),
+                          dot(F.col("_sv"), F.col("_cv")),
+                          F.col("_cvv")) * F.lit(1000000.0)
                  + F.lit(0.5)).cast("long") + cguard).alias("_dm"))
     best = scored.groupBy(id_col, "subspace").agg(
         F.min_by(
@@ -954,11 +1021,18 @@ def pq_adc_topk_trained(embeddings: DataFrame, query_ids: list[int],
     cb = spark.createDataFrame(
         cb_rows, "subspace int, code int, cvec array<double>")
     subs = _pq_subvectors(embeddings, dim, m, id_col, vec_col)
-    scored0 = subs.join(
-        F.broadcast(cb.withColumnRenamed("subspace", "_cs")),
+    # self-dots hoisted below the encode join (see l2sq_pre)
+    scored0 = subs.withColumn(
+        "_svv", dot(F.col("_sv"), F.col("_sv"))
+    ).join(
+        F.broadcast(cb.withColumnRenamed("subspace", "_cs")
+                    .withColumn("_cvv", dot(F.col("cvec"),
+                                            F.col("cvec")))),
         F.col("subspace") == F.col("_cs")).select(
         id_col, "subspace", "code",
-        F.floor(l2sq(F.col("_sv"), F.col("cvec")) * F.lit(1000000.0)
+        F.floor(l2sq_pre(F.col("_svv"),
+                         dot(F.col("_sv"), F.col("cvec")),
+                         F.col("_cvv")) * F.lit(1000000.0)
                 + F.lit(0.5)).cast("long").alias("_dm"))
     codes = scored0.groupBy(id_col, "subspace").agg(
         F.min_by(F.struct(F.col("code"), F.col("_dm")),
@@ -1102,9 +1176,16 @@ def ivfpq_adc_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
         F.col(id_col).cast("int").alias("centroid_id"),
         F.col(vec_col).alias("_cvec"))
     # coarse assign: argmin micro-L2, tie -> lowest centroid id
-    cscored = embeddings.crossJoin(F.broadcast(cents)).select(
+    # (self-dots hoisted below the n x n_centroids join — see l2sq_pre)
+    cscored = embeddings.select(
+        id_col, vec_col,
+        dot(F.col(vec_col), F.col(vec_col)).alias("_vv")
+    ).crossJoin(F.broadcast(cents.withColumn(
+        "_ccd", dot(F.col("_cvec"), F.col("_cvec"))))).select(
         id_col, vec_col, "centroid_id", "_cvec",
-        F.floor(l2sq(F.col(vec_col), F.col("_cvec")) * F.lit(1000000.0)
+        F.floor(l2sq_pre(F.col("_vv"),
+                         dot(F.col(vec_col), F.col("_cvec")),
+                         F.col("_ccd")) * F.lit(1000000.0)
                 + F.lit(0.5)).cast("long").alias("_cd"))
     assigned = cscored.groupBy(id_col).agg(
         F.min_by(
@@ -1128,11 +1209,17 @@ def ivfpq_adc_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
         F.col(id_col).cast("int").alias("_code"),
         F.col("_sv").alias("_cv"))
     ncent, cguard = _codebook_count_guard(cb, m, kcent, "ivfpq_adc_topk")
-    enc = rsubs.join(F.broadcast(cb),
-                     F.col("subspace") == F.col("_cs")).crossJoin(
+    # residual-encode self-dots hoisted below the k-way join
+    enc = rsubs.withColumn(
+        "_svv", dot(F.col("_sv"), F.col("_sv"))
+    ).join(F.broadcast(cb.withColumn(
+        "_cvv", dot(F.col("_cv"), F.col("_cv")))),
+        F.col("subspace") == F.col("_cs")).crossJoin(
         F.broadcast(ncent)).select(
         id_col, "centroid_id", "subspace", "_code",
-        (F.floor(l2sq(F.col("_sv"), F.col("_cv")) * F.lit(1000000.0)
+        (F.floor(l2sq_pre(F.col("_svv"),
+                          dot(F.col("_sv"), F.col("_cv")),
+                          F.col("_cvv")) * F.lit(1000000.0)
                  + F.lit(0.5)).cast("long") + cguard).alias("_dm"))
     codes = enc.groupBy(id_col, "centroid_id", "subspace").agg(
         F.min_by(F.col("_code"),

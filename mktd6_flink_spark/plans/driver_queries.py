@@ -3792,10 +3792,17 @@ def _ivf_assign_frame(emb, cents_src=None):
         (cents_src if cents_src is not None else emb)
         .filter(F.col("vec_id") < sim.IVF_N_CENTROIDS).select(
             F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("_cvec")))
-    scored = v.crossJoin(cents).select(
+            F.col("embedding").alias("_cvec"),
+            sim.norm_col(F.col("embedding")).alias("_cn")))
+    # per-side norms hoisted below the n×K join (sim.l2sq_pre note)
+    scored = v.select(
+        "vec_id", "embedding",
+        sim.norm_col(F.col("embedding")).alias("_vn")
+    ).crossJoin(cents).select(
         "vec_id", "centroid_id",
-        round_portable(sim.cosine(F.col("embedding"), F.col("_cvec")))
+        round_portable(sim.cosine_pre(
+            sim.dot(F.col("embedding"), F.col("_cvec")),
+            F.col("_vn"), F.col("_cn")))
         .alias("_c"))
     best = scored.groupBy("vec_id").agg(
         F.max_by(
@@ -3989,9 +3996,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
     (never all-pairs) then exact cosine >= threshold within buckets."""
     emb = load(spark, sf_dir, "embeddings")
+    # per-row norm hoisted below the bucket self-join (sim.l2sq_pre
+    # note): inline cosine re-folds both sides' self-dots per PAIR
     with_sig = emb.select(
         "vec_id", "embedding",
-        sim.lsh_signature(F.col("embedding"), _EMB_DIM).alias("_b"))
+        sim.lsh_signature(F.col("embedding"), _EMB_DIM).alias("_b"),
+        sim.norm_col(F.col("embedding")).alias("_n"))
     a, b = with_sig.alias("a"), with_sig.alias("b")
     pairs = (
         a.join(b, (F.col("a._b") == F.col("b._b"))
@@ -4000,7 +4010,9 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             round_portable(
-                sim.cosine(F.col("a.embedding"), F.col("b.embedding")))
+                sim.cosine_pre(sim.dot(F.col("a.embedding"),
+                                       F.col("b.embedding")),
+                               F.col("a._n"), F.col("b._n")))
             .alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
@@ -4070,9 +4082,17 @@ def dedup_semantic(spark, sf_dir):
             F.array_sort(F.collect_list(
                 F.struct("dim", F.col("centroid").alias("val")))),
             lambda s: s["val"]).alias("_cv"))
-    scored = emb.crossJoin(F.broadcast(cvec)).select(
+    # self-dots hoisted below the n×k assignment join (sim.l2sq_pre)
+    scored = emb.select(
+        "vec_id", "embedding",
+        sim.dot(F.col("embedding"), F.col("embedding")).alias("_vv")
+    ).crossJoin(F.broadcast(cvec.withColumn(
+        "_ccd", sim.dot(F.col("_cv"), F.col("_cv"))))).select(
         "vec_id", "embedding", "centroid_id",
-        round_portable(sim.l2sq(F.col("embedding"), F.col("_cv")))
+        round_portable(sim.l2sq_pre(
+            F.col("_vv"),
+            sim.dot(F.col("embedding"), F.col("_cv")),
+            F.col("_ccd")))
         .alias("_d"))
     assign = scored.groupBy("vec_id").agg(
         F.min_by(
@@ -5877,6 +5897,35 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+def _exact_l2_scored(emb, query_ids):
+    """Exact ground-truth micro-L2 (query × corpus) scored pairs shared
+    by the recall dials, with each side's self-dot hoisted BELOW the
+    cross join (sim.l2sq_pre): the inline l2sq spelling re-folds
+    dot(q,q) and dot(c,c) per PAIR — the HOF lambdas defeat CSE — so
+    the |Q|·n scored product paid 3 interpreted array folds per pair
+    where 1 suffices. Same doubles (identical expression tree per
+    value), so every recall oracle hash is preserved; only the
+    per-pair work changes."""
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            sim.dot(F.col("embedding"), F.col("embedding")).alias("_qq")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("_cv"),
+                   sim.dot(F.col("embedding"), F.col("embedding"))
+                   .alias("_cc"))
+    return (q.crossJoin(c)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.floor(sim.l2sq_pre(F.col("_qq"),
+                                         sim.dot(F.col("_qv"),
+                                                 F.col("_cv")),
+                                         F.col("_cc"))
+                            * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("long").alias("_dm")))
+
+
 def _grouped_top5(scored, id_col="neighbor_id", dm_col="_dm",
                   salt=64):
     """Per-query exact top-5 WITHOUT a per-group row_number window:
@@ -5945,17 +5994,7 @@ def sim_pq_recall(spark, sf_dir):
     higher recall, bigger codes. Both rankings use the same
     micro-quantized integer distances and tie order."""
     emb = load(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        emb.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("_qv")))
-    scored = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
-                                     F.col("embedding").alias("_cv")))
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
-                              * F.lit(1000000.0) + F.lit(0.5))
-                      .cast("long").alias("_dm")))
+    scored = _exact_l2_scored(emb, _RECALL_QUERY_IDS)
     exact = _grouped_top5(scored)
     adc = sim.pq_adc_topk(emb, _RECALL_QUERY_IDS, _EMB_DIM, k=5).select(
         F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
@@ -6078,17 +6117,7 @@ def sim_sq_recall(spark, sf_dir):
     topk = _grouped_top5(scored).select(
         F.col("query_id").alias("_q"),
         F.col("neighbor_id").alias("_n"))
-    q = F.broadcast(
-        emb.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("_qv")))
-    escore = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
-                                     F.col("embedding").alias("_cv")))
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
-                              * F.lit(1000000.0) + F.lit(0.5))
-                      .cast("long").alias("_dm")))
+    escore = _exact_l2_scored(emb, _RECALL_QUERY_IDS)
     exact = _grouped_top5(escore)
     return (
         exact.join(F.broadcast(topk), (F.col("_q") == F.col("query_id"))
@@ -6139,17 +6168,7 @@ def sim_pq_trained_recall(spark, sf_dir):
     once and rebroadcast — the train-on-sample / broadcast-model
     pattern, not a data collect."""
     emb = load(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        emb.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("_qv")))
-    scored = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
-                                     F.col("embedding").alias("_cv")))
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
-                              * F.lit(1000000.0) + F.lit(0.5))
-                      .cast("long").alias("_dm")))
+    scored = _exact_l2_scored(emb, _RECALL_QUERY_IDS)
     exact = _grouped_top5(scored)
     adc = sim.pq_adc_topk_trained(emb, _RECALL_QUERY_IDS, _EMB_DIM, k=5).select(
         F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
@@ -6218,17 +6237,7 @@ def sim_ivfpq_recall(spark, sf_dir):
     higher recall, linearly more cost). Truth set stays
     query-side-broadcast like every recall dial."""
     emb = load(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        emb.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("_qv")))
-    scored = (q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
-                                     F.col("embedding").alias("_cv")))
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
-                              * F.lit(1000000.0) + F.lit(0.5))
-                      .cast("long").alias("_dm")))
+    scored = _exact_l2_scored(emb, _RECALL_QUERY_IDS)
     exact = _grouped_top5(scored)
     adc = sim.ivfpq_adc_topk(emb, _RECALL_QUERY_IDS, _EMB_DIM, k=5).select(
         F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n"))
@@ -6291,21 +6300,33 @@ def sim_truncated_recall(spark, sf_dir):
     corpus never shuffles; micro-quantized integer distances and
     id tie order keep the top-5 sets bit-identical cross-engine."""
     emb = load(spark, sf_dir, "embeddings")
+    # both widths' self-dots hoisted below the cross join (see
+    # _exact_l2_scored): 3 folds/pair -> 1 per distance
     q = F.broadcast(emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
-        F.slice("embedding", 1, 16).alias("_qv16")))
-    c = emb.select(F.col("vec_id").alias("nid"),
-                   F.col("embedding").alias("_cv"),
-                   F.slice("embedding", 1, 16).alias("_cv16"))
+        F.slice("embedding", 1, 16).alias("_qv16"))
+        .withColumn("_qq", sim.dot(F.col("_qv"), F.col("_qv")))
+        .withColumn("_qq16", sim.dot(F.col("_qv16"), F.col("_qv16"))))
+    c = (emb.select(F.col("vec_id").alias("nid"),
+                    F.col("embedding").alias("_cv"),
+                    F.slice("embedding", 1, 16).alias("_cv16"))
+         .withColumn("_cc", sim.dot(F.col("_cv"), F.col("_cv")))
+         .withColumn("_cc16", sim.dot(F.col("_cv16"), F.col("_cv16"))))
     scored = (q.crossJoin(c)
               .filter(F.col("nid") != F.col("query_id"))
               .select(
                   "query_id", "nid",
-                  F.floor(sim.l2sq(F.col("_qv"), F.col("_cv"))
+                  F.floor(sim.l2sq_pre(F.col("_qq"),
+                                       sim.dot(F.col("_qv"),
+                                               F.col("_cv")),
+                                       F.col("_cc"))
                           * F.lit(1000000.0) + F.lit(0.5))
                   .cast("long").alias("_df"),
-                  F.floor(sim.l2sq(F.col("_qv16"), F.col("_cv16"))
+                  F.floor(sim.l2sq_pre(F.col("_qq16"),
+                                       sim.dot(F.col("_qv16"),
+                                               F.col("_cv16")),
+                                       F.col("_cc16"))
                           * F.lit(1000000.0) + F.lit(0.5))
                   .cast("long").alias("_dt")))
     exact = _grouped_top5(scored, id_col="nid", dm_col="_df")
@@ -8683,9 +8704,16 @@ def sim_ncm_accuracy(spark, sf_dir):
                 F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
                 lambda s: s["centroid"],
             ).alias("cvec")))
-    scored = emb.crossJoin(cents).select(
+    # per-side norms hoisted below the n×labels join (sim.l2sq_pre)
+    scored = emb.select(
+        "vec_id", "label", "embedding",
+        sim.norm_col(F.col("embedding")).alias("_vn")
+    ).crossJoin(cents.withColumn(
+        "_cn", sim.norm_col(F.col("cvec")))).select(
         "vec_id", "label", "c_label",
-        round_portable(sim.cosine(F.col("embedding"), F.col("cvec")))
+        round_portable(sim.cosine_pre(
+            sim.dot(F.col("embedding"), F.col("cvec")),
+            F.col("_vn"), F.col("_cn")))
         .alias("cos"))
     # min of struct(-cos, c_label) == highest cosine, then lowest label —
     # min_by gets map-side partial aggregation, so the shuffle carries one
@@ -12668,17 +12696,23 @@ LEFT JOIN mmp ON mmp.qid = tkr.qid""")
 
 def _mmr_frames(spark, sf_dir):
     """The distributed halves of MMR: the per-query top-shortlist
-    (srt: qid, cid, relm, cv, rn) and the within-shortlist pair sims
+    (srt: qid, cid, relm, cv, _cn, rn) and the within-shortlist pair sims
     (ps: qid, a, b, simm), shared by sim_mmr_rerank and
     sim_mmr_diversity."""
     emb = load(spark, sf_dir, "embeddings")
+    # per-side norms hoisted below the crossJoin and the shortlist
+    # pair self-join (sim.l2sq_pre note): the norm rides the shortlist
+    # rows so each candidate pair costs one dot fold, not three
     q = F.broadcast(
         emb.filter(F.col("vec_id").isin(_QUERY_IDS))
         .select(F.col("vec_id").alias("qid"),
-                F.col("embedding").alias("qv")))
+                F.col("embedding").alias("qv"),
+                sim.norm_col(F.col("embedding")).alias("_qn")))
     c = emb.select(F.col("vec_id").alias("cid"),
-                   F.col("embedding").alias("cv"))
-    relm = F.floor(sim.cosine(F.col("qv"), F.col("cv"))
+                   F.col("embedding").alias("cv"),
+                   sim.norm_col(F.col("embedding")).alias("_cn"))
+    relm = F.floor(sim.cosine_pre(sim.dot(F.col("qv"), F.col("cv")),
+                                  F.col("_qn"), F.col("_cn"))
                    * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     wq = Window.partitionBy("qid").orderBy(
         F.col("relm").desc(), F.col("cid").asc())
@@ -12688,17 +12722,20 @@ def _mmr_frames(spark, sf_dir):
     # the corpus crossJoin + window (persist_audit: 45-node subtree x3)
     srt = cache.maybe_persist(
         q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", relm.alias("relm"), "cv")
+        .select("qid", "cid", relm.alias("relm"), "cv", "_cn")
         .filter(F.col("relm").isNotNull())
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_SHORTLIST))
-    simm = F.floor(sim.cosine(F.col("_av"), F.col("_bv"))
+    simm = F.floor(sim.cosine_pre(sim.dot(F.col("_av"), F.col("_bv")),
+                                  F.col("_an"), F.col("_bn"))
                    * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     ps = (srt.select("qid", F.col("cid").alias("a"),
-                     F.col("cv").alias("_av"))
+                     F.col("cv").alias("_av"),
+                     F.col("_cn").alias("_an"))
           .join(srt.select(F.col("qid").alias("_q2"),
                            F.col("cid").alias("b"),
-                           F.col("cv").alias("_bv")),
+                           F.col("cv").alias("_bv"),
+                           F.col("_cn").alias("_bn")),
                 (F.col("qid") == F.col("_q2"))
                 & (F.col("a") != F.col("b")))
           .select("qid", "a", "b", simm.alias("simm")))
