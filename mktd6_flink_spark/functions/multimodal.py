@@ -987,7 +987,7 @@ def wav_adpcm_media_from_documents(docs: DataFrame) -> DataFrame:
                 out.append((did, bytearray(payload)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fanout_docs(docs).select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
 
 
@@ -1521,7 +1521,7 @@ def aiff_media_from_documents(docs: DataFrame) -> DataFrame:
                 out.append((did, bytearray(payload)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fanout_docs(docs).select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
 
 
@@ -1601,7 +1601,7 @@ def flac_media_from_documents(docs: DataFrame) -> DataFrame:
                     vorbis=did % 5 == 0, kinds=kinds))))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fanout_docs(docs).select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
 
 
@@ -2038,6 +2038,23 @@ JPEG_BANDS = 8         # feature bands over the tile sequence
 RASTER_MAX_CHARS = 65536
 
 
+def _fanout_docs(docs: DataFrame) -> DataFrame:
+    """Repartition the documents input to the session parallelism
+    before a python-codec mapInPandas builder (the rationale below in
+    ``_raster_media_from_documents``): the sf corpora are single
+    parquet files — one partition — which serialized the whole
+    encode+decode python pipeline of the GIF-anim/ADPCM/AIFF/FLAC
+    lanes onto one core; mapInPandas inherits its input's
+    partitioning, so the decode stage was single-task too. Applied to
+    the EXPENSIVE python lanes only (raster/JPEG, GIF-anim, ADPCM,
+    AIFF, FLAC) — for the cheap numpy WAV encodes the shuffle costs
+    more than the fan-out saves (wav16 measured 0.47 -> 0.72 s with
+    it). Corpus-builder harness cost either way — a real ingest
+    arrives already partitioned."""
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def _raster_media_from_documents(docs: DataFrame, width: int,
                                  encode_fn,
                                  with_id: bool = False) -> DataFrame:
@@ -2050,14 +2067,12 @@ def _raster_media_from_documents(docs: DataFrame, width: int,
     palette builder interlacing every other PNG). One builder, so the
     cleaning rule cannot drift between codecs.
 
-    The input is repartitioned to the session parallelism first: the
-    sf corpora are single parquet files (one partition), which would
-    serialize the whole python encode+decode pipeline onto one core —
-    this is the corpus BUILDER, so the one extra shuffle is test
-    harness cost, not a decode-path cost (a real ingest arrives
-    already partitioned)."""
-    docs = docs.repartition(docs.sparkSession.sparkContext
-                            .defaultParallelism)
+    The input is repartitioned to the session parallelism first
+    (``_fanout_docs`` at the return): the sf corpora are single
+    parquet files (one partition), which would serialize the whole
+    python encode+decode pipeline onto one core — this is the corpus
+    BUILDER, so the one extra shuffle is test harness cost, not a
+    decode-path cost (a real ingest arrives already partitioned)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import re
@@ -2083,7 +2098,7 @@ def _raster_media_from_documents(docs: DataFrame, width: int,
                 out.append((did, bytearray(payload)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fanout_docs(docs).select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
 
 
@@ -2515,7 +2530,7 @@ def gif_anim_media_from_documents(docs: DataFrame) -> DataFrame:
                             bytearray(encode_gif_anim(frames, pal))))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fanout_docs(docs).select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
 
 
@@ -2597,7 +2612,7 @@ def gif_anim_delta_media_from_documents(docs: DataFrame) -> DataFrame:
                     encode_gif_anim_delta(frames, pal))))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _fanout_docs(docs).select("doc_id", "text").mapInPandas(
         batches, schema="media_id long, payload binary")
 
 

@@ -13186,7 +13186,7 @@ _KHOP_HOPS = 3
 _KHOP_SEEDS = 3
 
 
-def _khop_graph(spark, sf_dir):
+def _khop_graph(spark, sf_dir, parts: int | None = None):
     """Shared prep for the k-hop family (batch + streaming twins):
     the undirected customer–supplier edge table and the top-degree
     seed frame, both persisted — the expansion loop joins edges once
@@ -13198,12 +13198,26 @@ def _khop_graph(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the INTEGER key pair, concat to node strings after:
+    # the dedup shuffle carries 16 bytes/row instead of two strings
+    # (guide: narrower types through the exchange); concat is
+    # injective ("c"/"s" prefixes disjoint), so the pair set — and
+    # every downstream hash — is unchanged
     e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("o_custkey", "l_suppkey").distinct()
           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-          .distinct())
-    edges = cache.maybe_persist(e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))))
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")))
+    und = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if parts:
+        # partition-once for the topic-chained streaming consumers:
+        # every hop's stream-static join keys on edges.src with
+        # shuffle.partitions == parts, so a persisted
+        # HashPartitioning(src, parts) + in-partition sort is reused
+        # by ALL hops (and the degree groupBy) instead of re-sorting
+        # the edge table inside every micro-batch
+        und = und.repartition(parts, "src").sortWithinPartitions("src")
+    edges = cache.maybe_persist(und)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))
     seeds = cache.maybe_persist(
@@ -13318,7 +13332,7 @@ def streaming_khop_reach(spark, sf_dir):
     from .market import FileTopic
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    edges, seeds = _khop_graph(spark, sf_dir)
+    edges, seeds = _khop_graph(spark, sf_dir, parts=16)
     base = tempfile.mkdtemp(prefix="khop_stream_")
     schema = "seed string, node string"
     topics = [os.path.join(base, "hop0")]
@@ -13386,7 +13400,7 @@ def streaming_label_propagation(spark, sf_dir):
     from .market import FileTopic
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    edges, _seeds = _khop_graph(spark, sf_dir)
+    edges, _seeds = _khop_graph(spark, sf_dir, parts=16)
     base = tempfile.mkdtemp(prefix="lpa_stream_")
     schema = "node string, lbl string"
     cur = os.path.join(base, "r0")
