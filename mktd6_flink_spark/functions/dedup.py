@@ -111,7 +111,16 @@ def shingles_exploded(df: DataFrame, text: str = "text",
     tokenizer inside HOF lambdas; the window plan tokenizes once and
     shuffles by doc, which is one well-distributed exchange). Set
     ``distinct`` for set semantics (needed by Jaccard counts; MinHash is
-    idempotent to duplicates and skips it)."""
+    idempotent to duplicates and skips it).
+
+    r17 measurement note: a fully MAP-SIDE spelling (token array bound
+    once via the F.aggregate hoist, shingles as array_join-of-slice,
+    explode — zero shuffle) was implemented, verified multiset-equal,
+    and measured SLOWER on every consumer (dedup_containment 3.7 ->
+    4.5 s, text_dup_ngram_fraction 1.9 -> 2.2 s at sf0.1): building
+    the per-doc shingle array allocates O(doc) UnsafeArrayData per row
+    while the exchange it saves is small and uniform. Keep the window
+    form."""
     w = Window.partitionBy(id_col).orderBy("_pos")
     grams = (
         df.select(F.col(id_col), F.posexplode(tokens(F.col(text)))

@@ -48,6 +48,9 @@ def _dct_basis() -> np.ndarray:
 
 
 _A = _dct_basis()
+# row 0 of the basis is constant; the scalar is the DC-only fast path's
+# whole transform (see _decode_block)
+_A00 = float(_A[0, 0])
 
 
 class _Huff:
@@ -72,7 +75,17 @@ class _Huff:
 
 
 class _BitReader:
-    """MSB-first bit reader over the destuffed entropy segment."""
+    """MSB-first bit reader over the destuffed entropy segment.
+
+    Byte-chunked (r17): ``read_bits`` consumes up to 8 bits per loop
+    iteration instead of one, and ``_huff_decode`` keeps the reader
+    state in locals across its length loop — the bit-at-a-time
+    spelling spent ~40% of the whole baseline decode in read_bit call
+    overhead. Failure semantics are identical: "entropy data
+    exhausted" exactly when a needed bit lies past the segment end,
+    "invalid Huffman code" after 16 extensions."""
+
+    __slots__ = ("data", "pos", "bit")
 
     def __init__(self, data: bytes):
         self.data = data
@@ -90,18 +103,57 @@ class _BitReader:
         return b
 
     def read_bits(self, n: int) -> int:
+        data, pos, bit = self.data, self.pos, self.bit
+        nbytes = len(data)
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        need = n
+        while need > 0:
+            if pos >= nbytes:
+                raise ValueError("entropy data exhausted")
+            avail = 8 - bit
+            take = avail if avail < need else need
+            v = (v << take) | ((data[pos] >> (avail - take))
+                               & ((1 << take) - 1))
+            bit += take
+            if bit == 8:
+                bit = 0
+                pos += 1
+            need -= take
+        self.pos = pos
+        self.bit = bit
         return v
 
 
 def _huff_decode(br: _BitReader, tbl: _Huff) -> int:
-    code = br.read_bit()
+    data, pos, bit = br.data, br.pos, br.bit
+    nbytes = len(data)
+    maxcode = tbl.maxcode
+    code = 0
     for ln in range(1, 17):
-        if tbl.maxcode[ln] >= 0 and code <= tbl.maxcode[ln]:
+        if pos >= nbytes:
+            br.pos, br.bit = pos, bit
+            raise ValueError("entropy data exhausted")
+        code = (code << 1) | ((data[pos] >> (7 - bit)) & 1)
+        bit += 1
+        if bit == 8:
+            bit = 0
+            pos += 1
+        mc = maxcode[ln]
+        if mc >= 0 and code <= mc:
+            br.pos, br.bit = pos, bit
             return tbl.values[tbl.valptr[ln] + code - tbl.mincode[ln]]
-        code = (code << 1) | br.read_bit()
+    # parity with the bit-at-a-time spelling: it read one bit PAST the
+    # 16th extension before failing, so end-of-data there reported
+    # "entropy data exhausted", not an invalid code — the attrition
+    # taxonomy distinguishes the two
+    if pos >= nbytes:
+        br.pos, br.bit = pos, bit
+        raise ValueError("entropy data exhausted")
+    bit += 1
+    if bit == 8:
+        bit = 0
+        pos += 1
+    br.pos, br.bit = pos, bit
     raise ValueError("invalid Huffman code")
 
 
@@ -151,8 +203,7 @@ def _decode_block(br, dc_tbl, ac_tbl, pred: int,
         raise ValueError("invalid DC category")
     diff = _extend(br.read_bits(t), t) if t else 0
     dc = pred + diff
-    coef = np.zeros(64, dtype=np.float64)
-    coef[0] = dc
+    coef = None  # allocated on the first AC coefficient only
     k = 1
     while k < 64:
         rs = _huff_decode(br, ac_tbl)
@@ -165,8 +216,23 @@ def _decode_block(br, dc_tbl, ac_tbl, pred: int,
         k += r
         if k > 63:
             raise ValueError("AC run past block end")
+        if coef is None:
+            coef = np.zeros(64, dtype=np.float64)
+            coef[0] = dc
         coef[ZIGZAG[k]] = _extend(br.read_bits(s), s)
         k += 1
+    if coef is None:
+        # DC-only block: with a single nonzero coefficient the IDCT
+        # sums collapse to (A[0,i]*fmat00)*A[0,j] — the exact same
+        # multiply order the two matmuls produce cell-by-cell (every
+        # other addend is exactly 0.0) — and _A's row 0 is a CONSTANT
+        # (sqrt(1/8)*cos(0)), so the whole block is one scalar.
+        # Returned as a python float (the caller broadcast-fills the
+        # 8x8 rect); bit-identical to the matmul path while skipping
+        # both matmuls and every numpy allocation. The corpus builder
+        # emits block-constant JPEGs, so this is the hot path for
+        # every clean payload.
+        return (_A00 * (dc * qt[0, 0])) * _A00, dc
     fmat = coef.reshape(8, 8) * qt
     return _A.T @ fmat @ _A, dc
 
@@ -364,8 +430,25 @@ def _decode_scan(segs, ri, w, h, comps, sel, qtables, htables):
                         if ci == 0:  # assemble luma only
                             y0 = (my * c["v"] + by) * 8
                             x0 = (mx * c["h"] + bx) * 8
-                            plane[y0:y0 + 8, x0:x0 + 8] = np.clip(
-                                np.round(blk), -128, 127)
+                            if isinstance(blk, float):  # np.float64 ⊂ float
+                                # constant DC-only block: python
+                                # round() is half-to-even like
+                                # np.rint, so the scalar fill equals
+                                # the per-cell rint+clip exactly
+                                iv = round(blk)
+                                if iv < -128:
+                                    iv = -128
+                                elif iv > 127:
+                                    iv = 127
+                                plane[y0:y0 + 8, x0:x0 + 8] = iv
+                            else:
+                                # rint == round(decimals=0) (both
+                                # half-to-even); in-place ufuncs skip
+                                # the np.round/np.clip dispatch +
+                                # temporaries (~20% of the scan)
+                                np.rint(blk, out=blk)
+                                np.clip(blk, -128, 127, out=blk)
+                                plane[y0:y0 + 8, x0:x0 + 8] = blk
             mcu += 1
     out = (plane.astype(np.int64) + 128).astype(np.uint8)
     return w, h, out[:h, :w]

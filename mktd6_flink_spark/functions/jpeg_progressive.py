@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .jpeg import (ZIGZAG, _A, _BitReader, _destuff, _extend,
+from .jpeg import (ZIGZAG, _A, _A00, _BitReader, _destuff, _extend,
                    _huff_decode, _parse_dht, _parse_dqt, _seg)
 
 # total coefficient-plane allocation cap (int32 words): 2^27 words =
@@ -393,15 +393,29 @@ def decode_progressive_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("missing quant table")
     qt = qtables[comps[0]["tq"]]
     bh, bw = coefs[0].shape[:2]
-    f = (coefs[0].reshape(bh * bw, 64).astype(np.float64)
-         * qt.ravel()[None, :])
-    f = f.reshape(bh * bw, 8, 8)
-    # orthonormal inverse DCT over all luma blocks at once, rounded to
-    # final bytes in float64 (the round-15 baseline contract)
-    sp = np.einsum("ij,njk,kl->nil", _A.T, f, _A)
-    sp = np.clip(np.round(sp), -128, 127).astype(np.int16)
-    plane = (sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
-             .reshape(bh * 8, bw * 8))
+    if not coefs[0][:, :, 1:].any():
+        # DC-only plane (every clean corpus payload): each block's
+        # IDCT collapses to the single term (A.T[0,0]*f00)*A[0,0] —
+        # the einsum's own left-to-right product order with every
+        # other addend exactly 0.0 — so the whole-plane einsum (58%
+        # of this decode) reduces to one scalar per block,
+        # bit-identically. Corrupted payloads with surviving AC
+        # coefficients take the full einsum below.
+        f00 = coefs[0][:, :, 0].astype(np.float64) * qt.ravel()[0]
+        vals = (_A00 * f00) * _A00
+        sp = np.clip(np.round(vals), -128, 127).astype(np.int16)
+        plane = np.repeat(np.repeat(sp, 8, axis=0), 8, axis=1)
+    else:
+        f = (coefs[0].reshape(bh * bw, 64).astype(np.float64)
+             * qt.ravel()[None, :])
+        f = f.reshape(bh * bw, 8, 8)
+        # orthonormal inverse DCT over all luma blocks at once,
+        # rounded to final bytes in float64 (the round-15 baseline
+        # contract)
+        sp = np.einsum("ij,njk,kl->nil", _A.T, f, _A)
+        sp = np.clip(np.round(sp), -128, 127).astype(np.int16)
+        plane = (sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
     out = (plane.astype(np.int64) + 128).astype(np.uint8)
     return w, h, out[:h, :w]
 

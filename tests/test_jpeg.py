@@ -377,3 +377,33 @@ def test_entropy_size_precondition_blocks_crafted_dims():
     crafted = good[:sof_at + 4] + bytes(body) + good[sof_at + 10:]
     with pytest.raises(ValueError, match="decode cap"):
         decode_baseline_jpeg(crafted)
+
+
+def test_dc_only_fast_path_matches_full_transform():
+    """r17 optimization pin: a DC-only block's scalar fast path (both
+    decoders) must equal the full two-matmul / einsum IDCT bit-for-bit
+    — with a single nonzero coefficient every sum collapses to
+    (A[0,i]*fmat00)*A[0,j], whose row-0 constancy makes the block one
+    scalar. Computed here explicitly per cell and compared to the
+    decoded bytes over the full DC range."""
+    from mktd6_flink_spark.functions.jpeg import (_A, decode_baseline_jpeg,
+                                                  encode_dc_jpeg)
+    from mktd6_flink_spark.functions.jpeg_progressive import (
+        decode_progressive_jpeg, encode_dc_jpeg_progressive)
+
+    vals = np.arange(256, dtype=np.int64).reshape(16, 16).astype(np.uint8)
+    for enc, dec in ((encode_dc_jpeg, decode_baseline_jpeg),
+                     (encode_dc_jpeg_progressive, decode_progressive_jpeg)):
+        w, h, out = dec(enc(vals))
+        assert (w, h) == (128, 128)  # one 8x8 block per input byte
+        # reference: full matmul on the dequantized coefficient matrix
+        for y in range(16):
+            for x in range(16):
+                v = int(vals[y, x])
+                fmat = np.zeros((8, 8))
+                fmat[0, 0] = 8.0 * (v - 128)  # DC-only encoder contract
+                blk = _A.T @ fmat @ _A
+                rect = out[y * 8:(y + 1) * 8, x * 8:(x + 1) * 8]
+                ref = np.clip(np.round(blk), -128, 127).astype(
+                    np.int64) + 128
+                assert (rect == ref).all(), (y, x)
