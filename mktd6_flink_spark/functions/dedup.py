@@ -347,11 +347,14 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
     grams = shingles_exploded(df, text, id_col, n, distinct=True)
     if group_col:
         grams = grams.join(df.select(id_col, group_col), id_col)
+    # force=True (r17): size-gated, the distinct gram table re-ran per
+    # consumer (counts + both self-join arms) — dedup_ngram_jaccard
+    # measured 3.0 s gated vs 2.5 s forced at sf0.1
     base = cache.maybe_persist(grams.select(
         F.col(id_col).alias("_id"),
         *([F.col(group_col).alias("_g")] if group_col else []),
         F.col("shingle").alias("_ng"),
-    ))
+    ), force=True)
     counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = base.alias("a"), base.alias("b")
     join_cond = (F.col("a._ng") == F.col("b._ng")) & (F.col("a._id") < F.col("b._id"))
@@ -432,10 +435,12 @@ def containment_pairs(df: DataFrame, text: str = "text",
     grams = shingles_exploded(df, text, id_col, n, distinct=True)
     # the gram table feeds counts, the hot-gram filter, AND both self-join
     # sides — at corpus scale recomputing means re-tokenizing 4x, so pay
-    # the (size-gated) cache once; below threshold consumers just re-scan
+    # the cache once. force=True (r17): the size gate read a small
+    # Catalyst estimate and skipped this persist, re-tokenizing per
+    # consumer — dedup_containment measured 4.3 s gated vs 2.9 s forced
     base = cache.maybe_persist(
         grams.select(F.col(id_col).alias("_id"),
-                     F.col("shingle").alias("_ng")))
+                     F.col("shingle").alias("_ng")), force=True)
     counts = base.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_df is not None:
         hot = (base.groupBy("_ng").agg(F.count(F.lit(1)).alias("_df"))
@@ -683,9 +688,14 @@ def winnowing_pairs(df: DataFrame, text: str = "text",
                 F.lit(1),
                 F.greatest(F.size(acc["hs"]) - F.lit(w - 1), F.lit(1))),
             lambda j: F.array_min(F.slice(acc["hs"], j, w)))))
+    # force=True (r17): the fingerprint table feeds counts, the hot cap
+    # aggregate, and both self-join arms; size-gated it re-ran the
+    # winnow window selection per consumer — dedup_winnowing measured
+    # 10.8 s gated vs 6.5 s forced at sf0.1
     fps = cache.maybe_persist(
         df.filter(F.length(t) >= k)
-        .select(F.col(id_col).alias("_id"), F.explode(sel).alias("_fp")))
+        .select(F.col(id_col).alias("_id"), F.explode(sel).alias("_fp")),
+        force=True)
     counts = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     capped = fps
     if max_df is not None:
@@ -803,7 +813,10 @@ def span_islands(df: DataFrame, text: str = "text",
                        F.explode(gs).alias("_u"))
              .select("_id", F.col("_u.p").alias("p"),
                      F.col("_u.g").alias("g")))
-    grams = cache.maybe_persist(grams)
+    # force=True (r17): the gram table feeds the dup-gram aggregate AND
+    # the semi-join probe; size-gated, both re-ran the position explode
+    # (span report 3.1 -> 2.3 s, scrub 4.5 -> 3.3 s at sf0.1)
+    grams = cache.maybe_persist(grams, force=True)
     dup = (grams.groupBy("g")
            .agg(F.count(F.lit(1)).alias("_c"))
            .filter(F.col("_c") >= min_count).select("g"))
