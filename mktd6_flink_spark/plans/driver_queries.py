@@ -5899,31 +5899,68 @@ def sim_ivf_recall(spark, sf_dir):
 
 def _exact_l2_scored(emb, query_ids):
     """Exact ground-truth micro-L2 (query × corpus) scored pairs shared
-    by the recall dials, with each side's self-dot hoisted BELOW the
-    cross join (sim.l2sq_pre): the inline l2sq spelling re-folds
-    dot(q,q) and dot(c,c) per PAIR — the HOF lambdas defeat CSE — so
-    the |Q|·n scored product paid 3 interpreted array folds per pair
-    where 1 suffices. Same doubles (identical expression tree per
-    value), so every recall oracle hash is preserved; only the
-    per-pair work changes."""
-    q = F.broadcast(
-        emb.filter(F.col("vec_id").isin(query_ids)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("_qv"),
-            sim.dot(F.col("embedding"), F.col("embedding")).alias("_qq")))
-    c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("_cv"),
-                   sim.dot(F.col("embedding"), F.col("embedding"))
-                   .alias("_cc"))
-    return (q.crossJoin(c)
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id",
-                    F.floor(sim.l2sq_pre(F.col("_qq"),
-                                         sim.dot(F.col("_qv"),
-                                                 F.col("_cv")),
-                                         F.col("_cc"))
-                            * F.lit(1000000.0) + F.lit(0.5))
-                    .cast("long").alias("_dm")))
+    by the recall dials, as a numpy mapInArrow kernel (guide §4.2: the
+    interpreted HOF dot folds were the dials' dominant cost even after
+    hoisting the per-side self-dots to once per row).
+
+    Bit-parity argument: the HOF spelling folds LEFT-TO-RIGHT from a
+    0.0 init over float32 elements widened to float64; the kernel
+    accumulates across DIMS sequentially with the identical
+    ``acc + q[d]*c[d]`` step (vectorized across PAIRS, which changes
+    no per-pair order), then applies the same
+    ``floor(((qq - 2.0*ab) + cc) * 1e6 + 0.5)`` expression tree in
+    float64 — every IEEE operation matches one-for-one, so the
+    micro-quantized distances (and every recall oracle hash) are
+    unchanged. The query side is a BOUNDED driver collect (|Q| rows,
+    the broadcast-a-model pattern — same class as the k-means init
+    and bloom-bitmap literals); the corpus streams through the kernel
+    once, projected to the two needed columns, and only the small
+    (query, neighbor, distance) rows ever shuffle."""
+    import numpy as np
+
+    # bounded collect: |query_ids| rows (100), never corpus-sized
+    qrows = (emb.filter(F.col("vec_id").isin(query_ids))
+             .select("vec_id", "embedding").collect())
+    qids_l = [int(r[0]) for r in qrows]
+    qm_l = [[float(x) for x in r[1]] for r in qrows]
+
+    def kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        qids = np.asarray(qids_l, dtype=np.int64)
+        qm = np.asarray(qm_l, dtype=np.float64)
+        nq, dim = qm.shape
+        qq = np.zeros(nq)
+        for d in range(dim):
+            qq += qm[:, d] * qm[:, d]
+        for batch in it:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+            col = tbl.column("embedding").chunk(0)
+            flat = col.flatten().to_numpy().astype(np.float64)
+            embs = flat.reshape(len(ids), dim)
+            nb = embs.shape[0]
+            ab = np.zeros((nb, nq))
+            cc = np.zeros(nb)
+            for d in range(dim):
+                cd = embs[:, d]
+                qd = qm[:, d]
+                ab += cd[:, None] * qd[None, :]
+                cc += cd * cd
+            dm = np.floor(((qq[None, :] - 2.0 * ab) + cc[:, None])
+                          * 1000000.0 + 0.5).astype(np.int64)
+            qid_full = np.broadcast_to(qids[None, :], (nb, nq))
+            nid_full = np.broadcast_to(ids[:, None], (nb, nq))
+            keep = (nid_full != qid_full).ravel()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid_full.ravel()[keep], type=pa.int64()),
+                 pa.array(nid_full.ravel()[keep], type=pa.int64()),
+                 pa.array(dm.ravel()[keep], type=pa.int64())],
+                names=["query_id", "neighbor_id", "_dm"])
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kernel, schema="query_id long, neighbor_id long, _dm long")
 
 
 def _grouped_top5(scored, id_col="neighbor_id", dm_col="_dm",
@@ -13336,14 +13373,18 @@ def streaming_khop_reach(spark, sf_dir):
     from .market import FileTopic
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    edges, seeds = _khop_graph(spark, sf_dir, parts=16)
+    edges, seeds = _khop_graph(spark, sf_dir, parts=int(_STREAM_PARTS))
     base = tempfile.mkdtemp(prefix="khop_stream_")
     schema = "seed string, node string"
     topics = [os.path.join(base, "hop0")]
     seeds.select("seed", F.col("seed").alias("node")).coalesce(1) \
         .write.mode("overwrite").json(topics[0])
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # _STREAM_PARTS (not a pinned 16, r17): fewer state-store
+    # instances per hop measured faster (6.0 vs 7.2 s whole-entry at
+    # sf0.1) and the knob stays env-tunable like every other
+    # streaming entry
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_PARTS)
     try:
         for h in range(1, _KHOP_HOPS + 1):
             visited = spark.read.schema(schema).json(topics)
@@ -13404,7 +13445,7 @@ def streaming_label_propagation(spark, sf_dir):
     from .market import FileTopic
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    edges, _seeds = _khop_graph(spark, sf_dir, parts=16)
+    edges, _seeds = _khop_graph(spark, sf_dir, parts=int(_STREAM_PARTS))
     base = tempfile.mkdtemp(prefix="lpa_stream_")
     schema = "node string, lbl string"
     cur = os.path.join(base, "r0")
@@ -13412,7 +13453,8 @@ def streaming_label_propagation(spark, sf_dir):
      .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
      .coalesce(1).write.mode("overwrite").json(cur))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # _STREAM_PARTS for the same reason as streaming_khop_reach (r17)
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_PARTS)
     try:
         for it in range(1, _LPA_ITERS + 1):
             frontier = spark.readStream.schema(schema).json(cur)
