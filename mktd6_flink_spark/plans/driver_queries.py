@@ -13425,23 +13425,41 @@ def streaming_label_propagation(spark, sf_dir):
     iteration's resolved labels) arrives on a topic, stream-static
     equi-joins the persisted edge table on the node key to produce
     neighbor votes, unions the self-vote (the oscillation damper the
-    batch twin uses), and folds the votes through a BOUNDED-STATE
-    applyInPandasWithState counter keyed by node (state = the node's
-    label→count map, bounded by its neighborhood label domain — graph
-    entities, never event volume; stateful.lpa_vote_step). Counts are
-    additive, so the per-node argmax emitted after the drain equals
-    the batch vote under ANY micro-batching; each stage batch-resolves
-    latest-seq argmaxes to the next topic (a stage's availableNow
-    query must terminate before its topic is treated as static —
-    plans/market.py FileTopic). Shares the batch entry's oracle AND
-    finisher (_lpa_top_communities), so the live runtime's own output
-    is what the driver verifies. At 100 TB the topics are Kafka, the
-    per-stage join stays partitioned on the node key, and state is
-    O(V·labels-per-node), independent of stream volume."""
+    batch twin uses), and JVM-aggregates each micro-batch's votes to
+    PARTIAL (node, lbl, cnt) counts in the sink (foreachBatch
+    groupBy(node, lbl).count() — a batch hash aggregate with map-side
+    combine); the stage resolve SUMS the partials per (node, lbl) and
+    takes the argmax (max count, ties to the SMALLEST label — the
+    batch twin's tie order) to the next topic.
+
+    r17 optimization ladder (guide §4.1/§2.3, measured at sf0.1):
+    the r16 form invoked a python vote-counting fn once per NODE KEY
+    per micro-batch (~|V| pandas round-trips) and shipped every vote
+    event through the Python boundary — 84 s vs the khop twin's 5 s
+    on the identical topic-chained machinery. A native update-mode
+    STATEFUL streaming aggregation removed the Python boundary but
+    paid ~|E| state-store puts per iteration for cross-batch state an
+    availableNow drain never amortizes (17.4 s per stage lifecycle,
+    RocksDB provider; the HDFS-backed provider OOMs a default-heap
+    local driver because iteration-1 state is one row per DISTINCT
+    (node, lbl) = O(|E|)). The per-batch-partials form is 2.3 s per
+    lifecycle against the 1.2 s passthrough floor AND carries no
+    operator state at all — memory is bounded by the micro-batch, not
+    the graph. Exactness under ANY micro-batching is the additive-
+    merge law stateful.lpa_vote_step pins in its random-chunking
+    property test: per-batch counts sum to the batch twin's vote
+    count; native-vs-step equivalence is additionally pinned by
+    tests/test_round17.py. (A stage's availableNow query must
+    terminate before its topic is treated as static — plans/market.py
+    FileTopic.) Shares the batch entry's oracle AND finisher
+    (_lpa_top_communities), so the live runtime's own output is what
+    the driver verifies. At 100 TB the topics are Kafka, the
+    per-stage join stays partitioned on the node key, and the partial
+    counts crossing the sink are bounded by distinct (node, lbl)
+    pairs per batch — never event volume."""
     import os
     import tempfile
 
-    from ..streaming import stateful
     from .market import FileTopic
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -13462,22 +13480,29 @@ def streaming_label_propagation(spark, sf_dir):
                                    frontier["node"] == edges["src"])
                      .select(F.col("dst").alias("node"), "lbl")
                      .unionByName(frontier.select("node", "lbl")))
-            out = stateful.apply_per_event_stream(
-                votes, ["node"], ["lbl"], stateful.lpa_vote_step,
-                "node string, lbl string, seq long",
-                "lbls array<string>, cnts array<long>, seq long",
-                lambda s: (list(s[0]), list(s[1]), int(s[2])),
-                lambda s: (list(s[0]), list(s[1]), int(s[2])))
             topic = FileTopic(os.path.join(base, f"v{it}"),
-                              "node string, lbl string, seq long")
+                              "node string, lbl string, cnt long")
             os.makedirs(topic.path, exist_ok=True)
-            q = (topic.sink(out, os.path.join(base, f"ck{it}"))
+
+            def _partial_counts(bdf, _id, _topic=topic):
+                # per-batch PARTIAL counts: additive, so the resolve's
+                # sum is exact under any micro-batching
+                _topic.append_batch(
+                    bdf.groupBy("node", "lbl").agg(
+                        F.count(F.lit(1)).alias("cnt")))
+
+            q = (votes.writeStream.foreachBatch(_partial_counts)
+                 .option("checkpointLocation", os.path.join(base,
+                                                            f"ck{it}"))
                  .trigger(availableNow=True).start())
             _await_done(q, 300)
             nxt = os.path.join(base, f"r{it}")
             (spark.read.schema(topic.schema).json(topic.path)
+             .groupBy("node", "lbl").agg(F.sum("cnt").alias("cnt"))
              .groupBy("node")
-             .agg(F.max_by("lbl", "seq").alias("lbl"))
+             .agg(F.min_by(
+                 "lbl", F.struct((-F.col("cnt")).alias("nc"),
+                                 F.col("lbl").alias("lb"))).alias("lbl"))
              .coalesce(1).write.mode("overwrite").json(nxt))
             cur = nxt
     finally:

@@ -326,3 +326,74 @@ def test_wav_trailing_junk_after_declared_riff_is_ignored():
             + good[data_at + 8:])
     with pytest.raises(ValueError, match="truncated"):
         mm._parse_wav(over)
+
+
+def test_lpa_partial_counts_resolve_matches_vote_step(spark):
+    """The r17 streaming-LPA stage shape (per-micro-batch JVM partial
+    counts in the sink, resolve = SUM partials per (node, lbl) then
+    argmax with ties to the smallest label) must equal the r16
+    stateful ``lpa_vote_step`` fold under ANY micro-batching — the
+    additive-merge law the step's own property test pins, now checked
+    against the native SQL resolve expression itself."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mktd6_flink_spark.streaming import stateful
+
+    rng = np.random.RandomState(17)
+    for trial in range(5):
+        n = 300
+        votes = pd.DataFrame({
+            "node": [f"n{rng.randint(12)}" for _ in range(n)],
+            "lbl": [f"l{rng.randint(4)}" for _ in range(n)],
+        })
+        # reference: the r16 step folded over one chunking
+        step = stateful.lpa_vote_step()
+        expect = {}
+        for node, g in votes.groupby("node"):
+            state = None
+            for s in np.array_split(g, rng.randint(1, 6)):
+                if len(s) == 0:
+                    continue
+                out, state = step.vectorized(s, state)
+            expect[node] = out["lbl"][0]
+        # candidate: per-batch partial counts + the SQL resolve
+        cuts = np.sort(rng.choice(n, rng.randint(1, 7), replace=False))
+        partials = [
+            b.groupby(["node", "lbl"], as_index=False).size()
+            .rename(columns={"size": "cnt"})
+            for b in np.array_split(votes, cuts) if len(b)]
+        got = {
+            r["node"]: r["lbl"]
+            for r in (spark.createDataFrame(pd.concat(partials))
+                      .groupBy("node", "lbl")
+                      .agg(F.sum("cnt").alias("cnt"))
+                      .groupBy("node")
+                      .agg(F.min_by(
+                          "lbl",
+                          F.struct((-F.col("cnt")).alias("nc"),
+                                   F.col("lbl").alias("lb")))
+                           .alias("lbl"))
+                      .collect())}
+        assert got == expect
+
+
+def test_lpa_resolve_tie_breaks_to_smallest_label(spark):
+    """Equal vote counts resolve to the lexicographically smallest
+    label — the batch twin's (and the oracle's) deterministic order."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    partials = pd.DataFrame({
+        "node": ["a", "a", "a", "a"],
+        "lbl": ["z", "b", "z", "b"],
+        "cnt": [1, 1, 1, 1],
+    })
+    row = (spark.createDataFrame(partials)
+           .groupBy("node", "lbl").agg(F.sum("cnt").alias("cnt"))
+           .groupBy("node")
+           .agg(F.min_by("lbl", F.struct((-F.col("cnt")).alias("nc"),
+                                         F.col("lbl").alias("lb")))
+                .alias("lbl"))
+           .collect())
+    assert row[0]["lbl"] == "b"
