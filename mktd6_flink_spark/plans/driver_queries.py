@@ -5897,6 +5897,33 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+def _batch_q_top5(ids, qids, dm):
+    """Per-Arrow-batch EXACT top-5 per query column under the
+    (distance, neighbor_id) total order — the same order _grouped_top5
+    applies downstream, so pre-pruning a batch to its own top-5 drops
+    only rows that cannot reach the global top-5. The cut keeps every
+    row tied at or under the 5th-smallest distance, then lexsorts the
+    survivors by (dm, id) and slices 5, so boundary ties resolve by id
+    exactly as the array_sort spelling does. Self-pairs are dropped
+    before selection. Shared by the recall-dial kernels."""
+    import numpy as np
+
+    out_q, out_n, out_d = [], [], []
+    for j in range(len(qids)):
+        dmj = dm[:, j]
+        rows = np.flatnonzero(ids != qids[j])  # drop self-pair
+        if rows.size > 5:
+            d5 = np.partition(dmj[rows], 4)[4]
+            rows = rows[dmj[rows] <= d5]
+        order = np.lexsort((ids[rows], dmj[rows]))[:5]
+        sel = rows[order]
+        out_q.append(np.full(sel.size, qids[j], dtype=np.int64))
+        out_n.append(ids[sel])
+        out_d.append(dmj[sel])
+    return (np.concatenate(out_q), np.concatenate(out_n),
+            np.concatenate(out_d))
+
+
 def _exact_l2_scored(emb, query_ids):
     """Exact ground-truth micro-L2 (query × corpus) scored pairs shared
     by the recall dials, as a numpy mapInArrow kernel (guide §4.2: the
@@ -5915,7 +5942,20 @@ def _exact_l2_scored(emb, query_ids):
     the broadcast-a-model pattern — same class as the k-means init
     and bloom-bitmap literals); the corpus streams through the kernel
     once, projected to the two needed columns, and only the small
-    (query, neighbor, distance) rows ever shuffle."""
+    (query, neighbor, distance) rows ever shuffle.
+
+    r17 second pass (guide §2.3: aggregate before you shuffle): every
+    consumer takes the per-query TOP-5 of this frame (_grouped_top5,
+    ordered by (distance, neighbor_id)), so the kernel now emits only
+    each Arrow batch's per-query top-5 under the IDENTICAL
+    (dm, neighbor_id) total order instead of all nb*|Q| pairs — a
+    global top-5 member is by definition in its own batch's top-5, so
+    the downstream two-stage selection returns the same rows
+    bit-for-bit while ~10^6 scored pairs per batch collapse to <= 500
+    crossing the Python boundary and the exchange. Tie exactness: the
+    cut keeps EVERY row with dm <= the 5th-smallest dm (then lexsorts
+    (dm, id) and slices 5), so equal-distance boundary ties resolve
+    by neighbor_id exactly as the window/array_sort spelling does."""
     import numpy as np
 
     # bounded collect: |query_ids| rows (100), never corpus-sized
@@ -5950,13 +5990,11 @@ def _exact_l2_scored(emb, query_ids):
                 cc += cd * cd
             dm = np.floor(((qq[None, :] - 2.0 * ab) + cc[:, None])
                           * 1000000.0 + 0.5).astype(np.int64)
-            qid_full = np.broadcast_to(qids[None, :], (nb, nq))
-            nid_full = np.broadcast_to(ids[:, None], (nb, nq))
-            keep = (nid_full != qid_full).ravel()
+            oq, on, od = _batch_q_top5(ids, qids, dm)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(qid_full.ravel()[keep], type=pa.int64()),
-                 pa.array(nid_full.ravel()[keep], type=pa.int64()),
-                 pa.array(dm.ravel()[keep], type=pa.int64())],
+                [pa.array(oq, type=pa.int64()),
+                 pa.array(on, type=pa.int64()),
+                 pa.array(od, type=pa.int64())],
                 names=["query_id", "neighbor_id", "_dm"])
 
     return emb.select("vec_id", "embedding").mapInArrow(
@@ -6140,17 +6178,50 @@ def sim_sq_recall(spark, sf_dir):
              .select("vec_id",
                      F.transform(F.sequence(F.lit(1), F.lit(_EMB_DIM)),
                                  quant).alias("c")))
-    qc = F.broadcast(
-        codes.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"), F.col("c").alias("_qc")))
-    dist = F.aggregate(
-        F.zip_with(F.col("_qc"), F.col("c"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    scored = (qc.crossJoin(codes.select(F.col("vec_id")
-                                        .alias("neighbor_id"), "c"))
-              .filter(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id", dist.alias("_dm")))
+    # r17: the interpreted zip_with/aggregate fold re-ran 64 lambda
+    # steps per (query, corpus) pair — the dial's dominant cost after
+    # the exact side moved into its kernel. The same numpy mapInArrow
+    # shape scores the int codes instead: query codes are a BOUNDED
+    # collect (|Q| rows of dim bytes — the broadcast-a-model class),
+    # the corpus codes stream through once, and only per-batch top-5
+    # rows cross back. EXACTNESS IS INTEGER, not approximate: codes
+    # are ints in [0, 255], so qq/ab/cc and the expansion
+    # sum((a-b)^2) = qq - 2ab + cc are integers bounded by
+    # 64*255^2*3 < 2^53 — every float64 op below is exact and
+    # accumulation order cannot matter, preserving the JVM fold's
+    # "no float anywhere past encode" bit-stability. Per-batch top-5
+    # keeps the (dm, id) tie order via _batch_q_top5.
+    qrows = (codes.filter(F.col("vec_id").isin(_RECALL_QUERY_IDS))
+             .collect())
+    sq_qids = [int(r[0]) for r in qrows]
+    sq_qcm = [[int(x) for x in r[1]] for r in qrows]
+
+    def sq_kernel(it):
+        import numpy as np
+        import pyarrow as pa
+
+        qids = np.asarray(sq_qids, dtype=np.int64)
+        qm = np.asarray(sq_qcm, dtype=np.float64)
+        nq, dim = qm.shape
+        qq = (qm * qm).sum(axis=1)
+        for batch in it:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+            col = tbl.column("c").chunk(0)
+            flat = col.flatten().to_numpy().astype(np.float64)
+            cm = flat.reshape(len(ids), dim)
+            ab = cm @ qm.T
+            cc = (cm * cm).sum(axis=1)
+            dm = (qq[None, :] - 2.0 * ab + cc[:, None]).astype(np.int64)
+            oq, on, od = _batch_q_top5(ids, qids, dm)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(oq, type=pa.int64()),
+                 pa.array(on, type=pa.int64()),
+                 pa.array(od, type=pa.int64())],
+                names=["query_id", "neighbor_id", "_dm"])
+
+    scored = codes.mapInArrow(
+        sq_kernel, schema="query_id long, neighbor_id long, _dm long")
     topk = _grouped_top5(scored).select(
         F.col("query_id").alias("_q"),
         F.col("neighbor_id").alias("_n"))
