@@ -337,6 +337,27 @@ def render_compact_line(total, sf, floor_sec, subtotals_min) -> str:
     return line
 
 
+def render_full_line(total, sf, floor_sec, queries) -> str:
+    """Render the FULL driver-contract line including the per-head
+    ``queries`` map (round-17 optimization contract restates it).
+
+    At 80 heads this line is ~2.4 KB — larger than the ~2000-char tail
+    the driver historically captured, which is exactly how rounds 10
+    and 15 were recorded as parsed:null. So main() prints THIS line
+    first and the O(1) compact line LAST: a last-JSON-line tail parser
+    still finds a complete, guaranteed-short line, while any parser
+    reading full stdout for "queries" finds this one intact. Both
+    lines carry identical totals (the per-pass medians summed)."""
+    return json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "floor_sec": floor_sec,
+    }, separators=(",", ":"))
+
+
 def main() -> int:
     from mktd6_flink_spark.operators import cache
     from mktd6_flink_spark.plans import driver_queries as dq
@@ -492,6 +513,10 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    # full line (with queries) FIRST, compact line LAST — see
+    # render_full_line's docstring for why the order is load-bearing
+    print(render_full_line(
+        total, sf_from_dir(SF_DIR), timings["streaming_floor"], timings))
     print(render_compact_line(
         total, sf_from_dir(SF_DIR), timings["streaming_floor"],
         detail["subtotals_min"]))

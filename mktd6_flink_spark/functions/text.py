@@ -1056,67 +1056,88 @@ def char_entropy(df: DataFrame, text: str = "text",
     int64; only the final per-char mean divides in IEEE. No
     transcendental, no float accumulation, bit-identical cross-engine.
 
-    Scale shape: pure per-row expression over the documents scan —
-    embarrassingly parallel, zero shuffle, zero joins. The per-row
-    algorithm is sort + run-length fold: ONE split, ONE native
-    array_sort, ONE aggregate pass accumulating sum k*bits(k) over
-    character runs (entropy = n*bits(n) - sum k_c*bits(k_c), since
-    sum k_c = n). The obvious per-distinct-char spelling
-    (transform(dist, c -> size(filter(arr, = c)))) is O(d*n) with
-    the split re-evaluated per distinct char (HOF lambdas defeat
-    CSE) — measured 4.2 s vs 1.6 s at sf0.1 for identical output.
-    NULL text rows keep row identity with NULL metrics
-    (degenerate-corpus contract); both engines split '' to [''] so
-    empty docs score 0 bits.
+    Scale shape: pure per-row pass over the documents scan —
+    embarrassingly parallel, zero shuffle, zero joins. The r17 form
+    is a numpy Arrow kernel (guide §4.2): the JVM expression ladder
+    (naive per-distinct-char HOF 4.2 s → split + array_sort +
+    run-length aggregate fold 1.6 s at sf0.1) bottomed out on
+    materializing one single-character UTF8String per character
+    (~1.5M tiny allocations per pass); the kernel instead counts
+    UTF-32 code points with np.unique — identical code-point grain
+    to Spark's split('') (pinned against a pure-Python bruteforce by
+    test_char_entropy_matches_bruteforce over multibyte/empty/NULL
+    corpora).
+
+    Exactness is unchanged because every op is integer or replayed
+    IEEE: counts are exact int64, bits(x) = floor(log2 x) comes from
+    np.frexp's exponent (exact for any count < 2^53), the weighted
+    sum accumulates in int64, and the single avg division + portable
+    rounding replays round_portable's op order ((e/n)*1e6 + 0.5,
+    floor, /1e6 — floor == x - pmod(x,1) here since x >= 0.5). NULL
+    text rows keep row identity with NULL metrics (degenerate-corpus
+    contract); both engines treat '' as one ''-symbol doc scoring 0
+    bits.
 
     Returns (doc_id, n_chars, n_distinct, entropy_bits,
     avg_bits_per_char)."""
-    arr = F.split(F.col(text), "")
-    sarr = F.array_sort(arr)
-    n = F.size(arr).cast("long")
-    bits = lambda x: (F.length(F.bin(x)) - 1).cast("long")
-    longc = lambda v: F.lit(v).cast("long")
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
 
-    # acc = (prev char, open-run length, runs closed+open so far,
-    #        sum k*bits(k) over CLOSED runs)
-    zero = F.struct(F.lit(None).cast("string").alias("prev"),
-                    longc(0).alias("run"), longc(0).alias("nd"),
-                    longc(0).alias("s"))
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("n_chars", LongType()),
+        StructField("n_distinct", LongType()),
+        StructField("entropy_bits", LongType()),
+        StructField("avg_bits_per_char", DoubleType()),
+    ])
 
-    def step(acc, c):
-        same = acc.getField("prev").isNotNull() & (
-            c == acc.getField("prev"))
-        closed = F.when(acc.getField("prev").isNull(), longc(0)) \
-            .otherwise(acc.getField("run") * bits(acc.getField("run")))
-        return F.when(same, F.struct(
-            c.alias("prev"), (acc.getField("run") + 1).alias("run"),
-            acc.getField("nd").alias("nd"), acc.getField("s").alias("s"))
-        ).otherwise(F.struct(
-            c.alias("prev"), longc(1).alias("run"),
-            (acc.getField("nd") + 1).alias("nd"),
-            (acc.getField("s") + closed).alias("s")))
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    def fin(acc):
-        last = F.when(acc.getField("prev").isNull(), longc(0)) \
-            .otherwise(acc.getField("run") * bits(acc.getField("run")))
-        return F.struct(acc.getField("nd").alias("nd"),
-                        (acc.getField("s") + last).alias("s"))
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch]).combine_chunks()
+            ids = tbl.column(0)
+            texts = tbl.column(1).to_pylist()
+            nrows = len(texts)
+            n_chars = np.zeros(nrows, dtype=np.int64)
+            nd = np.zeros(nrows, dtype=np.int64)
+            ent = np.zeros(nrows, dtype=np.int64)
+            avg = np.zeros(nrows, dtype=np.float64)
+            isnull = np.zeros(nrows, dtype=bool)
+            for i, t in enumerate(texts):
+                if t is None:
+                    isnull[i] = True
+                    continue
+                n_chars[i] = len(t)
+                if t:
+                    cps = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32)
+                    counts = np.unique(cps, return_counts=True)[1]
+                    n = cps.size
+                else:
+                    # split('') -> [''] in both engines: one symbol
+                    counts = np.ones(1, dtype=np.int64)
+                    n = 1
+                nd[i] = counts.size
+                kbits = np.frexp(counts.astype(np.float64))[1] - 1
+                e = (n * (np.frexp(float(n))[1] - 1)
+                     - int((counts * kbits).sum()))
+                ent[i] = e
+                x = (e / n) * 1000000.0 + 0.5
+                avg[i] = np.floor(x) / 1000000.0
+            yield pa.RecordBatch.from_arrays(
+                [ids.combine_chunks(),
+                 pa.array(n_chars, type=pa.int64(), mask=isnull),
+                 pa.array(nd, type=pa.int64(), mask=isnull),
+                 pa.array(ent, type=pa.int64(), mask=isnull),
+                 pa.array(avg, type=pa.float64(), mask=isnull)],
+                names=[id_col, "n_chars", "n_distinct",
+                       "entropy_bits", "avg_bits_per_char"])
 
-    # one aggregate into a named struct column, fields projected in a
-    # SEPARATE select — CollapseProject leaves non-cheap expressions
-    # alone, so the fold runs once, not once per output column
-    folded = df.select(
-        F.col(id_col),
-        F.length(text).cast("long").alias("n_chars"),
-        n.alias("_n"),
-        F.aggregate(sarr, zero, step, fin).alias("_acc"))
-    ent = (F.col("_n") * bits(F.col("_n")) - F.col("_acc.s"))
-    return folded.select(
-        F.col(id_col), "n_chars",
-        F.col("_acc.nd").alias("n_distinct"),
-        ent.alias("entropy_bits"),
-        round_portable(ent.cast("double") / F.col("_n").cast("double"))
-        .alias("avg_bits_per_char"))
+    return df.select(F.col(id_col), F.col(text)).mapInArrow(
+        kernel, schema=out_schema)
 
 
 def sql_char_entropy(table: str = "documents", text: str = "text",

@@ -59,10 +59,28 @@ def test_compact_line_never_embeds_per_query_timings():
     assert "queries" not in json.loads(line)
 
 
-def test_main_uses_render_compact_line():
-    """Guard against a future edit reverting to an inline json.dumps
-    of the timings dict on the final line."""
+def test_main_prints_full_line_then_compact_line_last():
+    """The compact line must be printed LAST (the driver parses the
+    last JSON line out of a ~2000-char tail; r10/r15 overflowed it),
+    with the full queries-bearing line immediately before it for any
+    parser that reads complete stdout."""
     import inspect
     src = inspect.getsource(bench.main)
     assert "render_compact_line(" in src
+    assert "render_full_line(" in src
+    assert src.index("render_full_line(") < src.index(
+        "render_compact_line(")
+    # no inline json.dumps of timings on stdout outside the renderers
     assert '"queries": timings' not in src
+
+
+def test_full_line_carries_queries_and_contract_fields():
+    queries = {f"head_{i:02d}_with_a_long_name": 12.345 for i in range(80)}
+    line = bench.render_full_line(145.123, 0.1, 2.067, queries)
+    d = json.loads(line)
+    assert d["metric"] == "headline_total_wall"
+    assert d["unit"] == "sec"
+    assert d["value"] == 145.123
+    assert d["sf"] == 0.1
+    assert d["queries"] == queries
+    assert "\n" not in line  # ONE line
