@@ -389,10 +389,12 @@ def test_st8_timer_survives_restart(spark, tmp_path):
     q2 = start(2)
     try:
         rows = []
-        # generous: a loaded VM has overrun 60 s here (the only flake
-        # in an otherwise green 719-test run) — the timer semantics
-        # are wall-clock, so the budget must absorb machine noise
-        deadline = time.time() + 150
+        # generous: a loaded VM has overrun 60 s here, and a host
+        # throttled to ~2.5x-slow single-core overran 150 s late in a
+        # full-suite run (r17; same test green in isolation 25 s) —
+        # the timer semantics are wall-clock, so the budget must
+        # absorb machine noise, not just scheduling jitter
+        deadline = time.time() + 300
         while time.time() < deadline:
             sources.write_stream_input(
                 spark, in_dir, [("hb", "hb", 0.0, 600000)], schema)
