@@ -290,15 +290,28 @@ def sf_from_dir(d: str) -> float:
 
 
 
-# Hard ceiling for the final stdout line. The driver captures only a
-# bounded tail (~2000 chars) of this process's output and parses the
-# LAST JSON line out of it; round 10 (51 heads of diagnostics) and
-# round 15 (76 per-head timings + floor_sec, ~2.1 KB) both overflowed
-# that window and were recorded as parsed:null. The fix is STRUCTURAL:
-# the final line carries only O(1) driver-contract fields — the total,
-# sf, the floor calibration constant, and the LATEST few comparability
-# subtotals — never anything proportional to panel size. Per-head
-# medians/mins/spreads live in BENCH_DETAIL.json next to this script.
+# Hard ceiling for the final stdout line. The driver captures EXACTLY
+# the last 2000 chars of this process's output (every BENCH_r*.json
+# records tail_len=2000) and parses the LAST JSON line out of it;
+# round 10 (51 heads of diagnostics) and round 15 (76 per-head timings
+# + floor_sec, ~2.1 KB) both overflowed that window and were recorded
+# as parsed:null. Rounds 16-17 printed a guaranteed-short compact line
+# last — parseable, but it dropped the per-head "queries" map, so the
+# driver's PERF comparison ran blind two rounds running (r17 verdict
+# item 1). The r18 fix: the LAST line carries the queries map again,
+# at ADAPTIVE precision (render_final_line) so it provably fits: at 80
+# heads the panel's name bytes alone are ~1.37 KB, so fixed 2-decimal
+# values (2.19 KB) and even fixed 1-decimal values (2.01 KB) overflow
+# — the encoder degrades the LARGEST values to whole seconds first,
+# where a 0.5 s quantization is proportionally smallest, and keeps
+# 0.1 s resolution for the rest. Worst case (every value integer) is
+# ~1.85 KB at 80 heads, under the cap by construction. Per-head
+# 3-decimal medians/mins/spreads live in BENCH_DETAIL.json and on the
+# full first stdout line.
+# 1990, not 2000: the tail window is exactly 2000 chars of stdout and
+# the line's own trailing newline spends one of them; the rest is
+# margin for a wider total (4-digit seconds).
+_FINAL_LINE_MAX = 1990
 _COMPACT_LINE_MAX = 1200
 _COMPACT_SUBTOTAL_KEEP = 4  # latest N comparability subtotals inline
 
@@ -339,14 +352,14 @@ def render_compact_line(total, sf, floor_sec, subtotals_min) -> str:
 
 def render_full_line(total, sf, floor_sec, queries) -> str:
     """Render the FULL driver-contract line including the per-head
-    ``queries`` map (round-17 optimization contract restates it).
+    ``queries`` map at full 3-decimal precision.
 
-    At 80 heads this line is ~2.4 KB — larger than the ~2000-char tail
-    the driver historically captured, which is exactly how rounds 10
-    and 15 were recorded as parsed:null. So main() prints THIS line
-    first and the O(1) compact line LAST: a last-JSON-line tail parser
-    still finds a complete, guaranteed-short line, while any parser
-    reading full stdout for "queries" finds this one intact. Both
+    At 80 heads this line is ~2.2 KB — larger than the 2000-char tail
+    the driver captures, which is exactly how rounds 10 and 15 were
+    recorded as parsed:null. So main() prints THIS line first (for any
+    parser that reads complete stdout) and the adaptive-precision
+    final line (render_final_line) LAST: the last-JSON-line tail
+    parser finds a complete line that still carries "queries". Both
     lines carry identical totals (the per-pass medians summed)."""
     return json.dumps({
         "metric": "headline_total_wall",
@@ -356,6 +369,49 @@ def render_full_line(total, sf, floor_sec, queries) -> str:
         "sf": sf,
         "floor_sec": floor_sec,
     }, separators=(",", ":"))
+
+
+def render_final_line(total, sf, floor_sec, queries, subtotals_min) -> str:
+    """Render the LAST stdout line: queries map included, length
+    provably <= _FINAL_LINE_MAX so the driver's 2000-char tail always
+    contains it whole (r17 verdict task 1).
+
+    Precision ladder, most to least informative, first fit wins:
+      1. every value at 2 decimals, floor_sec included;
+      2. every value at 1 decimal, floor_sec included;
+      3. 1 decimal, floor_sec dropped (it stays on the full line and
+         in BENCH_DETAIL.json);
+      4. degrade the LARGEST values to whole seconds one at a time
+         (each conversion saves 2 bytes; worst case all-integer is
+         ~1.85 KB at the 80-head cap, under the cap by construction);
+      5. belt-and-braces: the O(1) compact line with no queries map —
+         a parsed:null round is never acceptable.
+    Subtotals never ride this line (they are panel-size-proportional
+    history; BENCH_DETAIL.json carries them all)."""
+    def _dump(q, with_floor):
+        d = {"metric": "headline_total_wall",
+             # same rounding as the full line so the two stdout lines
+             # agree exactly on the total (r17 ADVICE item 2)
+             "value": round(total, 3),
+             "unit": "sec",
+             "queries": q,
+             "sf": sf}
+        if with_floor:
+            d["floor_sec"] = floor_sec
+        return json.dumps(d, separators=(",", ":"))
+
+    for prec, with_floor in ((2, True), (1, True), (1, False)):
+        q = {n: round(v, prec) for n, v in queries.items()}
+        line = _dump(q, with_floor)
+        if len(line) <= _FINAL_LINE_MAX:
+            return line
+    # step 4: q currently holds 1-decimal values; integer-ize largest-first
+    for name in sorted(queries, key=queries.get, reverse=True):
+        q[name] = int(round(queries[name]))
+        line = _dump(q, False)
+        if len(line) <= _FINAL_LINE_MAX:
+            return line
+    return render_compact_line(total, sf, floor_sec, subtotals_min)
 
 
 def main() -> int:
@@ -513,12 +569,13 @@ def main() -> int:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    # full line (with queries) FIRST, compact line LAST — see
-    # render_full_line's docstring for why the order is load-bearing
+    # full 3-decimal line FIRST, adaptive queries-bearing line LAST —
+    # see render_final_line's docstring for why the order and the
+    # length cap are load-bearing (r17 verdict task 1)
     print(render_full_line(
         total, sf_from_dir(SF_DIR), timings["streaming_floor"], timings))
-    print(render_compact_line(
-        total, sf_from_dir(SF_DIR), timings["streaming_floor"],
+    print(render_final_line(
+        total, sf_from_dir(SF_DIR), timings["streaming_floor"], timings,
         detail["subtotals_min"]))
     spark.stop()
     return 0
