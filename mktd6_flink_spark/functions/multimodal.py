@@ -3279,6 +3279,111 @@ def attrition_media_from_documents(docs: DataFrame) -> DataFrame:
         corrupt, schema="modality string, media_id long, payload binary")
 
 
+def _attrition_payloads(did: int, text: str | None) -> list:
+    """One document's three UNCORRUPTED report-corpus payloads —
+    byte-identical to what ``attrition_media_from_documents`` builds
+    through the DataFrame builders (pinned by tests/test_round18.py):
+    JPEG (baseline even / progressive odd doc_ids) and grayscale PNG
+    via the shared raster clean/cap/pad contract, WAV u8 (even) /
+    16-bit (odd) via the audio builders' uncapped clean. Returns
+    [(modality, payload_bytes), ...]."""
+    import re
+    import struct
+
+    import numpy as np
+
+    from .jpeg import encode_dc_jpeg
+    from .jpeg_progressive import encode_dc_jpeg_progressive
+    from .png import encode_png_gray
+
+    strip = re.compile(r"[^a-z0-9 ]+")
+    clean = strip.sub("", (text or "").lower())
+
+    def grid(width):
+        c = clean[:RASTER_MAX_CHARS]
+        n = len(c)
+        h = max(-(-n // width), 1)
+        raster = np.zeros(h * width, dtype=np.uint8)
+        raster[:n] = np.frombuffer(c.encode("ascii"), dtype=np.uint8)
+        return raster.reshape(h, width)
+
+    jpeg_enc = (encode_dc_jpeg if did % 2 == 0
+                else encode_dc_jpeg_progressive)
+    out = [("image_jpeg", bytes(jpeg_enc(grid(JPEG_BLOCKS_W)))),
+           ("image_png", bytes(encode_png_gray(grid(PGM_WIDTH))))]
+    if did % 2 == 0:
+        # u8 RIFF/WAVE — the Column-expression builder's exact bytes:
+        # data = cleaned codepoints padded to >= 1 sample with NUL
+        data = clean.encode("ascii") or b"\x00"
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE,
+                             1, 8)
+               + b"data" + struct.pack("<I", len(data)))
+        out.append(("audio_wav", hdr + data))
+    else:
+        # 16-bit LE — wav16_media_from_documents' exact bytes
+        v = np.frombuffer(clean.encode("ascii"),
+                          dtype=np.uint8).astype(np.int64)
+        if v.size == 0:
+            v = np.zeros(1, dtype=np.int64)
+        data = (v * 257 - 32768).astype("<i2").tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                             WAV_RATE * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        out.append(("audio_wav", hdr + data))
+    return out
+
+
+def attrition_report_from_documents(docs: DataFrame) -> DataFrame:
+    """FUSED attrition report (r18, guide §4.2/§2.3 — the r17
+    verdict's task 5): build + corrupt + decode-attempt + classify in
+    ONE Python stage over ONE document scan. The unfused pipeline
+    (attrition_media_from_documents >> decode_attrition_report, kept
+    as the semantics reference) scanned documents four times (JPEG /
+    PNG / WAV / WAV16 builders), unioned three payload streams, and
+    shipped every multi-KB payload across the Arrow boundary three
+    times (builder out, corruptor in/out, classifier in); here the
+    text crosses once per document, the three payloads live and die
+    inside the kernel (byte-identical to the builders' —
+    _attrition_payloads, pinned by test), and only the
+    (modality, media_id, reason) scalars leave it. The bounded
+    (modality, reason) pairs are all that shuffles, map-side
+    partial-aggregated, exactly as before. Lifts onto readStream
+    unchanged (the streaming twin wraps the same frame)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from .jpeg_progressive import decode_jpeg_any
+        from .png import decode_png_gray
+
+        decoders = {"image_jpeg": decode_jpeg_any,
+                    "image_png": decode_png_gray,
+                    "audio_wav": _parse_wav}
+        for pdf in it:
+            out = []
+            for did, text in zip(pdf["doc_id"].to_list(),
+                                 pdf["text"].to_list()):
+                did = int(did)
+                for modality, payload in _attrition_payloads(did, text):
+                    corrupted = _corrupt_for_report(payload, did % 5,
+                                                    modality)
+                    try:
+                        decoders[modality](bytes(corrupted))
+                        reason = "ok"
+                    except ValueError as exc:
+                        reason = classify_decode_error(str(exc))
+                    out.append((modality, did, reason))
+            yield pd.DataFrame(
+                out, columns=["modality", "media_id", "reason"])
+
+    classified = _fanout_docs(docs).select("doc_id", "text").mapInPandas(
+        batches, schema="modality string, media_id long, reason string")
+    return (classified.groupBy("modality", "reason")
+            .agg(F.count("*").alias("n")))
+
+
 def decode_attrition_report(media: DataFrame) -> DataFrame:
     """Attempt the REAL decode of every payload (dispatching JPEG
     decoder, gray PNG decoder, 8/16-bit WAV parser), classify each

@@ -2771,8 +2771,12 @@ def mm_decode_report(spark, sf_dir):
     on an intact payload, survives a corrupted one, or raises outside
     its class's reason flips the hash."""
     docs = load(spark, sf_dir, "documents")
-    return mm.decode_attrition_report(
-        mm.attrition_media_from_documents(docs))
+    # r18: build/corrupt/decode/classify FUSED into one Python stage
+    # over one document scan (guide §4.2/§2.3; the unfused four-scan
+    # pipeline shipped every payload across the Arrow boundary three
+    # times — attrition_media_from_documents stays as the semantics
+    # reference, byte-equality pinned in tests/test_round18.py)
+    return mm.attrition_report_from_documents(docs)
 
 
 @register("streaming_decode_report", mm.sql_decode_report("documents"))
@@ -2796,8 +2800,7 @@ def streaming_decode_report(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    report = mm.decode_attrition_report(
-        mm.attrition_media_from_documents(raw))
+    report = mm.attrition_report_from_documents(raw)
     return _run_stream_update_latest(spark, report, "mm_attrition",
                                      ["modality", "reason"])
 
@@ -3948,19 +3951,49 @@ def curation_with_lineage(spark, sf_dir):
     pass-through node). Stages: ``input`` (corpus size) → ``deduped``
     (near-dup keep-list survivors) → ``final`` (quality + language
     gate survivors); drops are the deltas."""
+    from pyspark import InheritableThread
     from pyspark.sql import Observation
+
+    from ..operators import cache
 
     obs = {"input": Observation("curation_input"),
            "deduped": Observation("curation_deduped"),
            "final": Observation("curation_final")}
     docs = _docs2(spark, sf_dir)
-    quality = tx.quality_stats(docs)
-    langs = tx.lang_id(docs)
-    # near-dup keep-list: LSH pairs -> connected components -> keep the
-    # min-id representative of every cluster (subsumes exact dedup)
-    pairs = dd.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    comp = dd.connected_components(docs.select("doc_id"), pairs)
-    kept = comp.filter(F.col("component") == F.col("doc_id")).select("doc_id")
+    # r18 overlap (guide §2.6 — the r17 verdict's task 7): the CC
+    # keep-list below runs as a ladder of sequential driver-blocking
+    # jobs (edge materialize + one join per propagation sweep) whose
+    # stage tails idle most executors, while quality and lang-id are
+    # INDEPENDENT subtrees consumed only by the final joins. Persist
+    # both and materialize them from a driver thread so the default
+    # FIFO scheduler back-fills the sweep tails with their tasks;
+    # values are untouched (persist is semantically transparent, the
+    # final joins read the same frames, and the thread only runs noop
+    # writes). force=True: both frames are multi-consumer here (the
+    # overlap action + the final join) and mapInPandas/HOF outputs
+    # carry useless size estimates (the r12 lesson).
+    quality = cache.maybe_persist(tx.quality_stats(docs), force=True)
+    langs = cache.maybe_persist(tx.lang_id(docs), force=True)
+
+    def _materialize_gates():
+        spark.sparkContext.setJobDescription(
+            "curation: quality+lang gates (overlapped with CC)")
+        quality.write.format("noop").mode("overwrite").save()
+        langs.write.format("noop").mode("overwrite").save()
+
+    warm = InheritableThread(target=_materialize_gates)
+    warm.start()
+    try:
+        # near-dup keep-list: LSH pairs -> connected components -> keep
+        # the min-id representative of every cluster (subsumes exact
+        # dedup)
+        pairs = dd.minhash_lsh_pairs(docs).filter(
+            F.col("est_jaccard") >= 0.5)
+        comp = dd.connected_components(docs.select("doc_id"), pairs)
+        kept = (comp.filter(F.col("component") == F.col("doc_id"))
+                .select("doc_id"))
+    finally:
+        warm.join()
     # observe nodes live ONLY on the final chain: wrapping the shared
     # _docs2 subtree would replicate the CollectMetrics node into every
     # branch (quality/lang/LSH/CC) and its metric into each of their
@@ -13420,24 +13453,35 @@ def graph_khop_reach(spark, sf_dir):
 @register("streaming_khop_reach", ORACLES["graph_khop_reach"])
 def streaming_khop_reach(spark, sf_dir):
     """K-hop frontier expansion on the LIVE streaming runtime (round
-    15 — the graph family's first on-ingest form): each hop is a
-    separate Structured Streaming query chained through a FileTopic
-    (plans/market.py — the broker-less Kafka stand-in the composed
-    market dataflow already uses, exactly the reference's
-    topic-chained DAG shape): the previous hop's frontier streams in,
-    stream-STATIC joins the persisted edge table on the node key,
-    anti-joins the statically-read union of all earlier hops'
-    topics (legal stream-static left_anti — each stage runs
-    availableNow to completion before the next starts, so "visited"
-    is immutable while a stage runs), and dedups within the hop via
-    the runtime's stateful dropDuplicates before sinking to the next
-    topic. The final report is a batch count over the hop topics —
-    identical exact set cardinalities to graph_khop_reach, so the two
-    twins share one oracle. State per stage is the (seed, node)
-    dedup set — pair-domain, bounded by seeds x |V| regardless of
-    event volume (growth-audit annotated). At 100 TB the topics are
-    Kafka, the per-hop joins stay partitioned on the node key, and
-    each hop's state is its frontier, never the stream history."""
+    15 — the graph family's first on-ingest form): the seed frontier
+    arrives on a FileTopic (plans/market.py — the broker-less Kafka
+    stand-in the composed market dataflow already uses), and ONE
+    availableNow query expands it; inside foreachBatch each hop is a
+    batch equi-join of the current frontier against the persisted
+    edge table, a distinct, and an anti-join against the hops already
+    reached, with every hop's delta appended to its own hop topic —
+    the same topic-per-hop boundary the per-stage form produced, so
+    the final batch count over the hop topics (and the shared oracle)
+    is unchanged.
+
+    r18 optimization (guide §2 — the r17 verdict's task 4): the r15
+    form ran one SEPARATE streaming query per hop, so the entry paid
+    {3} full query lifecycles (source listing, planning, state runtime
+    startup, sink commit) ≈ 3x the machinery floor before any graph
+    work — the bench's most expensive head (driver min 10.3 s; this
+    VM 11.6 s round-start). Chaining the hops inside one lifecycle's
+    foreachBatch keeps the streaming semantics exact: a micro-batch
+    carries a subset of SEED rows, per-seed reachability is
+    independent of every other seed (every join/anti-join keys on
+    (seed, node)), so expanding each batch's seeds to completion and
+    appending per-hop deltas commutes with ANY micro-batching of the
+    seed stream — the same additivity argument the LPA per-batch
+    partials ride. The stateful dropDuplicates per stage is subsumed
+    by the in-batch distinct (seeds are disjoint across batches, so
+    cross-batch dedup state was never exercised). At 100 TB the seed
+    topic is Kafka, the per-hop joins stay partitioned on the node
+    key, and memory is bounded by one batch's frontier, never the
+    stream history."""
     import os
     import tempfile
 
@@ -13450,29 +13494,48 @@ def streaming_khop_reach(spark, sf_dir):
     topics = [os.path.join(base, "hop0")]
     seeds.select("seed", F.col("seed").alias("node")).coalesce(1) \
         .write.mode("overwrite").json(topics[0])
+    hop_topics = []
+    for h in range(1, _KHOP_HOPS + 1):
+        topic = FileTopic(os.path.join(base, f"hop{h}"), schema)
+        # pre-create: an empty frontier writes no files, and the
+        # final report's read needs the directory to exist
+        os.makedirs(topic.path, exist_ok=True)
+        hop_topics.append(topic)
+        topics.append(topic.path)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # _STREAM_PARTS (not a pinned 16, r17): fewer state-store
-    # instances per hop measured faster (6.0 vs 7.2 s whole-entry at
-    # sf0.1) and the knob stays env-tunable like every other
-    # streaming entry
+    # instances measured faster and the knob stays env-tunable like
+    # every other streaming entry
     spark.conf.set("spark.sql.shuffle.partitions", _STREAM_PARTS)
+
+    def _expand_batch(bdf, _id):
+        # batch-local BFS over this micro-batch's seeds (disjoint
+        # from every other batch's — see docstring)
+        persisted = []
+        visited = frontier = bdf
+        try:
+            for topic in hop_topics:
+                nxt = (frontier.join(edges,
+                                     frontier["node"] == edges["src"])
+                       .select("seed", F.col("dst").alias("node"))
+                       .distinct())
+                new = nxt.join(visited, ["seed", "node"], "left_anti") \
+                    .persist()
+                persisted.append(new)
+                topic.append_batch(new)
+                visited = visited.unionByName(new).persist()
+                persisted.append(visited)
+                frontier = new
+        finally:
+            for df in persisted:
+                df.unpersist()
+
     try:
-        for h in range(1, _KHOP_HOPS + 1):
-            visited = spark.read.schema(schema).json(topics)
-            frontier = spark.readStream.schema(schema).json(topics[-1])
-            expand = (frontier.join(edges,
-                                    frontier["node"] == edges["src"])
-                      .select("seed", F.col("dst").alias("node")))
-            new = (expand.join(visited, ["seed", "node"], "left_anti")
-                   .dropDuplicates(["seed", "node"]))
-            topic = FileTopic(os.path.join(base, f"hop{h}"), schema)
-            # pre-create: an empty frontier writes no files, and the
-            # next stage's readStream needs the directory to exist
-            os.makedirs(topic.path, exist_ok=True)
-            q = (topic.sink(new, os.path.join(base, f"ck{h}"))
-                 .trigger(availableNow=True).start())
-            _await_done(q, 300)
-            topics.append(topic.path)
+        q = (spark.readStream.schema(schema).json(topics[0])
+             .writeStream.foreachBatch(_expand_batch)
+             .option("checkpointLocation", os.path.join(base, "ck"))
+             .trigger(availableNow=True).start())
+        _await_done(q, 300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     per_hop = [

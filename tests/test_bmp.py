@@ -203,6 +203,14 @@ def test_bmp_decoder_total_on_garbage(tail):
 
 
 def test_bmp_mutation_fuzz_valueerror_only():
+    # fast/full tier (r18, suite-budget): the default strides still
+    # hit every header/palette/pixel region of all three encodings;
+    # SPARK_GRAFT_FULL_SWEEP=1 restores the dense sweep (run it when
+    # touching the BMP decoder).
+    import os
+
+    full = os.environ.get("SPARK_GRAFT_FULL_SWEEP") == "1"
+    cut_step, mut_step = (5, 3) if full else (13, 7)
     pal = _pal()
     rng = np.random.RandomState(17)
     goods = [
@@ -214,12 +222,12 @@ def test_bmp_mutation_fuzz_valueerror_only():
                         pal, topdown=True),
     ]
     for good in goods:
-        for cut in range(0, len(good), 5):
+        for cut in range(0, len(good), cut_step):
             try:
                 decode_bmp(good[:cut])
             except ValueError:
                 pass
-        for i in range(0, len(good), 3):
+        for i in range(0, len(good), mut_step):
             mut = bytearray(good)
             mut[i] ^= 0x5A
             try:

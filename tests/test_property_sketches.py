@@ -17,11 +17,21 @@ from __future__ import annotations
 
 from functools import reduce
 
+import os
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from mktd6_flink_spark.functions import sketches as sk
+
+# Fast/full tier (r18 — the r17 verdict's task 2: the 723-test suite
+# outgrew the driver's pytest budget): each hypothesis example here
+# runs ~10 Spark jobs, so example count is the wall-time knob. The
+# default tier keeps enough examples to exercise every merge law on
+# random shardings; SPARK_GRAFT_FULL_SWEEP=1 restores the full count
+# (run it when touching the sketch kernels).
+_EXAMPLES = 6 if os.environ.get("SPARK_GRAFT_FULL_SWEEP") == "1" else 2
 
 # (value id, shard id) pairs: value ids collide on purpose (duplicates
 # must not change any of the three sketches' merge results), shard ids
@@ -31,7 +41,7 @@ data_strategy = st.lists(
     min_size=1, max_size=40)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(data=data_strategy, nparts=st.sampled_from([2, 3]))
 def test_sketch_merge_equals_whole_for_random_partitions(
@@ -81,7 +91,7 @@ quant_data = st.lists(
     min_size=1, max_size=40)
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(data=quant_data, nparts=st.sampled_from([2, 3]))
 def test_qhist_merge_equals_whole_and_error_bound(spark, data, nparts):
@@ -117,7 +127,7 @@ def test_qhist_merge_equals_whole_and_error_bound(spark, data, nparts):
         assert est <= true_q < est + sk.QHIST_WIDTH_CENTS
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(data=data_strategy, nparts=st.sampled_from([2, 3]))
 def test_kmv_merge_equals_whole_for_random_partitions(spark, data, nparts):

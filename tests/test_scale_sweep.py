@@ -30,6 +30,18 @@ from mktd6_flink_spark.functions.hashing import round_portable
 
 SF_DIR = "/root/testdata/sf0.1"
 
+# Fast/full tier (r18 -- the r17 verdict's task 2: the suite outgrew
+# the driver's pytest budget, and this file's two sweeps were its
+# single biggest line item). The default tier sweeps {8, 32}: the
+# bit-identity-across-partitioning invariant needs two distinct
+# counts, and 4x still exercises multi-partition state scheduling.
+# SPARK_GRAFT_FULL_SWEEP=1 restores the hostile 25x {8, 32, 200}
+# sweep (run it when touching the streaming runtime or state plumbing;
+# SCALING.md's recorded numbers come from the full sweep).
+_SWEEP_PARTS = (("8", "32", "200")
+                if os.environ.get("SPARK_GRAFT_FULL_SWEEP") == "1"
+                else ("8", "32"))
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF_DIR), reason="sf0.1 driver testdata not present")
 
@@ -51,20 +63,24 @@ def test_streaming_st6_ledger_stream_parts_sweep(spark, monkeypatch):
     dq.QUERIES["streaming_st6_ledger"](spark, SF_DIR).collect()
 
     results, times = {}, {}
-    for parts in ("8", "32", "200"):
+    for parts in _SWEEP_PARTS:
         monkeypatch.setattr(dq, "_STREAM_PARTS", parts)
         t0 = time.monotonic()
         results[parts] = _canon(
             dq.QUERIES["streaming_st6_ledger"](spark, SF_DIR))
         times[parts] = time.monotonic() - t0
     assert results["8"], "empty ledger output"
-    assert results["8"] == results["32"] == results["200"], \
+    assert all(results[p] == results["8"] for p in _SWEEP_PARTS), \
         "streaming ledger result depends on _STREAM_PARTS"
     # Growth must stay below the 25x partition multiplier: the cost is
     # per-partition state-store/scheduling overhead, not per-row work
     # (on a cluster the 200 partitions spread over cores and the curve
     # flattens; local[32] serializes them). Measured: see SCALING.md.
-    assert times["200"] < 25 * times["8"], times
+    # sublinear in the partition multiplier (hi/8): per-partition
+    # state-store overhead only, never per-row work (measured ~12x at
+    # 25x on local[32] -- ~2x headroom holds at the fast tier too)
+    hi = _SWEEP_PARTS[-1]
+    assert times[hi] < int(hi) / 8 * times["8"], times
     print(f"\nSCALING streaming_st6_ledger sf0.1 parts->sec: "
           f"{ {k: round(v, 2) for k, v in times.items()} }")
 
@@ -177,17 +193,21 @@ def test_composed_market_dataflow_stream_parts_sweep(spark, tmp_path,
     run_composed("4")  # warm cold-start costs out of the timed runs
 
     results, times = {}, {}
-    for parts in ("8", "32", "200"):
+    for parts in _SWEEP_PARTS:
         t0 = time.monotonic()
         results[parts] = run_composed(parts)
         times[parts] = time.monotonic() - t0
-    assert results["8"] == results["32"] == results["200"], \
+    assert all(results[p] == results["8"] for p in _SWEEP_PARTS), \
         "composed dataflow result depends on state partition count"
     assert results["8"] == expect, \
         "composed streaming dataflow != batch dataflow_market_ledger"
     # Same bound rationale as the st6 sweep above: sublinear in the
     # 25x partition multiplier (measured ~12x on local[32] — two
     # chained stateful queries each pay the per-partition floor).
-    assert times["200"] < 25 * times["8"], times
+    # sublinear in the partition multiplier (hi/8): per-partition
+    # state-store overhead only, never per-row work (measured ~12x at
+    # 25x on local[32] -- ~2x headroom holds at the fast tier too)
+    hi = _SWEEP_PARTS[-1]
+    assert times[hi] < int(hi) / 8 * times["8"], times
     print(f"\nSCALING composed market dataflow sf0.1 parts->sec: "
           f"{ {k: round(v, 2) for k, v in times.items()} }")
